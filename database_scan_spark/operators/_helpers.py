@@ -1,0 +1,36 @@
+"""Shared helpers for operator implementations."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TMP_ROOT = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft")
+
+
+def workdir(sf_dir: str, name: str) -> str:
+    """Deterministic scratch dir per (scale factor, operator)."""
+    d = os.path.join(TMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def money(col: str | Column) -> Column:
+    """Exact-arithmetic money column. DECIMAL sums are associative, so
+    Spark's unordered partial aggregation stays deterministic and
+    hash-matches the oracle (SURVEY.md §7.3 trap #2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact."""
+    return money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+
+
+# The same expression for DuckDB oracles.
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
+)

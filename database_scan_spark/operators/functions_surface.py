@@ -1,0 +1,200 @@
+"""Scalar-function + UDF surface — SURVEY.md §2.9-2.10.
+
+Everything the reference did with Python string/dict fiddling is a
+built-in JVM expression here (whole-stage codegen, no Python in the
+hot path); the one genuine UDF (`udf_smiles_canonical`,
+`/root/reference/chembl_to_smile.py:39-48`) becomes an Arrow
+pandas_udf whose result is still hash-checked against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+
+def fn_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferred-value fallback (`pref_name` else nested fallback —
+    `/root/reference/chembl_to_molecule_type.py:16-26`): the
+    reference wrote a 10-line extraction function; Spark demotes it
+    to `coalesce` (SURVEY §2.10 `udf_molecule_name`)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.label"),  # absent → null
+            F.col("event_type"),
+        ).alias("label"),
+    )
+
+
+FN_COALESCE_ORACLE = """
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.label'), event_type) AS label
+FROM events
+"""
+
+
+def fn_str_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width / 2-dp report formatting (`{symbol:8s} {score:0.2f}`
+    — `/root/reference/candidate_drugs.py:112`, `x2.py:159`) as a
+    single `format_string` expression (the `sink_stdout` shape)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.format_string("%-20s %10.2f", F.col("n_name"), F.col("c_acctbal")).alias("line"),
+        )
+    )
+
+
+FN_STR_FORMAT_ORACLE = """
+SELECT c_custkey, printf('%-20s %10.2f', n_name, c_acctbal) AS line
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def fn_str_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-op surface: replace/trim/lower/upper/substring/length
+    (reference: `str.replace` templating `pathways_query.py:21`,
+    `.strip()` `opentargets_client_api.py:16`)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.lit("  padded  ")).alias("trimmed"),
+        F.substring("p_name", 1, 3).alias("prefix3"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+FN_STR_OPS_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       replace(p_name, ' ', '_') AS name_snake,
+       trim('  padded  ') AS trimmed,
+       substring(p_name, 1, 3) AS prefix3,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM part
+"""
+
+
+def fn_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (absent locally in the reference — SURVEY
+    §2.9): truncate-to-month rollup of order totals."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_total"),
+        )
+    )
+
+
+FN_DATE_OPS_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over tokenized text (arrays appear in the
+    reference only inside API responses, e.g. `synonyms: [String!]!`
+    `opentargets.schema:354-355`; the engine makes them first-class)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+    )
+
+
+FN_ARRAY_OPS_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       list_contains(string_split(text, ' '), 'spark') AS mentions_spark
+FROM documents
+"""
+
+
+def fn_json_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON re-serialization (`json.dumps` debug output —
+    `/root/reference/query_opentargets.py:18-25`): `to_json(struct(...))`."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+    )
+
+
+FN_JSON_PRETTY_ORACLE = """
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+FROM events
+"""
+
+
+def _canonicalize_udf():
+    @pandas_udf(T.StringType())
+    def canon(s: pd.Series) -> pd.Series:
+        """Arrow-batched canonicalization: lowercase, strip, collapse
+        internal whitespace. The dependency-free analog of the RDKit
+        canonical-SMILES round-trip (`chembl_to_smile.py:39-48`,
+        SURVEY §7.3 #5) — same shape: normalize, then compare to input."""
+        return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+    return canon
+
+
+def udf_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's UDF path, proven end-to-end: a pandas_udf whose
+    output is still SQL-expressible, so the DuckDB oracle hash-checks
+    the Arrow round-trip itself (not just the transform)."""
+    docs = load(spark, sf_dir, "documents")
+    canon = _canonicalize_udf()(F.col("text"))
+    return docs.select(
+        "doc_id",
+        canon.alias("canonical_text"),
+        (F.col("text") == canon).alias("is_canonical"),
+    )
+
+
+UDF_CANONICALIZE_ORACLE = """
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS canonical_text,
+       text = lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS is_canonical
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("fn_coalesce", fn_coalesce, FN_COALESCE_ORACLE, tags=("functions",)),
+    QuerySpec("fn_str_format", fn_str_format, FN_STR_FORMAT_ORACLE, tags=("functions",)),
+    QuerySpec("fn_str_ops", fn_str_ops, FN_STR_OPS_ORACLE, tags=("functions",)),
+    QuerySpec("fn_date_ops", fn_date_ops, FN_DATE_OPS_ORACLE, tags=("functions",)),
+    QuerySpec("fn_array_ops", fn_array_ops, FN_ARRAY_OPS_ORACLE, tags=("functions",)),
+    QuerySpec("fn_json_pretty", fn_json_pretty, FN_JSON_PRETTY_ORACLE, tags=("functions",)),
+    QuerySpec("udf_canonicalize", udf_canonicalize, UDF_CANONICALIZE_ORACLE, tags=("functions", "udf")),
+]

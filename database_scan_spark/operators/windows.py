@@ -1,0 +1,213 @@
+"""Window functions + time windows (SURVEY.md §2.8 'absent' surface,
+§2.12 streaming-shape aggregations in their batch form).
+
+The reference has no analytic windows (SURVEY §2.8); the engine adds
+the full surface. Time-window ops here run on batch DataFrames with
+the SAME ``window``/``session_window`` expressions the streaming jobs
+use (`database_scan_spark/streaming/jobs.py`), so correctness is
+hash-checked once against the DuckDB oracle and the streaming path
+reuses the checked expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier over an explicit total order
+    (shipdate, orderkey, linenumber — unique, so the frame is
+    deterministic). DECIMAL keeps the running sum exact."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_rev"),
+    )
+
+
+WIN_RUNNING_SUM_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+FROM lineitem WHERE l_suppkey <= 10
+"""
+
+
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank per nation by account balance."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+WIN_RANK_DENSE_ORACLE = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+QUALIFY rnk <= 5
+"""
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline (event_id is the
+    unique tiebreaker — ts collisions must not flip neighbors)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+WIN_LAG_LEAD_ORACLE = """
+SELECT user_id, event_id, value,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event_type (batch form of the
+    streaming aggregation — same `window()` expression). Epoch-aligned
+    in both engines, so `time_bucket` is the oracle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WIN_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide. Each event
+    belongs to 2 windows; the oracle materializes both grid offsets."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
+WIN_SLIDING_ORACLE = """
+WITH expanded AS (
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - (off * INTERVAL '5 minutes') AS w_start
+    FROM events, (SELECT UNNEST([0, 1]) AS off)
+)
+SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user — batch
+    `session_window`. Oracle: gaps-and-islands (lag + cumulative
+    new-session flags); session end = last event + gap, matching
+    Spark's session_window semantics."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WIN_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '5 minutes'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+SPECS = [
+    QuerySpec("win_running_sum", win_running_sum, WIN_RUNNING_SUM_ORACLE, tags=("window",)),
+    QuerySpec("win_rank_dense", win_rank_dense, WIN_RANK_DENSE_ORACLE, tags=("window",)),
+    QuerySpec("win_lag_lead", win_lag_lead, WIN_LAG_LEAD_ORACLE, tags=("window",)),
+    QuerySpec("win_tumbling", win_tumbling, WIN_TUMBLING_ORACLE, tags=("window", "stream-shape")),
+    QuerySpec("win_sliding", win_sliding, WIN_SLIDING_ORACLE, tags=("window", "stream-shape")),
+    QuerySpec("win_session", win_session, WIN_SESSION_ORACLE, tags=("window", "stream-shape")),
+]
