@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink so the full plan
+executes (count() alone lets Spark prune projections). One warm-up
+run of the smallest query absorbs JVM/codegen start-up cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "candidate_parts",
+    "agg_group_sums",
+    "join_multi_hop",
+    "dedup_by_id",
+    "set_union_accumulate",
+    "topk_per_group",
+    "win_session",
+    "win_tumbling",
+    "udf_canonicalize",
+    # LLM-pipeline extensions (registered in later milestones; skipped
+    # gracefully if absent so bench never breaks mid-build)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from database_scan_spark.registry import SPECS
+    from database_scan_spark.session import get_spark
+
+    spark = get_spark("database-scan-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    by_name = {s.name: s for s in SPECS}
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = by_name[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: JVM/codegen/parquet-footer caches, not measured.
+    if "agg_group_sums" in by_name:
+        run("agg_group_sums")
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in by_name:
+            continue
+        queries[name] = round(run(name), 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    result = {
+        "metric": "headline-query wall-clock, noop sink, local mode",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
