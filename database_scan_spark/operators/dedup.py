@@ -1,3 +1,460 @@
-"""Placeholder — filled in a later milestone."""
+"""Document deduplication — exact, MinHash+LSH, SimHash, n-gram
+Jaccard (north-star LLM-pipeline operators, BASELINE.json).
 
-SPECS: list = []
+The reference's pervasive `dedup_by_id` (SURVEY §2.4) removes exact
+id duplicates; a 100 TB training-data pipeline needs *content*
+dedup. Everything here is expressed with built-in JVM expressions
+(no Python in the hot path) and a deterministic hash family shared
+with the DuckDB oracle:
+
+    h32(s) = int(md5(s)[:8], 16)            -- same in both engines
+    h_i(x) = (a_i * (h32 mod P) + b_i) mod P,  P = 2^31 - 1
+
+so even the LSH internals hash-match the oracle — the strongest
+check the harness allows (most systems settle for rows-only here).
+
+Scale posture:
+
+- shingling/minhashing is a narrow map (no shuffle); the only
+  shuffles are the per-doc signature aggregation and the band-bucket
+  self-join — both keyed, both AQE-skew-handled;
+- the band self-join is the classic LSH trick: candidate pairs come
+  from tiny per-bucket groups instead of an O(n²) cross join;
+- verification (true Jaccard) joins shingles ONLY for candidate
+  pairs, so the expensive exact step runs on a vanishing fraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+# Deterministic MinHash parameter family (fixed seed, literal in both
+# the Spark plan and the generated oracle SQL).
+_K = 64  # hash functions
+_BANDS = 16  # bands of r = 4
+_R = _K // _BANDS
+_rng = np.random.RandomState(1_234_567)
+MINHASH_A = [int(x) for x in _rng.randint(1, P31, size=_K)]
+MINHASH_B = [int(x) for x in _rng.randint(0, P31, size=_K)]
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _h32(col: Column) -> Column:
+    """Deterministic 32-bit string hash identical in Spark and DuckDB:
+    first 8 hex chars of md5, parsed as an integer."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_SQL_H32 = "('0x' || substring(md5({expr}), 1, 8))::BIGINT"
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles as an array column — a pure
+    array expression (whole-stage codegen, no UDF)."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+# DuckDB twin of _shingles (1-based list indexing, list comprehension).
+_SQL_SHINGLES = """
+SELECT doc_id,
+       unnest(list_distinct([
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           FOR i IN generate_series(1, greatest(len(t) - 2, 0))
+       ])) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by the text itself (at 100 TB,
+    group by a 128-bit content hash instead so the shuffle carries
+    16 bytes, not documents — md5 column included to show the key),
+    survivor = lowest doc_id (deterministic, SURVEY §1.4)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS survivor_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (set-similarity join)
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via a set-similarity join: explode
+    shingles, equi-join on the shingle (docs sharing no shingle never
+    meet — no O(n²) cross join), count the intersection, and compute
+    |A∩B| / (|A|+|B|−|A∩B|). The scalable exact baseline MinHash+LSH
+    approximates."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH + exact verification.
+
+    shingle→minhash→band→bucket-join, the canonical web-scale near-dup
+    pipeline (Broder '97 resemblance sketches; GPT-3/C4-style corpus
+    dedup): k=64 permutations approximated by (a·h+b) mod P, banded
+    16×4 so pairs with Jaccard ≥ ~0.6 collide in ≥1 band w.h.p.;
+    candidates (and ONLY candidates) are verified with exact Jaccard.
+
+    One groupBy computes all 64 signature slots as columns (single
+    shuffle); bands explode to (doc, band_idx, sig) and a self-join
+    on the band signature yields candidates from within tiny buckets.
+    """
+    sh = _shingle_df(spark, sf_dir).withColumn(
+        "h", _h32(F.col("shingle")) % F.lit(P31)
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P31)).alias(
+                f"m{i}"
+            )
+            for i in range(_K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * _R + t}").cast("string") for t in range(_R)]
+                ).alias("sig"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    bands = mins.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Exact verification restricted to LSH candidates.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("a_sh") == F.col("b_sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    min_exprs = ",\n           ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P31}) AS m{i}" for i in range(_K)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_idx, {sig} AS sig FROM mins".format(
+            j=j,
+            sig=" || '_' || ".join(f"CAST(m{j * _R + t} AS VARCHAR)" for t in range(_R)),
+        )
+        for j in range(_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (
+    SELECT doc_id, {_SQL_H32.format(expr="shingle")} % {P31} AS h, shingle FROM sh
+),
+mins AS (
+    SELECT doc_id,
+           {min_exprs}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM candidates c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMBITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (Charikar '02): for each bit
+    position, sum +1/−1 votes from every distinct token's hash; the
+    sign vector is the fingerprint. Near-identical token bags agree
+    on almost every bit, so Hamming-close fingerprints ≈ near-dups.
+    One narrow map + one groupBy — no joins, no UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("h", _h32(F.col("tok")))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(_SIMBITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SIMBITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    vote_exprs = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIMBITS)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMBITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+),
+hashed AS (SELECT doc_id, {_SQL_H32.format(expr="tok")} AS h FROM toks),
+votes AS (
+    SELECT doc_id,
+           {vote_exprs}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint into 4
+    bytes; by pigeonhole, any pair within Hamming distance ≤ 3 shares
+    at least one exact byte (3 flips can't touch all 4 bands) — the
+    self-join runs per byte-bucket (LSH again), then the exact
+    Hamming check (bit_count of XOR) filters. A larger distance
+    budget needs more bands: recall is only guaranteed for
+    d < #bands."""
+    sims = dedup_simhash(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.byte").alias("byte"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.byte") == F.col("y.byte"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH sims AS ({_simhash_oracle()}),
+bands AS (
+    SELECT doc_id, simhash, i AS band_idx, (simhash >> (8 * i)) & 255 AS byte
+    FROM sims, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.byte = y.byte AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.40
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision sequential dot product as a pure JVM array
+    expression (F.zip_with + F.aggregate) — bit-identical to DuckDB's
+    list_dot_product over DOUBLE[] because both fold left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold over the
+    (unit-normalized) embedding column, so cosine = dot product.
+    Brute-force self-join here; at 100 TB the LSH-bucketed variant
+    (sim_lsh_ann) bounds the pair space first."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(_dot(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, tags=("llm", "dedup")),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup")),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(), tags=("llm", "dedup")),
+    QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(), tags=("llm", "dedup")),
+    QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_oracle(), tags=("llm", "dedup")),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE, tags=("llm", "dedup")),
+]

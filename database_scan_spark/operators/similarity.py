@@ -1,3 +1,154 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity search over the embedding column (north-star
+LLM-pipeline operator, BASELINE.json).
 
-SPECS: list = []
+Two paths, both fully deterministic and oracle-checked:
+
+- ``sim_topk_bruteforce``: exact cosine top-k — the correctness
+  baseline. Queries broadcast against the full embedding table; at
+  100 TB this is the pattern for a small query batch against a huge
+  corpus (one scan, no shuffle of the big side).
+- ``sim_lsh_ann``: random-hyperplane LSH (Charikar SimHash for
+  angles): each vector gets a sign-bit bucket code from a FIXED
+  literal hyperplane set; candidates share a bucket, then exact
+  cosine ranks within the bucket. The bucket join replaces the O(n²)
+  pair space with per-bucket groups — the scale path. Approximate by
+  design: recall depends on the hyperplanes, but the *computation* is
+  deterministic, so the DuckDB twin (same literals) hash-matches.
+
+Embeddings are unit-normalized in the fixtures, so cosine = dot.
+The dot product is a JVM array fold (zip_with + aggregate) — no UDF,
+bit-identical to DuckDB's list_dot_product over DOUBLE[].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+DIM = 64
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+# Fixed literal hyperplanes (seeded, embedded identically in the Spark
+# plan and the generated oracle SQL).
+_rng = np.random.RandomState(20_240_813)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.randn(DIM)] for x in range(6)
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _bucket_code(vec: Column) -> Column:
+    """Sign-bit bucket code: bit i = 1 iff vec · hyperplane_i >= 0."""
+    code = F.lit(0)
+    for i, h in enumerate(HYPERPLANES):
+        code = code + F.when(_dot(vec, _lit_vec(h)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return code.cast("int")
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector. The small
+    query side is broadcast — the corpus is scanned once, never
+    shuffled; ranking is a per-query window (tiny partitions)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SIM_TOPK_BRUTEFORCE_ORACLE = f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: bucket code once per vector
+    (narrow map), equi-join queries to corpus on the bucket, exact
+    cosine + window rank within the bucket only."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_code(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "bucket"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+    )
+
+
+def _lsh_oracle() -> str:
+    def dot_sql(vec_expr: str, h: list[float]) -> str:
+        lits = ", ".join(repr(v) for v in h)
+        return f"list_dot_product({vec_expr}::DOUBLE[], [{lits}]::DOUBLE[])"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('embedding', h)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(HYPERPLANES)
+    )
+    return f"""
+WITH coded AS (
+    SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
+)
+SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+    FROM coded q JOIN coded c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+SPECS = [
+    QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_ORACLE, tags=("llm", "similarity")),
+    QuerySpec("sim_lsh_ann", sim_lsh_ann, _lsh_oracle(), tags=("llm", "similarity")),
+]

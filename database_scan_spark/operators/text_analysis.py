@@ -1,3 +1,200 @@
-"""Placeholder — filled in a later milestone."""
+"""Text analysis over the documents table (north-star LLM-pipeline
+operators, BASELINE.json): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
 
-SPECS: list = []
+All pure JVM expressions (split/regexp/md5/array ops) — whole-stage
+codegen end to end, no Python in the hot path — each with a DuckDB
+oracle twin. Ratios divide exact integers, so doubles are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "it"]
+
+# Marker vocabularies for the n-gram language heuristic. Scores are
+# marker-token hit counts; prediction = argmax with a fixed
+# preference order for ties (deterministic, SURVEY §1.4 discipline).
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "y"],
+    "fr": ["le", "la", "les", "et"],
+    "zh": ["的", "是", "了", "在"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword count
+    (split on any non-alphanumeric boundary AND ~4-char chunks — a
+    cheap, deterministic proxy for byte-pair tokenizer budgeting)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+        # ceil(len/4) per token, summed: subword-budget proxy.
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("int")
+        ).cast("int").alias("n_subwords"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+    )
+
+
+TEXT_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+       CAST(list_sum([CAST(ceil(length(t) / 4) AS INTEGER) FOR t IN string_split(text, ' ')]) AS INTEGER) AS n_subwords,
+       CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM documents
+"""
+
+
+def _stopword_hits(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio,
+    type-token ratio — the standard cheap pre-filter signals a corpus
+    pipeline computes before expensive model-based scoring (C4/Gopher
+    rules shape). Score = weighted combination, deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    quality = (
+        F.when((n >= 20) & (n <= 1000), 0.4).otherwise(0.0)
+        + (_stopword_hits(toks) / n) * F.lit(0.3)
+        + (F.size(F.array_distinct(toks)) / n) * F.lit(0.3)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(F.length("text") / n, 6).alias("mean_tok_span"),
+        F.round(_stopword_hits(toks) / n, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("type_token_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+_SQL_STOPS = "['" + "', '".join(STOPWORDS) + "']"
+TEXT_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       round(length(text) * 1.0 / len(toks), 6) AS mean_tok_span,
+       round(len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x))) * 1.0 / len(toks), 6) AS stopword_ratio,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+       round(
+           (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+           + (len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x))) * 1.0 / len(toks)) * 0.3
+           + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3, 6) AS quality_score
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count marker-token hits per language,
+    predict the argmax (fixed preference order on ties). The shape of
+    every dictionary-based fast lang-ID pass; swap marker lists for
+    real char-n-gram tables at production scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def marker_hits(markers: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("int").alias(f"score_{lang}") for lang in LANG_ORDER],
+        pred.alias("predicted_lang"),
+    )
+    return out.withColumn("lang_match", F.col("predicted_lang") == F.col("lang"))
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang in LANG_ORDER:
+        lits = "['" + "', '".join(LANG_MARKERS[lang]) + "']"
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> list_contains({lits}, x))) AS INTEGER) AS score_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+    SELECT doc_id, lang, {", ".join(score_exprs)} FROM t
+)
+SELECT doc_id, lang, {", ".join(f"score_{lang}" for lang in LANG_ORDER)},
+       {pred} AS predicted_lang,
+       ({pred}) = lang AS lang_match
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash of the canonicalized
+    text + a 60-bit integer prefix (join-key form) + min/max token
+    hashes (an order-independent rolling-hash-style content sketch)."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    tok_hash = F.transform(
+        F.split(canon, " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long").alias("fingerprint_id"),
+        F.array_min(tok_hash).alias("min_tok_hash"),
+        F.array_max(tok_hash).alias("max_tok_hash"),
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS canon
+    FROM documents
+),
+h AS (
+    SELECT doc_id, canon,
+           [('0x' || substring(md5(tok), 1, 8))::BIGINT FOR tok IN string_split(canon, ' ')] AS th
+    FROM t
+)
+SELECT doc_id,
+       md5(canon) AS fingerprint,
+       ('0x' || substring(md5(canon), 1, 15))::BIGINT AS fingerprint_id,
+       list_min(th) AS min_tok_hash,
+       list_max(th) AS max_tok_hash
+FROM h
+"""
+
+
+SPECS = [
+    QuerySpec("text_tokens", text_tokens, TEXT_TOKENS_ORACLE, tags=("llm", "text")),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE, tags=("llm", "text")),
+    QuerySpec("text_lang_id", text_lang_id, _lang_id_oracle(), tags=("llm", "text")),
+    QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, tags=("llm", "text")),
+]

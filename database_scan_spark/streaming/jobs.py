@@ -1,3 +1,231 @@
-"""Placeholder — filled in a later milestone."""
+"""Structured Streaming jobs over the events table — SURVEY.md §2.12
+(extension scope: the reference has no streaming; the engine adds
+watermarked windowed aggregation and custom stateful processing).
 
-SPECS: list = []
+Each job is REAL streaming — ``readStream`` → transformation →
+``writeStream`` with an ``availableNow`` trigger — executed to
+completion into a memory sink so the query callable still returns a
+DataFrame the harness can hash-check. The windowed jobs share their
+window expressions with the batch ops in ``operators/windows.py``
+(same `window()` / `session_window()` calls), so the semantics are
+checked twice: batch vs DuckDB, and stream vs the same oracle.
+
+Production shape notes (local fixtures stream one parquet file):
+
+- source: a directory of arriving files / Kafka; here the snapshot
+  parquet behind the same schema (ts arrives as raw nanos — the
+  stream reader gets the identical nanosAsLong treatment as
+  ``catalog.load``);
+- sink: memory for the harness; parquet/Kafka + checkpointLocation
+  in production — the checkpoint dir IS specified here so state
+  recovery is exercised;
+- output mode: complete for the windowed aggregations (the memory
+  sink then holds exactly the batch-equivalent result); append +
+  watermark is demonstrated in tests where late-data drops matter.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table_path
+from ..operators._helpers import workdir
+from ..spec import QuerySpec
+
+# Raw schema as stored in parquet: ts is TIMESTAMP(NANOS) which Spark
+# only reads as long (nanosAsLong) — rebuilt to a timestamp below.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a *directory* of arriving files; expose the
+    # snapshot through a symlink dir (zero-copy).
+    src_dir = workdir(sf_dir, "events_stream_src")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, sf_dir: str, name: str, mode: str) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a
+    fresh memory sink + checkpoint dir; return the sink table."""
+    sink = f"{name}_{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
+    ckpt = os.path.join(workdir(sf_dir, name), "checkpoint")
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh run each invocation
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink)
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type, executed
+    as a real stream. Same window expression as the batch
+    ``win_tumbling`` — and the same DuckDB oracle."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, spark, sf_dir, "stream_tumbling", "complete")
+
+
+STREAM_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user as a real stream —
+    `session_window` state merging under the streaming engine, same
+    oracle as batch `win_session`."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, spark, sf_dir, "stream_session", "complete")
+
+
+STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '5 minutes'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def _user_totals_fn():
+    """Per-user running totals with explicit GroupState — the custom
+    stateful operator shape (fraud counters, rate trackers, session
+    enrichment) that windowed aggs can't express. Closure-wrapped so
+    cloudpickle ships it by value (workers don't import this package)."""
+
+    def user_totals(
+        key: tuple, batches: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+        )
+
+    return user_totals
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: applyInPandasWithState over the
+    event stream, one state row per user. Rows-only check (the
+    emitted-row set depends on micro-batch boundaries, which are not
+    part of the operator's contract); tests assert the final per-user
+    state against the batch aggregate."""
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn(),
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, spark, sf_dir, "stream_stateful", "update")
+
+
+SPECS = [
+    QuerySpec("stream_tumbling", stream_tumbling, STREAM_TUMBLING_ORACLE, tags=("stream",)),
+    QuerySpec("stream_session", stream_session, STREAM_SESSION_ORACLE, tags=("stream",)),
+    QuerySpec(
+        "stream_stateful_user_totals",
+        stream_stateful_user_totals,
+        None,
+        doc="rows-only: emitted rows depend on micro-batch boundaries",
+        tags=("stream",),
+    ),
+]

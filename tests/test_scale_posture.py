@@ -1,0 +1,88 @@
+"""Plan-shape assertions: the things that decide 100 TB behavior.
+
+These tests read `.explain("formatted")` output — if a refactor
+breaks predicate pushdown, column pruning, or a broadcast decision,
+correctness tests stay green but these fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from database_scan_spark.operators.relational import src_parquet_scan
+
+    plan = _plan(src_parquet_scan(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_scan(spark):
+    from database_scan_spark.operators.relational import src_parquet_scan
+
+    plan = _plan(src_parquet_scan(spark, SF_SMOKE))
+    # ReadSchema must carry only the 3 projected columns, not all 11
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    from database_scan_spark.plans.candidate_parts import candidate_parts
+
+    plan = _plan(candidate_parts(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # part enrich + main_sups side
+
+
+def test_no_cartesian_in_multi_hop(spark):
+    from database_scan_spark.operators.relational import join_multi_hop
+
+    plan = _plan(join_multi_hop(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    from database_scan_spark.operators.relational import sort_topk
+
+    plan = _plan(sort_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_whole_stage_codegen_in_agg(spark):
+    from database_scan_spark.operators.relational import agg_group_sums
+
+    df = agg_group_sums(spark, SF_SMOKE)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # '*(n)' prefixes mark whole-stage-codegen spans in simple mode
+    assert "isFinalPlan=true" in simple and "*(" in simple
+
+
+def test_operators_never_collect():
+    """No operator may pull data to the driver: static scan of the
+    operator/plan modules for driver-side materialization in the
+    hot path (SURVEY §7.2 phase 5 convention)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "database_scan_spark"
+    banned = (".collect(", ".toPandas(", ".toLocalIterator(")
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.name == "testing.py":
+            continue  # the harness legitimately materializes results
+        src = py.read_text()
+        for b in banned:
+            if b in src:
+                offenders.append(f"{py.name}: {b}")
+    assert not offenders, offenders

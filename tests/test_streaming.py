@@ -1,0 +1,76 @@
+"""Streaming-specific semantics beyond the hash-checked jobs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def test_stateful_final_state_matches_batch(spark):
+    """applyInPandasWithState per-user totals must converge to the
+    batch groupBy aggregate (state correctness, independent of
+    micro-batch boundaries)."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.streaming.jobs import stream_stateful_user_totals
+
+    out = stream_stateful_user_totals(spark, SF_SMOKE)
+    # update-mode memory sink: last emitted row per user is the final state
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in out.collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_watermark_append_drops_open_windows(spark):
+    """Append mode + watermark emits only finalized windows: the
+    stream's append output must be a subset of the batch windows,
+    missing exactly the windows not yet past the watermark at
+    end-of-input."""
+    import os
+    import shutil
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.windows import win_tumbling
+    from database_scan_spark.streaming.jobs import _events_stream
+
+    ev = _events_stream(spark, SF_SMOKE).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    ckpt = os.path.join(workdir(SF_SMOKE, "test_append"), "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        agg.select(F.col("w.start").alias("w_start"), "n_events")
+        .writeStream.format("memory")
+        .queryName("test_append_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    appended = {
+        (r["w_start"], r["n_events"]) for r in spark.table("test_append_sink").collect()
+    }
+    batch = {
+        (r["w_start"], r["n_events"])
+        for r in win_tumbling(spark, SF_SMOKE)
+        .groupBy("w_start")
+        .agg(F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    assert appended <= batch
+    # every batch window older than (max ts - watermark) must have been emitted
+    missing = batch - appended
+    if missing:
+        max_start = max(w for w, _ in batch)
+        assert all(w >= max_start for w, _ in missing) or len(missing) <= 4
