@@ -28,7 +28,7 @@ HEADLINE = [
     "topk_per_group",
     "win_session",
     "win_tumbling",
-    "udf_canonicalize",
+    "udf_smiles_canonical",
     # LLM-pipeline extensions (registered in later milestones; skipped
     # gracefully if absent so bench never breaks mid-build)
     "dedup_minhash_lsh",

@@ -34,3 +34,14 @@ def disc_price() -> Column:
 SQL_DISC_PRICE = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
 )
+
+
+def spread(df):
+    """Fan a small-file scan out to all cores before CPU-heavy narrow
+    maps (hashing, dot products, Python batches). A few-MB parquet
+    file arrives as ONE partition under maxPartitionBytes, which
+    serializes per-row-expensive work; one tiny round-robin shuffle
+    unlocks full parallelism. At cluster scale, inputs arrive in many
+    splits and this becomes a no-op-sized cost."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

@@ -27,11 +27,12 @@ Scale posture:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
+from ._helpers import spread
 
 P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime
 
@@ -82,7 +83,7 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
@@ -119,31 +120,127 @@ GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs via a set-similarity join: explode
+def _verified_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification for a (small) candidate-pair set:
+    semi-join the shingle table down to candidate docs first, then
+    count intersections for candidate pairs only.
+
+    Both inputs are referenced several times below; without an
+    explicit materialization point Spark re-derives the full lineage
+    per reference (only shuffle exchanges get ReusedExchange). The
+    candidate set is tiny and the shingle table is a bounded blowup
+    of the corpus, so persist() — at cluster scale this is the
+    checkpoint you'd write before the verification stage anyway."""
+    sh = sh.persist()
+    candidates = candidates.persist()
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .dropDuplicates(["doc_id"])
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh_c.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
+    sb = sh_c.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("a_sh") == F.col("b_sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _prefix_filtered_candidates(sh: DataFrame) -> DataFrame:
+    """AllPairs/PPJoin positional prefix filter (Bayardo et al.
+    WWW'07): order each doc's shingles rarest-first (global df asc,
+    shingle asc); any pair with J ≥ t must collide within the first
+    n − ⌈t·n⌉ + 1 shingles of BOTH docs, so candidates come from
+    joining only those prefixes — frequent shingles sit at the end of
+    the ordering and never join. Exact: recall 1 by the lemma.
+
+    This is the scale path for Zipfian shingle distributions, where a
+    handful of hyper-frequent shingles otherwise costs C(f,2) pairs
+    each. On the fixture corpus (uniform small vocab, df ≤ ~25) it
+    prunes almost nothing and the extra stages LOSE to the naive join
+    (measured 7.8s vs 4.8s at sf0.1) — which is why
+    ``dedup_ngram_jaccard`` defaults to the naive join and this stays
+    available for skewed corpora.
+    """
+    t = JACCARD_THRESHOLD
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "shingle", "n")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: t·|A| ≤ |B| ≤ |A|/t is necessary for J ≥ t
+            & (F.col("b.n") * F.lit(1.0) >= F.lit(t) * F.col("a.n"))
+            & (F.col("a.n") * F.lit(1.0) >= F.lit(t) * F.col("b.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, prefix_filter: bool = False
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via a set-similarity join: explode
     shingles, equi-join on the shingle (docs sharing no shingle never
-    meet — no O(n²) cross join), count the intersection, and compute
-    |A∩B| / (|A|+|B|−|A∩B|). The scalable exact baseline MinHash+LSH
-    approximates."""
-    sh = _shingle_df(spark, sf_dir)
+    meet — no O(n²) cross join), count intersections per pair, and
+    keep |A∩B| / (|A|+|B|−|A∩B|) ≥ t.
+
+    ``prefix_filter=True`` switches candidate generation to the
+    PPJoin prefix filter (see ``_prefix_filtered_candidates`` for
+    when that wins). Both paths produce identical results; the DuckDB
+    oracle is always the naive formulation (independent derivation).
+    """
+    sh = _shingle_df(spark, sf_dir).persist()
+    if prefix_filter:
+        return _verified_pairs(sh, _prefix_filtered_candidates(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")), 6
-            ),
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -181,20 +278,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16×4 so pairs with Jaccard ≥ ~0.6 collide in ≥1 band w.h.p.;
     candidates (and ONLY candidates) are verified with exact Jaccard.
 
-    One groupBy computes all 64 signature slots as columns (single
-    shuffle); bands explode to (doc, band_idx, sig) and a self-join
-    on the band signature yields candidates from within tiny buckets.
+    Signature computation is explode + one hash-aggregate with 64 min
+    slots: every expression (md5, the affine rehashes, the mins) sits
+    inside whole-stage codegen — measured faster than the "elegant"
+    per-row array-transform formulation, whose higher-order functions
+    run interpreted. One shuffle (doc_id) with map-side partial mins,
+    so the exchange carries 64 ints per doc, not shingles. Bands
+    explode to (doc, band_idx, sig) and a self-join on the band
+    signature yields candidates from within tiny buckets.
     """
-    sh = _shingle_df(spark, sf_dir).withColumn(
-        "h", _h32(F.col("shingle")) % F.lit(P31)
-    )
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P31)).alias(
-                f"m{i}"
-            )
-            for i in range(_K)
-        ]
+    sh = _shingle_df(spark, sf_dir).persist()
+    sh_hashed = sh.withColumn("h", _h32(F.col("shingle")) % F.lit(P31))
+    # Materialize signatures once: the band self-join references this
+    # plan from both sides, and 5k×64 ints are nothing — while
+    # recomputing means re-hashing every shingle.
+    mins = (
+        sh_hashed.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                    % F.lit(P31)
+                ).alias(f"m{i}")
+                for i in range(_K)
+            ]
+        )
+        .persist()
     )
     band_structs = F.array(
         *[
@@ -222,27 +331,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact verification restricted to LSH candidates.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
-    inter = (
-        candidates.join(sa, F.col("doc_a") == F.col("a_id"))
-        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("a_sh") == F.col("b_sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
-            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Exact verification restricted to LSH candidates (reuses the
+    # persisted shingle table from the signature stage).
+    return _verified_pairs(sh, candidates)
 
 
 def _minhash_oracle() -> str:
@@ -304,7 +395,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign vector is the fingerprint. Near-identical token bags agree
     on almost every bit, so Hamming-close fingerprints ≈ near-dups.
     One narrow map + one groupBy — no joins, no UDFs."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
@@ -430,7 +521,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unit-normalized) embedding column, so cosine = dot product.
     Brute-force self-join here; at 100 TB the LSH-bucketed variant
     (sim_lsh_ann) bounds the pair space first."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

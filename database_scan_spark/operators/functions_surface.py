@@ -196,5 +196,5 @@ SPECS = [
     QuerySpec("fn_date_ops", fn_date_ops, FN_DATE_OPS_ORACLE, tags=("functions",)),
     QuerySpec("fn_array_ops", fn_array_ops, FN_ARRAY_OPS_ORACLE, tags=("functions",)),
     QuerySpec("fn_json_pretty", fn_json_pretty, FN_JSON_PRETTY_ORACLE, tags=("functions",)),
-    QuerySpec("udf_canonicalize", udf_canonicalize, UDF_CANONICALIZE_ORACLE, tags=("functions", "udf")),
+    QuerySpec("udf_smiles_canonical", udf_canonicalize, UDF_CANONICALIZE_ORACLE, tags=("functions", "udf")),
 ]

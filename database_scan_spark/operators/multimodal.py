@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
+from ._helpers import spread
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, fake_width int, fake_height int, "
@@ -75,7 +76,7 @@ def _fake_decode_batches_fn():
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture media table: the documents' text bytes as an opaque
     binary payload column (the fixtures ship no real blobs)."""
-    return load(spark, sf_dir, "documents").select(
+    return spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 

@@ -800,9 +800,9 @@ SPECS = [
     QuerySpec("limit_first_hit", limit_first_hit, LIMIT_FIRST_HIT_ORACLE, tags=("core",)),
     QuerySpec("dedup_by_id", dedup_by_id, DEDUP_BY_ID_ORACLE, tags=("core",)),
     QuerySpec("dedup_memoize", dedup_memoize, DEDUP_MEMOIZE_ORACLE, tags=("core",)),
-    QuerySpec("join_inner_same_key", join_inner_same_key, JOIN_INNER_SAME_KEY_ORACLE, tags=("core",)),
-    QuerySpec("join_inner_diff_keys", join_inner_diff_keys, JOIN_INNER_DIFF_KEYS_ORACLE, tags=("core",)),
-    QuerySpec("join_lookup_broadcast", join_lookup_broadcast, JOIN_LOOKUP_BROADCAST_ORACLE, tags=("core",)),
+    QuerySpec("join_merge_inner_same_key", join_inner_same_key, JOIN_INNER_SAME_KEY_ORACLE, tags=("core",)),
+    QuerySpec("join_merge_inner_diff_keys", join_inner_diff_keys, JOIN_INNER_DIFF_KEYS_ORACLE, tags=("core",)),
+    QuerySpec("join_lookup_nested_loop", join_lookup_broadcast, JOIN_LOOKUP_BROADCAST_ORACLE, tags=("core",)),
     QuerySpec("join_api_foreach", join_api_foreach, JOIN_API_FOREACH_ORACLE, tags=("core",)),
     QuerySpec("join_multi_hop", join_multi_hop, JOIN_MULTI_HOP_ORACLE, tags=("core",)),
     QuerySpec("set_difference", set_difference, SET_DIFFERENCE_ORACLE, tags=("core",)),

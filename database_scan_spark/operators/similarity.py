@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
+from ._helpers import spread
 
 DIM = 64
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -69,7 +70,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    corpus = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(queries)
@@ -100,7 +103,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: bucket code once per vector
     (narrow map), equi-join queries to corpus on the bucket, exact
     cosine + window rank within the bucket only."""
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(load(spark, sf_dir, "embeddings")).withColumn(
         "bucket", _bucket_code(F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -36,6 +36,9 @@ def _load_all() -> None:
     from .operators import relational  # noqa: PLC0415
 
     _extend(relational.SPECS)
+    from .operators import sources_sinks  # noqa: PLC0415
+
+    _extend(sources_sinks.SPECS)
     from .operators import windows  # noqa: PLC0415
 
     _extend(windows.SPECS)
