@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "text_quality",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Composite analytical queries — the full-engine workloads the
+reference never had (SURVEY §2.7 'absent' rows note the engine gets
+Spark's whole surface; these exercise it in TPC-H shapes), plus the
+grouped-pandas path (`applyInPandas`) for per-group logic that SQL
+can't express but a batch of pandas can.
+
+All DECIMAL-revenue, explicit-tiebreaker disciplined, so each
+hash-matches its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+from ._helpers import SQL_DISC_PRICE, disc_price
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: revenue of unshipped-at-date orders for one segment,
+    top 10. Three-table join; the segment filter prunes customer
+    before the join (Catalyst pushes it into the scan); group on
+    (orderkey, orderdate, priority); TakeOrdered for the top-k."""
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+TPCH_Q3_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: per-nation revenue where customer and supplier share
+    the nation, one region, one year. Five-table join: dims broadcast,
+    the customer=supplier nation equi-condition rides the join."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q5_ORACLE = f"""
+SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by lost revenue on returned items
+    in a quarter — join + filter + group + TakeOrdered."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def grouped_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas logic via applyInPandas (Arrow batch per
+    group): top-3 customers per nation ranked in pandas. Outputs are
+    integers/strings only, so the pandas path is hash-checked against
+    a window-function oracle — proving the grouped-UDF machinery, not
+    just running it. Closure-wrapped for by-value pickling."""
+
+    def topk_fn():
+        def topk(pdf):
+            out = pdf.sort_values(
+                ["c_acctbal", "c_custkey"], ascending=[False, True]
+            ).head(3)
+            out = out.assign(rank=range(1, len(out) + 1))
+            return out[["c_nationkey", "c_custkey", "c_name", "rank"]]
+
+        return topk
+
+    customer = load(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").applyInPandas(
+        topk_fn(), schema="c_nationkey int, c_custkey long, c_name string, rank long"
+    )
+
+
+GROUPED_PANDAS_TOPK_ORACLE = """
+SELECT c_nationkey, c_custkey, c_name,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rank
+FROM customer
+QUALIFY rank <= 3
+"""
+
+
+SPECS = [
+    QuerySpec("tpch_q3_shipping_priority", tpch_q3_shipping_priority, TPCH_Q3_ORACLE, tags=("composite",)),
+    QuerySpec("tpch_q5_local_supplier_volume", tpch_q5_local_supplier_volume, TPCH_Q5_ORACLE, tags=("composite",)),
+    QuerySpec("tpch_q10_returned_items", tpch_q10_returned_items, TPCH_Q10_ORACLE, tags=("composite",)),
+    QuerySpec("grouped_pandas_topk", grouped_pandas_topk, GROUPED_PANDAS_TOPK_ORACLE, tags=("composite", "udf")),
+]

@@ -39,6 +39,9 @@ def _load_all() -> None:
     from .operators import sources_sinks  # noqa: PLC0415
 
     _extend(sources_sinks.SPECS)
+    from .operators import composite  # noqa: PLC0415
+
+    _extend(composite.SPECS)
     from .operators import windows  # noqa: PLC0415
 
     _extend(windows.SPECS)

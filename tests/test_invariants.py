@@ -1,0 +1,139 @@
+"""Cross-operator invariants — algebraic relationships between
+operators that must hold regardless of data, catching semantic drift
+the per-operator oracles can't (each oracle only pins ITS query).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def specs():
+    from database_scan_spark.registry import SPECS
+
+    return {s.name: s for s in SPECS}
+
+
+def test_set_algebra_partition(spark, specs):
+    """difference ∪ intersection = left set; difference ∩ intersection = ∅."""
+    diff = {r.l_partkey for r in specs["set_difference"].fn(spark, SF_SMOKE).collect()}
+    inter = {r.l_partkey for r in specs["set_intersection"].fn(spark, SF_SMOKE).collect()}
+    from database_scan_spark.operators.relational import _parts_of_segment
+
+    left = {r.l_partkey for r in _parts_of_segment(spark, SF_SMOKE, "HOUSEHOLD").collect()}
+    assert diff | inter == left
+    assert diff & inter == set()
+
+
+def test_minhash_recall_and_precision_vs_exact(spark, specs):
+    """LSH candidates are verified with exact Jaccard, so minhash
+    pairs ⊆ exact ngram pairs (precision 1.0 by construction);
+    recall on this corpus should be perfect — the planted dups are
+    far above the banding threshold."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in specs["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in specs["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) == len(exact), f"LSH recall {len(lsh)}/{len(exact)}"
+
+
+def test_prefix_filter_path_equals_naive(spark):
+    """The PPJoin prefix-filter candidate generation is exact: same
+    final pairs as the naive set-similarity join."""
+    from database_scan_spark.operators.dedup import dedup_ngram_jaccard
+
+    naive = {tuple(r) for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()}
+    pref = {
+        tuple(r) for r in dedup_ngram_jaccard(spark, SF_SMOKE, prefix_filter=True).collect()
+    }
+    assert naive == pref
+
+
+def test_lsh_ann_subset_of_bruteforce_topk(spark, specs):
+    """Bucketed ANN returns pairs whose cosine can't exceed the
+    brute-force top-k's floor... weaker but checkable: every ANN
+    neighbor must appear in brute-force results OR rank worse than
+    its bucket's best — here just check ANN ⊆ all-pairs ranking
+    consistency: for each query, ANN's neighbor cosines ≤ brute-force
+    rank-1 cosine."""
+    bf = specs["sim_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
+    ann = specs["sim_lsh_ann"].fn(spark, SF_SMOKE).collect()
+    best_bf = {}
+    for r in bf:
+        if r.rank == 1:
+            best_bf[r.query_id] = r.cosine
+    for r in ann:
+        assert r.cosine <= best_bf[r.query_id] + 1e-9
+
+
+def test_dedup_by_id_unique_and_minimal(spark, specs):
+    df = specs["dedup_by_id"].fn(spark, SF_SMOKE)
+    n = df.count()
+    assert df.select("l_partkey").distinct().count() == n
+    # survivor really is the first arrival per key
+    from database_scan_spark.catalog import load
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    firsts = (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct("l_orderkey", "l_linenumber")).alias("f"))
+        .select("l_partkey", "f.l_orderkey", "f.l_linenumber")
+    )
+    assert df.select("l_partkey", "l_orderkey", "l_linenumber").exceptAll(firsts).count() == 0
+
+
+def test_session_windows_partition_events(spark, specs):
+    """Session windows tile each user's events: per-user n_events sums
+    to the user's total event count, and sessions don't overlap."""
+    sess = specs["win_session"].fn(spark, SF_SMOKE)
+    from database_scan_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    totals = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    per_user = {
+        r.user_id: r.s
+        for r in sess.groupBy("user_id").agg(F.sum("n_events").alias("s")).collect()
+    }
+    assert per_user == totals
+    rows = sorted(
+        ((r.user_id, r.session_start, r.session_end) for r in sess.collect())
+    )
+    for (u1, s1, e1), (u2, s2, e2) in zip(rows, rows[1:]):
+        if u1 == u2:
+            assert s2 >= e1 - __import__("datetime").timedelta(minutes=5)
+
+
+def test_candidate_parts_truly_excludes_seed_parts(spark, specs):
+    """Flagship semantics: no candidate part was ever ordered by the
+    seed customers (the set-difference contract, x2.2.py step 6)."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.plans.candidate_parts import (
+        SEED_MIN_ACCTBAL,
+        SEED_SEGMENT,
+    )
+
+    cand = {r.p_partkey for r in specs["candidate_parts"].fn(spark, SF_SMOKE).collect()}
+    customer = load(spark, SF_SMOKE, "customer")
+    orders = load(spark, SF_SMOKE, "orders")
+    lineitem = load(spark, SF_SMOKE, "lineitem")
+    seed_parts = {
+        r.l_partkey
+        for r in customer.filter(
+            (F.col("c_mktsegment") == SEED_SEGMENT)
+            & (F.col("c_acctbal") >= SEED_MIN_ACCTBAL)
+        )
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("l_partkey")
+        .distinct()
+        .collect()
+    }
+    assert cand & seed_parts == set()
+    assert cand, "flagship must be non-empty at sf0.001"
