@@ -1,0 +1,84 @@
+"""Storage-layout operators — the write-side levers that decide read
+performance at 100 TB (SURVEY §7.2 phase 5 'scale posture').
+
+- Partitioned parquet: directory-partition by a low-cardinality
+  column so selective reads prune whole partitions (PartitionFilters
+  in the scan — asserted in tests/test_scale_posture.py).
+- Bucketed tables (``write_bucketed``): pre-shuffle both sides of a
+  recurring join into the same bucket layout so the join runs with
+  NO exchange at read time — the biggest single win for repeated
+  fact-fact joins. Exposed as a helper + plan-shape test rather than
+  a registered query because ``saveAsTable`` needs a warehouse
+  location, which is session-static and owned by the harness driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+from ._helpers import workdir
+
+
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by o_orderstatus, read back one
+    partition. The returned plan's scan carries PartitionFilters —
+    only the F/ directory is read, the rest pruned before IO.
+    (Partition column type note: directory values round-trip as
+    strings; o_orderstatus already is one.)"""
+    path = workdir(sf_dir, "sink_parquet_partitioned")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    out = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+SINK_PARQUET_PARTITIONED_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def write_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tuple[str, str]:
+    """Bucket lineitem and orders on the join key (saveAsTable with
+    bucketBy+sortBy). Subsequent joins of the two tables on
+    l_orderkey = o_orderkey need no Exchange on either side — the
+    shuffle was paid once at write time. Returns the table names."""
+    import shutil  # noqa: PLC0415
+
+    li_tbl, o_tbl = "lineitem_bucketed", "orders_bucketed"
+    for tbl, name, key in ((li_tbl, "lineitem", "l_orderkey"), (o_tbl, "orders", "o_orderkey")):
+        if spark.catalog.tableExists(tbl):
+            continue
+        # external table in our scratch dir: survives neither-here-nor-
+        # there state (catalog empty but location left from a previous
+        # session) by clearing the location first
+        loc = os.path.join(workdir(sf_dir, "bucketed"), tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load(spark, sf_dir, name)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return li_tbl, o_tbl
+
+
+SPECS = [
+    QuerySpec(
+        "sink_parquet_partitioned",
+        sink_parquet_partitioned,
+        SINK_PARQUET_PARTITIONED_ORACLE,
+        tags=("core", "storage"),
+    ),
+]

@@ -86,3 +86,36 @@ def test_operators_never_collect():
             if b in src:
                 offenders.append(f"{py.name}: {b}")
     assert not offenders, offenders
+
+
+def test_partition_pruning_on_partitioned_write(spark):
+    from database_scan_spark.operators.storage import sink_parquet_partitioned
+
+    df = sink_parquet_partitioned(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ][0]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing pays the shuffle at write time: a join of two tables
+    bucketed on the join key must plan with zero Exchange operators."""
+    from database_scan_spark.operators.storage import write_bucketed
+
+    li_tbl, o_tbl = write_bucketed(spark, SF_SMOKE)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_partkey", "o_custkey"
+    )
+    # disable broadcast so the join exercises the bucket layout
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
