@@ -82,3 +82,51 @@ SPECS = [
         tags=("core", "storage"),
     ),
 ]
+
+
+def join_salted(spark: SparkSession, sf_dir: str, n_salts: int = 8) -> DataFrame:
+    """Skew-mitigated join: salt the skewed (fact) side's key with a
+    deterministic shard id and explode the dimension side across all
+    shards, so one hot key spreads over ``n_salts`` reducers instead
+    of one straggler. Results are identical to the plain join (the
+    oracle IS the plain join). AQE's skew-join split handles the
+    sort-merge case automatically; explicit salting remains the tool
+    for skewed aggregations and for engines/joins AQE can't split.
+    The salt is pmod(hash(tiebreaker), n) — deterministic per row.
+    """
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(n_salts)),
+    )
+    part = load(spark, sf_dir, "part").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        li.join(part, (li.l_partkey == part.p_partkey) & (li.salt == part.salt))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+JOIN_SALTED_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_salted",
+        join_salted,
+        JOIN_SALTED_ORACLE,
+        doc="skew-mitigation salting; semantics identical to plain join",
+        tags=("core", "storage", "skew"),
+    )
+)

@@ -137,3 +137,18 @@ def test_candidate_parts_truly_excludes_seed_parts(spark, specs):
     }
     assert cand & seed_parts == set()
     assert cand, "flagship must be non-empty at sf0.001"
+
+
+def test_coverage_matrix_in_sync():
+    """COVERAGE.md's mapping must name only registered queries and
+    leave none unmapped (gen script exits nonzero on drift)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/gen_coverage.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr

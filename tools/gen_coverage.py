@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Generate COVERAGE.md: SURVEY.md §2 op id → registered query +
+oracle status. Validates every mapped name against the live registry
+so the matrix can't drift from the code. Run from the repo root:
+
+    python tools/gen_coverage.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# SURVEY §2 op id -> registered queries() key(s) covering it.
+# None = deliberately not replicated (with reason in NOTES).
+SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
+    "§2.1 Scans / sources / sinks": {
+        "src_graphql_post": ["src_graphql_post"],
+        "src_rest_get": ["src_rest_get"],
+        "src_csv": ["src_csv"],
+        "sink_csv": ["sink_csv"],
+        "sink_stdout": ["sink_stdout"],
+        "param_bind": ["param_bind"],
+        "src_search": ["src_search"],
+        "catalog": ["catalog"],
+        "paginate": ["paginate"],
+    },
+    "§2.2 Projections": {
+        "proj_flatten": ["proj_flatten"],
+        "proj_graphql_fields": ["proj_graphql_fields"],
+        "proj_rename": ["proj_rename_addcol"],
+        "proj_drop": ["proj_drop"],
+        "proj_addcol": ["proj_rename_addcol"],
+        "proj_json_path": ["proj_json_path"],
+    },
+    "§2.3 Filters / predicates": {
+        "filter_score_ge": ["filter_score_ge"],
+        "filter_not_in": ["filter_not_in"],
+        "filter_exclude_seed": ["filter_exclude_seed"],
+        "filter_null_guard": ["filter_null_guard"],
+        "filter_http_status": ["filter_http_status"],
+        "limit_first_hit": ["limit_first_hit"],
+    },
+    "§2.4 Deduplication": {
+        "dedup_by_id": ["dedup_by_id"],
+        "dedup_memoize": ["dedup_memoize"],
+    },
+    "§2.5 Joins": {
+        "join_merge_inner_same_key": ["join_merge_inner_same_key"],
+        "join_merge_inner_diff_keys": ["join_merge_inner_diff_keys"],
+        "join_lookup_nested_loop": ["join_lookup_nested_loop"],
+        "join_api_foreach": ["join_api_foreach"],
+        "join_multi_hop": ["join_multi_hop", "candidate_parts"],
+    },
+    "§2.6 Set operations": {
+        "set_difference": ["set_difference", "candidate_parts"],
+        "set_intersection": ["set_intersection"],
+        "set_union_accumulate": ["set_union_accumulate"],
+        "set_membership": ["set_membership"],
+    },
+    "§2.7 Aggregations": {
+        "agg_count_distinct": ["agg_count_distinct"],
+        "agg_count": ["agg_count"],
+        "(engine additions: full agg surface)": [
+            "agg_group_sums",
+            "agg_rollup",
+            "agg_cube",
+        ],
+    },
+    "§2.8 Sort / top-k / windows": {
+        "sort_remote_score_desc": ["sort_remote_score_desc"],
+        "topk_first": ["topk_first", "limit_first_hit", "topk_per_group"],
+        "(engine additions: analytic windows)": [
+            "win_running_sum",
+            "win_rank_dense",
+            "win_lag_lead",
+            "sort_topk",
+        ],
+    },
+    "§2.9 Scalar functions": {
+        "fn_str_replace": ["fn_str_replace"],
+        "fn_str_strip": ["fn_str_strip"],
+        "fn_str_format": ["fn_str_format"],
+        "fn_coalesce": ["fn_coalesce"],
+        "fn_json_get": ["fn_json_get", "proj_json_path"],
+        "fn_json_pretty": ["fn_json_pretty"],
+        "(engine additions: str/date/array)": [
+            "fn_str_ops",
+            "fn_date_ops",
+            "fn_array_ops",
+        ],
+    },
+    "§2.10 UDF surface": {
+        "udf_smiles_canonical": ["udf_smiles_canonical"],
+        "udf_molecule_name": ["udf_molecule_name"],
+    },
+    "§2.11 Workflow / orchestration": {
+        "wf_checkpoint_resume": ["wf_checkpoint_resume"],
+        "wf_rate_limit": ["wf_rate_limit"],
+        "wf_quality_gate": ["wf_quality_gate"],
+        "wf_known_broken": "NOT REPLICATED by design (SURVEY §7.3 #4: broken "
+        "resume artifact + pandas index leak are reference bugs)",
+    },
+    "§2.12 Streaming (extension — reference has none)": {
+        "tumbling windows": ["win_tumbling", "stream_tumbling"],
+        "sliding windows": ["win_sliding"],
+        "session windows": ["win_session", "stream_session"],
+        "custom stateful operator": ["stream_stateful_user_totals"],
+    },
+    "North-star: deduplication": {
+        "exact": ["dedup_exact"],
+        "MinHash + LSH": ["dedup_minhash_lsh"],
+        "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
+        "n-gram Jaccard": ["dedup_ngram_jaccard"],
+        "embedding cosine": ["dedup_embedding_cosine"],
+    },
+    "North-star: similarity search": {
+        "brute-force cosine top-k": ["sim_topk_bruteforce"],
+        "LSH-bucketed ANN": ["sim_lsh_ann"],
+    },
+    "North-star: multimodal": {
+        "decode / feature-extract": ["mm_decode_meta"],
+        "frame sampling": ["mm_frame_sample"],
+        "resize plumbing": ["mm_resize_stub"],
+    },
+    "North-star: text analysis": {
+        "language-ID": ["text_lang_id"],
+        "quality scoring": ["text_quality"],
+        "token counting": ["text_tokens"],
+        "fingerprinting": ["text_fingerprint"],
+    },
+    "Engine: flagship + composite + storage": {
+        "flagship 6-step traversal": ["candidate_parts"],
+        "snapshot scan": ["src_parquet_scan"],
+        "TPC-H shapes": [
+            "tpch_q3_shipping_priority",
+            "tpch_q5_local_supplier_volume",
+            "tpch_q10_returned_items",
+        ],
+        "grouped pandas": ["grouped_pandas_topk"],
+        "partitioned write + pruning": ["sink_parquet_partitioned"],
+        "skew salting": ["join_salted"],
+    },
+}
+
+
+def main() -> None:
+    from database_scan_spark.registry import SPECS
+
+    by_name = {s.name: s for s in SPECS}
+    lines = [
+        "# COVERAGE — SURVEY.md §2 operator inventory → engine queries",
+        "",
+        "Generated by `tools/gen_coverage.py` (validated against the live",
+        "registry). **Oracle** = hash-checked against DuckDB per driver run;",
+        "**rows-only** = non-SQL-expressible, weaker check by contract.",
+        "",
+    ]
+    used: set[str] = set()
+    for section, ops in SURVEY_MAP.items():
+        lines += [f"## {section}", "", "| op | queries() key(s) | check |", "|---|---|---|"]
+        for op, names in ops.items():
+            if isinstance(names, str):
+                lines.append(f"| `{op}` | — | {names} |")
+                continue
+            for n in names:
+                if n not in by_name:
+                    raise SystemExit(f"COVERAGE drift: {n!r} not in registry")
+            used.update(names)
+            checks = ", ".join(
+                "oracle" if by_name[n].oracle else "rows-only" for n in names
+            )
+            keys = ", ".join(f"`{n}`" for n in names)
+            lines.append(f"| `{op}` | {keys} | {checks} |")
+        lines.append("")
+    unmapped = sorted(set(by_name) - used)
+    if unmapped:
+        raise SystemExit(f"COVERAGE drift: registered but unmapped: {unmapped}")
+    total = len(by_name)
+    oracled = sum(1 for s in SPECS if s.oracle)
+    lines += [
+        f"**Totals:** {total} registered queries — {oracled} oracle-checked, "
+        f"{total - oracled} rows-only.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}: {total} queries, {oracled} oracled")
+
+
+if __name__ == "__main__":
+    main()
