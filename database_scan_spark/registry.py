@@ -45,6 +45,9 @@ def _load_all() -> None:
     from .operators import storage  # noqa: PLC0415
 
     _extend(storage.SPECS)
+    from .operators import sql_surface  # noqa: PLC0415
+
+    _extend(sql_surface.SPECS)
     from .operators import windows  # noqa: PLC0415
 
     _extend(windows.SPECS)

@@ -131,6 +131,16 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "token counting": ["text_tokens"],
         "fingerprinting": ["text_fingerprint"],
     },
+    "Engine: general SQL surface (beyond the reference)": {
+        "outer joins": ["join_outer_left", "join_outer_full"],
+        "semi/anti joins (explicit)": ["join_semi_anti"],
+        "pivot / unpivot": ["agg_pivot", "proj_unpivot"],
+        "positional explode": ["proj_posexplode"],
+        "null-safe equality": ["filter_null_safe_eq"],
+        "math / conditional fns": ["fn_math_ops", "fn_cond_case"],
+        "correlated subqueries / EXISTS": ["subquery_correlated"],
+        "plain-SQL front end": ["sql_frontend_report"],
+    },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
         "snapshot scan": ["src_parquet_scan"],
