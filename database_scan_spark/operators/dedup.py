@@ -549,3 +549,49 @@ SPECS = [
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_oracle(), tags=("llm", "dedup")),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE, tags=("llm", "dedup")),
 ]
+
+
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib's MinHashLSH over a HashingTF shingle vector — the
+    built-in alternative to the hand-rolled pipeline above. Kept
+    rows-only: MLlib's hash family isn't reproducible in DuckDB SQL,
+    so the invariant test (pairs ⊆ exact-Jaccard pairs after the
+    same ≥0.5 verification) is the check instead. At scale, prefer
+    whichever pipeline owns its hash family end-to-end — reproducible
+    hashes are what make cross-system verification possible at all."""
+    try:
+        from pyspark.ml.feature import HashingTF, MinHashLSH  # noqa: PLC0415
+    except ImportError:  # pragma: no cover - mllib always ships w/ pyspark
+        raise NotImplementedError("pyspark.ml unavailable") from None
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    with_shingles = docs.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(with_shingles)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # verify candidates with the engine's exact Jaccard (same contract
+    # as dedup_minhash_lsh)
+    return _verified_pairs(_shingle_df(spark, sf_dir), pairs)
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_minhash_mllib",
+        dedup_minhash_mllib,
+        None,
+        doc="rows-only: MLlib hash family not SQL-reproducible; checked by invariant test",
+        tags=("llm", "dedup", "mllib"),
+    )
+)

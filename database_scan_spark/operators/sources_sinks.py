@@ -490,3 +490,41 @@ SPECS = [
     QuerySpec("fn_json_get", fn_json_get, FN_JSON_GET_ORACLE, tags=("functions",)),
     QuerySpec("udf_molecule_name", udf_molecule_name, UDF_MOLECULE_NAME_ORACLE, tags=("functions",)),
 ]
+
+
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource API path for the reference's
+    GraphQL scan (SURVEY §2.1 src_graphql_post: "…or Spark 4 Python
+    DataSource API"): a registered custom source with driver-side
+    partition planning (one response page per partition) and
+    executor-side decoding — see
+    database_scan_spark/sources/graphql_snapshot.py."""
+    from ..sources.graphql_snapshot import (  # noqa: PLC0415
+        make_datasource,
+        materialize_pages,
+    )
+
+    pages_dir = workdir(sf_dir, "graphql_pages")
+    materialize_pages(spark, sf_dir, pages_dir)
+    try:
+        # closure-built class: pickled by value, workers need no import
+        spark.dataSource.register(make_datasource())
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("graphql_snapshot").option("path", pages_dir).load()
+
+
+SRC_PYTHON_DATASOURCE_ORACLE = """
+SELECT o_custkey AS entity_id, o_orderkey AS edge_id, o_totalprice AS score
+FROM orders WHERE o_custkey < 50
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_python_datasource",
+        src_python_datasource,
+        SRC_PYTHON_DATASOURCE_ORACLE,
+        doc="Spark 4 Python DataSource API connector shape",
+        tags=("core", "source"),
+    )
+)

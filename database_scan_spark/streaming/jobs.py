@@ -229,3 +229,32 @@ SPECS = [
         tags=("stream",),
     ),
 ]
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: watermarked dropDuplicates over the
+    event stream — the streaming face of the engine's dedup theme
+    (exactly-once event feeds dedup on an id + event-time key so
+    state can be evicted once the watermark passes). The fixture ids
+    are unique, so output ≡ input (the oracle) while the dedup state
+    machinery runs for real."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicates(["event_id", "ts"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(deduped, spark, sf_dir, "stream_dedup", "append")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_dedup",
+        stream_dedup,
+        STREAM_DEDUP_ORACLE,
+        doc="watermarked streaming dropDuplicates (state-evicting)",
+        tags=("stream", "dedup"),
+    )
+)

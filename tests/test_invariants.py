@@ -152,3 +152,19 @@ def test_coverage_matrix_in_sync():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_mllib_minhash_subset_of_exact(spark, specs):
+    """MLlib MinHashLSH candidates, after the engine's exact-Jaccard
+    verification, must be a subset of the exact n-gram pairs (its
+    oracle-free check)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in specs["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    mllib = {
+        (r.doc_a, r.doc_b)
+        for r in specs["dedup_minhash_mllib"].fn(spark, SF_SMOKE).collect()
+    }
+    assert mllib <= exact
+    assert len(mllib) >= int(0.9 * len(exact)), f"recall {len(mllib)}/{len(exact)}"

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # None = deliberately not replicated (with reason in NOTES).
 SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "§2.1 Scans / sources / sinks": {
-        "src_graphql_post": ["src_graphql_post"],
+        "src_graphql_post": ["src_graphql_post", "src_python_datasource"],
         "src_rest_get": ["src_rest_get"],
         "src_csv": ["src_csv"],
         "sink_csv": ["sink_csv"],
@@ -108,10 +108,11 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "sliding windows": ["win_sliding"],
         "session windows": ["win_session", "stream_session"],
         "custom stateful operator": ["stream_stateful_user_totals"],
+        "streaming dedup": ["stream_dedup"],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
-        "MinHash + LSH": ["dedup_minhash_lsh"],
+        "MinHash + LSH": ["dedup_minhash_lsh", "dedup_minhash_mllib"],
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
         "embedding cosine": ["dedup_embedding_cosine"],
