@@ -48,6 +48,9 @@ def _load_all() -> None:
     from .operators import sql_surface  # noqa: PLC0415
 
     _extend(sql_surface.SPECS)
+    from .operators import temporal  # noqa: PLC0415
+
+    _extend(temporal.SPECS)
     from .operators import windows  # noqa: PLC0415
 
     _extend(windows.SPECS)

@@ -53,6 +53,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "join_lookup_nested_loop": ["join_lookup_nested_loop"],
         "join_api_foreach": ["join_api_foreach"],
         "join_multi_hop": ["join_multi_hop", "candidate_parts"],
+        "(absent in reference: as-of / range joins)": ["join_asof", "join_range_events"],
     },
     "§2.6 Set operations": {
         "set_difference": ["set_difference", "candidate_parts"],
