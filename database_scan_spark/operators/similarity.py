@@ -155,3 +155,107 @@ SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_ORACLE, tags=("llm", "similarity")),
     QuerySpec("sim_lsh_ann", sim_lsh_ann, _lsh_oracle(), tags=("llm", "similarity")),
 ]
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOP_K = 3
+
+
+def sim_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — the inverted-file scale path (FAISS IVF shape):
+
+    1. centroids: a fixed k-vector codebook (here the first k corpus
+       vectors — deterministic; production would k-means them);
+    2. assign: every corpus vector joins the broadcast codebook and
+       keeps its nearest centroid → inverted lists;
+    3. probe: each query ranks centroids, keeps the nprobe nearest,
+       and scans ONLY those inverted lists for exact cosine top-k.
+
+    Cost: corpus×k assignment (broadcast, narrow) + per-probe-list
+    scan, instead of corpus×queries brute force. Fully deterministic
+    (cosines rounded 6dp, id tiebreaks), so the DuckDB twin of the
+    same three steps hash-matches."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    centroids = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_CENTROIDS
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+
+    def nearest(df: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(centroids))
+            .withColumn("c_sim", F.round(_dot(F.col(vec_col), F.col("ce")), 6))
+            .withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n)
+            .drop("ce", "c_sim", "c_rank")
+        )
+
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    assigned = nearest(corpus, "neighbor_id", "ne", 1)  # inverted lists
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probed = nearest(queries, "query_id", "qe", N_PROBE)  # probe lists
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probed.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "centroid_id", "cosine", "rank")
+    )
+
+
+SIM_IVF_FLAT_ORACLE = f"""
+WITH centroids AS (
+    SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+    WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+    SELECT neighbor_id, ne, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS ne, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+probed AS (
+    SELECT query_id, qe, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings q CROSS JOIN centroids c
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, centroid_id, cosine, rank FROM (
+    SELECT p.query_id, a.neighbor_id, a.centroid_id,
+           round(list_dot_product(p.qe::DOUBLE[], a.ne::DOUBLE[]), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_dot_product(p.qe::DOUBLE[], a.ne::DOUBLE[]), 6) DESC,
+                        a.neighbor_id ASC) AS INTEGER) AS rank
+    FROM probed p JOIN assigned a USING (centroid_id)
+    WHERE p.query_id <> a.neighbor_id
+)
+WHERE rank <= {IVF_TOP_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_ivf_flat",
+        sim_ivf_flat,
+        SIM_IVF_FLAT_ORACLE,
+        doc="IVF-flat ANN: codebook assign + nprobe probing (FAISS shape)",
+        tags=("llm", "similarity"),
+    )
+)

@@ -45,6 +45,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("int")
         ).cast("int").alias("n_subwords"),
+        # BPE-ish regex chunking: ≤4-char alpha chunks, the cheap
+        # deterministic stand-in for byte-pair token budgeting
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+        .cast("int")
+        .alias("n_bpe_chunks"),
         F.length("text").cast("int").alias("n_chars_measured"),
     )
 
@@ -54,6 +59,7 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
        CAST(list_sum([CAST(ceil(length(t) / 4) AS INTEGER) FOR t IN string_split(text, ' ')]) AS INTEGER) AS n_subwords,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS n_bpe_chunks,
        CAST(length(text) AS INTEGER) AS n_chars_measured
 FROM documents
 """
@@ -163,10 +169,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(canon, " "),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
+    # Order-SENSITIVE polynomial rolling hash over the token-hash
+    # sequence (Rabin-Karp shape): acc = (acc*31 + h) mod P — a single
+    # sequential fold per row, same fold in DuckDB's list_reduce.
+    rolling = F.aggregate(
+        tok_hash,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(2_147_483_647),
+    )
     return docs.select(
         "doc_id",
         F.md5(canon).alias("fingerprint"),
         F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long").alias("fingerprint_id"),
+        rolling.alias("rolling_hash"),
         F.array_min(tok_hash).alias("min_tok_hash"),
         F.array_max(tok_hash).alias("max_tok_hash"),
     )
@@ -186,6 +201,8 @@ h AS (
 SELECT doc_id,
        md5(canon) AS fingerprint,
        ('0x' || substring(md5(canon), 1, 15))::BIGINT AS fingerprint_id,
+       list_reduce(list_prepend(0::BIGINT, th),
+                   (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash,
        list_min(th) AS min_tok_hash,
        list_max(th) AS max_tok_hash
 FROM h

@@ -72,6 +72,9 @@ def _load_all() -> None:
     from .plans import pipeline  # noqa: PLC0415
 
     _extend(pipeline.SPECS)
+    from .plans import corpus_prep  # noqa: PLC0415
+
+    _extend(corpus_prep.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)

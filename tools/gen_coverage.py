@@ -121,6 +121,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
         "LSH-bucketed ANN": ["sim_lsh_ann"],
+        "IVF-flat ANN (codebook + nprobe)": ["sim_ivf_flat"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": ["mm_decode_meta"],
@@ -132,6 +133,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "quality scoring": ["text_quality"],
         "token counting": ["text_tokens"],
         "fingerprinting": ["text_fingerprint"],
+        "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
     },
     "Engine: general SQL surface (beyond the reference)": {
         "outer joins": ["join_outer_left", "join_outer_full"],
