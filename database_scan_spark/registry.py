@@ -75,6 +75,9 @@ def _load_all() -> None:
     from .plans import corpus_prep  # noqa: PLC0415
 
     _extend(corpus_prep.SPECS)
+    from .plans import cc_clusters  # noqa: PLC0415
+
+    _extend(cc_clusters.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)

@@ -258,3 +258,66 @@ SPECS.append(
         tags=("stream", "dedup"),
     )
 )
+
+
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    same-user event pairs within 60 seconds, as TWO watermarked
+    streams joined by the streaming engine (state kept only inside
+    the watermark-bounded interval — the production shape for
+    correlating two live feeds). Same semantics as the batch
+    join_range_events, and the same DuckDB oracle."""
+    left = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("event_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("event_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("event_a") < F.col("event_b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 60 seconds"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 seconds")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "event_a",
+        "event_b",
+        (F.abs(F.unix_micros("ts_a") - F.unix_micros("ts_b")) / 1_000_000.0).alias(
+            "gap_seconds"
+        ),
+    )
+    return _run_to_memory(joined, spark, sf_dir, "stream_ss_join", "append")
+
+
+STREAM_SS_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000.0 AS gap_seconds
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_stream_interval_join",
+        stream_stream_interval_join,
+        STREAM_SS_JOIN_ORACLE,
+        doc="watermarked stream-stream interval join (same oracle as batch range join)",
+        tags=("stream", "temporal"),
+    )
+)

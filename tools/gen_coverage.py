@@ -110,10 +110,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "session windows": ["win_session", "stream_session"],
         "custom stateful operator": ["stream_stateful_user_totals"],
         "streaming dedup": ["stream_dedup"],
+        "stream-stream interval join": ["stream_stream_interval_join"],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
         "MinHash + LSH": ["dedup_minhash_lsh", "dedup_minhash_mllib"],
+        "connected-components clustering (iterative)": ["dedup_cluster_cc"],
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
         "embedding cosine": ["dedup_embedding_cosine"],
