@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
+    "join_asof",
+    "pipeline_corpus_prep",
+    "dedup_cluster_cc",
 ]
 
 
