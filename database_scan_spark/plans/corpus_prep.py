@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.dedup import JACCARD_THRESHOLD, dedup_ngram_jaccard
+from ..operators.dedup import JACCARD_THRESHOLD
 from ..spec import QuerySpec
 
 MIN_TOKENS = 30
@@ -30,13 +30,12 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → quality filter → exact dedup → near-dup drop →
     token-budget projection.
 
-    Near-dup policy: from every verified pair (Jaccard ≥ 0.5) the
-    higher doc_id is dropped — the deterministic keep-lowest-survivor
-    rule (SURVEY §1.4; single-linkage transitivity is deliberately
-    NOT chased here — it needs iterative connected components, which
-    belongs to a GraphFrames/iterative job, not a single query; with
-    the pair rule every kept doc is guaranteed non-duplicate of any
-    LOWER-id kept doc, which is the practical contract).
+    Near-dup policy: connected-components clustering over the
+    verified pairs (``plans/cc_clusters.py`` — iterative min-label
+    fixed point), keep only each cluster's lowest-id member. This is
+    transitively correct: a chain a~b~c collapses to {a} even though
+    a~c was never directly detected. The oracle replicates the
+    closure with a recursive CTE.
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -59,12 +58,14 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
 
-    # Stage 3 — near-dup removal: drop the higher id of every
-    # verified near-dup pair (pairs from the oracle-checked
-    # set-similarity join).
-    dups = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_b").alias("dup_id")
-    ).dropDuplicates(["dup_id"])
+    # Stage 3 — near-dup removal: CC clustering over verified pairs,
+    # drop every cluster member except the lowest-id survivor.
+    from .cc_clusters import dedup_cluster_cc  # noqa: PLC0415
+
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    dups = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("dup_id")
+    )
     kept = exact_kept.join(
         dups, exact_kept.doc_id == dups.dup_id, "left_anti"
     )
@@ -82,7 +83,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle() -> str:
     return f"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
     SELECT doc_id, text, lang, source, string_split(text, ' ') AS t FROM documents
 ),
 quality AS (
@@ -110,10 +111,23 @@ inter AS (
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
-dups AS (
-    SELECT DISTINCT doc_b AS dup_id
+pairs AS (
+    SELECT doc_a, doc_b
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
     WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {JACCARD_THRESHOLD}
+),
+undirected AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, a FROM undirected
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+),
+dups AS (
+    SELECT a AS dup_id FROM reach GROUP BY a HAVING a <> MIN(b)
 )
 SELECT doc_id, lang, source, n_tokens,
        round(ttr, 6) AS ttr,
