@@ -171,3 +171,80 @@ SPECS = [
     QuerySpec("tpch_q10_returned_items", tpch_q10_returned_items, TPCH_Q10_ORACLE, tags=("composite",)),
     QuerySpec("grouped_pandas_topk", grouped_pandas_topk, GROUPED_PANDAS_TOPK_ORACLE, tags=("composite", "udf")),
 ]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis over the activity stream: per user, did a
+    view → click → purchase sequence occur IN ORDER? Sequence
+    detection via per-step min-timestamps with ordering constraints —
+    one aggregation pass, no self-joins (the window-free funnel
+    shape that scales linearly in events)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    # each later step's min-timestamp is constrained to occur after
+    # the previous step's time: one aggregation pass per funnel step
+    ev2 = ev.join(per_user, "user_id")
+    per_funnel = ev2.groupBy("user_id").agg(
+        F.min("first_view").alias("t_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).alias("t_click"),
+    )
+    ev3 = ev.join(per_funnel, "user_id")
+    return (
+        ev3.groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+FUNNEL_CONVERSION_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view IS NOT NULL AS reached_view,
+       c.t_click IS NOT NULL AS reached_click,
+       p.t_purchase IS NOT NULL AS reached_purchase
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "funnel_conversion",
+        funnel_conversion,
+        FUNNEL_CONVERSION_ORACLE,
+        doc="ordered view->click->purchase funnel over the event stream",
+        tags=("composite", "events"),
+    )
+)

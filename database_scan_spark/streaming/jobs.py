@@ -321,3 +321,56 @@ SPECS.append(
         tags=("stream", "temporal"),
     )
 )
+
+
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent sink: each micro-batch is written as
+    parquet into a batchId-named directory (re-delivery of a batch
+    overwrites the same path instead of duplicating — the standard
+    exactly-once file-sink recipe when the target lacks transactions).
+    The query returns the re-read of everything the sink wrote, so
+    the oracle checks the SINKED data end to end."""
+    import glob  # noqa: PLC0415
+
+    out_root = os.path.join(workdir(sf_dir, "stream_fb_sink"), "data")
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # deterministic per-batch path -> idempotent under re-delivery
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"batch_id={batch_id}")
+            )
+        )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ckpt = os.path.join(workdir(sf_dir, "stream_fb_sink"), "checkpoint")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = sorted(glob.glob(os.path.join(out_root, "batch_id=*")))
+    return spark.read.option("basePath", out_root).parquet(*written).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+STREAM_FOREACH_BATCH_SINK_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_foreach_batch_sink",
+        stream_foreach_batch_sink,
+        STREAM_FOREACH_BATCH_SINK_ORACLE,
+        doc="foreachBatch idempotent parquet sink, oracle checks the sinked data",
+        tags=("stream", "sink"),
+    )
+)

@@ -111,6 +111,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "custom stateful operator": ["stream_stateful_user_totals"],
         "streaming dedup": ["stream_dedup"],
         "stream-stream interval join": ["stream_stream_interval_join"],
+        "foreachBatch idempotent sink": ["stream_foreach_batch_sink"],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
@@ -156,6 +157,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "tpch_q10_returned_items",
         ],
         "grouped pandas": ["grouped_pandas_topk"],
+        "funnel / sequence analysis": ["funnel_conversion"],
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "skew salting": ["join_salted"],
     },
