@@ -54,3 +54,27 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+# Recommended configuration for a real multi-executor deployment at
+# the 100 TB design point — documentation-as-code; get_spark() stays
+# local-mode-friendly and the driver owns its own session anyway.
+CLUSTER_PROFILE_100TB = {
+    # 2-3x total executor cores; AQE coalesces down per-stage
+    "spark.sql.shuffle.partitions": "8000",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # scan granularity: ~256 MB splits keep task count sane on 100 TB
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    # dims up to ~256 MB broadcast; beyond that AQE decides at runtime
+    "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+    # Arrow batches for every pandas_udf/mapInPandas boundary
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # shuffle robustness at scale
+    "spark.shuffle.service.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # writers: size output files for the lake (~512 MB row groups)
+    "spark.sql.files.maxRecordsPerFile": "20000000",
+}
