@@ -248,3 +248,95 @@ SPECS.append(
         tags=("composite", "events"),
     )
 )
+
+
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per return-flag, how many high- vs low-priority
+    orders ship under it — CASE-conditional counting inside one
+    aggregation (no per-branch scans)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share — a conditional-sum / total-sum
+    ratio in one pass. Both sums exact DECIMAL; the final division is
+    one double op (deterministic)."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price()).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_Q14_ORACLE = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+"""
+
+
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB cardinality/quantile tools
+    (HLL approx_count_distinct, approx_percentile). Rows-only by
+    nature: sketch internals differ across engines; the invariant
+    test bounds the error against exact values instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SPECS.extend(
+    [
+        QuerySpec("tpch_q12_shipmode_priority", tpch_q12_shipmode_priority, TPCH_Q12_ORACLE, tags=("composite",)),
+        QuerySpec("tpch_q14_promo_revenue", tpch_q14_promo_revenue, TPCH_Q14_ORACLE, tags=("composite",)),
+        QuerySpec(
+            "agg_approx",
+            agg_approx,
+            None,
+            doc="rows-only: sketch internals engine-specific; error bounded by invariant test",
+            tags=("composite", "approx"),
+        ),
+    ]
+)

@@ -168,3 +168,25 @@ def test_mllib_minhash_subset_of_exact(spark, specs):
     }
     assert mllib <= exact
     assert len(mllib) >= int(0.9 * len(exact)), f"recall {len(mllib)}/{len(exact)}"
+
+
+def test_approx_aggregates_within_tolerance(spark, specs):
+    """approx_count_distinct within its 2% standard error (5x slack),
+    approx median within 5% of the exact median."""
+    from database_scan_spark.catalog import load
+
+    approx = {r.l_returnflag: r for r in specs["agg_approx"].fn(spark, SF_SMOKE).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        assert abs(ap.approx_parts - ex.parts) / ex.parts <= 0.10, (flag, ap, ex)
+        assert abs(ap.approx_median_price - ex.median_price) / ex.median_price <= 0.05

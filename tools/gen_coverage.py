@@ -68,6 +68,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "agg_group_sums",
             "agg_rollup",
             "agg_cube",
+            "agg_approx",
         ],
     },
     "§2.8 Sort / top-k / windows": {
@@ -155,6 +156,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "tpch_q3_shipping_priority",
             "tpch_q5_local_supplier_volume",
             "tpch_q10_returned_items",
+            "tpch_q12_shipmode_priority",
+            "tpch_q14_promo_revenue",
         ],
         "grouped pandas": ["grouped_pandas_topk"],
         "funnel / sequence analysis": ["funnel_conversion"],
