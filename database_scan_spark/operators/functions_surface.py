@@ -198,3 +198,27 @@ SPECS = [
     QuerySpec("fn_json_pretty", fn_json_pretty, FN_JSON_PRETTY_ORACLE, tags=("functions",)),
     QuerySpec("udf_smiles_canonical", udf_canonicalize, UDF_CANONICALIZE_ORACLE, tags=("functions", "udf")),
 ]
+
+
+def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per nation, supplier names joined
+    in sorted order — collect_list is order-nondeterministic, so
+    array_sort pins it (SURVEY §1.4 discipline); DuckDB's
+    string_agg(... ORDER BY) is the twin."""
+    supplier = load(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+FN_STRING_AGG_ORACLE = """
+SELECT s_nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+SPECS.append(
+    QuerySpec("fn_string_agg", fn_string_agg, FN_STRING_AGG_ORACLE, tags=("functions",))
+)

@@ -211,3 +211,37 @@ SPECS = [
     QuerySpec("win_sliding", win_sliding, WIN_SLIDING_ORACLE, tags=("window", "stream-shape")),
     QuerySpec("win_session", win_session, WIN_SESSION_ORACLE, tags=("window", "stream-shape")),
 ]
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-based window frame over event time: per user, the count
+    and sum of events in the trailing 10 minutes (value-range frame,
+    not row-count frame — rows at equal distance enter together).
+    Spark's rangeBetween needs a numeric ordering column → epoch
+    seconds; the oracle uses the same epoch ordering."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts") / F.lit(1_000_000))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_10m"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing_10m"),
+    )
+
+
+WIN_RANGE_FRAME_ORACLE = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_10m,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) / 1000000.0
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+SPECS.append(
+    QuerySpec("win_range_frame", win_range_frame, WIN_RANGE_FRAME_ORACLE, tags=("window",))
+)

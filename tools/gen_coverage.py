@@ -78,6 +78,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_running_sum",
             "win_rank_dense",
             "win_lag_lead",
+            "win_range_frame",
             "sort_topk",
         ],
     },
@@ -92,6 +93,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "fn_str_ops",
             "fn_date_ops",
             "fn_array_ops",
+            "fn_string_agg",
         ],
     },
     "§2.10 UDF surface": {
