@@ -142,6 +142,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
+    # Fixture timestamps are naive wall-clock values; every time
+    # computation (date_trunc, window(), session_window) must agree
+    # with the timezone-less oracle, so pin the session to UTC — a
+    # runtime conf the engine may set even on a caller-owned session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

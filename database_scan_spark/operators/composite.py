@@ -340,3 +340,42 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the activity stream: users grouped by
+    first-active day, what fraction are active k days later. The
+    canonical product-analytics matrix: two aggregation passes plus
+    one join — no per-offset rescans."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE date_diff('day', c.cohort_day, a.day) <= 7
+GROUP BY 1, 2
+"""
+
+SPECS.append(
+    QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_ORACLE, tags=("composite", "events"))
+)

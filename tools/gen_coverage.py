@@ -163,6 +163,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "grouped pandas": ["grouped_pandas_topk"],
         "funnel / sequence analysis": ["funnel_conversion"],
+        "cohort retention": ["cohort_retention"],
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "skew salting": ["join_salted"],
     },
