@@ -245,3 +245,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) / 1000000.0
 SPECS.append(
     QuerySpec("win_range_frame", win_range_frame, WIN_RANGE_FRAME_ORACLE, tags=("window",))
 )
+
+
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, cume_dist and
+    percent_rank over account balance per segment (unique tiebreak)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+WIN_DISTRIBUTION_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       round(CUME_DIST() OVER w, 6) AS cume,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+SPECS.append(
+    QuerySpec("win_distribution", win_distribution, WIN_DISTRIBUTION_ORACLE, tags=("window",))
+)

@@ -79,6 +79,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_rank_dense",
             "win_lag_lead",
             "win_range_frame",
+            "win_distribution",
             "sort_topk",
         ],
     },
@@ -128,6 +129,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
         "LSH-bucketed ANN": ["sim_lsh_ann"],
         "IVF-flat ANN (codebook + nprobe)": ["sim_ivf_flat"],
+        "in-engine recall evaluation": ["sim_lsh_recall_eval"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": ["mm_decode_meta"],
@@ -160,6 +162,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "tpch_q10_returned_items",
             "tpch_q12_shipmode_priority",
             "tpch_q14_promo_revenue",
+            "tpch_q6_forecast_revenue",
+            "tpch_q16_supplier_cnt",
+            "tpch_q18_large_orders",
         ],
         "grouped pandas": ["grouped_pandas_topk"],
         "funnel / sequence analysis": ["funnel_conversion"],
