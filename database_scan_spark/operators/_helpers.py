@@ -36,6 +36,27 @@ SQL_DISC_PRICE = (
 )
 
 
+def h32(col):
+    """Deterministic 32-bit string hash identical in Spark and DuckDB:
+    first 8 hex chars of md5, parsed as an integer. DuckDB twin:
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT``. The single source
+    of truth for every cross-engine hash in the package."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def dot(a, b):
+    """Double-precision sequential dot product as a pure JVM array
+    expression (zip_with + aggregate) — bit-identical to DuckDB's
+    list_dot_product over DOUBLE[] because both fold left-to-right.
+    The single source of truth for every cross-engine dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def spread(df):
     """Fan a small-file scan out to all cores before CPU-heavy narrow
     maps (hashing, dot products, Python batches). A few-MB parquet

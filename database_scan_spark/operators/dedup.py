@@ -49,9 +49,11 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _h32(col: Column) -> Column:
-    """Deterministic 32-bit string hash identical in Spark and DuckDB:
-    first 8 hex chars of md5, parsed as an integer."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """Cross-engine 32-bit hash — delegated to the package-wide kernel
+    in ``_helpers.h32`` (single source of truth)."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    return h32(col)
 
 
 _SQL_H32 = "('0x' || substring(md5({expr}), 1, 8))::BIGINT"
@@ -59,9 +61,17 @@ _SQL_H32 = "('0x' || substring(md5({expr}), 1, 8))::BIGINT"
 
 def _shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles as an array column — a pure
-    array expression (whole-stage codegen, no UDF)."""
+    array expression (whole-stage codegen, no UDF).
+
+    Documents with fewer than n tokens yield an EMPTY array: Spark's
+    ``sequence(start, stop)`` defaults to step −1 when start > stop
+    (so ``sequence(1, 0)`` is ``[1, 0]``, driving element_at out of
+    bounds), hence the explicit guard — matching DuckDB's
+    ``generate_series(1, 0)`` which is empty."""
     toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -506,14 +516,11 @@ COSINE_DUP_THRESHOLD = 0.40
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Double-precision sequential dot product as a pure JVM array
-    expression (F.zip_with + F.aggregate) — bit-identical to DuckDB's
-    list_dot_product over DOUBLE[] because both fold left-to-right."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """Cross-engine dot product — delegated to the package-wide kernel
+    in ``_helpers.dot`` (single source of truth)."""
+    from ._helpers import dot  # noqa: PLC0415
+
+    return dot(a, b)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

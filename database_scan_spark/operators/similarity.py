@@ -43,11 +43,11 @@ HYPERPLANES: list[list[float]] = [
 
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """Cross-engine dot product — delegated to the package-wide kernel
+    in ``_helpers.dot`` (single source of truth)."""
+    from ._helpers import dot  # noqa: PLC0415
+
+    return dot(a, b)
 
 
 def _lit_vec(vals: list[float]) -> Column:

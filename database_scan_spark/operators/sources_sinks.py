@@ -394,9 +394,12 @@ def fn_str_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     `/root/reference/pathways_query.py:21`): bind a value into a
     template column."""
     template = F.lit("query { target(ensemblId: \"TARGET_ID\") { id } }")
+    # F.replace (literal), NOT regexp_replace: a replacement Column in
+    # regexp_replace interprets '$'/backslash as group references,
+    # diverging from the reference's str.replace and the oracle
     return load(spark, sf_dir, "supplier").select(
         "s_suppkey",
-        F.regexp_replace(template, "TARGET_ID", F.col("s_name")).alias("bound_query"),
+        F.replace(template, F.lit("TARGET_ID"), F.col("s_name")).alias("bound_query"),
     )
 
 
@@ -509,8 +512,12 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # closure-built class: pickled by value, workers need no import
         spark.dataSource.register(make_datasource())
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:
+        # only the re-registration case is benign; anything else
+        # (missing API, pickling failure) must surface here, not as a
+        # confusing DATA_SOURCE_NOT_FOUND at read time
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
     return spark.read.format("graphql_snapshot").option("path", pages_dir).load()
 
 

