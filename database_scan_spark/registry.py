@@ -42,6 +42,9 @@ def _load_all() -> None:
     from .operators import composite  # noqa: PLC0415
 
     _extend(composite.SPECS)
+    from .operators import tpch_extra  # noqa: PLC0415
+
+    _extend(tpch_extra.SPECS)
     from .operators import storage  # noqa: PLC0415
 
     _extend(storage.SPECS)

@@ -165,6 +165,18 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "tpch_q6_forecast_revenue",
             "tpch_q16_supplier_cnt",
             "tpch_q18_large_orders",
+            "tpch_q2_min_cost_supplier",
+            "tpch_q4_order_priority",
+            "tpch_q7_volume_shipping",
+            "tpch_q8_market_share",
+            "tpch_q9_product_profit",
+            "tpch_q13_customer_distribution",
+            "tpch_q15_top_supplier",
+            "tpch_q17_small_qty_revenue",
+            "tpch_q19_disjunctive_revenue",
+            "tpch_q20_promotion_suppliers",
+            "tpch_q21_sole_blame_supplier",
+            "tpch_q22_sales_opportunity",
         ],
         "grouped pandas": ["grouped_pandas_topk"],
         "funnel / sequence analysis": ["funnel_conversion"],
