@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_sole_blame_supplier",
+    "join_bucketed",
     "join_asof",
     "pipeline_corpus_prep",
     "dedup_cluster_cc",

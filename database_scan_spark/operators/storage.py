@@ -7,9 +7,10 @@ performance at 100 TB (SURVEY §7.2 phase 5 'scale posture').
 - Bucketed tables (``write_bucketed``): pre-shuffle both sides of a
   recurring join into the same bucket layout so the join runs with
   NO exchange at read time — the biggest single win for repeated
-  fact-fact joins. Exposed as a helper + plan-shape test rather than
-  a registered query because ``saveAsTable`` needs a warehouse
-  location, which is session-static and owned by the harness driver.
+  fact-fact joins. Registered as ``join_bucketed``: the tables are
+  EXTERNAL (explicit ``option("path")`` into the engine's scratch
+  dir), so nothing touches the session-static warehouse location the
+  harness driver owns, and the in-memory catalog needs no metastore.
 """
 
 from __future__ import annotations
@@ -53,7 +54,11 @@ def write_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tupl
     shuffle was paid once at write time. Returns the table names."""
     import shutil  # noqa: PLC0415
 
-    li_tbl, o_tbl = "lineitem_bucketed", "orders_bucketed"
+    # scale-factor-scoped names: the driver runs the same session at
+    # several sf_dirs (smoke sf0.001, correctness sf0.01) — unscoped
+    # names would silently reuse the first scale's buckets
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, o_tbl = f"lineitem_bucketed_{sf_tag}", f"orders_bucketed_{sf_tag}"
     for tbl, name, key in ((li_tbl, "lineitem", "l_orderkey"), (o_tbl, "orders", "o_orderkey")):
         if spark.catalog.tableExists(tbl):
             continue
@@ -74,11 +79,50 @@ def write_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tupl
     return li_tbl, o_tbl
 
 
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join over the bucketed tables: both sides
+    are bucketed+sorted on the orderkey, so the physical plan is a
+    SortMergeJoin with NO Exchange on either side (asserted in
+    tests/test_scale_posture.py) — at 100 TB this is the recurring
+    orders x lineitem join with the shuffle paid once at layout time.
+    Results are layout-independent; the oracle is the plain join."""
+    li_tbl, o_tbl = write_bucketed(spark, sf_dir)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 SPECS = [
     QuerySpec(
         "sink_parquet_partitioned",
         sink_parquet_partitioned,
         SINK_PARQUET_PARTITIONED_ORACLE,
+        tags=("core", "storage"),
+    ),
+    QuerySpec(
+        "join_bucketed",
+        join_bucketed,
+        JOIN_BUCKETED_ORACLE,
         tags=("core", "storage"),
     ),
 ]

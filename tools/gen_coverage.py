@@ -182,6 +182,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "funnel / sequence analysis": ["funnel_conversion"],
         "cohort retention": ["cohort_retention"],
         "partitioned write + pruning": ["sink_parquet_partitioned"],
+        "bucketed co-located join": ["join_bucketed"],
         "skew salting": ["join_salted"],
     },
 }
