@@ -145,8 +145,73 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEAT_DIM = 8
+
+
+def _feature_extract_batches_fn(dim: int = _FEAT_DIM):
+    """Deterministic fake feature extractor: an ``dim``-dimensional
+    embedding whose coordinates are md5-seeded hash projections of the
+    payload bytes — a pure byte-function standing in for a real model
+    forward pass, with the same Arrow-batched plumbing and schema.
+
+    Coordinates are h32 / 2^32: division by a power of two is exact in
+    binary floating point, so Python, Spark, and DuckDB agree
+    bit-for-bit with NO rounding step (round() would diverge —
+    Python rounds half-to-even, DuckDB half-away).
+
+    Closure-wrapped so cloudpickle ships it by value (workers don't
+    have this package on sys.path under the harness driver)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415 - worker-side import
+
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                base = hashlib.md5(bytes(payload)).hexdigest()
+                feats.append(
+                    [
+                        int(
+                            hashlib.md5(f"{base}_{i}".encode()).hexdigest()[:8], 16
+                        )
+                        / 4294967296.0
+                        for i in range(dim)
+                    ]
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return extract
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from binary payloads: mapInPandas emits one
+    array<double> embedding per blob (the shape a real vision/audio
+    encoder produces), then posexplode flattens to (doc_id, dim,
+    value) rows so the oracle compares scalars, not array encodings.
+    The blob column is read exactly once, inside the Arrow batch."""
+    embedded = _media_table(spark, sf_dir).mapInPandas(
+        _feature_extract_batches_fn(), schema="doc_id long, features array<double>"
+    )
+    return embedded.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).withColumn("dim", F.col("dim").cast("int"))
+
+
+MM_FEATURE_EXTRACT_ORACLE = f"""
+-- md5(VARCHAR) hashes the string's UTF-8 bytes = exactly the payload
+-- blob the Spark side hashes (DuckDB 1.0 has no md5(BLOB) overload)
+SELECT doc_id, CAST(t.i AS INTEGER) AS dim,
+       (('0x' || substring(md5(md5(text) || '_' || t.i), 1, 8))::BIGINT)
+         / 4294967296.0 AS value
+FROM documents, range({_FEAT_DIM}) t(i)
+"""
+
+
 SPECS = [
     QuerySpec("mm_decode_meta", mm_decode_meta, MM_DECODE_META_ORACLE, tags=("llm", "multimodal", "udf")),
+    QuerySpec("mm_feature_extract", mm_feature_extract, MM_FEATURE_EXTRACT_ORACLE, tags=("llm", "multimodal", "udf")),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE, tags=("llm", "multimodal")),
     QuerySpec("mm_resize_stub", mm_resize_stub, None, doc="rows-only: stubbed decode", tags=("llm", "multimodal")),
 ]

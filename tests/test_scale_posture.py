@@ -119,3 +119,40 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q4_exists_plans_semi_join(spark):
+    """The EXISTS correlation must become a hash semi-join, not a
+    per-row subquery (Q4's scale story)."""
+    from database_scan_spark.operators.tpch_extra import tpch_q4_order_priority
+
+    plan = _plan(tpch_q4_order_priority(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q9_part_filter_broadcasts(spark):
+    """The filtered part dimension must broadcast into the lineitem
+    fact scan — a shuffled dim join at 100 TB is the wrong plan."""
+    from database_scan_spark.operators.tpch_extra import tpch_q9_product_profit
+
+    plan = _plan(tpch_q9_product_profit(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """NOT EXISTS must plan as a left-anti join; the scalar average
+    must ride a broadcast, never a shuffle."""
+    from database_scan_spark.operators.tpch_extra import tpch_q22_sales_opportunity
+
+    plan = _plan(tpch_q22_sales_opportunity(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_verify_has_no_extra_shingle_agg(spark):
+    """The LSH verification must reuse the persisted shingle table
+    (InMemoryTableScan), not recompute the explode from parquet."""
+    from database_scan_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan

@@ -132,7 +132,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "in-engine recall evaluation": ["sim_lsh_recall_eval"],
     },
     "North-star: multimodal": {
-        "decode / feature-extract": ["mm_decode_meta"],
+        "decode / feature-extract": ["mm_decode_meta", "mm_feature_extract"],
         "frame sampling": ["mm_frame_sample"],
         "resize plumbing": ["mm_resize_stub"],
     },
