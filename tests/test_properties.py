@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the cross-engine kernels.
+
+The whole correctness model rests on a few Spark expressions being
+bit-identical to their DuckDB twins (README 'determinism
+disciplines'). The parity suite checks them on fixture data; these
+properties check them on ADVERSARIAL generated data — unicode,
+empty strings, extreme floats — where silent divergence would
+otherwise hide until a fixture happens to hit it.
+
+Each hypothesis example ships a whole BATCH of generated values
+through one Spark job + one DuckDB query (per-value jobs would be
+100x slower), so max_examples stays low without losing case count.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# no NUL (parquet/arrow strings are NUL-hostile in some paths) and no
+# surrogates (not encodable to utf-8)
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+FLOATS = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+VEC_PAIRS = st.lists(
+    st.tuples(
+        st.lists(FLOATS, min_size=4, max_size=4),
+        st.lists(FLOATS, min_size=4, max_size=4),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=TEXTS)
+@settings(**_SETTINGS)
+def test_h32_matches_duckdb_on_arbitrary_text(spark, texts):
+    """h32 (the shared 32-bit hash) must equal its DuckDB twin for any
+    unicode input — every dedup/fingerprint oracle depends on it."""
+    from database_scan_spark.operators._helpers import h32
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "x string")
+    got = [r.h for r in sdf.select(h32(F.col("x")).alias("h")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": texts}))
+    want = [
+        r[0]
+        for r in con.sql(
+            "SELECT ('0x' || substring(md5(x), 1, 8))::BIGINT FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@given(pairs=VEC_PAIRS)
+@settings(**_SETTINGS)
+def test_dot_matches_duckdb_on_arbitrary_vectors(spark, pairs):
+    """The zip_with+aggregate dot product must be bit-identical to
+    DuckDB's list_dot_product (same left-to-right fold) for arbitrary
+    finite doubles — similarity/ANN oracles depend on it."""
+    from database_scan_spark.operators._helpers import dot
+
+    sdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a array<double>, b array<double>"
+    )
+    got = [r.d for r in sdf.select(dot(F.col("a"), F.col("b")).alias("d")).collect()]
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    )
+    want = [r[0] for r in con.sql("SELECT list_dot_product(a, b) FROM t").fetchall()]
+    assert got == want  # exact equality, not approx — the fold must match
+
+
+@given(texts=TEXTS)
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, texts):
+    """_shingles must produce exactly the distinct 3-gram token
+    shingles (space-split, order of first occurrence irrelevant) for
+    any text, including <3-token edge cases."""
+    from database_scan_spark.operators.dedup import _shingles
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        set(r.s) for r in sdf.select(_shingles(F.col("text")).alias("s")).collect()
+    ]
+    for t, g in zip(texts, got):
+        toks = t.split(" ")
+        want = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        assert g == want, (t, g, want)
