@@ -218,8 +218,50 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark, sf_dir, "stream_stateful", "update")
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding (hopping) window: 10-minute windows every 5
+    minutes, so each event lands in exactly two windows. Spark fans
+    the row out to its windows inside the stateful aggregation; the
+    oracle replicates the epoch-aligned window-start set (bucket and
+    bucket − slide) with unnest."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, spark, sf_dir, "stream_sliding", "complete")
+
+
+STREAM_SLIDING_ORACLE = """
+SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+    SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                   time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS w_start,
+           event_type, value
+    FROM events
+)
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS = [
     QuerySpec("stream_tumbling", stream_tumbling, STREAM_TUMBLING_ORACLE, tags=("stream",)),
+    QuerySpec("stream_sliding", stream_sliding, STREAM_SLIDING_ORACLE, tags=("stream",)),
     QuerySpec("stream_session", stream_session, STREAM_SESSION_ORACLE, tags=("stream",)),
     QuerySpec(
         "stream_stateful_user_totals",

@@ -110,7 +110,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     },
     "§2.12 Streaming (extension — reference has none)": {
         "tumbling windows": ["win_tumbling", "stream_tumbling"],
-        "sliding windows": ["win_sliding"],
+        "sliding windows": ["win_sliding", "stream_sliding"],
         "session windows": ["win_session", "stream_session"],
         "custom stateful operator": ["stream_stateful_user_totals"],
         "streaming dedup": ["stream_dedup"],
