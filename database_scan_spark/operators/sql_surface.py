@@ -266,8 +266,75 @@ HAVING COUNT(DISTINCT c_custkey) >= 5
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube's fixed lattices):
+    totals by status, by priority, and the grand total in ONE pass —
+    Spark expands the sets map-side, so the fact table is still read
+    once and shuffled once. grouping_id disambiguates a real NULL
+    from a set-collapsed NULL."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price", "gid")
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles (the approx variants live in
+    composite.py): median and quartiles of l_quantity per return
+    flag. Spark's `percentile` and DuckDB's percentile_cont share the
+    linear-interpolation definition, so the doubles match exactly.
+    Scale note: exact percentiles hold the group's values — for
+    100 TB fact tables use the approx sketch; this is the small-group
+    / exact-report path."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILE_EXACT_ORACLE = """
+SELECT l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("join_outer_left", join_outer_left, JOIN_OUTER_LEFT_ORACLE, tags=("sql",)),
+    QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_ORACLE, tags=("sql",)),
+    QuerySpec("agg_percentile_exact", agg_percentile_exact, AGG_PERCENTILE_EXACT_ORACLE, tags=("sql",)),
     QuerySpec("join_outer_full", join_outer_full, JOIN_OUTER_FULL_ORACLE, tags=("sql",)),
     QuerySpec("join_semi_anti", join_semi_anti, JOIN_SEMI_ANTI_ORACLE, tags=("sql",)),
     QuerySpec("agg_pivot", agg_pivot, AGG_PIVOT_ORACLE, tags=("sql",)),

@@ -68,7 +68,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "agg_group_sums",
             "agg_rollup",
             "agg_cube",
+            "agg_grouping_sets",
             "agg_approx",
+            "agg_percentile_exact",
         ],
     },
     "§2.8 Sort / top-k / windows": {
