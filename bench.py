@@ -44,6 +44,7 @@ HEADLINE = [
     "join_asof",
     "pipeline_corpus_prep",
     "dedup_cluster_cc",
+    "split_train_test",
 ]
 
 

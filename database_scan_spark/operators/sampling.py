@@ -1,0 +1,162 @@
+"""Deterministic sampling — the selection primitives a training-data
+pipeline needs (north-star LLM-pipeline operators, BASELINE.json).
+
+``df.sample()`` is seed-dependent AND partition-layout-dependent, so
+two runs over differently-split inputs disagree — useless for
+reproducible corpus construction at 100 TB. These operators sample by
+CONTENT HASH instead: membership is a pure function of the row's key
+via the shared cross-engine kernel ``h32`` (md5-prefix), so the
+sample is stable across engines, partitionings, cluster sizes, and
+reruns, and the DuckDB oracle reproduces it exactly.
+
+All pure JVM expressions — whole-stage codegen end to end, no shuffle
+for bernoulli/split (narrow maps over the scan); the stratified
+variant shuffles only for its per-stratum audit aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+from ._helpers import h32
+
+# DuckDB twin of _helpers.h32 (keep in lockstep with it).
+H32_SQL = "('0x' || substring(md5({x}), 1, 8))::BIGINT"
+
+
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% Bernoulli sample of lineitem, membership decided by the
+    content hash of the row's natural key — no RNG, no seed, no
+    dependence on partition layout. At 100 TB this is a narrow map
+    fused into the scan (filter pushes to the parquet reader's
+    row-group batch); re-running on a re-partitioned copy of the data
+    selects the SAME rows."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(h32(key) % 100 < 5).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+SAMPLE_HASH_BERNOULLI_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE {H32_SQL.format(x="l_orderkey || '-' || l_linenumber")} % 100 < 5
+"""
+
+
+# per-stratum sampling rates in per-mille (status F is the "rare
+# class" kept at a higher rate — the usual class-rebalancing shape)
+STRATA_PER_MILLE = {"F": 500, "O": 50, "P": 20}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample of orders: each o_orderstatus stratum keeps
+    its own hash-threshold rate (rare classes oversampled). Returns
+    the per-stratum audit counts — kept vs total — so the observed
+    rate is visible. Deterministic twin of ``df.sampleBy``; unlike
+    sampleBy the selection survives engine and layout changes."""
+    orders = load(spark, sf_dir, "orders")
+    rate = F.create_map(
+        *[F.lit(v) for kv in STRATA_PER_MILLE.items() for v in kv]
+    )[F.col("o_orderstatus")]
+    return (
+        orders.withColumn(
+            "kept", (h32(F.col("o_orderkey").cast("string")) % 1000 < rate).cast("int")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_PER_MILLE.items()
+)
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {H32_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 1000
+                          < (CASE o_orderstatus {_RATE_CASE} END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split of the documents corpus:
+    hash-range assignment (80/10/10) keyed on doc_id. The audit
+    output proves assignment identity, not just sizes: per-split row
+    count plus a DECIMAL checksum over member hashes (associative →
+    deterministic under Spark's unordered partial aggregation). A
+    100 TB corpus splits in one narrow pass; every engine and every
+    rerun lands each document in the same bucket."""
+    docs = load(spark, sf_dir, "documents")
+    h = h32(F.col("doc_id").cast("string"))
+    bucket = h % 100
+    return (
+        docs.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            h.alias("h"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("h").cast("decimal(18,0)")).cast("double").alias("hash_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_TRAIN_TEST_ORACLE = f"""
+WITH assigned AS (
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           h
+    FROM (SELECT {H32_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(h AS DECIMAL(18,0))) AS DOUBLE) AS hash_checksum
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "sample_hash_bernoulli",
+        sample_hash_bernoulli,
+        SAMPLE_HASH_BERNOULLI_ORACLE,
+        doc="content-hash Bernoulli sample; layout- and engine-stable",
+        tags=("pipeline", "sampling"),
+    ),
+    QuerySpec(
+        "sample_stratified",
+        sample_stratified,
+        SAMPLE_STRATIFIED_ORACLE,
+        doc="per-stratum hash-threshold sampling with audit counts",
+        tags=("pipeline", "sampling"),
+    ),
+    QuerySpec(
+        "split_train_test",
+        split_train_test,
+        SPLIT_TRAIN_TEST_ORACLE,
+        doc="hash-range 80/10/10 corpus split with checksum audit",
+        tags=("pipeline", "sampling"),
+    ),
+]

@@ -62,11 +62,29 @@ def write_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tupl
     for tbl, name, key in ((li_tbl, "lineitem", "l_orderkey"), (o_tbl, "orders", "o_orderkey")):
         if spark.catalog.tableExists(tbl):
             continue
+        loc = os.path.join(workdir(sf_dir, "bucketed"), tbl)
+        marker = os.path.join(loc, "_BUCKETS_OK")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.exists(marker):
+            # the in-memory catalog dies with each session but the
+            # bucket FILES don't: re-attach them with a DDL whose
+            # bucket spec matches the writer's (bucket ids live in the
+            # file names, so the layout survives re-registration) —
+            # skips the rewrite shuffle every fresh session would
+            # otherwise pay
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in load(spark, sf_dir, name).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+            )
+            continue
         # external table in our scratch dir: survives neither-here-nor-
         # there state (catalog empty but location left from a previous
         # session) by clearing the location first
-        loc = os.path.join(workdir(sf_dir, "bucketed"), tbl)
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(loc, ignore_errors=True)
         (
             load(spark, sf_dir, name)
@@ -76,6 +94,8 @@ def write_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tupl
             .mode("overwrite")
             .saveAsTable(tbl)
         )
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return li_tbl, o_tbl
 
 

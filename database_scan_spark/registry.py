@@ -69,6 +69,9 @@ def _load_all() -> None:
     from .operators import text_analysis  # noqa: PLC0415
 
     _extend(text_analysis.SPECS)
+    from .operators import sampling  # noqa: PLC0415
+
+    _extend(sampling.SPECS)
     from .operators import multimodal  # noqa: PLC0415
 
     _extend(multimodal.SPECS)

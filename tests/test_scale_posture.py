@@ -117,6 +117,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         plan = _plan(joined)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
+
+        # a fresh session re-attaches the existing bucket files via
+        # DDL instead of rewriting; the re-registered tables must keep
+        # the exchange-free layout (bucket ids live in file names)
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        li_tbl2, o_tbl2 = write_bucketed(spark, SF_SMOKE)
+        li2, o2 = spark.table(li_tbl2), spark.table(o_tbl2)
+        joined2 = li2.join(o2, li2.l_orderkey == o2.o_orderkey).select(
+            "l_orderkey", "l_partkey", "o_custkey"
+        )
+        plan2 = _plan(joined2)
+        assert "Exchange" not in plan2, plan2
+        assert "SortMergeJoin" in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

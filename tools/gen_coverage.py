@@ -145,6 +145,11 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "fingerprinting": ["text_fingerprint"],
         "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
     },
+    "North-star: deterministic sampling": {
+        "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
+        "stratified (per-class rates)": ["sample_stratified"],
+        "train/val/test split with checksum audit": ["split_train_test"],
+    },
     "Engine: general SQL surface (beyond the reference)": {
         "outer joins": ["join_outer_left", "join_outer_full"],
         "semi/anti joins (explicit)": ["join_semi_anti"],
