@@ -132,11 +132,58 @@ ORDER BY o_orderpriority
 """
 
 
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job that keeps a 100 TB
+    table scannable. Streaming/micro-batch ingest leaves thousands of
+    KB-sized parquet files; scans then pay per-file open cost and the
+    driver pays per-file listing/planning cost. This op materializes a
+    deliberately fragmented copy of lineitem (64 files), bin-packs it
+    to a few scan-sized files (one shuffle-free coalesce), and returns
+    a content checksum per return flag proving the rewrite lost
+    nothing — the oracle computes the same checksum from the original
+    table. File-count reduction is asserted in
+    tests/test_scale_posture.py."""
+    frag = os.path.join(workdir(sf_dir, "compact"), "fragmented")
+    compacted = os.path.join(workdir(sf_dir, "compact"), "compacted")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        load(spark, sf_dir, "lineitem").repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SINK_COMPACT_SMALL_FILES_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_checksum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec(
         "sink_parquet_partitioned",
         sink_parquet_partitioned,
         SINK_PARQUET_PARTITIONED_ORACLE,
+        tags=("core", "storage"),
+    ),
+    QuerySpec(
+        "sink_compact_small_files",
+        sink_compact_small_files,
+        SINK_COMPACT_SMALL_FILES_ORACLE,
+        doc="small-file bin-packing rewrite with content-checksum audit",
         tags=("core", "storage"),
     ),
     QuerySpec(

@@ -208,9 +208,63 @@ FROM h
 """
 
 
+# PII patterns shared by the Spark op and its oracle. Kept to the
+# Java-regex ∩ RE2 common subset (no lookarounds, no backrefs) so
+# both engines compile them identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the corpus-prep step that masks emails/phone
+    numbers before training. The fixture text is synthetic word soup
+    with no PII, so both engines first append a deterministic contact
+    string derived from doc_id (the redaction kernel needs something
+    to bite on every row); the kernel itself is two sequential
+    regexp_replace passes, pure JVM codegen, a narrow map at 100 TB.
+    Audit columns count the matches the masks consumed."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    return docs.withColumn("raw", raw).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+TEXT_PII_REDACT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM t
+"""
+
+
 SPECS = [
     QuerySpec("text_tokens", text_tokens, TEXT_TOKENS_ORACLE, tags=("llm", "text")),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE, tags=("llm", "text")),
     QuerySpec("text_lang_id", text_lang_id, _lang_id_oracle(), tags=("llm", "text")),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, tags=("llm", "text")),
+    QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_REDACT_ORACLE, tags=("llm", "text")),
 ]

@@ -170,3 +170,21 @@ def test_minhash_verify_has_no_extra_shingle_agg(spark):
 
     plan = _plan(dedup_minhash_lsh(spark, SF_SMOKE))
     assert "InMemoryTableScan" in plan
+
+
+def test_compaction_reduces_file_count(spark):
+    """The compaction rewrite must actually bin-pack: 64 fragment
+    files in, ≤4 data files out, zero content change (content parity
+    is the oracle's job in test_parity)."""
+    import glob
+    import os
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.storage import sink_compact_small_files
+
+    sink_compact_small_files(spark, SF_SMOKE).collect()
+    base = workdir(SF_SMOKE, "compact")
+    n_frag = len(glob.glob(os.path.join(base, "fragmented", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(base, "compacted", "*.parquet")))
+    assert n_frag == 64, n_frag
+    assert n_comp <= 4, n_comp

@@ -143,6 +143,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "quality scoring": ["text_quality"],
         "token counting": ["text_tokens"],
         "fingerprinting": ["text_fingerprint"],
+        "PII redaction": ["text_pii_redact"],
         "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
     },
     "North-star: deterministic sampling": {
@@ -191,6 +192,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "bucketed co-located join": ["join_bucketed"],
         "skew salting": ["join_salted"],
+        "small-file compaction": ["sink_compact_small_files"],
     },
 }
 
