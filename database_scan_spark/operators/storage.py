@@ -172,6 +172,53 @@ ORDER BY l_returnflag
 """
 
 
+def sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions
+    on l_shipdate before writing, so every parquet file (and every
+    row group inside it) covers a narrow, near-disjoint shipdate
+    band. A selective date predicate then skips whole files on footer
+    min/max stats — at 100 TB this is the difference between reading
+    one band and scanning the table. The range exchange samples the
+    key to build balanced bounds, so skew in the cluster key spreads
+    evenly. Disjointness of the produced file footers is asserted in
+    tests/test_scale_posture.py; the audit query reads one month back
+    through the clustered copy (oracle = same filter on the original)."""
+    path = os.path.join(workdir(sf_dir, "clustered"), "by_shipdate")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "lineitem")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-07-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SINK_CLUSTERED_WRITE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_checksum
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-07-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec(
         "sink_parquet_partitioned",
@@ -184,6 +231,13 @@ SPECS = [
         sink_compact_small_files,
         SINK_COMPACT_SMALL_FILES_ORACLE,
         doc="small-file bin-packing rewrite with content-checksum audit",
+        tags=("core", "storage"),
+    ),
+    QuerySpec(
+        "sink_clustered_write",
+        sink_clustered_write,
+        SINK_CLUSTERED_WRITE_ORACLE,
+        doc="range-clustered layout for footer min/max file skipping",
         tags=("core", "storage"),
     ),
     QuerySpec(

@@ -188,3 +188,30 @@ def test_compaction_reduces_file_count(spark):
     n_comp = len(glob.glob(os.path.join(base, "compacted", "*.parquet")))
     assert n_frag == 64, n_frag
     assert n_comp <= 4, n_comp
+
+
+def test_clustered_write_files_are_disjoint(spark):
+    """Range clustering must produce files whose l_shipdate footer
+    stats form near-disjoint bands — that disjointness is what lets a
+    selective scan skip whole files on min/max at 100 TB."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.storage import sink_clustered_write
+
+    sink_clustered_write(spark, SF_SMOKE).collect()
+    path = os.path.join(workdir(SF_SMOKE, "clustered"), "by_shipdate")
+    bands = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        bands.append((lo, hi))
+    assert len(bands) >= 4, bands
+    bands.sort()
+    for (_, prev_hi), (next_lo, _) in zip(bands, bands[1:]):
+        assert next_lo >= prev_hi, bands  # bands may touch, never interleave

@@ -193,6 +193,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "bucketed co-located join": ["join_bucketed"],
         "skew salting": ["join_salted"],
         "small-file compaction": ["sink_compact_small_files"],
+        "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
     },
 }
 
