@@ -18,6 +18,8 @@ Scale posture common to all ops here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -68,6 +70,42 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SRC_CSV_ORACLE = "SELECT * FROM nation"
+
+
+_N_CORRUPT_PLANTED = 5
+
+
+def src_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant JSON ingestion: real feeds carry malformed rows,
+    and at 100 TB a single bad record must neither kill the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED). PERMISSIVE mode
+    with an explicit schema — no inference pass over the data, which
+    at scale is a full extra scan — quarantines bad rows into the
+    corrupt-record column. The op plants corrupt lines among a JSONL
+    dump of nation, reads back tolerantly, and returns the surviving
+    valid rows (oracle: the original table); the planted-corrupt
+    count is asserted in tests/test_robustness.py."""
+    path = workdir(sf_dir, "src_json_permissive")
+    marker = os.path.join(path, "_PLANTED")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+        with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+            for i in range(_N_CORRUPT_PLANTED):
+                fh.write(f'{{"n_nationkey": broken-{i}\n')
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = (
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt STRING"
+    )
+    raw = spark.read.schema(schema).option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).option("mode", "PERMISSIVE").json(path)
+    return raw.filter(F.col("_corrupt").isNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+SRC_JSON_PERMISSIVE_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
 def src_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +826,13 @@ QUALIFY rn <= 3
 SPECS = [
     QuerySpec("src_parquet_scan", src_parquet_scan, SRC_PARQUET_SCAN_ORACLE, tags=("core",)),
     QuerySpec("src_csv", src_csv, SRC_CSV_ORACLE, tags=("core",)),
+    QuerySpec(
+        "src_json_permissive",
+        src_json_permissive,
+        SRC_JSON_PERMISSIVE_ORACLE,
+        doc="error-tolerant JSON ingestion with corrupt-record quarantine",
+        tags=("core",),
+    ),
     QuerySpec("src_search", src_search, SRC_SEARCH_ORACLE, tags=("core",)),
     QuerySpec("param_bind", param_bind, PARAM_BIND_ORACLE, tags=("core",)),
     QuerySpec("proj_flatten", proj_flatten, PROJ_FLATTEN_ORACLE, tags=("core",)),

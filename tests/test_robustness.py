@@ -36,3 +36,31 @@ def test_query_after_param_bind(spark):
     param_bind(spark, SF_SMOKE).collect()  # leaves 'orders' view behind
     pdf = agg_group_sums(spark, SF_CORRECTNESS).toPandas()
     assert_match(pdf, run_oracle(AGG_GROUP_SUMS_ORACLE, SF_CORRECTNESS), "agg_group_sums")
+
+
+def test_json_permissive_quarantines_planted_corrupt_rows(spark):
+    """Every planted corrupt line must land in the corrupt-record
+    column — none dropped, none crashing the read."""
+    import os
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.relational import (
+        _N_CORRUPT_PLANTED,
+        src_json_permissive,
+    )
+    from pyspark.sql import functions as F
+
+    src_json_permissive(spark, SF_SMOKE).collect()  # ensures files exist
+    path = workdir(SF_SMOKE, "src_json_permissive")
+    raw = (
+        spark.read.schema(
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt STRING"
+        )
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()  # Spark disallows querying ONLY the corrupt column off raw files
+    )
+    try:
+        assert raw.filter(F.col("_corrupt").isNotNull()).count() == _N_CORRUPT_PLANTED
+    finally:
+        raw.unpersist()

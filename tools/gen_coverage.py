@@ -20,6 +20,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "src_graphql_post": ["src_graphql_post", "src_python_datasource"],
         "src_rest_get": ["src_rest_get"],
         "src_csv": ["src_csv"],
+        "(engine addition) tolerant JSON ingestion": ["src_json_permissive"],
         "sink_csv": ["sink_csv"],
         "sink_stdout": ["sink_stdout"],
         "param_bind": ["param_bind"],
