@@ -636,3 +636,49 @@ SPECS.append(
         tags=("llm", "dedup", "mllib"),
     )
 )
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution over the part-name dictionary:
+    names within Levenshtein distance 2 are merge candidates (typo
+    variants). The scale discipline is WHERE the quadratic runs: the
+    fact table is first projected to its distinct-name DICTIONARY
+    (dimension-sized: vocabulary, not rows), and the pairwise compare
+    runs on that with a length-band prune — |len(a)−len(b)| ≤ 2 is
+    necessary for dist ≤ 2, and cheap enough to sit in the join
+    condition. Spark and DuckDB share the textbook Levenshtein
+    definition, so distances match exactly."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"), F.length("p_name").alias("la"))
+    b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("lb"))
+    return (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(2)),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+DEDUP_LEVENSHTEIN_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a
+JOIN names b
+  ON a.p_name < b.p_name AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_levenshtein",
+        dedup_levenshtein,
+        DEDUP_LEVENSHTEIN_ORACLE,
+        doc="edit-distance entity resolution over the distinct-name dictionary",
+        tags=("llm", "dedup"),
+    )
+)

@@ -331,10 +331,85 @@ ORDER BY l_returnflag
 """
 
 
+_HIST_BINS = 20
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice: data-derived bounds
+    (one tiny min/max aggregate, broadcast into the binning scan) and
+    ``floor((x-lo)/w)`` bin assignment clamped to the last bin. Two
+    passes over the fact table, both full-scan aggregates with
+    map-side partials — the distribution-profiling primitive for
+    deciding salting/clamping strategies before a big job. Bin edges
+    and fills use the same IEEE double expressions in both engines,
+    so counts match exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")).alias("lo"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("hi"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice").cast("double") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS)))
+            ),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        F.col("lo"),
+        F.col("hi"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.first("lo") + F.col("bin") * ((F.first("hi") - F.first("lo")) / F.lit(float(_HIST_BINS))),
+                6,
+            ).alias("bin_lo"),
+        )
+        .select("bin", "bin_lo", "n")
+        .orderBy("bin")
+    )
+
+
+AGG_HISTOGRAM_ORACLE = f"""
+WITH b AS (
+    SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+           MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+    FROM lineitem
+),
+binned AS (
+    SELECT LEAST(
+               CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                          / ((hi - lo) / {_HIST_BINS}.0)) AS BIGINT),
+               {_HIST_BINS - 1}
+           ) AS bin,
+           lo, hi
+    FROM lineitem CROSS JOIN b
+)
+SELECT bin,
+       round(MIN(lo) + bin * ((MIN(hi) - MIN(lo)) / {_HIST_BINS}.0), 6) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 SPECS = [
     QuerySpec("join_outer_left", join_outer_left, JOIN_OUTER_LEFT_ORACLE, tags=("sql",)),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_ORACLE, tags=("sql",)),
     QuerySpec("agg_percentile_exact", agg_percentile_exact, AGG_PERCENTILE_EXACT_ORACLE, tags=("sql",)),
+    QuerySpec(
+        "agg_histogram",
+        agg_histogram,
+        AGG_HISTOGRAM_ORACLE,
+        doc="fixed-width histogram with data-derived broadcast bounds",
+        tags=("sql",),
+    ),
     QuerySpec("join_outer_full", join_outer_full, JOIN_OUTER_FULL_ORACLE, tags=("sql",)),
     QuerySpec("join_semi_anti", join_semi_anti, JOIN_SEMI_ANTI_ORACLE, tags=("sql",)),
     QuerySpec("agg_pivot", agg_pivot, AGG_PIVOT_ORACLE, tags=("sql",)),

@@ -273,3 +273,77 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 SPECS.append(
     QuerySpec("win_distribution", win_distribution, WIN_DISTRIBUTION_ORACLE, tags=("window",))
 )
+
+
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: hourly event counts per type with the
+    EMPTY hours present as zero rows — downstream resampling/charting
+    needs the dense calendar, and a groupBy alone silently drops
+    silent hours. The dense (hour × type) grid is generated from two
+    tiny single-pass aggregates (bounds + distinct types) and joined
+    broadcast-side against the hourly aggregate; the only full-table
+    work is the one groupBy. At 100 TB the grid stays dim-sized
+    (hours × types), so the left join is a broadcast, never a
+    shuffle of the fact aggregate."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    return (
+        grid.join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0)).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+WIN_GAP_FILL_ORACLE = """
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+hours AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT h.hour, t.event_type,
+       COALESCE(a.n_events, 0) AS n_events,
+       CAST(COALESCE(a.sum_value, 0) AS DOUBLE) AS sum_value
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+ORDER BY h.hour, t.event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_gap_fill",
+        win_gap_fill,
+        WIN_GAP_FILL_ORACLE,
+        doc="dense-calendar resample: zero rows for silent hours",
+        tags=("window", "temporal"),
+    )
+)

@@ -72,6 +72,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "agg_grouping_sets",
             "agg_approx",
             "agg_percentile_exact",
+            "agg_histogram",
         ],
     },
     "§2.8 Sort / top-k / windows": {
@@ -83,6 +84,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_lag_lead",
             "win_range_frame",
             "win_distribution",
+            "win_gap_fill",
             "sort_topk",
         ],
     },
@@ -126,6 +128,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "connected-components clustering (iterative)": ["dedup_cluster_cc"],
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
+        "edit-distance entity resolution": ["dedup_levenshtein"],
         "embedding cosine": ["dedup_embedding_cosine"],
     },
     "North-star: similarity search": {
