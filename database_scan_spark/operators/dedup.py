@@ -682,3 +682,97 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    shingles are substantially contained in any held-out eval doc
+    (the pre-training hygiene pass that keeps test sets out of the
+    corpus). The eval split is deterministic (h32(doc_id) % 10 == 0,
+    ~10%% of docs); everything else is the training side.
+
+    Scale shape: eval sets are dimension-sized next to a 100 TB
+    corpus, so the eval shingle table is BROADCAST — the corpus-side
+    shingle explode stays a narrow map + broadcast hash join with no
+    corpus shuffle; only the (train, eval) overlap counts (candidate
+    pairs, tiny) hash-aggregate. Containment = |train ∩ eval| /
+    |train shingles| against the train doc's own shingle count, the
+    asymmetric measure decontamination wants (a short eval prompt
+    inside a long train doc still triggers)."""
+    sh = _shingle_df(spark, sf_dir)
+    is_eval = _h32(F.col("doc_id").cast("string")) % 10 == 0
+    train_sh = sh.filter(~is_eval)
+    eval_sh = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train_sizes = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    overlaps = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), "eval_id")
+    best = (
+        overlaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("eval_id").alias("best_eval_id"), "overlap")
+    )
+    return (
+        train_sizes.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "best_eval_id",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            F.round(F.coalesce("overlap", F.lit(0)) / F.col("n_shingles"), 6).alias(
+                "containment"
+            ),
+            (
+                F.coalesce("overlap", F.lit(0)) / F.col("n_shingles") >= 0.5
+            ).alias("contaminated"),
+        )
+    )
+
+
+DEDUP_DECONTAMINATE_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+train_sh AS (
+    SELECT * FROM sh WHERE {_SQL_H32.format(expr="CAST(doc_id AS VARCHAR)")} % 10 <> 0
+),
+eval_sh AS (
+    SELECT doc_id AS eval_id, shingle FROM sh
+    WHERE {_SQL_H32.format(expr="CAST(doc_id AS VARCHAR)")} % 10 = 0
+),
+train_sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id
+),
+ovl AS (
+    SELECT t.doc_id, e.eval_id, COUNT(*) AS overlap
+    FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id, e.eval_id
+),
+best AS (
+    SELECT doc_id, eval_id AS best_eval_id, overlap,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, eval_id) AS rn
+    FROM ovl
+)
+SELECT s.doc_id, s.n_shingles, b.best_eval_id,
+       COALESCE(b.overlap, 0) AS overlap,
+       round(COALESCE(b.overlap, 0) * 1.0 / s.n_shingles, 6) AS containment,
+       COALESCE(b.overlap, 0) * 1.0 / s.n_shingles >= 0.5 AS contaminated
+FROM train_sizes s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON s.doc_id = b.doc_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_decontaminate",
+        dedup_decontaminate,
+        DEDUP_DECONTAMINATE_ORACLE,
+        doc="eval-set decontamination: broadcast eval shingles, containment flag",
+        tags=("llm", "dedup"),
+    )
+)

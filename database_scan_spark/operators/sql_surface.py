@@ -421,3 +421,208 @@ SPECS = [
     QuerySpec("subquery_correlated", subquery_correlated, _SUBQUERY_SQL, tags=("sql",)),
     QuerySpec("sql_frontend_report", sql_frontend_report, _FRONTEND_SQL, tags=("sql",)),
 ]
+
+
+def wf_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture merge (MERGE INTO without a table format):
+    apply an update batch onto a base snapshot with latest-wins
+    semantics. The update batch is derived deterministically (every
+    20th order by content hash gets a repriced total and status 'U');
+    union version-stamped rows, keep row_number()=1 per key ordered
+    by version desc. ONE shuffle on the merge key resolves the whole
+    batch — at 100 TB this is the incremental-ingestion path, and the
+    window (not a join) means the base is read once. DECIMAL repricing
+    keeps both engines bit-identical."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from ._helpers import h32  # noqa: PLC0415
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        load(spark, sf_dir, "orders")
+        .filter(h32(F.col("o_orderkey").cast("string")) % 20 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1), 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+            F.lit(1).alias("version"),
+        )
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("price").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+WF_CDC_UPSERT_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS version
+    FROM orders
+),
+updates AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DECIMAL(18,2)) AS price,
+           1 AS version
+    FROM orders
+    WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+),
+merged AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS o_totalprice
+FROM merged WHERE rn = 1
+"""
+
+
+def filter_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier clipping — the data-cleaning gate before stats or
+    training: per return flag, keep rows inside [q1−1.5·IQR,
+    q3+1.5·IQR] of l_extendedprice. The per-group fences come from
+    one exact-percentile aggregate (group count is tiny) broadcast
+    back onto the fact scan; the audit output is kept/total per
+    group. Both engines share the interpolating percentile
+    definition, so the fences are the same doubles."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.25)").alias("q1"),
+        F.expr("percentile(x, 0.75)").alias("q3"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .filter(
+            (F.col("x") >= F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            & (F.col("x") <= F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.first("n_total").alias("n_total"))
+        .orderBy("l_returnflag")
+    )
+
+
+FILTER_OUTLIER_IQR_ORACLE = """
+WITH li AS (
+    SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+),
+fences AS (
+    SELECT l_returnflag,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS q1,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY x) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM li GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(n_total) AS n_total
+FROM li JOIN fences ON li.l_returnflag = fences.l_returnflag
+WHERE x >= q1 - 1.5 * (q3 - q1) AND x <= q3 + 1.5 * (q3 - q1)
+GROUP BY li.l_returnflag
+ORDER BY li.l_returnflag
+"""
+
+PACK_BUDGET = 512  # tokens per training batch bin
+
+
+def wf_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-budget
+    training bins and report per-bin occupancy. Docs are ordered
+    longest-first within their source (the deterministic next-fit
+    order), a running token sum assigns bin_id = tokens_before DIV
+    budget, then one aggregate summarizes each bin.
+
+    Scale shape: the window partitions by SOURCE, not globally — each
+    source's packing is independent, so there is no single-reducer
+    global sort; at 100 TB this is one shuffle on source (or zero if
+    the corpus is already source-partitioned). Integer DIV keeps both
+    engines exact (no float floor)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+WF_PACK_SEQUENCES_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT source, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY n_tokens DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM docs
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MAX(n_tokens) AS max_doc_tokens
+FROM packed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "wf_cdc_upsert",
+            wf_cdc_upsert,
+            WF_CDC_UPSERT_ORACLE,
+            doc="latest-wins CDC merge in one shuffle (MERGE INTO shape)",
+            tags=("sql", "pipeline"),
+        ),
+        QuerySpec(
+            "filter_outlier_iqr",
+            filter_outlier_iqr,
+            FILTER_OUTLIER_IQR_ORACLE,
+            doc="IQR fence cleaning gate with broadcast per-group fences",
+            tags=("sql", "pipeline"),
+        ),
+        QuerySpec(
+            "wf_pack_sequences",
+            wf_pack_sequences,
+            WF_PACK_SEQUENCES_ORACLE,
+            doc="token-budget sequence packing, per-source windows (no global sort)",
+            tags=("sql", "pipeline", "llm"),
+        ),
+    ]
+)

@@ -261,10 +261,114 @@ FROM t
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher rep-removal shape):
+    duplicate token-n-gram ratios and the most-frequent-token share.
+    A doc whose trigrams are mostly repeats, or that is dominated by
+    one token, is boilerplate/spam — cut before training.
+
+    Gram ratios are pure array expressions (codegen, narrow map); the
+    top-token share needs a per-(doc, token) count, done as explode +
+    two hash aggregations — partial map-side combine on both, so at
+    100 TB the shuffle carries (doc, token, partial-count) not raw
+    tokens. Final assembly is a 1:1 equi-join on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def grams(n: int) -> Column:
+        # NON-distinct n-grams: repetition is exactly what we count.
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        )
+
+    def dup_ratio(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),
+        ).otherwise(F.lit(0.0))
+
+    gram_side = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        dup_ratio(grams(2)).alias("dup_bigram_ratio"),
+        dup_ratio(grams(3)).alias("dup_trigram_ratio"),
+    )
+    top_side = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
+        .select(
+            "doc_id", F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_ratio")
+        )
+    )
+    return gram_side.join(top_side, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_bigram_ratio",
+        "dup_trigram_ratio",
+        "top_token_ratio",
+        (
+            (F.col("dup_trigram_ratio") > 0.3) | (F.col("top_token_ratio") > 0.2)
+        ).alias("repetitive"),
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           [toks[i] || ' ' || toks[i+1]
+            FOR i IN generate_series(1, greatest(len(toks) - 1, 0))] AS g2,
+           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, greatest(len(toks) - 2, 0))] AS g3
+    FROM t
+),
+gram_side AS (
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN len(g2) > 0
+                THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+                ELSE 0.0 END AS dup_bigram_ratio,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                ELSE 0.0 END AS dup_trigram_ratio
+    FROM grams
+),
+tok_counts AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+),
+top_side AS (
+    SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_ratio
+    FROM tok_counts GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_tokens, g.dup_bigram_ratio, g.dup_trigram_ratio,
+       s.top_token_ratio,
+       (g.dup_trigram_ratio > 0.3 OR s.top_token_ratio > 0.2) AS repetitive
+FROM gram_side g JOIN top_side s ON g.doc_id = s.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_tokens", text_tokens, TEXT_TOKENS_ORACLE, tags=("llm", "text")),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE, tags=("llm", "text")),
     QuerySpec("text_lang_id", text_lang_id, _lang_id_oracle(), tags=("llm", "text")),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, tags=("llm", "text")),
     QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_REDACT_ORACLE, tags=("llm", "text")),
+    QuerySpec(
+        "text_repetition",
+        text_repetition,
+        TEXT_REPETITION_ORACLE,
+        doc="Gopher-style duplicate n-gram / top-token repetition signals",
+        tags=("llm", "text"),
+    ),
 ]

@@ -130,6 +130,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
         "edit-distance entity resolution": ["dedup_levenshtein"],
         "embedding cosine": ["dedup_embedding_cosine"],
+        "eval-set decontamination": ["dedup_decontaminate"],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
@@ -148,6 +149,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "token counting": ["text_tokens"],
         "fingerprinting": ["text_fingerprint"],
         "PII redaction": ["text_pii_redact"],
+        "repetition signals (Gopher rules)": ["text_repetition"],
         "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
     },
     "North-star: deterministic sampling": {
@@ -164,6 +166,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "math / conditional fns": ["fn_math_ops", "fn_cond_case"],
         "correlated subqueries / EXISTS": ["subquery_correlated"],
         "plain-SQL front end": ["sql_frontend_report"],
+        "CDC upsert (latest-wins merge)": ["wf_cdc_upsert"],
+        "IQR outlier cleaning gate": ["filter_outlier_iqr"],
+        "token-budget sequence packing": ["wf_pack_sequences"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
