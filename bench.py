@@ -45,6 +45,9 @@ HEADLINE = [
     "pipeline_corpus_prep",
     "dedup_cluster_cc",
     "split_train_test",
+    "dedup_decontaminate",
+    "wf_pack_sequences",
+    "wf_cdc_upsert",
 ]
 
 

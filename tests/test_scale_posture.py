@@ -215,3 +215,46 @@ def test_clustered_write_files_are_disjoint(spark):
     bands.sort()
     for (_, prev_hi), (next_lo, _) in zip(bands, bands[1:]):
         assert next_lo >= prev_hi, bands  # bands may touch, never interleave
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval shingle table is dimension-sized next to the corpus:
+    the overlap join must be a broadcast hash join so the corpus-side
+    shingle explode never shuffles."""
+    from database_scan_spark.operators.dedup import dedup_decontaminate
+
+    plan = _plan(dedup_decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_outlier_iqr_broadcasts_fences(spark):
+    """The per-group fence table (a handful of rows) must broadcast
+    back onto the fact scan, never shuffle it."""
+    from database_scan_spark.operators.sql_surface import filter_outlier_iqr
+
+    plan = _plan(filter_outlier_iqr(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Sequence packing must never plan a global (single-partition)
+    window — per-source packing is the whole scale story."""
+    from database_scan_spark.operators.sql_surface import wf_pack_sequences
+
+    plan = _plan(wf_pack_sequences(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_cdc_upsert_is_single_shuffle(spark):
+    """The latest-wins merge must resolve in ONE exchange on the merge
+    key: the version window subsumes both the join and the dedup a
+    naive MERGE would shuffle for separately."""
+    from database_scan_spark.operators.sql_surface import wf_cdc_upsert
+
+    df = wf_cdc_upsert(spark, SF_SMOKE)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 1, simple
+    assert "SinglePartition" not in simple
