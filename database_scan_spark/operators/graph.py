@@ -1,0 +1,147 @@
+"""Graph analytics over derived relationship graphs.
+
+The reference's flagship pipelines are multi-hop graph traversals
+(x2.2.py target→disease→drug walks); beyond the traversal surface
+(`join_multi_hop`, `candidate_parts`) and the iterative
+connected-components clustering (`plans/cc_clusters.py`), this module
+adds weighted centrality — PageRank over the nation-level trade graph
+(customer nation → supplier nation, weighted by lineitem count).
+
+Cross-engine determinism: ranks are SCALED BIGINTS (SCALE = 1e12) and
+every update uses integer multiply/divide only, so iteration results
+are exact and order-independent — the same discipline as the engine's
+DECIMAL sums, applied to an iterative fixpoint. The oracle unrolls the
+same three iterations as chained CTEs.
+
+Scale shape: the edge list is a fact-fact join (lineitem ⋈ orders)
+with both dimension hops broadcast, then collapses to ≤ nations² rows;
+iterations run on that dimension-sized edge table — at 100 TB the
+heavy work is the one aggregation that builds the edges, not the
+iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+SCALE = 10**12
+N_ITER = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 unrolled iterations) on the
+    nation trade graph; returns each nation's scaled rank and share."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n_nodes", F.expr(f"{SCALE} div n_nodes").alias("rank")
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            ranks.join(F.broadcast(edges), ranks.node == edges.src)
+            .join(F.broadcast(out_w), "src")
+            .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(F.broadcast(inflow), nodes.node == inflow.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "n_nodes",
+                F.expr(
+                    f"(({SCALE} * 15) div 100) div n_nodes"
+                    " + (85 * coalesce(inflow, 0)) div 100"
+                ).alias("rank"),
+            )
+        )
+    names = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return (
+        ranks.join(F.broadcast(names), "node")
+        .select(
+            "node",
+            "n_name",
+            "rank",
+            F.round(F.col("rank") / F.lit(float(SCALE)), 6).alias("rank_share"),
+        )
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        iters.append(f"""
+r{i} AS (
+    SELECT n.node, n.n_nodes,
+           (({SCALE} * 15) // 100) // n.n_nodes
+           + (85 * COALESCE(a.inflow, 0)) // 100 AS rank
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst, CAST(SUM((p.rank * e.w) // o.out_w) AS BIGINT) AS inflow
+        FROM {prev} p
+        JOIN edges e ON p.node = e.src
+        JOIN out_w o ON e.src = o.src
+        GROUP BY e.dst
+    ) a ON n.node = a.dst
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+),
+out_w AS (
+    SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+),
+nodes AS (
+    SELECT n_nationkey AS node,
+           (SELECT COUNT(*) FROM nation) AS n_nodes
+    FROM nation
+),
+r0 AS (
+    SELECT node, n_nodes, {SCALE} // n_nodes AS rank FROM nodes
+),{",".join(iters)}
+SELECT r.node, n.n_name, r.rank,
+       round(r.rank / {float(SCALE)}, 6) AS rank_share
+FROM {prev} r JOIN nation n ON r.node = n.n_nationkey
+ORDER BY r.rank DESC, r.node
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "graph_pagerank",
+        graph_pagerank,
+        _pagerank_oracle(),
+        doc="weighted PageRank, 3 unrolled iterations, exact scaled-integer ranks",
+        tags=("graph", "analytics"),
+    ),
+]

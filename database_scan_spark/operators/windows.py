@@ -347,3 +347,99 @@ SPECS.append(
         tags=("window", "temporal"),
     )
 )
+
+
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag orders whose total is
+    >2.5 sample standard deviations from the customer's trailing
+    10-order window — the fraud/outlier screen shape.
+
+    Cross-engine float discipline: the rolling moments are EXACT
+    BIGINT window sums over integer cents (count, Σx, Σx²), so they
+    are order-independent; mean/σ/z are then derived with the SAME
+    double expression in both engines — identical inputs, identical
+    IEEE ops, bit-identical z. (A naive stddev window would diverge:
+    segment-tree vs streaming accumulation orders differ.) One
+    exchange on o_custkey; the frame is a narrow per-partition scan."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    stats = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")  # n²·(n-1)/n · σ²
+    z = F.when(
+        (F.col("n") >= 5) & (var_num > 0),
+        F.round(
+            (F.col("cents") * F.col("n") - F.col("s1"))
+            / F.sqrt(var_num * F.col("n") / (F.col("n") - F.lit(1.0))),
+            6,
+        ),
+    )
+    return stats.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        F.col("n").alias("n_window"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+WIN_ROLLING_ZSCORE_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+stats AS (
+    SELECT o_custkey, o_orderkey, o_orderdate, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+           CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+scored AS (
+    SELECT *,
+           CASE WHEN n >= 5 AND n * s2 - s1 * s1 > 0
+                THEN round((cents * n - s1)
+                           / sqrt((n * s2 - s1 * s1) * n / (n - 1.0)), 6)
+           END AS zscore
+    FROM stats
+)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(cents / 100.0, 2) AS price,
+       n AS n_window,
+       zscore,
+       COALESCE(abs(zscore) > 2.5, FALSE) AS is_anomaly
+FROM scored
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_rolling_zscore",
+        win_rolling_zscore,
+        WIN_ROLLING_ZSCORE_ORACLE,
+        doc="rolling z-score anomaly flag from exact BIGINT window moments",
+        tags=("window", "analytics"),
+    )
+)

@@ -75,6 +75,9 @@ def _load_all() -> None:
     from .operators import multimodal  # noqa: PLC0415
 
     _extend(multimodal.SPECS)
+    from .operators import graph  # noqa: PLC0415
+
+    _extend(graph.SPECS)
     from .plans import pipeline  # noqa: PLC0415
 
     _extend(pipeline.SPECS)

@@ -55,6 +55,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "join_api_foreach": ["join_api_foreach"],
         "join_multi_hop": ["join_multi_hop", "candidate_parts"],
         "(absent in reference: as-of / range joins)": ["join_asof", "join_range_events"],
+        "(engine addition: weighted PageRank over the trade graph)": ["graph_pagerank"],
     },
     "§2.6 Set operations": {
         "set_difference": ["set_difference", "candidate_parts"],
@@ -85,6 +86,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_range_frame",
             "win_distribution",
             "win_gap_fill",
+            "win_rolling_zscore",
             "sort_topk",
         ],
     },
