@@ -332,3 +332,145 @@ SPECS.append(
         tags=("llm", "similarity", "eval"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification (class prototypes + assignment)
+# ---------------------------------------------------------------------------
+
+# Shared CTE: per-(label, dimension) centroid components. Summing
+# floats directly would be partial-agg-order dependent; casting each
+# (exactly double-widened) float to DECIMAL(30,12) first makes the sum
+# exact and order-independent, and the final component is one double
+# division of exact inputs — identical IEEE result in both engines.
+_SQL_CENTROID_FLAT = """
+SELECT label, pos,
+       CAST(CAST(s AS DOUBLE) / n AS DOUBLE) AS comp,
+       n AS n_members
+FROM (
+    SELECT e.label, u.pos, SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(30,12))) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings e,
+         LATERAL (SELECT unnest(e.embedding) AS val,
+                         generate_subscripts(e.embedding, 1) AS pos) u
+    GROUP BY e.label, u.pos
+)
+"""
+
+
+def _centroid_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(30,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / F.col("n_members")).alias("comp"),
+            "n_members",
+        )
+    )
+
+
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the k-means
+    update step / few-shot prototype computation). Output is the FLAT
+    (label, dimension, component) relation: explode → hash-agg with
+    map-side combine is the 100 TB shape; the array form is one
+    ordered collect away when a consumer wants it."""
+    return _centroid_flat(spark, sf_dir).select(
+        "label", "pos", F.round("comp", 6).alias("centroid_comp"), "n_members"
+    )
+
+
+SIM_LABEL_CENTROIDS_ORACLE = f"""
+SELECT label, pos, round(comp, 6) AS centroid_comp, n_members
+FROM ({_SQL_CENTROID_FLAT})
+"""
+
+
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix: assign each
+    embedding to its highest-dot-product class prototype and report
+    (true label, predicted label, count). The centroid table collapses
+    to one array row per label and BROADCASTS; scoring is then a
+    narrow map over the corpus (the scalable ANN-assign shape — no
+    shuffle of the embedding side). The dot is the package fold kernel
+    (sequential, bit-identical to DuckDB's list_dot_product)."""
+    centroid_arrays = (
+        _centroid_flat(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s.comp,
+            ).alias("c_arr")
+        )
+        .select(F.col("label").alias("c_label"), "c_arr")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.crossJoin(F.broadcast(centroid_arrays)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(_dot(F.col("embedding"), F.col("c_arr")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "c_label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred_label")
+    )
+
+
+SIM_CENTROID_ASSIGN_ORACLE = f"""
+WITH cf AS ({_SQL_CENTROID_FLAT}),
+centroids AS (
+    SELECT label AS c_label, list(comp ORDER BY pos) AS c_arr
+    FROM cf GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_arr), 6) AS sim
+    FROM embeddings e CROSS JOIN centroids c
+),
+pred AS (
+    SELECT vec_id, label, c_label AS pred_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, c_label) AS rn
+    FROM scored
+)
+SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY label, pred_label
+ORDER BY label, pred_label
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_label_centroids",
+        sim_label_centroids,
+        SIM_LABEL_CENTROIDS_ORACLE,
+        doc="per-label class prototypes from exact DECIMAL component sums",
+        tags=("llm", "similarity", "ml"),
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "sim_centroid_assign",
+        sim_centroid_assign,
+        SIM_CENTROID_ASSIGN_ORACLE,
+        doc="nearest-centroid classification with broadcast prototypes",
+        tags=("llm", "similarity", "ml"),
+    )
+)

@@ -423,18 +423,11 @@ SPECS = [
 ]
 
 
-def wf_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-capture merge (MERGE INTO without a table format):
-    apply an update batch onto a base snapshot with latest-wins
-    semantics. The update batch is derived deterministically (every
-    20th order by content hash gets a repriced total and status 'U');
-    union version-stamped rows, keep row_number()=1 per key ordered
-    by version desc. ONE shuffle on the merge key resolves the whole
-    batch — at 100 TB this is the incremental-ingestion path, and the
-    window (not a join) means the base is read once. DECIMAL repricing
-    keeps both engines bit-identical."""
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
+def _cdc_base_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic CDC fixture: the orders snapshot as version 0,
+    plus an update batch (every 20th order by content hash, repriced
+    +10% with status 'U') as version 1. Shared by the merge and the
+    SCD2 history builds."""
     from ._helpers import h32  # noqa: PLC0415
 
     base = load(spark, sf_dir, "orders").select(
@@ -455,6 +448,20 @@ def wf_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("version"),
         )
     )
+    return base, updates
+
+
+def wf_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture merge (MERGE INTO without a table format):
+    apply an update batch onto a base snapshot with latest-wins
+    semantics — union version-stamped rows, keep row_number()=1 per
+    key ordered by version desc. ONE shuffle on the merge key resolves
+    the whole batch — at 100 TB this is the incremental-ingestion
+    path, and the window (not a join) means the base is read once.
+    DECIMAL repricing keeps both engines bit-identical."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    base, updates = _cdc_base_updates(spark, sf_dir)
     w = W.partitionBy("o_orderkey").orderBy(F.desc("version"))
     return (
         base.unionByName(updates)
@@ -537,6 +544,53 @@ WHERE x >= q1 - 1.5 * (q3 - q1) AND x <= q3 + 1.5 * (q3 - q1)
 GROUP BY li.l_returnflag
 ORDER BY li.l_returnflag
 """
+
+def wf_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: instead of overwriting on
+    merge (wf_cdc_upsert), keep EVERY version as a validity interval —
+    valid_from = its version, valid_to = the next version for the key
+    (lead window), is_current where no successor exists. The same ONE
+    shuffle on the business key resolves the whole history; at 100 TB
+    this is the warehouse dimension-build path."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    base, updates = _cdc_base_updates(spark, sf_dir)
+    w = W.partitionBy("o_orderkey").orderBy("version")
+    return (
+        base.unionByName(updates)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("price").cast("double").alias("o_totalprice"),
+            F.col("version").alias("valid_from"),
+            F.lead("version").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+WF_SCD2_HISTORY_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS version
+    FROM orders
+),
+updates AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DECIMAL(18,2)) AS price,
+           1 AS version
+    FROM orders
+    WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+),
+hist AS (
+    SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS o_totalprice,
+           version AS valid_from,
+           lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT *, valid_to IS NULL AS is_current FROM hist
+"""
+
 
 PACK_BUDGET = 512  # tokens per training batch bin
 
@@ -623,6 +677,13 @@ SPECS.extend(
             WF_PACK_SEQUENCES_ORACLE,
             doc="token-budget sequence packing, per-source windows (no global sort)",
             tags=("sql", "pipeline", "llm"),
+        ),
+        QuerySpec(
+            "wf_scd2_history",
+            wf_scd2_history,
+            WF_SCD2_HISTORY_ORACLE,
+            doc="SCD type-2 validity intervals from the CDC batch, one shuffle",
+            tags=("sql", "pipeline"),
         ),
     ]
 )

@@ -139,6 +139,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "LSH-bucketed ANN": ["sim_lsh_ann"],
         "IVF-flat ANN (codebook + nprobe)": ["sim_ivf_flat"],
         "in-engine recall evaluation": ["sim_lsh_recall_eval"],
+        "class prototypes (exact centroid components)": ["sim_label_centroids"],
+        "nearest-centroid classification": ["sim_centroid_assign"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": ["mm_decode_meta", "mm_feature_extract"],
@@ -169,6 +171,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "correlated subqueries / EXISTS": ["subquery_correlated"],
         "plain-SQL front end": ["sql_frontend_report"],
         "CDC upsert (latest-wins merge)": ["wf_cdc_upsert"],
+        "SCD type-2 history build": ["wf_scd2_history"],
         "IQR outlier cleaning gate": ["filter_outlier_iqr"],
         "token-budget sequence packing": ["wf_pack_sequences"],
     },
