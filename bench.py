@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_decontaminate",
     "wf_pack_sequences",
     "wf_cdc_upsert",
+    "win_rolling_zscore",
+    "graph_pagerank",
+    "sim_centroid_assign",
 ]
 
 

@@ -471,3 +471,51 @@ SPECS.extend(
         QuerySpec("tpch_q18_large_orders", tpch_q18_large_orders, TPCH_Q18_ORACLE, tags=("composite",)),
     ]
 )
+
+
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL: per (event_type, day) sketches of
+    distinct users, unioned across days per type — the incremental
+    100 TB cardinality pattern (daily sketch partitions persisted,
+    re-aggregated without rescanning history). Output pins the exact
+    distinct count and a `within_5pct` accuracy flag; the oracle
+    asserts the flag is TRUE (the sketch bytes themselves are
+    engine-specific, but the accuracy CONTRACT is cross-checkable —
+    if the estimate ever drifts past 5% the hash breaks)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long"),
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
+AGG_HLL_SKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_hll_sketch",
+        agg_hll_sketch,
+        AGG_HLL_SKETCH_ORACLE,
+        doc="mergeable daily HLL sketches unioned per type; oracle pins the 5% accuracy contract",
+        tags=("composite", "approx", "sketch"),
+    )
+)

@@ -1,0 +1,193 @@
+"""Data-quality surface: declarative constraint audits and column
+profiling over the warehouse tables.
+
+A training-data pipeline gates ingestion on exactly these checks
+(dbt-style tests / Deequ-style profiles): referential integrity,
+key uniqueness, accepted value domains, numeric ranges, null and
+distinct counts. The reference has no quality operator — this is a
+north-star engine addition; every check is a plain aggregate the
+optimizer can push into the scan, and the FK checks are shuffle
+anti-joins (the correct 100 TB shape — neither side is assumed
+broadcastable).
+
+All outputs are tiny summary relations — the pattern is
+"full-corpus scan in, audit row out", which is what keeps it viable
+at scale: no check ever materializes the violating rows themselves
+(a follow-up filter query does that on demand).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+
+def _audit_row(df: DataFrame, tbl: str, constraint: str) -> DataFrame:
+    """Collapse a violating-rows DataFrame to one (tbl, constraint,
+    violations) audit row."""
+    return df.agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(constraint).alias("constraint_name"),
+        F.col("violations").cast("long"),
+    )
+
+
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit row per declared constraint: FK orphans (anti-join),
+    duplicate keys, domain and range violations, null guards. The
+    union of seven independent aggregates — Spark runs the branches
+    as separate stages over pruned scans (each branch reads only the
+    columns its predicate needs)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+
+    checks = [
+        _audit_row(
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+            "orders",
+            "fk_o_custkey_customer",
+        ),
+        _audit_row(
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+            "lineitem",
+            "fk_l_orderkey_orders",
+        ),
+        _audit_row(
+            lineitem.join(part, lineitem.l_partkey == part.p_partkey, "left_anti"),
+            "lineitem",
+            "fk_l_partkey_part",
+        ),
+        _audit_row(
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1),
+            "orders",
+            "unique_o_orderkey",
+        ),
+        _audit_row(
+            orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+            "orders",
+            "accepted_o_orderstatus",
+        ),
+        _audit_row(
+            lineitem.filter(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ),
+            "lineitem",
+            "range_l_quantity_1_50",
+        ),
+        _audit_row(
+            customer.filter(F.col("c_custkey").isNull()),
+            "customer",
+            "not_null_c_custkey",
+        ),
+    ]
+    return reduce(DataFrame.unionAll, checks)
+
+
+DQ_CONSTRAINT_AUDIT_ORACLE = """
+SELECT 'orders' AS tbl, 'fk_o_custkey_customer' AS constraint_name,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS violations
+UNION ALL
+SELECT 'lineitem', 'fk_l_orderkey_orders',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', 'fk_l_partkey_part',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders', 'unique_o_orderkey',
+       CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+             GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'orders', 'accepted_o_orderstatus',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', 'range_l_quantity_1_50',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+UNION ALL
+SELECT 'customer', 'not_null_c_custkey',
+       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) AS BIGINT)
+"""
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def dq_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style numeric column profile of lineitem: row/null/
+    distinct counts and exact min/max per column. One scan per column
+    branch, each pruned to a single column; min/max are exact (no
+    accumulation), distinct is an exact count-distinct (the approx
+    variant is agg_approx's territory)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    branches = [
+        lineitem.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(F.col(c).cast("double")).alias("min_val"),
+            F.max(F.col(c).cast("double")).alias("max_val"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").cast("long"),
+            "n_nulls",
+            F.col("n_distinct").cast("long"),
+            "min_val",
+            "max_val",
+        )
+        for c in _PROFILE_COLS
+    ]
+    return reduce(DataFrame.unionAll, branches)
+
+
+DQ_PROFILE_NUMERIC_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS DOUBLE)) AS min_val,
+       MAX(CAST({c} AS DOUBLE)) AS max_val
+FROM lineitem
+"""
+    for c in _PROFILE_COLS
+)
+
+
+SPECS = [
+    QuerySpec(
+        "dq_constraint_audit",
+        dq_constraint_audit,
+        DQ_CONSTRAINT_AUDIT_ORACLE,
+        doc="dbt/Deequ-style constraint audit: FK orphans, uniqueness, domains, ranges",
+        tags=("quality", "audit"),
+    ),
+    QuerySpec(
+        "dq_profile_numeric",
+        dq_profile_numeric,
+        DQ_PROFILE_NUMERIC_ORACLE,
+        doc="numeric column profile of lineitem (nulls, distincts, exact min/max)",
+        tags=("quality", "profile"),
+    ),
+]

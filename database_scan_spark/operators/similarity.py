@@ -474,3 +474,144 @@ SPECS.append(
         tags=("llm", "similarity", "ml"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's algorithm, unrolled) — iterative clustering over the
+# embedding corpus. Complements sim_label_centroids (one supervised
+# update step) with the full unsupervised loop: seed → assign → update,
+# twice. Reference parity: the reference has no clustering operator;
+# this is a north-star LLM-pipeline extension (semantic corpus
+# bucketing before dedup / mixture balancing).
+# ---------------------------------------------------------------------------
+
+K_SEEDS = 4  # seeds = embeddings of vec_id 0..3 (fixture ids are dense from 0)
+N_LLOYD_ITERS = 2
+
+
+def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One assignment step: nearest centroid by max dot (unit vectors →
+    cosine), ties to the lowest cluster id. The centroid side is K rows
+    and BROADCASTS; the corpus side never shuffles — at 100 TB each
+    Lloyd iteration is one narrow scan + one 256-group aggregate."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cluster",
+        _dot(F.col("embedding"), F.col("c_arr")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def _kmeans_update_flat(assigned: DataFrame) -> DataFrame:
+    """One update step, flat (cluster, pos, comp, n_members) form —
+    exact DECIMAL(30,12) component sums (order-insensitive) divided by
+    the BIGINT member count, so the double components are bit-identical
+    across engines."""
+    return (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos0", "val"))
+        .select("cluster", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(30,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            (F.col("s").cast("double") / F.col("n_members")).alias("comp"),
+            "n_members",
+        )
+    )
+
+
+def _kmeans_arrays(flat: DataFrame) -> DataFrame:
+    return flat.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s.comp,
+        ).alias("c_arr")
+    )
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: K=4 seeds (the embeddings of
+    vec_id 0..3), two unrolled Lloyd iterations, exact arithmetic at
+    every step (DECIMAL sums, IEEE-identical divisions, fold-kernel
+    dots) so the final centroids hash-match the DuckDB CTE chain.
+    Output: the flat centroid relation after iteration 2."""
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = emb.persist()
+    centroids = emb.filter(F.col("vec_id") < K_SEEDS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("c_arr")
+    )
+    flat = None
+    for _ in range(N_LLOYD_ITERS):
+        assigned = _kmeans_assign(emb, centroids)
+        flat = _kmeans_update_flat(assigned)
+        centroids = _kmeans_arrays(flat)
+    return flat.select(
+        "cluster", "pos", F.round("comp", 6).alias("centroid_comp"), "n_members"
+    ).orderBy("cluster", "pos")
+
+
+def _kmeans_oracle() -> str:
+    assign = """
+SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding, c.c_arr) DESC, c.cluster
+           ) AS rn
+    FROM {points} e CROSS JOIN {cents} c
+) WHERE rn = 1
+"""
+    update = """
+SELECT cluster, pos, CAST(CAST(s AS DOUBLE) / n AS DOUBLE) AS comp, n AS n_members
+FROM (
+    SELECT a.cluster, u.pos,
+           SUM(CAST(u.val AS DECIMAL(30,12))) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {assigned} a,
+         LATERAL (SELECT unnest(a.embedding) AS val,
+                         generate_subscripts(a.embedding, 1) AS pos) u
+    GROUP BY a.cluster, u.pos
+)
+"""
+    return f"""
+WITH pts AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS c_arr
+    FROM pts WHERE vec_id < {K_SEEDS}
+),
+a1 AS ({assign.format(points="pts", cents="c0")}),
+f1 AS ({update.format(assigned="a1")}),
+c1 AS (
+    SELECT cluster, list(comp ORDER BY pos) AS c_arr FROM f1 GROUP BY cluster
+),
+a2 AS ({assign.format(points="pts", cents="c1")}),
+f2 AS ({update.format(assigned="a2")})
+SELECT cluster, pos, round(comp, 6) AS centroid_comp, n_members
+FROM f2 ORDER BY cluster, pos
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_kmeans",
+        sim_kmeans,
+        _kmeans_oracle(),
+        doc="K-means Lloyd iterations with broadcast centroids and exact DECIMAL updates",
+        tags=("llm", "similarity", "ml", "iterative"),
+    )
+)

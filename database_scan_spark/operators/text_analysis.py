@@ -10,7 +10,7 @@ deterministic across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -372,3 +372,260 @@ SPECS = [
         tags=("llm", "text"),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction + inverted index — the retrieval-side text
+# surface (BM25-ish relevance needs exactly these statistics). No
+# reference analog (the reference never tokenizes); north-star
+# LLM-pipeline extensions over the documents fixture.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+INVINDEX_MIN_DF = 3
+INVINDEX_POSTINGS_SHOWN = 8
+
+
+def _term_stats(spark: SparkSession, sf_dir: str):
+    """(doc_id, term) tf counts and per-term document frequencies.
+    explode → two hash aggregates with map-side combine; the scale
+    shape for corpus statistics (one shuffle keyed (doc_id, term),
+    one keyed term)."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf, df_, n_docs
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tfidf = tf * ln(N / df),
+    ranked on the ROUNDED score (6 places) with the term as tiebreaker
+    so both engines rank identically — the ln is libm-dependent in the
+    last ulp, the round eats it. df join is term-keyed; N broadcasts
+    as a one-row cross join."""
+    tf, df_, n_docs = _term_stats(spark, sf_dir)
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+TEXT_TFIDF_TOPK_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, tfidf FROM (
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: term → document frequency and
+    the first 8 posting doc_ids (sorted, comma-joined — a bounded,
+    deterministic rendering of the posting list). Terms below df=3 are
+    dropped (the long tail that a real index would stopword/shard).
+    One shuffle keyed term; collect_set stays bounded because fixture
+    texts are short — at 100 TB the same plan shards by term."""
+    tf, _df, _n = _term_stats(spark, sf_dir)
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_set("doc_id")).alias("plist"),
+        )
+        .filter(F.col("df") >= INVINDEX_MIN_DF)
+        .select(
+            "term",
+            "df",
+            F.array_join(
+                F.transform(
+                    F.slice("plist", 1, INVINDEX_POSTINGS_SHOWN),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+    )
+
+
+TEXT_INVERTED_INDEX_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{INVINDEX_POSTINGS_SHOWN}], ',') AS postings_head
+FROM tf
+GROUP BY term
+HAVING COUNT(*) >= {INVINDEX_MIN_DF}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_tfidf_topk",
+        text_tfidf_topk,
+        TEXT_TFIDF_TOPK_ORACLE,
+        doc="top-3 TF-IDF keywords per document (rank on rounded score)",
+        tags=("llm", "text", "retrieval"),
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "text_inverted_index",
+        text_inverted_index,
+        TEXT_INVERTED_INDEX_ORACLE,
+        doc="term -> df + bounded sorted posting list",
+        tags=("llm", "text", "retrieval"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — scores the corpus against a fixed literal
+# query using the Okapi BM25 weighting over the same term statistics
+# as text_tfidf_topk. Cross-engine determinism: every per-term score
+# is rounded to 6 places and summed in DECIMAL(18,6) (order-free), so
+# the libm last-ulp in ln() and double-sum reordering can never flip
+# the hash. Rank on the final decimal score with doc_id tiebreak.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("scan", "customer", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 10
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the literal query {scan, customer, merge}.
+    Plan shape: one explode→filter→(doc,term) aggregate restricted to
+    the 3 query terms (the filter pushes inside the explode stage, so
+    the shuffle carries only matching postings — at 100 TB this is the
+    'score a query against an indexed corpus' access path), df and
+    corpus stats broadcast, narrow per-doc math, global top-10."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"), "text"
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(term_score, 6).cast("decimal(18,6)").alias("ts"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ts").alias("score_dec"))
+    )
+    # TakeOrdered top-N first (no global sort / single-partition
+    # window over the corpus); the rank window then runs over 10 rows.
+    top = scored.orderBy(F.desc("score_dec"), "doc_id").limit(BM25_TOP_N)
+    w = Window.orderBy(F.desc("score_dec"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", F.col("score_dec").cast("double").alias("bm25")
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS dl, text
+    FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM docs)
+    WHERE term IN ({terms})
+    GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1)
+                  / (tf.tf + {BM25_K1}
+                     * (1.0 - {BM25_B} + {BM25_B} * tf.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6)
+             AS DECIMAL(18,6))) AS score_dec
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, rank, CAST(score_dec AS DOUBLE) AS bm25 FROM (
+    SELECT doc_id, score_dec,
+           CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= {BM25_TOP_N}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bm25_search",
+        text_bm25_search,
+        _bm25_oracle(),
+        doc="Okapi BM25 top-10 retrieval for a literal query (decimal-summed scores)",
+        tags=("llm", "text", "retrieval"),
+    )
+)

@@ -443,3 +443,72 @@ SPECS.append(
         tags=("window", "analytics"),
     )
 )
+
+
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, 1-hour bucket) the open/
+    high/low/close of `value` plus count and DECIMAL-exact sum — the
+    standard timeseries resample. Open/close are picked by explicit
+    (ts, event_id) total order (row_number both directions in ONE
+    shuffle — both window specs share the partition key with the
+    final aggregate, so Spark plans a single exchange)."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.window("ts", "1 hour").getField("start").alias("w_start"),
+    )
+    w_asc = Window.partitionBy("event_type", "w_start").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "w_start").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        bucketed.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "w_start")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_val"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+WIN_OHLC_RESAMPLE_ORACLE = """
+WITH b AS (
+    SELECT event_type, value, ts, event_id,
+           time_bucket(INTERVAL '1 hour', ts) AS w_start
+    FROM events
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, w_start
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY event_type, w_start
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM b
+)
+SELECT event_type, w_start,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_val,
+       MAX(value) AS high_val,
+       MIN(value) AS low_val,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_val,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM r GROUP BY 1, 2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_ohlc_resample",
+        win_ohlc_resample,
+        WIN_OHLC_RESAMPLE_ORACLE,
+        doc="per-type hourly OHLC bars with explicit total-order open/close",
+        tags=("window", "timeseries"),
+    )
+)

@@ -78,6 +78,9 @@ def _load_all() -> None:
     from .operators import graph  # noqa: PLC0415
 
     _extend(graph.SPECS)
+    from .operators import quality  # noqa: PLC0415
+
+    _extend(quality.SPECS)
     from .plans import pipeline  # noqa: PLC0415
 
     _extend(pipeline.SPECS)

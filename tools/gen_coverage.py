@@ -117,6 +117,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     },
     "§2.12 Streaming (extension — reference has none)": {
         "tumbling windows": ["win_tumbling", "stream_tumbling"],
+        "OHLC timeseries resample": ["win_ohlc_resample"],
         "sliding windows": ["win_sliding", "stream_sliding"],
         "session windows": ["win_session", "stream_session"],
         "custom stateful operator": ["stream_stateful_user_totals"],
@@ -141,6 +142,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "in-engine recall evaluation": ["sim_lsh_recall_eval"],
         "class prototypes (exact centroid components)": ["sim_label_centroids"],
         "nearest-centroid classification": ["sim_centroid_assign"],
+        "K-means clustering (unrolled Lloyd iterations)": ["sim_kmeans"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": ["mm_decode_meta", "mm_feature_extract"],
@@ -155,6 +157,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "PII redaction": ["text_pii_redact"],
         "repetition signals (Gopher rules)": ["text_repetition"],
         "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
+        "TF-IDF keyword extraction": ["text_tfidf_topk"],
+        "inverted index (term → postings)": ["text_inverted_index"],
+        "BM25 ranked retrieval": ["text_bm25_search"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
@@ -174,6 +179,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "SCD type-2 history build": ["wf_scd2_history"],
         "IQR outlier cleaning gate": ["filter_outlier_iqr"],
         "token-budget sequence packing": ["wf_pack_sequences"],
+        "constraint audit (FK / unique / domain / range)": ["dq_constraint_audit"],
+        "numeric column profiling": ["dq_profile_numeric"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
@@ -200,6 +207,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "tpch_q21_sole_blame_supplier",
             "tpch_q22_sales_opportunity",
         ],
+        "mergeable HLL sketches (accuracy-contract oracle)": ["agg_hll_sketch"],
         "grouped pandas": ["grouped_pandas_topk"],
         "funnel / sequence analysis": ["funnel_conversion"],
         "cohort retention": ["cohort_retention"],
