@@ -519,3 +519,53 @@ SPECS.append(
         tags=("composite", "approx", "sketch"),
     )
 )
+
+
+PATH_HEAD_LEN = 5
+
+
+def analytic_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User journey path analysis: each user's first 5 event types in
+    (ts, event_id) order collapse to a '>'-joined path string; output
+    is the path frequency table — the clickstream complement to
+    funnel_conversion (which checks ONE ordered pattern; this surfaces
+    ALL observed prefixes). One shuffle keyed user_id (sort inside the
+    aggregate via array_sort on (ts, event_id, type) structs), then a
+    small path-keyed count."""
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("seq", lambda s: s.event_type), 1, PATH_HEAD_LEN),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+ANALYTIC_USER_PATHS_ORACLE = f"""
+WITH seqs AS (
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:{PATH_HEAD_LEN}], '>') AS path
+    FROM events GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM seqs GROUP BY path
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_user_paths",
+        analytic_user_paths,
+        ANALYTIC_USER_PATHS_ORACLE,
+        doc="first-5-event journey paths with user frequencies",
+        tags=("composite", "analytics"),
+    )
+)

@@ -145,3 +145,83 @@ SPECS = [
         tags=("graph", "analytics"),
     ),
 ]
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected trade graph: the
+    canonical edge list (least, greatest) self-joins twice with the
+    a<b<c ordering constraint — each triangle enumerated exactly once
+    — then explodes its three corners into a per-node count. The same
+    node-iterator shape MapReduce triangle counting uses: the edge
+    table (≤ nations² rows after the weight aggregate) is dimension-
+    sized, so both joins broadcast; the heavy work stays in the one
+    fact-fact aggregate that built the edges."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = und.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
+    e3 = und.select(F.col("a").alias("t_a3"), F.col("b").alias("t_c3"))
+    tri = (
+        e1.join(F.broadcast(e2), F.col("t_b") == F.col("t_b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("t_a") == F.col("t_a3")) & (F.col("t_c") == F.col("t_c3")),
+        )
+        .select("t_a", "t_b", "t_c")
+    )
+    corners = tri.select(
+        F.explode(F.array("t_a", "t_b", "t_c")).alias("node")
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+GRAPH_TRIANGLE_COUNT_ORACLE = """
+WITH und AS (
+    SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                    greatest(c.c_nationkey, s.s_nationkey) AS b
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+),
+tri AS (
+    SELECT e1.a AS t_a, e1.b AS t_b, e2.b AS t_c
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+corners AS (
+    SELECT unnest([t_a, t_b, t_c]) AS node FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_triangle_count",
+        graph_triangle_count,
+        GRAPH_TRIANGLE_COUNT_ORACLE,
+        doc="per-node triangle counts via canonical-edge double self-join",
+        tags=("graph", "analytics"),
+    )
+)

@@ -687,3 +687,103 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier — not expressible as one SQL clause, and
+# the naive formulation is an O(n²) dominance anti-join. This is the
+# scalable two-pass shape: per-price group maxima, a PARTITIONED
+# prefix-max window inside coarse price buckets, and a tiny
+# bucket-level running max stitched across buckets — no global-order
+# window over the fact table, so it survives 100 TB (the only
+# unpartitioned window runs over ~#buckets rows).
+# ---------------------------------------------------------------------------
+
+SKYLINE_PRICE_BUCKET = 10.0
+
+
+def analytic_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: minimize p_retailprice, maximize p_size.
+    A part survives iff no other part is <= on price and >= on size
+    with one strict. Survivors = rows that equal their price-group max
+    size and strictly exceed every strictly-cheaper group's max."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("grp_max"))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("p_retailprice") / SKYLINE_PRICE_BUCKET).cast("long"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gp = g.withColumn("in_prefix", F.max("grp_max").over(w_in))
+    bm = g.groupBy("bucket").agg(F.max("grp_max").alias("b_max"))
+    w_bk = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bp = bm.withColumn("prev_b_max", F.max("b_max").over(w_bk)).select(
+        "bucket", "prev_b_max"
+    )
+    g2 = gp.join(F.broadcast(bp), "bucket").select(
+        "p_retailprice",
+        "grp_max",
+        F.greatest(
+            F.coalesce("in_prefix", F.lit(-1)),
+            F.coalesce("prev_b_max", F.lit(-1)),
+        ).alias("dom_max"),
+    )
+    return (
+        part.join(g2, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("grp_max"))
+            & (F.col("p_size") > F.col("dom_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+ANALYTIC_SKYLINE_ORACLE = f"""
+WITH g AS (
+    SELECT p_retailprice, MAX(p_size) AS grp_max,
+           CAST(floor(p_retailprice / {SKYLINE_PRICE_BUCKET}) AS BIGINT) AS bucket
+    FROM part GROUP BY p_retailprice
+),
+gp AS (
+    SELECT *, MAX(grp_max) OVER (PARTITION BY bucket ORDER BY p_retailprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS in_prefix
+    FROM g
+),
+bm AS (SELECT bucket, MAX(grp_max) AS b_max FROM g GROUP BY bucket),
+bp AS (
+    SELECT bucket, MAX(b_max) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_b_max
+    FROM bm
+),
+g2 AS (
+    SELECT gp.p_retailprice, gp.grp_max,
+           greatest(coalesce(gp.in_prefix, -1), coalesce(bp.prev_b_max, -1)) AS dom_max
+    FROM gp JOIN bp USING (bucket)
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN g2 ON p.p_retailprice = g2.p_retailprice
+WHERE p.p_size = g2.grp_max AND p.p_size > g2.dom_max
+ORDER BY p.p_retailprice, p.p_partkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_skyline",
+        analytic_skyline,
+        ANALYTIC_SKYLINE_ORACLE,
+        doc="Pareto frontier (min price, max size) via bucketed two-pass prefix maxima",
+        tags=("sql", "analytics"),
+    )
+)

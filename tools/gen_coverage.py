@@ -56,6 +56,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "join_multi_hop": ["join_multi_hop", "candidate_parts"],
         "(absent in reference: as-of / range joins)": ["join_asof", "join_range_events"],
         "(engine addition: weighted PageRank over the trade graph)": ["graph_pagerank"],
+        "(engine addition: per-node triangle counts)": ["graph_triangle_count"],
     },
     "§2.6 Set operations": {
         "set_difference": ["set_difference", "candidate_parts"],
@@ -181,6 +182,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "token-budget sequence packing": ["wf_pack_sequences"],
         "constraint audit (FK / unique / domain / range)": ["dq_constraint_audit"],
         "numeric column profiling": ["dq_profile_numeric"],
+        "skyline / Pareto frontier (bucketed two-pass)": ["analytic_skyline"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
@@ -210,6 +212,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "mergeable HLL sketches (accuracy-contract oracle)": ["agg_hll_sketch"],
         "grouped pandas": ["grouped_pandas_topk"],
         "funnel / sequence analysis": ["funnel_conversion"],
+        "user journey path frequencies": ["analytic_user_paths"],
         "cohort retention": ["cohort_retention"],
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "bucketed co-located join": ["join_bucketed"],
