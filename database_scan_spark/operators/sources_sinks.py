@@ -10,6 +10,8 @@ concern (SURVEY §2.1 notes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -532,6 +534,52 @@ SPECS.append(
         src_python_datasource,
         SRC_PYTHON_DATASOURCE_ORACLE,
         doc="Spark 4 Python DataSource API connector shape",
+        tags=("core", "source"),
+    )
+)
+
+
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: ORC round-trip (Spark's second
+    built-in columnar format after parquet — same pushdown/pruning
+    machinery, ORC-stripe statistics instead of parquet footers).
+    Writes the documents metadata once per (sf, op) scratch dir, then
+    reads it back WITH a pushed filter and aggregates; the oracle runs
+    the identical query on the original parquet, so a hash match
+    proves the ORC write+read path is lossless."""
+    path = workdir(sf_dir, "src_orc")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .orc(path)
+        )
+    return (
+        spark.read.orc(path)
+        .filter(F.col("n_chars") >= 100)  # pushed into the ORC scan
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+SRC_ORC_ORACLE = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE n_chars >= 100
+GROUP BY lang, source
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_orc",
+        src_orc,
+        SRC_ORC_ORACLE,
+        doc="ORC round-trip source with filter pushdown, lossless vs parquet oracle",
         tags=("core", "source"),
     )
 )

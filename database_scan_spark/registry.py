@@ -81,6 +81,9 @@ def _load_all() -> None:
     from .operators import quality  # noqa: PLC0415
 
     _extend(quality.SPECS)
+    from .operators import llm_prep  # noqa: PLC0415
+
+    _extend(llm_prep.SPECS)
     from .plans import pipeline  # noqa: PLC0415
 
     _extend(pipeline.SPECS)

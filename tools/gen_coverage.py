@@ -21,6 +21,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "src_rest_get": ["src_rest_get"],
         "src_csv": ["src_csv"],
         "(engine addition) tolerant JSON ingestion": ["src_json_permissive"],
+        "(engine addition) ORC columnar source": ["src_orc"],
         "sink_csv": ["sink_csv"],
         "sink_stdout": ["sink_stdout"],
         "param_bind": ["param_bind"],
@@ -57,6 +58,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(absent in reference: as-of / range joins)": ["join_asof", "join_range_events"],
         "(engine addition: weighted PageRank over the trade graph)": ["graph_pagerank"],
         "(engine addition: per-node triangle counts)": ["graph_triangle_count"],
+        "(engine addition: BFS shortest path, recursive-CTE oracle)": ["graph_shortest_path"],
     },
     "§2.6 Set operations": {
         "set_difference": ["set_difference", "candidate_parts"],
@@ -88,6 +90,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_distribution",
             "win_gap_fill",
             "win_rolling_zscore",
+            "win_forward_fill",
             "sort_topk",
         ],
     },
@@ -161,6 +164,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "TF-IDF keyword extraction": ["text_tfidf_topk"],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
+        "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
+        "token-window chunking into training sequences": ["wf_chunk_documents"],
+        "per-source mixture sampling (dataset composition)": ["wf_data_mixture"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
