@@ -12,6 +12,8 @@ with corpus size and shuffle only where an aggregation demands it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -244,3 +246,288 @@ SPECS = [
         tags=("window",),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — alpha = 1/2 so every weight is a power of two:
+# multiplication by 2^-j and the weight sums are EXACT in IEEE 754,
+# and the single num/den division is the only rounding step. Both
+# engines evaluate the identical left-associative expression text, so
+# the doubles hash-match bit for bit.
+# ---------------------------------------------------------------------------
+EWMA_TERMS = 8
+_EWMA_OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+
+
+def _ewma_exprs() -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(EWMA_TERMS):
+        w = repr(2.0**-j)  # exact decimal literal for a power of two
+        lagged = f"lag(value, {j}) {_EWMA_OVER}" if j else "value"
+        nums.append(f"coalesce({lagged}, 0.0) * {w}")
+        dens.append(f"(CASE WHEN {lagged} IS NOT NULL THEN {w} ELSE 0.0 END)")
+    return " + ".join(nums), " + ".join(dens)
+
+
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/2, truncated to
+    8 terms) of event values per user. One shuffle on user_id; the
+    lag frame is streaming — no partition buffering."""
+    num, den = _ewma_exprs()
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("ewma", F.expr(f"({num}) / ({den})"))
+    )
+
+
+def _ewma_oracle() -> str:
+    num, den = _ewma_exprs()
+    return f"""
+SELECT user_id, event_id, ts, value, ({num}) / ({den}) AS ewma
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal quality score — the KenLM-perplexity stand-in.
+# Quantized to integer bits (floor(log2)) via binary-string length, so
+# the per-token surprisal and its per-document sum are exact integers
+# in both engines; only the final average divides.
+# ---------------------------------------------------------------------------
+
+
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram surprisal: bits(token) = floor(log2 N) -
+    floor(log2 count(token)) over the corpus unigram table, summed per
+    document. The corpus language-model pass is one explode + hash-agg;
+    scoring is a join of exploded tokens against the vocabulary (hash
+    join — the vocabulary may exceed broadcast size at 100 TB) and one
+    per-doc aggregation."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", bits.cast("long").alias("bits"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("total_bits").cast("long").alias("total_bits"),
+            F.round(F.col("total_bits") / F.col("n_tokens"), 6).alias("avg_bits"),
+        )
+    )
+
+
+TEXT_SURPRISAL_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+), total AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+), scored AS (
+    SELECT t.doc_id,
+           CAST(len(printf('%b', total.n_total)) - len(printf('%b', v.cnt)) AS BIGINT) AS bits
+    FROM toks t JOIN vocab v USING (token) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS avg_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (association rules over order baskets).
+# ---------------------------------------------------------------------------
+BASKET_MIN_PAIR = 2
+BASKET_TOPK = 50
+
+
+def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair association rules over order baskets: support counts
+    from the distinct (order, part) table, pair counts from a
+    same-order self-join with p1 < p2 (≤ C(7,2) pair rows per order —
+    linear in fact size), lift as a single double division of exact
+    BIGINT products. Top-50 by lift with a full tiebreak order."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= BASKET_MIN_PAIR)
+    )
+    c1 = part_cnt.select(F.col("l_partkey").alias("p1"), F.col("part_orders").alias("c1"))
+    c2 = part_cnt.select(F.col("l_partkey").alias("p2"), F.col("part_orders").alias("c2"))
+    return (
+        pairs.join(c1, "p1")
+        .join(c2, "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("pair_orders").cast("long").alias("pair_orders"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.round(
+                (F.col("pair_orders") * F.col("n_orders"))
+                / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(BASKET_TOPK)
+    )
+
+
+ANALYTIC_MARKET_BASKET_ORACLE = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), part_cnt AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS part_orders FROM li GROUP BY l_partkey
+), n AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+), pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS pair_orders
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+)
+SELECT p1, p2, pair_orders,
+       ca.part_orders AS c1, cb.part_orders AS c2,
+       round(CAST(pair_orders * n.n_orders AS DOUBLE) / (ca.part_orders * cb.part_orders), 6) AS lift
+FROM pairs
+JOIN part_cnt ca ON pairs.p1 = ca.l_partkey
+JOIN part_cnt cb ON pairs.p2 = cb.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, p1, p2
+LIMIT {BASKET_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function API) — run-length encoding of
+# token streams, Arrow-batched (ArrowEvalPythonUDTF, never the
+# row-at-a-time BatchEvalPython the plan audit bans). Oracle: the
+# classic gaps-and-islands SQL formulation — a genuinely independent
+# re-derivation of the same runs.
+# ---------------------------------------------------------------------------
+
+
+def _make_rle_udtf():
+    """Factory closure so cloudpickle ships the CLASS by value (the
+    driver's cwd is not /root/repo — module-by-reference would break
+    workers; same discipline as the DataSource classes)."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="doc_id: bigint, start_pos: int, token: string, run_len: int")
+    class RleTokens:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = text.split(" ") if text else []
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                yield doc_id, i, toks[i], j - i
+                i = j
+
+    return RleTokens
+
+
+def udtf_rle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each document's token stream via a
+    Python UDTF (one variable-arity output table per input row — the
+    API surface SURVEY §2.10 lists as available-if-needed). Arrow
+    batch transfer; narrow (no shuffle)."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("rle_tokens", _make_rle_udtf())
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"docs_rle_{sf_tag}"
+    spread(load(spark, sf_dir, "documents").select("doc_id", "text")).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT s.doc_id, s.start_pos, s.token, s.run_len "
+        f"FROM {view} d, LATERAL rle_tokens(d.doc_id, d.text) s"
+    )
+
+
+UDTF_RLE_TOKENS_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), x AS (
+    SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t
+), tok AS (
+    SELECT doc_id, i, toks[i] AS token FROM x
+), marks AS (
+    SELECT doc_id, i, token,
+           CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY i)
+                     IS DISTINCT FROM token THEN 1 ELSE 0 END AS is_start
+    FROM tok
+), grp AS (
+    SELECT doc_id, i, token,
+           SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS g
+    FROM marks
+)
+SELECT doc_id, CAST(MIN(i) - 1 AS INTEGER) AS start_pos, token,
+       CAST(COUNT(*) AS INTEGER) AS run_len
+FROM grp GROUP BY doc_id, g, token
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            name="win_ewma",
+            fn=win_ewma,
+            oracle=_ewma_oracle(),
+            doc="EWMA smoothing, alpha=1/2 truncated to 8 exact power-of-two weights",
+            tags=("window", "analytics"),
+        ),
+        QuerySpec(
+            name="text_surprisal",
+            fn=text_surprisal,
+            oracle=TEXT_SURPRISAL_ORACLE,
+            doc="unigram surprisal quality score, integer-bit quantized (perplexity proxy)",
+            tags=("llm", "text"),
+        ),
+        QuerySpec(
+            name="analytic_market_basket",
+            fn=analytic_market_basket,
+            oracle=ANALYTIC_MARKET_BASKET_ORACLE,
+            doc="association rules over order baskets: support / pair counts / lift top-k",
+            tags=("analytics",),
+        ),
+        QuerySpec(
+            name="udtf_rle_tokens",
+            fn=udtf_rle_tokens,
+            oracle=UDTF_RLE_TOKENS_ORACLE,
+            doc="Python UDTF (Arrow) run-length encoding vs gaps-and-islands SQL oracle",
+            tags=("llm", "udf"),
+        ),
+    ]
+)

@@ -91,6 +91,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_gap_fill",
             "win_rolling_zscore",
             "win_forward_fill",
+            "win_ewma",
             "sort_topk",
         ],
     },
@@ -111,6 +112,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "§2.10 UDF surface": {
         "udf_smiles_canonical": ["udf_smiles_canonical"],
         "udf_molecule_name": ["udf_molecule_name"],
+        "(engine addition: Python UDTF, Arrow-batched)": ["udtf_rle_tokens"],
     },
     "§2.11 Workflow / orchestration": {
         "wf_checkpoint_resume": ["wf_checkpoint_resume"],
@@ -167,6 +169,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
         "token-window chunking into training sequences": ["wf_chunk_documents"],
         "per-source mixture sampling (dataset composition)": ["wf_data_mixture"],
+        "unigram surprisal quality score (perplexity proxy)": ["text_surprisal"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
@@ -189,6 +192,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "constraint audit (FK / unique / domain / range)": ["dq_constraint_audit"],
         "numeric column profiling": ["dq_profile_numeric"],
         "skyline / Pareto frontier (bucketed two-pass)": ["analytic_skyline"],
+        "market-basket association rules (support/lift)": ["analytic_market_basket"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
