@@ -776,3 +776,94 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# One-sided containment (subset/superset) dedup
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by SET CONTAINMENT: C(A→B) =
+    |A∩B| / |A|. Jaccard misses the quote/extension case — a short
+    document wholly embedded in a much longer one scores J ≈ |A|/|B|
+    (tiny) but C(A→B) ≈ 1. Corpus pipelines dedup these as
+    subset/superset pairs, keeping the superset.
+
+    Same set-similarity-join skeleton as ``dedup_ngram_jaccard``
+    (shingle equi-join → per-pair intersection counts — docs sharing
+    no shingle never meet, so no cross join), but scored per
+    DIRECTION: a pair is emitted when either side is ≥ 80% contained
+    in the other; ``subset_doc`` names the contained side (ties →
+    both directions exceed the bar → the smaller set, then the lower
+    id). One shuffle for the pair counts, two broadcast-sized joins
+    for the sizes — identical scale posture to the Jaccard variant.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont_a = F.round(F.col("inter") / F.col("na"), 6)
+    cont_b = F.round(F.col("inter") / F.col("nb"), 6)
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cont_a_in_b", cont_a)
+        .withColumn("cont_b_in_a", cont_b)
+        .filter(
+            (F.col("cont_a_in_b") >= CONTAINMENT_THRESHOLD)
+            | (F.col("cont_b_in_a") >= CONTAINMENT_THRESHOLD)
+        )
+        .withColumn(
+            "subset_doc",
+            F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+            .when(F.col("nb") < F.col("na"), F.col("doc_b"))
+            .otherwise(F.least("doc_a", "doc_b")),
+        )
+        .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a", "subset_doc")
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / sa.n, 6) AS cont_a_in_b,
+       round(inter * 1.0 / sb.n, 6) AS cont_b_in_a,
+       CASE WHEN sa.n < sb.n THEN doc_a
+            WHEN sb.n < sa.n THEN doc_b
+            ELSE least(doc_a, doc_b) END AS subset_doc
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter * 1.0 / sa.n, 6) >= {CONTAINMENT_THRESHOLD}
+   OR round(inter * 1.0 / sb.n, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_containment",
+        dedup_containment,
+        DEDUP_CONTAINMENT_ORACLE,
+        doc="asymmetric subset/superset containment pairs (quote/extension dedup)",
+        tags=("llm", "dedup"),
+    )
+)

@@ -191,3 +191,92 @@ SPECS = [
         tags=("quality", "profile"),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Exact Pearson correlation matrix
+# ---------------------------------------------------------------------------
+
+# (x, y, per-column exact-decimal cast) — quantity is integral,
+# price/discount/tax carry ≤2 fractional digits, so DECIMAL casts are
+# value-exact and the five sufficient-statistic sums are associative.
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+)
+_CORR_DEC = "decimal(14,4)"
+
+
+def dq_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem numeric columns from
+    EXACT sufficient statistics: n, Σx, Σy, Σxy, Σx², Σy² are DECIMAL
+    sums (associative — deterministic under Spark's unordered partial
+    aggregation, unlike ``F.corr``'s streaming-moment doubles, whose
+    result depends on partition merge order). The final
+    r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    is evaluated in doubles from those exact sums with the same IEEE
+    op sequence in both engines → bit-identical, hash-matches the
+    oracle. One scan, one reduce to a single row per pair — the
+    all-pairs profile a feature-engineering pass runs before model
+    training; at 100 TB it's a map-side partial aggregate per column
+    pair with a 6-number exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    outs = []
+    for xc, yc in _CORR_PAIRS:
+        x = F.col(xc).cast(_CORR_DEC)
+        y = F.col(yc).cast(_CORR_DEC)
+        stats = li.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+            F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+            F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+        )
+        r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        outs.append(
+            stats.select(
+                F.lit(xc).alias("col_x"),
+                F.lit(yc).alias("col_y"),
+                F.col("n").cast("long").alias("n_rows"),
+                F.round(r, 9).alias("pearson_r"),
+            )
+        )
+    return reduce(DataFrame.unionAll, outs)
+
+
+# Oracle casts are DECIMAL(19,4), not (14,4): DuckDB clamps a
+# (14,4)x(14,4) product to its int64 decimal width (18) and overflows;
+# width 19 forces the INT128 path. Values are exact under both widths.
+DQ_CORRELATION_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{xc}' AS col_x, '{yc}' AS col_y,
+       CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS pearson_r
+FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST({xc} AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST({yc} AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST({xc} AS DECIMAL(19,4)) * CAST({yc} AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(CAST({xc} AS DECIMAL(19,4)) * CAST({xc} AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST({yc} AS DECIMAL(19,4)) * CAST({yc} AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+    FROM lineitem
+)
+"""
+    for xc, yc in _CORR_PAIRS
+)
+
+SPECS.append(
+    QuerySpec(
+        "dq_correlation",
+        dq_correlation,
+        DQ_CORRELATION_ORACLE,
+        doc="Pearson correlation matrix from exact decimal sufficient statistics",
+        tags=("quality", "profile"),
+    )
+)

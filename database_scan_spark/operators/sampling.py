@@ -160,3 +160,76 @@ SPECS = [
         tags=("pipeline", "sampling"),
     ),
 ]
+
+
+N_SHARDS = 16
+
+
+def wf_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last step
+    of a training-data pipeline: break source ordering (documents
+    arrive clustered by crawl/source, which biases SGD) and emit N
+    stable shards. shard = h32(doc_id) mod N and the intra-shard
+    order key is the hash itself, so the permutation is a pure
+    function of content: re-runs, engine swaps, and repartitioned
+    inputs all produce byte-identical shards — ``orderBy(rand())``
+    gives none of that. One hash-partitioned exchange, each shard
+    sorted within its partition; nothing global is sorted (a total
+    order across shards is unnecessary for training and would cost a
+    range exchange).
+
+    The audit output proves assignment + order, not just counts:
+    per-shard size, the first document (min by order key — a stable
+    head the resume logic can check), a hash checksum (associative
+    DECIMAL sum → deterministic), and the payload byte total."""
+    docs = load(spark, sf_dir, "documents")
+    h = h32(F.col("doc_id").cast("string"))
+    assigned = docs.select(
+        F.pmod(h, F.lit(N_SHARDS)).cast("int").alias("shard"),
+        h.alias("order_key"),
+        "doc_id",
+        "n_chars",
+    ).repartition(N_SHARDS, "shard").sortWithinPartitions("shard", "order_key", "doc_id")
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # scalar composite (hash ≪ 10^7 + id) instead of a struct
+            # min: arg_min over structs isn't portable to the oracle
+            F.min_by(
+                "doc_id", F.col("order_key") * F.lit(10_000_000) + F.col("doc_id")
+            ).cast("long").alias("first_doc"),
+            F.sum(F.col("order_key").cast("decimal(18,0)"))
+            .cast("double")
+            .alias("hash_checksum"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("shard")
+    )
+
+
+WF_SHUFFLE_SHARD_ORACLE = f"""
+WITH assigned AS (
+    SELECT CAST(h % {N_SHARDS} AS INTEGER) AS shard, h AS order_key, doc_id, n_chars
+    FROM (SELECT {H32_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS h, doc_id, n_chars
+          FROM documents)
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(arg_min(doc_id, order_key * 10000000 + doc_id) AS BIGINT) AS first_doc,
+       CAST(SUM(CAST(order_key AS DECIMAL(18,0))) AS DOUBLE) AS hash_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_shuffle_shard",
+        wf_shuffle_shard,
+        WF_SHUFFLE_SHARD_ORACLE,
+        doc="content-hash global shuffle into N stable training shards, audited",
+        tags=("pipeline", "sampling"),
+    )
+)

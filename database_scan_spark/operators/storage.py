@@ -295,3 +295,84 @@ SPECS.append(
         tags=("core", "storage", "skew"),
     )
 )
+
+
+_Z_BITS = 20  # 2^20 ≈ 1M distinct values per dimension — covers the
+# part/supp key domains up to sf ~50; widen to 31 for a full BIGINT
+# domain (interleaved z still fits a LONG at 2x31 = 62 bits).
+
+
+def _z_interleave(x, y, bits: int = _Z_BITS):
+    """Morton/Z-order code: bit-interleave two non-negative ints into
+    one long (x gets odd bit positions, y even). A fold of shift/and/
+    or built-ins — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z
+
+
+def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout: range-partition + sort lineitem by
+    the Morton interleave of (l_partkey, l_suppkey), so every file
+    covers a small RECTANGLE of the 2-D key space instead of a thin
+    slice of one dimension. Single-column range clustering
+    (``sink_clustered_write``) makes one predicate dimension
+    skippable and leaves the other uniform across all files; Z-order
+    keeps BOTH footer min/max ranges narrow, so 2-D selective scans
+    (part x supplier probes) skip most files. The audit reads back a
+    2-D box through the clustered copy; results are layout-
+    independent (oracle = same filter on the original table) and
+    per-file 2-D range narrowing is asserted in
+    tests/test_scale_posture.py."""
+    path = os.path.join(workdir(sf_dir, "zorder"), "by_part_supp")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load(spark, sf_dir, "lineitem")
+        (
+            li.withColumn(
+                "z", _z_interleave(F.col("l_partkey"), F.col("l_suppkey"))
+            )
+            .repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("l_partkey") < 300) & (F.col("l_suppkey") < 30)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SINK_ZORDER_WRITE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_checksum
+FROM lineitem
+WHERE l_partkey < 300 AND l_suppkey < 30
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sink_zorder_write",
+        sink_zorder_write,
+        SINK_ZORDER_WRITE_ORACLE,
+        doc="Morton/Z-order 2-D clustered layout for multi-dim file skipping",
+        tags=("core", "storage"),
+    )
+)

@@ -629,3 +629,91 @@ SPECS.append(
         tags=("llm", "text", "retrieval"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (fixed-weight linear classifier)
+# ---------------------------------------------------------------------------
+
+# Fixed, public classifier weights (fasttext-style quality filter
+# shape: cheap engineered features -> linear score -> squash -> gate).
+_QW_BIAS = -0.2
+_QW_TTR = 4.0       # type-token ratio, centered at 0.5
+_QW_TOKENS = 0.02   # token count, centered at 50
+_QW_STOP = -6.0     # stopword ratio, centered at 0.08
+
+
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality CLASSIFIER over engineered features — the
+    model-based stage after the rule-based ``text_quality`` pass
+    (CCNet/fasttext-filter shape: features → w·x → squash → keep).
+
+    The squash is the RATIONAL sigmoid σ(z) = 0.5 + 0.5·z/(1+|z|),
+    not exp-based logistic: both engines evaluate it with the same
+    IEEE-754 ops in the same order, so scores are bit-identical,
+    whereas libm exp() implementations may differ by an ulp across
+    runtimes and break the hash gate. Same monotonicity, same
+    decision boundary (score ≥ 0.5 ⇔ z ≥ 0).
+
+    One narrow projection over the scan — no shuffle, whole-stage
+    codegen; at 100 TB this fuses into the corpus read like every
+    other cheap-filter pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_ratio = _stopword_hits(toks) / n
+    z = (
+        F.lit(_QW_BIAS)
+        + F.lit(_QW_TTR) * (ttr - F.lit(0.5))
+        + F.lit(_QW_TOKENS) * (n.cast("double") - F.lit(50.0))
+        + F.lit(_QW_STOP) * (stop_ratio - F.lit(0.08))
+    )
+    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(z, 6).alias("logit"),
+        F.round(score, 6).alias("score"),
+        (z >= 0).alias("keep"),
+    )
+
+
+TEXT_QUALITY_LOGREG_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+f AS (
+    SELECT doc_id, source,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+           len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x))) * 1.0
+               / len(toks) AS stop_ratio,
+           CAST(len(toks) AS DOUBLE) AS n
+    FROM t
+),
+z AS (
+    SELECT doc_id, source, ttr, stop_ratio,
+           {_QW_BIAS} + {_QW_TTR} * (ttr - 0.5) + {_QW_TOKENS} * (n - 50.0)
+               + {_QW_STOP} * (stop_ratio - 0.08) AS logit
+    FROM f
+)
+SELECT doc_id, source,
+       round(ttr, 6) AS ttr,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(logit, 6) AS logit,
+       round(0.5 + 0.5 * logit / (1.0 + abs(logit)), 6) AS score,
+       logit >= 0 AS keep
+FROM z
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_quality_logreg",
+        text_quality_logreg,
+        TEXT_QUALITY_LOGREG_ORACLE,
+        doc="fixed-weight linear quality classifier, exact rational sigmoid",
+        tags=("llm", "text"),
+    )
+)
