@@ -140,6 +140,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "edit-distance entity resolution": ["dedup_levenshtein"],
         "embedding cosine": ["dedup_embedding_cosine"],
         "eval-set decontamination": ["dedup_decontaminate"],
+        "one-sided containment (subset/superset pairs)": ["dedup_containment"],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
@@ -170,11 +171,13 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "token-window chunking into training sequences": ["wf_chunk_documents"],
         "per-source mixture sampling (dataset composition)": ["wf_data_mixture"],
         "unigram surprisal quality score (perplexity proxy)": ["text_surprisal"],
+        "model-based quality classifier (linear, exact sigmoid)": ["text_quality_logreg"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
         "stratified (per-class rates)": ["sample_stratified"],
         "train/val/test split with checksum audit": ["split_train_test"],
+        "content-hash global shuffle into N stable shards": ["wf_shuffle_shard"],
     },
     "Engine: general SQL surface (beyond the reference)": {
         "outer joins": ["join_outer_left", "join_outer_full"],
@@ -191,6 +194,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "token-budget sequence packing": ["wf_pack_sequences"],
         "constraint audit (FK / unique / domain / range)": ["dq_constraint_audit"],
         "numeric column profiling": ["dq_profile_numeric"],
+        "exact Pearson correlation matrix": ["dq_correlation"],
         "skyline / Pareto frontier (bucketed two-pass)": ["analytic_skyline"],
         "market-basket association rules (support/lift)": ["analytic_market_basket"],
     },
@@ -229,6 +233,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "skew salting": ["join_salted"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
+        "Z-order 2-D clustered layout": ["sink_zorder_write"],
     },
 }
 
