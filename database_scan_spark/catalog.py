@@ -134,11 +134,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one snapshot table. Plain parquet read → pushdown-friendly.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which
-    Spark's vectorized reader rejects; read it as raw nanos
-    (``nanosAsLong``) and rebuild a microsecond timestamp (the data
-    is micro-precision, so ``div 1000`` is lossless and matches what
-    DuckDB sees).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) in some fixture
+    generations (which Spark's vectorized reader only surfaces as a
+    raw long via ``nanosAsLong``) and as TIMESTAMP(MICROS) in others
+    (surfaced as TIMESTAMP_NTZ). Normalize both to a session-zone
+    microsecond TimestampType so every downstream time computation —
+    and the timezone-less DuckDB oracle — sees the same wall-clock
+    values.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
@@ -152,9 +154,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F  # noqa: PLC0415
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # nanos fixture: micro-precision data, so div 1000 is lossless
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # micros fixture: arrives as TIMESTAMP_NTZ; same wall-clock under UTC
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(path)
 
 

@@ -40,33 +40,38 @@ from ..catalog import table_path
 from ..operators._helpers import workdir
 from ..spec import QuerySpec
 
-# Raw schema as stored in parquet: ts is TIMESTAMP(NANOS) which Spark
-# only reads as long (nanosAsLong) — rebuilt to a timestamp below.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Raw schema as stored in parquet. ``ts`` has shipped both as
+    TIMESTAMP(NANOS) (Spark reads it as long via nanosAsLong) and as
+    TIMESTAMP(MICROS) (TIMESTAMP_NTZ) across fixture generations —
+    probe the batch reader's view of the footer so the stream schema
+    always matches the files."""
+    ts_type = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = _events_raw_schema(spark, sf_dir)
     # FileStreamSource wants a *directory* of arriving files; expose the
     # snapshot through a symlink dir (zero-copy).
     src_dir = workdir(sf_dir, "events_stream_src")
     link = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(table_path(sf_dir, "events"), link)
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    df = spark.readStream.schema(raw_schema).parquet(src_dir)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, sf_dir: str, name: str, mode: str) -> DataFrame:
