@@ -1,0 +1,550 @@
+"""Analytics extensions: aggregation-based top-k, windowed distinct
+counts, incremental view maintenance, arg-max/mode aggregates,
+heavy hitters, equi-depth histograms, a Benford first-digit audit,
+and an A/B significance test.
+
+The reference computes only counts after dedup (SURVEY.md §2.7 —
+``x2.py:137,155`` style ``len(set)`` reports); everything here is
+engine surface a warehouse user expects on top of that. Each op is
+one or two shuffles with map-side partial aggregation, and each has
+an exact DuckDB oracle twin.
+
+Scale notes (100 TB posture):
+- ``topk_group_agg`` is the shuffle-light alternative to a ranking
+  window: a window sort moves EVERY row through a per-group sort,
+  while the aggregate form ships only k retained rows per group out
+  of each map task (partial ``collect_list`` + slice in the merge).
+- ``agg_heavy_hitters`` / ``agg_histogram_equidepth`` are the
+  classic two-phase profile shapes: the first is pure partial-agg,
+  the second sorts once globally by value (ntile) — at cluster scale
+  that's a range-partitioned sort, never a single-task sort.
+- ``wf_mv_incremental`` demonstrates agg-of-partials maintenance:
+  the 100 TB base is NEVER rescanned — only the delta is aggregated
+  and merged, which is how a daily-ingest rollup stays cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators._helpers import h32, money, workdir
+from ..spec import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+# ---------------------------------------------------------------------------
+# topk_group_agg — per-group top-k WITHOUT a ranking window
+# ---------------------------------------------------------------------------
+
+
+def topk_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand top-3 parts by retail price via aggregation:
+    ``slice(sort_array(collect_list(struct(...))))``. Semantically the
+    same answer as the ``row_number() <= 3`` window (the oracle), but
+    the physical plan is a hash aggregate — partial lists are built
+    map-side, and only the merged per-group list is ever sorted, so
+    no full per-group data sort ships through the shuffle.
+
+    (Top-1 generalization of the reference's positional ``rows[0]``
+    pick, ``x2.py:215`` / ``candidate_drugs.py:90`` — made
+    deterministic with the (price, partkey) total order per
+    SURVEY.md §1.4.)
+    """
+    part = load(spark, sf_dir, "part")
+    agg = part.groupBy("p_brand").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("p_retailprice").alias("price"),
+                        F.col("p_partkey").alias("pk"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return agg.select(
+        "p_brand", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "p_brand",
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+        F.col("s.pk").alias("p_partkey"),
+        F.col("s.price").alias("p_retailprice"),
+    )
+
+
+TOPK_GROUP_AGG_ORACLE = """
+SELECT p_brand, CAST(rnk AS INTEGER) AS rnk, p_partkey, p_retailprice
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey DESC) AS rnk
+    FROM part
+)
+WHERE rnk <= 3
+"""
+
+SPECS.append(
+    QuerySpec(
+        "topk_group_agg",
+        topk_group_agg,
+        TOPK_GROUP_AGG_ORACLE,
+        doc="Aggregation-based per-group top-k (no ranking-window sort).",
+        tags=("core", "agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# win_count_distinct — rolling DISTINCT count (Spark lacks DISTINCT OVER)
+# ---------------------------------------------------------------------------
+
+
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running number of DISTINCT event types each user has produced,
+    in event order. Spark has no ``COUNT(DISTINCT) OVER`` — the
+    idiomatic rewrite is ``size(collect_set() over w)``, which keeps
+    the whole computation inside the JVM window exec (the set is tiny:
+    bounded by the event-type vocabulary, so state stays O(|types|)
+    per user, not O(rows))."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )
+
+
+WIN_COUNT_DISTINCT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_types_seen
+FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_count_distinct",
+        win_count_distinct,
+        WIN_COUNT_DISTINCT_ORACLE,
+        doc="Rolling distinct count via collect_set window (no native DISTINCT OVER).",
+        tags=("window",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# wf_mv_incremental — incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+MV_CUTOFF = "1999-01-01"
+
+
+def wf_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the per-customer order summary
+    is materialized once over the history (< 1999-01-01), persisted
+    to parquet, and then REFRESHED by aggregating only the delta
+    (>= cutoff) and merging partial states — count adds, DECIMAL sum
+    adds. The merged view equals a full recompute (the oracle), but
+    the base scan never re-runs: at 100 TB that is the difference
+    between a daily 100 TB job and a daily 100 GB one.
+
+    Mirrors the reference's checkpoint/resume staging
+    (``x2.2.py:249-256`` — crawl once, resume from disk) lifted from
+    row caches to aggregate state.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("total_spent"),
+        )
+
+    base_path = workdir(sf_dir, "mv_customer_orders")
+    summarize(orders.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(base_path)
+    base = spark.read.parquet(base_path)
+
+    delta = summarize(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spent").cast("double").alias("total_spent"),
+        )
+    )
+
+
+WF_MV_INCREMENTAL_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_mv_incremental",
+        wf_mv_incremental,
+        WF_MV_INCREMENTAL_ORACLE,
+        doc="Incremental materialized-view refresh: base partial states + delta merge.",
+        tags=("workflow",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# fn_minmax_by — arg-max / arg-min / deterministic mode aggregates
+# ---------------------------------------------------------------------------
+
+
+def fn_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment arg-extremes: the customer NAME holding the max /
+    min balance, plus the modal nation. Ties are impossible by
+    construction: the comparison key packs (balance-in-cents,
+    custkey) into one BIGINT, making max_by/min_by total orders —
+    Spark's max_by is otherwise nondeterministic on duplicate keys
+    (same SURVEY.md §1.4 trap as the reference's positional
+    ``rows[0]`` pick). The mode uses the same argmax trick over
+    (count, nationkey)."""
+    cust = load(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("c_custkey")
+    )
+    extremes = cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
+    mode = (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by(
+                "c_nationkey", F.col("cnt") * F.lit(1000) + F.col("c_nationkey")
+            )
+            .cast("int")
+            .alias("modal_nation")
+        )
+    )
+    return extremes.join(mode, "c_mktsegment")
+
+
+FN_MINMAX_BY_ORACLE = """
+WITH keyed AS (
+    SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS k
+    FROM customer
+),
+extremes AS (
+    SELECT c_mktsegment,
+           arg_max(c_name, k) AS richest_customer,
+           arg_min(c_name, k) AS poorest_customer,
+           MAX(c_acctbal) AS max_bal,
+           MIN(c_acctbal) AS min_bal
+    FROM keyed GROUP BY c_mktsegment
+),
+mode AS (
+    SELECT c_mktsegment,
+           CAST(arg_max(c_nationkey, cnt * 1000 + c_nationkey) AS INTEGER)
+           AS modal_nation
+    FROM (SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM customer GROUP BY 1, 2)
+    GROUP BY c_mktsegment
+)
+SELECT extremes.*, mode.modal_nation FROM extremes JOIN mode USING (c_mktsegment)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_minmax_by",
+        fn_minmax_by,
+        FN_MINMAX_BY_ORACLE,
+        doc="max_by/min_by/mode with tie-proof packed ordering keys.",
+        tags=("core", "agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters — frequency-threshold items (exact, two-phase)
+# ---------------------------------------------------------------------------
+
+HH_SHARE = 0.00065  # ≥ 0.065% of all lineitem rows
+
+
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: parts appearing in at least ``HH_SHARE``
+    of all lineitem rows, with their share. Phase 1 is a pure
+    partial-aggregatable count per key; phase 2 broadcasts the single
+    total row. This is the exact counterpart of sketch-based
+    (Misra-Gries / count-min) heavy hitters — at 100 TB the same plan
+    holds because the intermediate is one row per DISTINCT key, not
+    per input row."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("total"), 6))
+        .filter(F.col("share") >= HH_SHARE)
+        .select("l_partkey", "cnt", "share")
+    )
+
+
+AGG_HEAVY_HITTERS_ORACLE = f"""
+WITH counts AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+SELECT l_partkey, cnt, round(cnt * 1.0 / total, 6) AS share
+FROM counts, total
+WHERE round(cnt * 1.0 / total, 6) >= {HH_SHARE}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_heavy_hitters",
+        agg_heavy_hitters,
+        AGG_HEAVY_HITTERS_ORACLE,
+        doc="Exact frequency-threshold heavy hitters, two-phase aggregate.",
+        tags=("core", "agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_equidepth — ntile-based equi-depth histogram
+# ---------------------------------------------------------------------------
+
+
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) 10-bucket histogram of order value:
+    ntile over a deterministic total order, then per-bucket bounds
+    and counts. Complements the fixed-width ``agg_histogram``. The
+    global sort is range-partitioned at scale (Spark samples bounds),
+    so no single task ever holds the full column."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+AGG_HISTOGRAM_EQUIDEPTH_ORACLE = """
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM (
+    SELECT o_totalprice,
+           CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+           AS bucket
+    FROM orders
+)
+GROUP BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_histogram_equidepth",
+        agg_histogram_equidepth,
+        AGG_HISTOGRAM_EQUIDEPTH_ORACLE,
+        doc="Equi-depth histogram via ntile over a deterministic order.",
+        tags=("core", "agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dq_benford — first-significant-digit distribution audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) rounded to 6 — identical literals on both sides, so
+# no cross-engine transcendental-function trust is needed.
+_BENFORD_P = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit on order values: observed first-digit
+    shares vs the Benford expectation, with per-digit chi-square
+    contributions — a standard fraud/synthetic-data screen. The first
+    digit is taken from the integer part's decimal string (every
+    o_totalprice >= 1), avoiding any float-format or log10
+    divergence between engines. One scan, one 9-group aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    bench = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, benford_p double"
+    )
+    obs = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        obs.join(F.broadcast(bench), "digit")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            "benford_p",
+            F.round(
+                (F.col("n") - F.col("total") * F.col("benford_p"))
+                * (F.col("n") - F.col("total") * F.col("benford_p"))
+                / (F.col("total") * F.col("benford_p")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())
+
+DQ_BENFORD_ORACLE = f"""
+WITH bench(digit, benford_p) AS (VALUES {_BENFORD_VALUES}),
+obs AS (
+    SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+SELECT digit, n,
+       round(n * 1.0 / total, 6) AS share,
+       benford_p,
+       round((n - total * benford_p) * (n - total * benford_p)
+             / (total * benford_p), 6) AS chi2_term
+FROM obs JOIN bench USING (digit), total
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_benford",
+        dq_benford,
+        DQ_BENFORD_ORACLE,
+        doc="Benford first-digit audit with chi-square contributions.",
+        tags=("quality",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic_ab_test — two-sample significance test (Welch z)
+# ---------------------------------------------------------------------------
+
+
+def analytic_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B significance: users are deterministically bucketed into
+    two variants by content hash (the engine's h32 — stable across
+    runs and engines, SURVEY.md §1.4 determinism discipline), and the
+    per-variant mean event value is compared with a Welch z-score.
+    Moments are exact DECIMAL sums (value has 2 decimals → squares
+    have 4), collapsed to doubles only for the final ratio, so the
+    hash-compared output is engine-identical. Single scan, single
+    2-group aggregate, one final one-row combine."""
+    ev = load(spark, sf_dir, "events")
+    variant = (h32(F.col("user_id").cast("string")) % 2).alias("variant")
+    per = (
+        ev.select(variant, F.col("value"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).alias("s"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))
+            ).alias("ss"),
+        )
+        .select(
+            "variant",
+            "n",
+            F.col("s").cast("double").alias("s"),
+            F.col("ss").cast("double").alias("ss"),
+        )
+    )
+    a = per.filter(F.col("variant") == 0).alias("a")
+    b = per.filter(F.col("variant") == 1).alias("b")
+    joined = a.crossJoin(b)
+    mean_a = F.col("a.s") / F.col("a.n")
+    mean_b = F.col("b.s") / F.col("b.n")
+    var_a = (F.col("a.ss") - F.col("a.s") * F.col("a.s") / F.col("a.n")) / (
+        F.col("a.n") - 1
+    )
+    var_b = (F.col("b.ss") - F.col("b.s") * F.col("b.s") / F.col("b.n")) / (
+        F.col("b.n") - 1
+    )
+    return joined.select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("a.n") + var_b / F.col("b.n")),
+            6,
+        ).alias("welch_z"),
+    )
+
+
+ANALYTIC_AB_TEST_ORACLE = """
+WITH per AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+               AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS ss
+    FROM events GROUP BY 1
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n, 6) AS mean_a,
+       round(b.s / b.n, 6) AS mean_b,
+       round((a.s / a.n - b.s / b.n)
+             / sqrt((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+                    + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n), 6)
+       AS welch_z
+FROM (SELECT * FROM per WHERE variant = 0) a,
+     (SELECT * FROM per WHERE variant = 1) b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_ab_test",
+        analytic_ab_test,
+        ANALYTIC_AB_TEST_ORACLE,
+        doc="Deterministic-bucket A/B test with exact-moment Welch z.",
+        tags=("analytic",),
+    )
+)

@@ -257,6 +257,17 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join (the scale
+    path): candidates come from ``_prefix_filtered_candidates`` —
+    only the ⌊(1−t)·n⌋+1 globally-rarest shingles of each doc can
+    open a candidate pair, so the equi-join explodes on rare tokens
+    instead of every token. Lossless (identical result set to the
+    naive join; same oracle), but the candidate-pair volume drops
+    superlinearly on corpora with common shingles."""
+    return dedup_ngram_jaccard(spark, sf_dir, prefix_filter=True)
+
+
 DEDUP_NGRAM_JACCARD_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
@@ -585,6 +596,7 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, tags=("llm", "dedup")),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup")),
+    QuerySpec("dedup_jaccard_prefix", dedup_jaccard_prefix, DEDUP_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup")),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(), tags=("llm", "dedup")),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(), tags=("llm", "dedup")),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_oracle(), tags=("llm", "dedup")),

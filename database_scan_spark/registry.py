@@ -84,6 +84,9 @@ def _load_all() -> None:
     from .operators import llm_prep  # noqa: PLC0415
 
     _extend(llm_prep.SPECS)
+    from .operators import analytics_extra  # noqa: PLC0415
+
+    _extend(analytics_extra.SPECS)
     from .plans import pipeline  # noqa: PLC0415
 
     _extend(pipeline.SPECS)

@@ -78,10 +78,18 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "agg_percentile_exact",
             "agg_histogram",
         ],
+        "(engine addition: equi-depth histogram via ntile)": [
+            "agg_histogram_equidepth"
+        ],
+        "(engine addition: exact heavy hitters, two-phase)": ["agg_heavy_hitters"],
+        "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
     },
     "§2.8 Sort / top-k / windows": {
         "sort_remote_score_desc": ["sort_remote_score_desc"],
         "topk_first": ["topk_first", "limit_first_hit", "topk_per_group"],
+        "(engine addition: aggregation-based top-k, no window sort)": [
+            "topk_group_agg"
+        ],
         "(engine additions: analytic windows)": [
             "win_running_sum",
             "win_rank_dense",
@@ -93,6 +101,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_forward_fill",
             "win_ewma",
             "sort_topk",
+            "win_count_distinct",
         ],
     },
     "§2.9 Scalar functions": {
@@ -118,6 +127,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "wf_checkpoint_resume": ["wf_checkpoint_resume"],
         "wf_rate_limit": ["wf_rate_limit"],
         "wf_quality_gate": ["wf_quality_gate"],
+        "(engine addition: incremental materialized-view refresh)": [
+            "wf_mv_incremental"
+        ],
         "wf_known_broken": "NOT REPLICATED by design (SURVEY §7.3 #4: broken "
         "resume artifact + pandas index leak are reference bugs)",
     },
@@ -137,6 +149,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "connected-components clustering (iterative)": ["dedup_cluster_cc"],
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
+        "prefix-filtered set-similarity join (PPJoin)": ["dedup_jaccard_prefix"],
         "edit-distance entity resolution": ["dedup_levenshtein"],
         "embedding cosine": ["dedup_embedding_cosine"],
         "eval-set decontamination": ["dedup_decontaminate"],
@@ -197,6 +210,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exact Pearson correlation matrix": ["dq_correlation"],
         "skyline / Pareto frontier (bucketed two-pass)": ["analytic_skyline"],
         "market-basket association rules (support/lift)": ["analytic_market_basket"],
+        "Benford first-digit audit": ["dq_benford"],
+        "A/B significance test (deterministic buckets, Welch z)": ["analytic_ab_test"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
