@@ -51,6 +51,11 @@ HEADLINE = [
     "win_rolling_zscore",
     "graph_pagerank",
     "sim_centroid_assign",
+    "topk_group_agg",
+    "agg_bitmap_distinct",
+    "wf_mv_incremental",
+    "dedup_substring_spans",
+    "sim_pq_adc",
 ]
 
 

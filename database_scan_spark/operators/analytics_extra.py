@@ -548,3 +548,110 @@ SPECS.append(
         tags=("analytic",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact distinct counting via mergeable bitmaps
+# ---------------------------------------------------------------------------
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order priority via Spark's bitmap
+    aggregate family: keys are bucketed (``bitmap_bucket_number``),
+    each (group, bucket) builds a fixed 4 KB bitmap
+    (``bitmap_construct_agg`` — mergeable, map-side combinable), and
+    the group's distinct count is the sum of per-bucket popcounts.
+    This is the scale shape for exact COUNT(DISTINCT) without the
+    usual expand-and-reshuffle: partials are tiny constant-size
+    bitmaps instead of the raw key stream. Oracle: plain
+    COUNT(DISTINCT)."""
+    orders = load(spark, sf_dir, "orders")
+    per_bucket = orders.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("o_custkey"))).alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct_customers")
+    )
+
+
+AGG_BITMAP_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_bitmap_distinct",
+        agg_bitmap_distinct,
+        AGG_BITMAP_DISTINCT_ORACLE,
+        doc="Exact distinct via mergeable bitmap partials (constant-size state).",
+        tags=("core", "agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dq_corpus_report — dataset-card rollup over the document corpus
+# ---------------------------------------------------------------------------
+
+
+def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "dataset card" one-pass corpus report: per (lang, source)
+    cell — with ROLLUP margins for per-lang and grand-total rows —
+    document count, exact token total, mean document length, and
+    share of the corpus. One scan, one rollup aggregate (Spark
+    expands rollup groupings map-side), one broadcast of the single
+    grand-total row for the share."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "lang", "source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    total = with_tokens.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    return (
+        with_tokens.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("corpus_share"),
+        )
+    )
+
+
+DQ_CORPUS_REPORT_ORACLE = """
+WITH t AS (
+    SELECT lang, source, n_chars, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs FROM t)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars,
+       round(COUNT(*) * 1.0 / (SELECT corpus_docs FROM total), 6) AS corpus_share
+FROM t
+GROUP BY ROLLUP (lang, source)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_corpus_report",
+        dq_corpus_report,
+        DQ_CORPUS_REPORT_ORACLE,
+        doc="Dataset-card corpus rollup: docs/tokens/length/share per lang×source.",
+        tags=("llm", "quality"),
+    )
+)

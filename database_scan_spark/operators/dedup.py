@@ -879,3 +879,93 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans — shared long-token-span detection
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # tokens per span gram
+SPAN_MIN_SHARED = 3  # report pairs sharing at least this many span grams
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication detector (the "dedup spans, not
+    docs" signal of Lee et al. 2022's exact-substring pass): every
+    positional 8-token window is a gram; documents sharing ≥3 grams
+    are reported with the volume of overlap and the earliest
+    positions on both sides. Near-identical boilerplate that whole-doc
+    Jaccard dilutes (one shared paragraph in long docs) shows up here.
+
+    Shape: explode windows (narrow), collapse to per-(doc, gram)
+    min-position (map-side combinable), one equi-join on the gram —
+    never an O(n²) doc cross join. At 100 TB the gram column would be
+    a 16-byte hash instead of the text (same plan, thinner shuffle).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(toks) >= SPAN_N, F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        docs.select(
+            "doc_id", F.explode(idx).alias("pos"), toks.alias("t")
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(F.slice(F.col("t"), F.col("pos"), SPAN_N), " ").alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.min("pos").alias("pos"))
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.min(F.col("a.pos")).alias("first_pos_a"),
+            F.min(F.col("b.pos")).alias("first_pos_b"),
+        )
+        .filter(F.col("n_shared_grams") >= SPAN_MIN_SHARED)
+    )
+
+
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, gram, CAST(MIN(pos) AS INTEGER) AS pos FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(t) - {SPAN_N - 1}, 0))) AS pos,
+               t
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ) exploded
+    CROSS JOIN LATERAL (
+        SELECT array_to_string(t[pos:pos + {SPAN_N - 1}], ' ') AS gram
+    ) g
+    GROUP BY doc_id, gram
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+       MIN(a.pos) AS first_pos_a, MIN(b.pos) AS first_pos_b
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {SPAN_MIN_SHARED}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_substring_spans",
+        dedup_substring_spans,
+        DEDUP_SUBSTRING_SPANS_ORACLE,
+        doc="Shared 8-token span detection (exact-substring dedup signal).",
+        tags=("llm", "dedup"),
+    )
+)

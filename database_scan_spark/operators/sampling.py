@@ -233,3 +233,54 @@ SPECS.append(
         tags=("pipeline", "sampling"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir — weighted sampling without replacement (A-ES keys)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 100
+
+
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement of k=100 orders, selection
+    probability proportional to order value — the Efraimidis-Spirakis
+    A-ES scheme: each row gets key ln(u)/w (equivalent to ranking by
+    u^(1/w)) with u derived from the CONTENT HASH (not an RNG), and
+    the k largest keys win. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject: every task keeps a k-row heap and only
+    those heaps ship to the driver — the one global "sort" shape
+    that is safe at 100 TB (no full sort, no single-task collapse).
+    Fully reproducible: same rows selected on any partitioning, any
+    cluster, and in the DuckDB oracle."""
+    orders = load(spark, sf_dir, "orders")
+    u = (h32(F.col("o_orderkey").cast("string")) + 1) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("o_totalprice")
+    return (
+        # + 0.0 canonicalizes IEEE −0.0 to +0.0 (Spark's round and
+        # DuckDB's disagree on the SIGN of zero, not the value)
+        orders.withColumn("es_key", F.round(key, 9) + F.lit(0.0))
+        .orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+        .limit(RESERVOIR_K)
+        .select("o_orderkey", "o_totalprice", "es_key")
+    )
+
+
+SAMPLE_RESERVOIR_ORACLE = f"""
+SELECT o_orderkey, o_totalprice,
+       round(ln(({H32_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} + 1) / 4294967296.0)
+             / o_totalprice, 9) + 0.0 AS es_key
+FROM orders
+ORDER BY es_key DESC, o_orderkey ASC
+LIMIT {RESERVOIR_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sample_reservoir",
+        sample_reservoir,
+        SAMPLE_RESERVOIR_ORACLE,
+        doc="Efraimidis-Spirakis weighted sample w/o replacement, hash-derived keys",
+        tags=("sampling",),
+    )
+)

@@ -615,3 +615,158 @@ SPECS.append(
         tags=("llm", "similarity", "ml", "iterative"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace (vec_id < PQ_K seed the codebooks)
+PQ_TOP_K = 5
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """(id, m, sub): the M per-subspace slices of each embedding."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(F.col(id_col).alias(out_id), F.explode(arr).alias("x")).select(
+        out_id, F.col("x.m").alias("m"), F.col("x.sub").alias("sub")
+    )
+
+
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. PQ/ADC shape): the
+    64-dim embedding splits into M=4 subspaces; each subspace has a
+    16-entry codebook (deterministic: the first 16 corpus vectors'
+    subvectors — production would k-means them, same plumbing); each
+    corpus vector is ENCODED as 4 small codes by nearest-L2 codeword
+    per subspace. A query builds a 4×16 lookup table of subspace dot
+    products, and approximate similarity is the sum of 4 LUT entries
+    (asymmetric distance computation) — never touching the original
+    vector.
+
+    Why it matters at 100 TB: the corpus index is M bytes per vector
+    (codes) instead of 256 bytes of floats — the encode is one
+    broadcast join + per-key argmin, the search is a broadcast LUT
+    join on (m, code) with a 4-term sum, all JVM expressions. Exact
+    cosine re-ranking of the PQ top list (as IVF does) would bolt on
+    the same way. Deterministic end-to-end (rounded 6dp, id
+    tiebreaks) → hash-matched DuckDB twin."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    codebook = _pq_subvectors(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PQ_K),
+        "vec_id",
+        "code_id",
+    ).select("code_id", "m", F.col("sub").alias("cw"))
+
+    corpus_sub = _pq_subvectors(emb, "vec_id", "neighbor_id")
+    l2 = F.round(
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("cw"))
+        + _dot(F.col("cw"), F.col("cw")),
+        6,
+    )
+    w_assign = Window.partitionBy("neighbor_id", "m").orderBy(
+        F.asc("l2"), F.asc("code_id")
+    )
+    codes = (
+        corpus_sub.join(F.broadcast(codebook), "m")
+        .withColumn("l2", l2)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "m", F.col("code_id").alias("code"))
+    )
+
+    query_sub = _pq_subvectors(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
+        "vec_id",
+        "query_id",
+    )
+    lut = (
+        query_sub.join(F.broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("code_id").alias("code"),
+            F.round(_dot(F.col("sub"), F.col("cw")), 6).alias("val"),
+        )
+    )
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("val"), 6).alias("approx_sim"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+    )
+
+
+SIM_PQ_ADC_ORACLE = f"""
+WITH sub_m(m) AS (SELECT unnest(range({PQ_M}))),
+cb AS (
+    SELECT vec_id AS code_id, m,
+           (embedding::DOUBLE[])[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cw
+    FROM embeddings, sub_m WHERE vec_id < {PQ_K}
+),
+corpus_sub AS (
+    SELECT vec_id AS neighbor_id, m,
+           (embedding::DOUBLE[])[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+    FROM embeddings, sub_m
+),
+codes AS (
+    SELECT neighbor_id, m, code_id AS code FROM (
+        SELECT s.neighbor_id, s.m, c.code_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.neighbor_id, s.m
+                   ORDER BY round(list_dot_product(s.sub, s.sub)
+                                  - 2 * list_dot_product(s.sub, c.cw)
+                                  + list_dot_product(c.cw, c.cw), 6) ASC,
+                            c.code_id ASC) AS rn
+        FROM corpus_sub s JOIN cb c ON s.m = c.m
+    ) WHERE rn = 1
+),
+query_sub AS (
+    SELECT vec_id AS query_id, m,
+           (embedding::DOUBLE[])[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+    FROM embeddings, sub_m WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+    SELECT q.query_id, q.m, c.code_id AS code,
+           round(list_dot_product(q.sub, c.cw), 6) AS val
+    FROM query_sub q JOIN cb c ON q.m = c.m
+),
+approx AS (
+    SELECT l.query_id, a.neighbor_id, round(SUM(l.val), 6) AS approx_sim
+    FROM codes a JOIN lut l ON a.m = l.m AND a.code = l.code
+    WHERE l.query_id != a.neighbor_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_sim, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+      FROM approx)
+WHERE rank <= {PQ_TOP_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_pq_adc",
+        sim_pq_adc,
+        SIM_PQ_ADC_ORACLE,
+        doc="Product-quantization ANN with asymmetric-distance LUT search.",
+        tags=("llm", "similarity"),
+    )
+)

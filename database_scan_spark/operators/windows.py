@@ -512,3 +512,82 @@ SPECS.append(
         tags=("window", "timeseries"),
     )
 )
+
+
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days. Classic sessionization-by-calendar shape (distinct
+    from the time-gap ``win_session``): distinct active days get a
+    per-user row_number, and ``day − rn`` is constant within a
+    consecutive run — one groupBy on that anchor yields the islands,
+    a per-user argmax picks the longest (earliest start on ties).
+    Two narrow shuffles on user_id; no self-join, no calendar table."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("streak_days"),
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_day")
+    )
+    return (
+        islands.withColumn("pos", F.row_number().over(pick))
+        .filter(F.col("pos") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            # ISO strings: Spark DATE and DuckDB DATE reach pandas as
+            # different dtypes (object date vs datetime64), which the
+            # canonical hash would see as different values
+            F.col("start_day").cast("string").alias("start_day"),
+            F.col("end_day").cast("string").alias("end_day"),
+        )
+    )
+
+
+WIN_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+anchored AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                      AS INTEGER) AS anchor
+    FROM days
+),
+runs AS (
+    SELECT user_id, anchor,
+           CAST(COUNT(*) AS BIGINT) AS streak_days,
+           MIN(day) AS start_day,
+           MAX(day) AS end_day
+    FROM anchored
+    GROUP BY user_id, anchor
+)
+SELECT user_id, streak_days,
+       strftime(start_day, '%Y-%m-%d') AS start_day,
+       strftime(end_day, '%Y-%m-%d') AS end_day
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC, start_day ASC) AS pos
+      FROM runs)
+WHERE pos = 1
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_streak",
+        win_streak,
+        WIN_STREAK_ORACLE,
+        doc="Gaps-and-islands longest consecutive-day streak per user.",
+        tags=("window",),
+    )
+)

@@ -83,6 +83,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "(engine addition: exact heavy hitters, two-phase)": ["agg_heavy_hitters"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
+        "(engine addition: exact distinct via mergeable bitmaps)": [
+            "agg_bitmap_distinct"
+        ],
     },
     "§2.8 Sort / top-k / windows": {
         "sort_remote_score_desc": ["sort_remote_score_desc"],
@@ -102,6 +105,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_ewma",
             "sort_topk",
             "win_count_distinct",
+            "win_streak",
         ],
     },
     "§2.9 Scalar functions": {
@@ -150,6 +154,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
         "prefix-filtered set-similarity join (PPJoin)": ["dedup_jaccard_prefix"],
+        "exact-substring span detection (shared 8-token grams)": [
+            "dedup_substring_spans"
+        ],
         "edit-distance entity resolution": ["dedup_levenshtein"],
         "embedding cosine": ["dedup_embedding_cosine"],
         "eval-set decontamination": ["dedup_decontaminate"],
@@ -163,6 +170,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "class prototypes (exact centroid components)": ["sim_label_centroids"],
         "nearest-centroid classification": ["sim_centroid_assign"],
         "K-means clustering (unrolled Lloyd iterations)": ["sim_kmeans"],
+        "product-quantization ANN (PQ codes + ADC lookup)": ["sim_pq_adc"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": ["mm_decode_meta", "mm_feature_extract"],
@@ -185,12 +193,16 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "per-source mixture sampling (dataset composition)": ["wf_data_mixture"],
         "unigram surprisal quality score (perplexity proxy)": ["text_surprisal"],
         "model-based quality classifier (linear, exact sigmoid)": ["text_quality_logreg"],
+        "dataset-card corpus report (rollup margins)": ["dq_corpus_report"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
         "stratified (per-class rates)": ["sample_stratified"],
         "train/val/test split with checksum audit": ["split_train_test"],
         "content-hash global shuffle into N stable shards": ["wf_shuffle_shard"],
+        "weighted sample w/o replacement (Efraimidis-Spirakis keys)": [
+            "sample_reservoir"
+        ],
     },
     "Engine: general SQL surface (beyond the reference)": {
         "outer joins": ["join_outer_left", "join_outer_full"],
