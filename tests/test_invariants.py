@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from conftest import SF_SMOKE
+from conftest import SF_CORRECTNESS, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -241,3 +241,22 @@ def test_corpus_prep_cluster_survivor_not_lost(spark, specs):
     for cid, members in by_cluster.items():
         n_kept = len(members & kept)
         assert n_kept <= 1, (cid, members & kept)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, specs):
+    """PQ with 4 subspaces × 16 codewords is lossy by design —
+    the fixture embeddings are unclustered random unit vectors, the
+    hardest case for quantization, and measured top-5 recall is ~0.3
+    at sf0.01. The floor (0.15) sits 2× under that but 15× above the
+    random-chance overlap (5/499 ≈ 1%), so a regression to garbage
+    codes still fails loudly. Run at sf0.01 where chance is tiny;
+    also: a query must never pair with itself."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["sim_topk_bruteforce"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    pq_rows = specs["sim_pq_adc"].fn(spark, SF_CORRECTNESS).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    assert all(q != n for q, n in pq)
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.15, f"PQ recall {recall:.2f} below floor"

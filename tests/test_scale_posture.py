@@ -258,3 +258,46 @@ def test_cdc_upsert_is_single_shuffle(spark):
     )
     assert simple.count("Exchange") == 1, simple
     assert "SinglePartition" not in simple
+
+
+def test_topk_group_agg_has_no_window(spark):
+    """The aggregation-based top-k must never fall back to a ranking
+    window (that would reintroduce the per-group sort it exists to
+    avoid)."""
+    from database_scan_spark.operators.analytics_extra import topk_group_agg
+
+    plan = _plan(topk_group_agg(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_reservoir_is_take_ordered(spark):
+    """Weighted reservoir selection must compile to per-task top-k
+    heaps (TakeOrderedAndProject), not Sort+Limit."""
+    from database_scan_spark.operators.sampling import sample_reservoir
+
+    plan = _plan(sample_reservoir(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_pq_broadcasts_codebook_and_lut(spark):
+    """PQ search must broadcast the codebook and the query LUT; the
+    corpus side must never be broadcast or cross-joined."""
+    from database_scan_spark.operators.similarity import sim_pq_adc
+
+    plan = _plan(sim_pq_adc(spark, SF_SMOKE))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_mv_incremental_scans_orders_once(spark):
+    """The refresh plan reads the materialized base from scratch
+    parquet + ONE delta scan of orders — a second full-orders scan
+    would mean the 'incremental' view recomputes from scratch."""
+    from database_scan_spark.operators.analytics_extra import wf_mv_incremental
+
+    plan = _plan(wf_mv_incremental(spark, SF_SMOKE))
+    orders_scans = plan.count("orders.parquet")
+    assert orders_scans == 1, f"expected 1 orders scan, saw {orders_scans}"
+    assert "mv_customer_orders" in plan
