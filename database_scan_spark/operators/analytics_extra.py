@@ -655,3 +655,296 @@ SPECS.append(
         tags=("llm", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_snapshot_diff — table-diff audit between two snapshot versions
+# ---------------------------------------------------------------------------
+
+
+def wf_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff audit: version B of the orders table
+    is derived deterministically from version A (hash-selected
+    updates, deletes, and inserts — the same synthetic-CDC discipline
+    as ``wf_cdc_upsert``), and the diff classifies every key as
+    added / removed / changed / unchanged with per-class counts and
+    exact value checksums. ONE full-outer shuffle join on the key +
+    one tiny aggregate — the shape of a 100 TB table-reconciliation
+    job (e.g. validating a migration or replication lag), where the
+    classification must never materialize per-row output, only the
+    audit summary."""
+    a = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price_a")
+    )
+    key_h = h32(F.col("o_orderkey").cast("string"))
+    b = (
+        load(spark, sf_dir, "orders")
+        # deletes: drop every key with h%17 == 0
+        .filter(key_h % 17 != 0)
+        # updates: reprice every key with h%20 == 0
+        .select(
+            "o_orderkey",
+            F.when(
+                key_h % 20 == 0,
+                F.round(
+                    F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1), 2
+                ).cast("decimal(18,2)"),
+            )
+            .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("price_b"),
+        )
+        # inserts: a shifted-key copy of every key with h%23 == 0
+        .unionByName(
+            load(spark, sf_dir, "orders")
+            .filter(key_h % 23 == 0)
+            .select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price_b"),
+            )
+        )
+    )
+    diff = a.join(b, "o_orderkey", "full_outer").select(
+        F.when(F.col("price_a").isNull(), F.lit("added"))
+        .when(F.col("price_b").isNull(), F.lit("removed"))
+        .when(F.col("price_a") != F.col("price_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce(F.col("price_b"), F.col("price_a")).alias("price"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("price").cast("double").alias("price_checksum"),
+    )
+
+
+_H32_ORDERKEY = "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+
+WF_SNAPSHOT_DIFF_ORACLE = f"""
+WITH a AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_a FROM orders
+),
+b AS (
+    SELECT o_orderkey,
+           CASE WHEN {_H32_ORDERKEY} % 20 = 0
+                THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                          AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price_b
+    FROM orders WHERE {_H32_ORDERKEY} % 17 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_b
+    FROM orders WHERE {_H32_ORDERKEY} % 23 = 0
+),
+diff AS (
+    SELECT CASE WHEN a.price_a IS NULL THEN 'added'
+                WHEN b.price_b IS NULL THEN 'removed'
+                WHEN a.price_a != b.price_b THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COALESCE(b.price_b, a.price_a) AS price
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(price) AS DOUBLE) AS price_checksum
+FROM diff GROUP BY change_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_snapshot_diff",
+        wf_snapshot_diff,
+        WF_SNAPSHOT_DIFF_ORACLE,
+        doc="Snapshot reconciliation: added/removed/changed audit with checksums.",
+        tags=("workflow", "quality"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_psi — population-stability-index distribution drift monitor
+# ---------------------------------------------------------------------------
+
+PSI_REF_END = "1998-01-01"
+PSI_CUR_START = "2000-01-01"
+
+
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time windows of order
+    values — the standard drift monitor between a training snapshot
+    and serving traffic. Decile breaks come from ONE exact-percentile
+    aggregate over the reference window (a single broadcast row);
+    every row's bucket is then a pure expression (sum of 9
+    comparisons — no per-row join, no sort), and the per-bucket
+    shares + PSI terms are one aggregate per window. Scale shape:
+    two filtered scans + two 10-group aggregates; the breaks row is
+    the only data movement besides the final combine."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", F.col("o_totalprice").cast("double").alias("x")
+    )
+    ref = orders.filter(F.col("o_orderdate") < F.lit(PSI_REF_END).cast("timestamp"))
+    cur = orders.filter(
+        F.col("o_orderdate") >= F.lit(PSI_CUR_START).cast("timestamp")
+    )
+    breaks = ref.agg(
+        *[
+            F.expr(f"percentile(x, {i / 10.0})").alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        bucket = F.lit(1)
+        for i in range(1, 10):
+            bucket = bucket + (F.col("x") > F.col(f"b{i}")).cast("int")
+        return (
+            df.crossJoin(F.broadcast(breaks))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ra = bucketed(ref).select("bucket", F.col("n").alias("n_ref"))
+    ca = bucketed(cur).select("bucket", F.col("n").alias("n_cur"))
+    joined = (
+        ra.join(ca, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(1e-6))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(1e-6))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+_PSI_BREAKS = ", ".join(
+    f"percentile_cont({i / 10.0}) WITHIN GROUP (ORDER BY x) AS b{i}"
+    for i in range(1, 10)
+)
+_PSI_BUCKET = "1 + " + " + ".join(
+    f"CASE WHEN x > b{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+)
+
+DQ_DRIFT_PSI_ORACLE = f"""
+WITH ref AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+    WHERE o_orderdate < TIMESTAMP '{PSI_REF_END} 00:00:00'
+),
+cur AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{PSI_CUR_START} 00:00:00'
+),
+breaks AS (SELECT {_PSI_BREAKS} FROM ref),
+ra AS (
+    SELECT {_PSI_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+    FROM ref, breaks GROUP BY 1
+),
+ca AS (
+    SELECT {_PSI_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+    FROM cur, breaks GROUP BY 1
+),
+joined AS (
+    SELECT COALESCE(ra.bucket, ca.bucket) AS bucket,
+           COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+    FROM ra FULL OUTER JOIN ca ON ra.bucket = ca.bucket
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM joined)
+SELECT bucket, n_ref, n_cur,
+       round(greatest(n_ref * 1.0 / t_ref, 1e-6), 6) AS p_ref,
+       round(greatest(n_cur * 1.0 / t_cur, 1e-6), 6) AS p_cur,
+       round((greatest(n_cur * 1.0 / t_cur, 1e-6) - greatest(n_ref * 1.0 / t_ref, 1e-6))
+             * ln(greatest(n_cur * 1.0 / t_cur, 1e-6) / greatest(n_ref * 1.0 / t_ref, 1e-6)),
+             6) AS psi_term
+FROM joined, tot
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_drift_psi",
+        dq_drift_psi,
+        DQ_DRIFT_PSI_ORACLE,
+        doc="PSI distribution-drift monitor between two time windows.",
+        tags=("quality",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# filter_winsorize — percentile clipping (data cleaning)
+# ---------------------------------------------------------------------------
+
+
+def filter_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip (not drop, unlike the IQR gate) order
+    values to each priority class's [p01, p99]: one exact-percentile
+    aggregate broadcast onto the scan, then a clamp expression and
+    the before/after audit per class. The clamp is a narrow map; the
+    only shuffles are the tiny fence aggregate and the final
+    per-class audit."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("x")
+    )
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(x, 0.01)").alias("lo"),
+        F.expr("percentile(x, 0.99)").alias("hi"),
+    )
+    clipped = orders.join(F.broadcast(fences), "o_orderpriority").select(
+        "o_orderpriority",
+        "x",
+        F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("xc"),
+    )
+    # DECIMAL sums (x has 2 decimals; clipped values are percentile
+    # interpolations quantized to 6) keep the unordered partial
+    # aggregation deterministic — double avg() would not be
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("x") != F.col("xc")).cast("long")).alias("n_clipped"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,2)")) / F.count(F.lit(1)), 6
+        ).cast("double").alias("mean_before"),
+        F.round(
+            F.sum(F.col("xc").cast("decimal(18,6)")) / F.count(F.lit(1)), 6
+        ).cast("double").alias("mean_after"),
+    )
+
+
+FILTER_WINSORIZE_ORACLE = """
+WITH o AS (
+    SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x FROM orders
+),
+fences AS (
+    SELECT o_orderpriority,
+           percentile_cont(0.01) WITHIN GROUP (ORDER BY x) AS lo,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY x) AS hi
+    FROM o GROUP BY o_orderpriority
+),
+clipped AS (
+    SELECT o.o_orderpriority, x, least(greatest(x, lo), hi) AS xc
+    FROM o JOIN fences USING (o_orderpriority)
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN x != xc THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(round(SUM(CAST(x AS DECIMAL(18,2))) / COUNT(*), 6) AS DOUBLE) AS mean_before,
+       CAST(round(SUM(CAST(xc AS DECIMAL(18,6))) / COUNT(*), 6) AS DOUBLE) AS mean_after
+FROM clipped GROUP BY o_orderpriority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "filter_winsorize",
+        filter_winsorize,
+        FILTER_WINSORIZE_ORACLE,
+        doc="Percentile clipping with per-class before/after audit.",
+        tags=("quality",),
+    )
+)

@@ -224,6 +224,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "market-basket association rules (support/lift)": ["analytic_market_basket"],
         "Benford first-digit audit": ["dq_benford"],
         "A/B significance test (deterministic buckets, Welch z)": ["analytic_ab_test"],
+        "PSI distribution-drift monitor": ["dq_drift_psi"],
+        "winsorization (percentile clipping audit)": ["filter_winsorize"],
+        "snapshot diff / table reconciliation audit": ["wf_snapshot_diff"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
