@@ -948,3 +948,97 @@ SPECS.append(
         tags=("quality",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_linreg — per-group simple linear regression from exact moments
+# ---------------------------------------------------------------------------
+
+LINREG_EPOCH = "1995-01-01"
+
+
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value trend per customer nation: slope / intercept / r²
+    of o_totalprice against order date (days since 1995-01-01), from
+    the five sufficient moments (n, Σx, Σy, Σxx, Σxy, Σyy) — x is an
+    integer day and y a 2-decimal DECIMAL, so every moment is EXACT
+    and the unordered partial aggregation is deterministic; doubles
+    appear only in the final closed-form ratios (identical
+    expressions both engines, rounded 6dp).
+
+    Scale shape: one broadcast dim join + ONE moment aggregate —
+    regression over a 100 TB fact never materializes per-point
+    residuals; r² falls out of the same six sums."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pts = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        F.datediff(F.col("o_orderdate"), F.lit(LINREG_EPOCH).cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    m = pts.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return m.select(
+        "c_nationkey",
+        F.col("n"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+AGG_LINREG_ORACLE = f"""
+WITH pts AS (
+    SELECT c_nationkey,
+           CAST(datediff('day', TIMESTAMP '{LINREG_EPOCH} 00:00:00', o_orderdate)
+                AS BIGINT) AS x,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+    FROM pts GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_linreg",
+        agg_linreg,
+        AGG_LINREG_ORACLE,
+        doc="Per-group OLS slope/intercept/r2 from exact sufficient moments.",
+        tags=("analytic", "agg"),
+    )
+)

@@ -227,6 +227,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "PSI distribution-drift monitor": ["dq_drift_psi"],
         "winsorization (percentile clipping audit)": ["filter_winsorize"],
         "snapshot diff / table reconciliation audit": ["wf_snapshot_diff"],
+        "per-group OLS regression from exact moments": ["agg_linreg"],
     },
     "Engine: flagship + composite + storage": {
         "flagship 6-step traversal": ["candidate_parts"],
