@@ -222,3 +222,40 @@ FROM supplier GROUP BY s_nationkey
 SPECS.append(
     QuerySpec("fn_string_agg", fn_string_agg, FN_STRING_AGG_ORACLE, tags=("functions",))
 )
+
+
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: the reference's KeyValue/KeyValueArray
+    annotations (``opentargets.schema:844-851``) map to Spark
+    ``MapType`` (SURVEY §1.3). The events ``props`` JSON parses into
+    a map<string,bigint> (``from_json`` — schema-on-read like the
+    reference's dict navigation), then map functions derive scalars:
+    cardinality, key lookup, sorted key list. All JVM expressions in
+    one codegen span over the scan."""
+    ev = load(spark, sf_dir, "events")
+    mp = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(mp).cast("int").alias("n_keys"),
+        F.element_at(mp, "k").alias("k_value"),
+        F.array_join(F.array_sort(F.map_keys(mp)), ",").alias("keys_csv"),
+    )
+
+
+FN_MAP_OPS_ORACLE = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_map_ops",
+        fn_map_ops,
+        FN_MAP_OPS_ORACLE,
+        doc="MapType surface: JSON props as map<string,long>, map fn scalars.",
+        tags=("functions",),
+    )
+)

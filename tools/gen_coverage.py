@@ -115,11 +115,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "fn_coalesce": ["fn_coalesce"],
         "fn_json_get": ["fn_json_get", "proj_json_path"],
         "fn_json_pretty": ["fn_json_pretty"],
-        "(engine additions: str/date/array)": [
+        "(engine additions: str/date/array/map)": [
             "fn_str_ops",
             "fn_date_ops",
             "fn_array_ops",
             "fn_string_agg",
+            "fn_map_ops",
         ],
     },
     "§2.10 UDF surface": {
