@@ -421,3 +421,110 @@ SPECS.append(
         tags=("stream", "sink"),
     )
 )
+
+
+def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance — the
+    streaming twin of ``wf_mv_incremental``: events arrive as FOUR
+    separate files (split once by event_id range, maxFilesPerTrigger=1
+    → four real micro-batches), and each ``foreachBatch`` merges the
+    batch's per-user partial aggregate into a VERSIONED parquet view
+    (read previous version ∪ batch partials → re-aggregate → write
+    next version). No micro-batch ever rescans the event history —
+    state lives in the view, counts add, DECIMAL sums add. The final
+    version must equal the full-history aggregate (the oracle), which
+    is exactly the invariant a production incremental pipeline
+    monitors. Versioned directories double as the idempotence story:
+    re-delivery of batch N rewrites version N, never duplicates."""
+    import glob  # noqa: PLC0415
+
+    root = workdir(sf_dir, "stream_mv_refresh")
+    src_dir = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        # modulo split: four deterministic arrival batches, no driver
+        # materialization needed to find range bounds
+        for i in range(4):
+            (
+                ev.filter(F.col("event_id") % 4 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+        # flatten: FileStreamSource lists one directory of files
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(src_dir, "part*", "*.parquet")))
+        ):
+            os.replace(f, os.path.join(src_dir, f"events_{i}.parquet"))
+        for i in range(4):
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    mv_root = os.path.join(root, "mv")
+    ckpt = os.path.join(root, "checkpoint")
+    shutil.rmtree(mv_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+        )
+        versions = sorted(glob.glob(os.path.join(mv_root, "v*")))
+        if versions:
+            prev = sess.read.parquet(versions[-1])
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_sum")
+                    .cast("decimal(18,2)")
+                    .alias("value_sum"),
+                )
+            )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(mv_root, f"v{batch_id:05d}")
+        )
+
+    stream = (
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("user_id", "value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sorted(glob.glob(os.path.join(mv_root, "v*")))[-1]
+    return spark.read.parquet(final).select(
+        "user_id",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
+STREAM_MV_REFRESH_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_mv_refresh",
+        stream_mv_refresh,
+        STREAM_MV_REFRESH_ORACLE,
+        doc="foreachBatch incremental MV: 4 micro-batches merge partial aggregates",
+        tags=("stream", "workflow"),
+    )
+)

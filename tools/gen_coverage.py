@@ -147,6 +147,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "streaming dedup": ["stream_dedup"],
         "stream-stream interval join": ["stream_stream_interval_join"],
         "foreachBatch idempotent sink": ["stream_foreach_batch_sink"],
+        "streaming incremental MV maintenance": ["stream_mv_refresh"],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
