@@ -301,3 +301,27 @@ def test_mv_incremental_scans_orders_once(spark):
     orders_scans = plan.count("orders.parquet")
     assert orders_scans == 1, f"expected 1 orders scan, saw {orders_scans}"
     assert "mv_customer_orders" in plan
+
+
+def test_salting_balances_synthesized_hot_key(spark):
+    """The fixtures are uniform, so exercise the salting math on a
+    synthesized 90%-hot-key distribution: after salting with the same
+    pmod(hash(...), 8) expression join_salted uses, the hot key's
+    rows must spread across all 8 shards with no shard holding more
+    than 2x its fair share — the property that turns one straggler
+    reducer into 8 parallel ones at cluster scale."""
+    n, n_salts = 100_000, 8
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(42)).otherwise(F.col("id")).alias("key"),
+        F.col("id").alias("tiebreak"),
+    )
+    salted = df.withColumn(
+        "salt", F.pmod(F.hash("key", "tiebreak"), F.lit(n_salts))
+    )
+    counts = [
+        r["count"]
+        for r in salted.filter(F.col("key") == 42).groupBy("salt").count().collect()
+    ]
+    hot_total = sum(counts)
+    assert len(counts) == n_salts, "hot key must land on every shard"
+    assert max(counts) < 2 * hot_total / n_salts, f"unbalanced shards: {counts}"
