@@ -770,3 +770,114 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN pattern: PQ-ADC
+    generates a cheap top-20 candidate list per query (stage 1, codes
+    only), then ONLY those candidates are re-ranked by exact cosine
+    over the original vectors (stage 2, a semi-join-sized exact
+    computation). At 100 TB the exact pass touches 20 vectors per
+    query instead of the corpus — the PQ index bounds the expensive
+    work. Output is the exact-cosine top-5 of the PQ candidates;
+    deterministic end to end, same DuckDB twin shape."""
+    pq_top = 20
+    candidates = (
+        sim_pq_adc_topn(spark, sf_dir, pq_top)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sim_pq_adc_topn(spark: SparkSession, sf_dir: str, top_n: int) -> DataFrame:
+    """PQ-ADC candidate generation with a parameterized list size
+    (the body of ``sim_pq_adc`` minus the fixed top-k)."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    codebook = _pq_subvectors(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PQ_K),
+        "vec_id",
+        "code_id",
+    ).select("code_id", "m", F.col("sub").alias("cw"))
+    corpus_sub = _pq_subvectors(emb, "vec_id", "neighbor_id")
+    l2 = F.round(
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("cw"))
+        + _dot(F.col("cw"), F.col("cw")),
+        6,
+    )
+    w_assign = Window.partitionBy("neighbor_id", "m").orderBy(
+        F.asc("l2"), F.asc("code_id")
+    )
+    codes = (
+        corpus_sub.join(F.broadcast(codebook), "m")
+        .withColumn("l2", l2)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "m", F.col("code_id").alias("code"))
+    )
+    query_sub = _pq_subvectors(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
+        "vec_id",
+        "query_id",
+    )
+    lut = query_sub.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("code_id").alias("code"),
+        F.round(_dot(F.col("sub"), F.col("cw")), 6).alias("val"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("val"), 6).alias("approx_sim"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def _pq_rerank_oracle() -> str:
+    inner = SIM_PQ_ADC_ORACLE.replace(
+        f"WHERE rank <= {PQ_TOP_K}", "WHERE rank <= 20"
+    )
+    return f"""
+WITH pq AS ({inner})
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT pq.query_id, pq.neighbor_id,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY pq.query_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        pq.neighbor_id ASC) AS rank
+    FROM pq
+    JOIN embeddings q ON q.vec_id = pq.query_id
+    JOIN embeddings c ON c.vec_id = pq.neighbor_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_pq_rerank",
+        sim_pq_rerank,
+        _pq_rerank_oracle(),
+        doc="Two-stage retrieval: PQ candidate list, exact-cosine rerank.",
+        tags=("llm", "similarity"),
+    )
+)

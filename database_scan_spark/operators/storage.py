@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
-from ._helpers import workdir
+from ._helpers import h32, workdir
 
 
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,5 +374,95 @@ SPECS.append(
         SINK_ZORDER_WRITE_ORACLE,
         doc="Morton/Z-order 2-D clustered layout for multi-dim file skipping",
         tags=("core", "storage"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# wf_delete_compliance — targeted hard delete with audit (GDPR shape)
+# ---------------------------------------------------------------------------
+
+
+def wf_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure hard delete: a deterministic deletion list
+    (hash-selected customers — standing in for DSR requests) is
+    anti-joined out of both the customer dim and their orders, the
+    purged copies are REWRITTEN to scratch parquet (the physical
+    erasure — filtering a view is not deletion), and the returned
+    audit row proves from the REWRITTEN files what was removed and
+    what survived, with a DECIMAL checksum. Scale shape: broadcast
+    anti-joins (the deletion list is always small), one rewrite of
+    affected data, audit aggregates over the new files only."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    del_keys = cust.filter(
+        h32(F.col("c_custkey").cast("string")) % 50 == 0
+    ).select("c_custkey")
+
+    out_c = os.path.join(workdir(sf_dir, "compliance"), "customer_purged")
+    out_o = os.path.join(workdir(sf_dir, "compliance"), "orders_purged")
+    cust.join(F.broadcast(del_keys), "c_custkey", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(out_c)
+    orders.join(
+        F.broadcast(del_keys),
+        orders.o_custkey == del_keys.c_custkey,
+        "left_anti",
+    ).write.mode("overwrite").parquet(out_o)
+
+    pc = spark.read.parquet(out_c)
+    po = spark.read.parquet(out_o)
+    return (
+        pc.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customer_kept").alias("metric"), F.col("n").cast("double").alias("value"))
+        .unionByName(
+            po.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("orders_kept").alias("metric"), F.col("n").cast("double").alias("value")
+            )
+        )
+        .unionByName(
+            po.agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("v")
+            ).select(F.lit("orders_kept_checksum").alias("metric"), F.col("v").alias("value"))
+        )
+        .unionByName(
+            pc.join(F.broadcast(del_keys), "c_custkey", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("deleted_still_present").alias("metric"),
+                F.col("n").cast("double").alias("value"),
+            )
+        )
+    )
+
+
+_H32_CUSTKEY = "('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT"
+
+WF_DELETE_COMPLIANCE_ORACLE = f"""
+WITH del AS (SELECT c_custkey FROM customer WHERE {_H32_CUSTKEY} % 50 = 0)
+SELECT 'customer_kept' AS metric,
+       CAST((SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT c_custkey FROM del)) AS DOUBLE) AS value
+UNION ALL
+SELECT 'orders_kept',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS DOUBLE)
+UNION ALL
+SELECT 'orders_kept_checksum',
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS DOUBLE)
+UNION ALL
+SELECT 'deleted_still_present', CAST(0 AS DOUBLE)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_delete_compliance",
+        wf_delete_compliance,
+        WF_DELETE_COMPLIANCE_ORACLE,
+        doc="targeted hard delete: broadcast anti-join purge, rewritten files, audit",
+        tags=("workflow", "storage"),
     )
 )

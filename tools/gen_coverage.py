@@ -173,6 +173,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "nearest-centroid classification": ["sim_centroid_assign"],
         "K-means clustering (unrolled Lloyd iterations)": ["sim_kmeans"],
         "product-quantization ANN (PQ codes + ADC lookup)": ["sim_pq_adc"],
+        "two-stage retrieval (PQ candidates, exact rerank)": ["sim_pq_rerank"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": ["mm_decode_meta", "mm_feature_extract"],
@@ -267,6 +268,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
+        "compliance hard delete (purge + rewrite + audit)": ["wf_delete_compliance"],
     },
 }
 
