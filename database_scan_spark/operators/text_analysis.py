@@ -675,7 +675,9 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(ttr, 6).alias("ttr"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(z, 6).alias("logit"),
+        # + 0.0 canonicalizes IEEE −0.0 (a z in (−5e-7, 0) rounds to
+        # the zero whose SIGN differs between engines' round())
+        (F.round(z, 6) + F.lit(0.0)).alias("logit"),
         F.round(score, 6).alias("score"),
         (z >= 0).alias("keep"),
     )
@@ -702,7 +704,7 @@ z AS (
 SELECT doc_id, source,
        round(ttr, 6) AS ttr,
        round(stop_ratio, 6) AS stopword_ratio,
-       round(logit, 6) AS logit,
+       round(logit, 6) + 0.0 AS logit,
        round(0.5 + 0.5 * logit / (1.0 + abs(logit)), 6) AS score,
        logit >= 0 AS keep
 FROM z
