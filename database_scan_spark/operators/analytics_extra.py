@@ -224,10 +224,12 @@ def fn_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's max_by is otherwise nondeterministic on duplicate keys
     (same SURVEY.md §1.4 trap as the reference's positional
     ``rows[0]`` pick). The mode uses the same argmax trick over
-    (count, nationkey)."""
+    (count, nationkey). The 1e12 multiplier keeps the pack a total
+    order while c_custkey < 1e12 (SF ≲ 6.7M; TPC-H cents ≲ 1e6 so
+    cents*1e12 ≤ 1e18 stays inside BIGINT)."""
     cust = load(spark, sf_dir, "customer")
     key = (
-        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(10_000_000)
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(1_000_000_000_000)
         + F.col("c_custkey")
     )
     extremes = cust.groupBy("c_mktsegment").agg(
@@ -253,7 +255,7 @@ def fn_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_MINMAX_BY_ORACLE = """
 WITH keyed AS (
-    SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS k
+    SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey AS k
     FROM customer
 ),
 extremes AS (
@@ -894,9 +896,12 @@ def filter_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("x")
     )
+    # Fences rounded to 6dp on BOTH engines: the interpolated
+    # percentile is the one value here computed in floating point, and
+    # a 1-ulp Spark-vs-DuckDB difference must not leak into the clamp.
     fences = orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(x, 0.01)").alias("lo"),
-        F.expr("percentile(x, 0.99)").alias("hi"),
+        F.round(F.expr("percentile(x, 0.01)"), 6).alias("lo"),
+        F.round(F.expr("percentile(x, 0.99)"), 6).alias("hi"),
     )
     clipped = orders.join(F.broadcast(fences), "o_orderpriority").select(
         "o_orderpriority",
@@ -924,8 +929,8 @@ WITH o AS (
 ),
 fences AS (
     SELECT o_orderpriority,
-           percentile_cont(0.01) WITHIN GROUP (ORDER BY x) AS lo,
-           percentile_cont(0.99) WITHIN GROUP (ORDER BY x) AS hi
+           round(percentile_cont(0.01) WITHIN GROUP (ORDER BY x), 6) AS lo,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY x), 6) AS hi
     FROM o GROUP BY o_orderpriority
 ),
 clipped AS (

@@ -233,11 +233,16 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, key lookup, sorted key list. All JVM expressions in
     one codegen span over the scan."""
     ev = load(spark, sf_dir, "events")
-    mp = F.from_json("props", "map<string,bigint>")
+    # Parse as map<string,string> then cast the looked-up value: a
+    # single non-integer value must not null the WHOLE map (it would
+    # under map<string,bigint>), and size() is null-guarded so a
+    # null/unparseable props row yields NULL like the oracle's
+    # len(json_keys(...)) — not legacy sizeOfNull's -1.
+    mp = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.size(mp).cast("int").alias("n_keys"),
-        F.element_at(mp, "k").alias("k_value"),
+        F.when(mp.isNotNull(), F.size(mp)).cast("int").alias("n_keys"),
+        F.element_at(mp, "k").cast("bigint").alias("k_value"),
         F.array_join(F.array_sort(F.map_keys(mp)), ",").alias("keys_csv"),
     )
 
@@ -245,7 +250,7 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_MAP_OPS_ORACLE = """
 SELECT event_id,
        CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
 FROM events
 """

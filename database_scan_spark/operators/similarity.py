@@ -660,58 +660,11 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on (m, code) with a 4-term sum, all JVM expressions. Exact
     cosine re-ranking of the PQ top list (as IVF does) would bolt on
     the same way. Deterministic end-to-end (rounded 6dp, id
-    tiebreaks) → hash-matched DuckDB twin."""
-    emb = spread(load(spark, sf_dir, "embeddings"))
-    codebook = _pq_subvectors(
-        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PQ_K),
-        "vec_id",
-        "code_id",
-    ).select("code_id", "m", F.col("sub").alias("cw"))
+    tiebreaks) → hash-matched DuckDB twin.
 
-    corpus_sub = _pq_subvectors(emb, "vec_id", "neighbor_id")
-    l2 = F.round(
-        _dot(F.col("sub"), F.col("sub"))
-        - 2 * _dot(F.col("sub"), F.col("cw"))
-        + _dot(F.col("cw"), F.col("cw")),
-        6,
-    )
-    w_assign = Window.partitionBy("neighbor_id", "m").orderBy(
-        F.asc("l2"), F.asc("code_id")
-    )
-    codes = (
-        corpus_sub.join(F.broadcast(codebook), "m")
-        .withColumn("l2", l2)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "m", F.col("code_id").alias("code"))
-    )
-
-    query_sub = _pq_subvectors(
-        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
-        "vec_id",
-        "query_id",
-    )
-    lut = (
-        query_sub.join(F.broadcast(codebook), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("code_id").alias("code"),
-            F.round(_dot(F.col("sub"), F.col("cw")), 6).alias("val"),
-        )
-    )
-
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_sim"), F.asc("neighbor_id")
-    )
-    return (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("val"), 6).alias("approx_sim"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
-        .filter(F.col("rank") <= PQ_TOP_K)
-    )
+    The whole PQ pipeline lives once in ``sim_pq_adc_topn``; this is
+    that plan at the fixed headline top-k."""
+    return sim_pq_adc_topn(spark, sf_dir, PQ_TOP_K)
 
 
 SIM_PQ_ADC_ORACLE = f"""

@@ -104,6 +104,69 @@ def _load_all() -> None:
 _load_all()
 
 
+# --- driver-window rotation (VERDICT r1, item 1) -------------------------
+#
+# The driver's CORRECTNESS check covers the FIRST 50 registry entries per
+# round. Round 1 verified exactly the 50 names below; 155 queries had only
+# the local parity suite. We therefore rotate: queries never yet verified
+# by the driver sort first (north-star families leading), already-verified
+# ones sort last. After each round, append that round's newly-verified
+# names to ``_DRIVER_VERIFIED`` so the window advances. Rotation plan:
+# r2 = dedup/sim/text/mm/stream/pipeline/sampling, r3 = TPC-H + windows +
+# graph/dq, r4 = remaining fn/wf/agg/join surface (see ROADMAP.md).
+
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 1 (CORRECTNESS_r01.json — all three matches green)
+    "candidate_parts", "src_parquet_scan", "src_csv", "src_json_permissive",
+    "src_search", "param_bind", "proj_flatten", "proj_rename_addcol",
+    "proj_json_path", "filter_score_ge", "filter_not_in",
+    "filter_exclude_seed", "filter_null_guard", "limit_first_hit",
+    "dedup_by_id", "dedup_memoize", "join_merge_inner_same_key",
+    "join_merge_inner_diff_keys", "join_lookup_nested_loop",
+    "join_api_foreach", "join_multi_hop", "set_difference",
+    "set_intersection", "set_union_accumulate", "set_membership",
+    "agg_count_distinct", "agg_group_sums", "agg_rollup", "agg_cube",
+    "sort_topk", "topk_per_group", "src_graphql_post", "src_rest_get",
+    "filter_http_status", "catalog", "paginate", "sink_csv", "sink_stdout",
+    "proj_graphql_fields", "proj_drop", "wf_rate_limit", "wf_quality_gate",
+    "agg_count", "sort_remote_score_desc", "topk_first", "fn_str_replace",
+    "fn_str_strip", "fn_json_get", "udf_molecule_name",
+    "src_python_datasource",
+})
+
+# Unverified queries sort by family, north-star first; ties keep
+# registration order. Families past the window land in later rounds.
+_FAMILY_ORDER: tuple[str, ...] = (
+    "dedup_", "sim_", "text_", "mm_", "stream_", "pipeline_",
+    "sample_", "split_", "wf_shuffle", "udtf_",
+    "tpch_", "win_", "graph_", "dq_",
+    "agg_", "join_", "analytic_", "wf_", "fn_", "filter_", "subquery_",
+    "sql_", "grouped_", "funnel_", "cohort_", "topk_", "sink_", "src_",
+    "udf_", "proj_",
+)
+
+
+def _family_rank(name: str) -> int:
+    for i, prefix in enumerate(_FAMILY_ORDER):
+        if name.startswith(prefix):
+            return i
+    return len(_FAMILY_ORDER)
+
+
+def _rotate() -> None:
+    order = {id(s): i for i, s in enumerate(SPECS)}
+    SPECS.sort(
+        key=lambda s: (
+            s.name in _DRIVER_VERIFIED,
+            _family_rank(s.name),
+            order[id(s)],
+        )
+    )
+
+
+_rotate()
+
+
 def get(name: str) -> QuerySpec:
     for s in SPECS:
         if s.name == name:

@@ -46,6 +46,10 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     TIMESTAMP(MICROS) (TIMESTAMP_NTZ) across fixture generations —
     probe the batch reader's view of the footer so the stream schema
     always matches the files."""
+    # Self-apply the nanos conf: a standalone job whose first events
+    # read is THIS probe (e.g. stream_mv_refresh in a fresh session)
+    # would otherwise throw on the TIMESTAMP(NANOS) fixture generation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
     return T.StructType(
         [
