@@ -39,7 +39,7 @@ broadcast. No collects, no driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -89,12 +89,14 @@ def candidate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Step 3 — MainSuppliers = scored edge + threshold. Score is the
     # supplier's seed-revenue share of the max seed revenue (∈ [0,1]).
+    # The global max is a ONE-ROW aggregate broadcast back onto the
+    # rows — not an empty-partition window, which would plan an
+    # Exchange SinglePartition and funnel every row through one task.
     sup_rev = seed_li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev"))
+    max_rev = sup_rev.agg(F.max(F.col("rev").cast("double")).alias("max_rev"))
     main_sups = (
-        sup_rev.withColumn(
-            "score",
-            F.col("rev").cast("double") / F.max(F.col("rev").cast("double")).over(Window.partitionBy()),
-        )
+        sup_rev.crossJoin(F.broadcast(max_rev))
+        .withColumn("score", F.col("rev").cast("double") / F.col("max_rev"))
         .filter(F.col("score") >= MIN_SCORE)
         .select("l_suppkey")
     )
@@ -126,10 +128,14 @@ def candidate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Step 6 — CandidateParts = OtherParts − MainParts (set difference →
     # left_anti, candidate_drugs.py:158), re-enriched with the entity
-    # name via a broadcast lookup (candidate_drugs.py:159-164).
+    # name (candidate_drugs.py:159-164). The part side is pruned to
+    # the 3 projected columns and left UNHINTED: AQE broadcasts it
+    # while it's dimension-sized and switches to a shuffle join at the
+    # SF where a forced broadcast would overwhelm executor memory.
+    part_dim = part.select("p_partkey", "p_name", "p_retailprice")
     return (
         other_parts.join(main_parts, "l_partkey", "left_anti")
-        .join(F.broadcast(part), other_parts.l_partkey == part.p_partkey)
+        .join(part_dim, other_parts.l_partkey == part_dim.p_partkey)
         .select("p_partkey", "p_name", "p_retailprice")
     )
 

@@ -325,3 +325,36 @@ def test_salting_balances_synthesized_hot_key(spark):
     hot_total = sum(counts)
     assert len(counts) == n_salts, "hot key must land on every shard"
     assert max(counts) < 2 * hot_total / n_salts, f"unbalanced shards: {counts}"
+
+
+def test_embedding_cosine_has_no_cartesian(spark):
+    """The exact ball-partition similarity join must never plan an
+    unbounded cross product: candidates come from equi-joins on the
+    cell key; the only nested-loop shapes are the bounded one-row
+    centroid-array broadcasts."""
+    from database_scan_spark.operators.dedup import dedup_embedding_cosine
+
+    plan = _plan(dedup_embedding_cosine(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_levenshtein_blocking_is_hash_join(spark):
+    """The length band must be an equi blocking key (exploded probe
+    lengths), not a non-equi BroadcastNestedLoopJoin over the whole
+    name dictionary — quadratic in vocabulary at scale."""
+    from database_scan_spark.operators.dedup import dedup_levenshtein
+
+    plan = _plan(dedup_levenshtein(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_candidate_parts_no_global_window(spark):
+    """Score normalization must be the one-row agg(max) + broadcast,
+    not an empty-partition window: no Window operator and no
+    full-row SinglePartition funnel in the flagship plan."""
+    from database_scan_spark.plans.candidate_parts import candidate_parts
+
+    plan = _plan(candidate_parts(spark, SF_SMOKE))
+    assert "Window" not in plan

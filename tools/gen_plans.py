@@ -13,7 +13,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHOWCASE = {
     "candidate_parts": "flagship 6-step traversal — expect broadcast joins on "
-    "dim/seed sides, shuffles only for the distinct/agg steps",
+    "dim/seed sides, shuffles only for the distinct/agg steps. The score "
+    "normalization is a one-row agg(max) broadcast back onto the rows: the "
+    "only SinglePartition exchange left is that aggregate's partial-max "
+    "reduce (≤ one row per map task), and there is NO Window operator; the "
+    "part dimension is unhinted (3-column projection) so AQE picks its join "
+    "strategy",
     "agg_group_sums": "TPC-H Q1 shape — expect partial+final HashAggregate "
     "around ONE exchange, filter pushed to the scan",
     "src_parquet_scan": "scan discipline — expect PushedFilters + pruned ReadSchema",
@@ -65,6 +70,15 @@ SHOWCASE = {
     "to read the materialized base from parquet (FileScan on the scratch "
     "path) plus ONLY the delta date-range scan of orders, never a second "
     "full-orders pass",
+    "dedup_embedding_cosine": "ball-partition exact similarity join — "
+    "expect NO CartesianProduct: centroid assignment and the C² cell-pair "
+    "admissibility table are one-row-array broadcast explodes (bounded "
+    "BroadcastNestedLoopJoin), candidate pairs come from hash joins on "
+    "the cell key, exact cosine only on admissible-cell rows",
+    "dedup_levenshtein": "edit-distance blocking — expect hash joins on "
+    "the exploded length-probe key (NO BroadcastNestedLoopJoin): "
+    "|Δlen|≤2 is an equi key via 5 probes per name, distance via the "
+    "bounded levenshtein(…, 2) kernel",
 }
 
 
