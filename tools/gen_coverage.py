@@ -176,7 +176,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "two-stage retrieval (PQ candidates, exact rerank)": ["sim_pq_rerank"],
     },
     "North-star: multimodal": {
-        "decode / feature-extract": ["mm_decode_meta", "mm_feature_extract"],
+        "decode / feature-extract": [
+            "mm_decode_real", "mm_decode_meta", "mm_feature_extract"
+        ],
         "frame sampling": ["mm_frame_sample"],
         "resize plumbing": ["mm_resize_stub"],
     },
