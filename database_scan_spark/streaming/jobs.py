@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import table_path
-from ..operators._helpers import workdir
+from ..operators._helpers import TMP_ROOT, workdir
 from ..spec import QuerySpec
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -227,6 +227,147 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark, sf_dir, "stream_stateful", "update")
 
 
+# ---------------------------------------------------------------------------
+# Custom stateful operator (transformWithStateInPandas, Spark 4 state API)
+# ---------------------------------------------------------------------------
+
+# The TWS driver worker speaks a protobuf protocol
+# (pyspark/sql/streaming/proto/StateMessage_pb2). This container has no
+# pip-installed google.protobuf — the historical "driver worker exited
+# unexpectedly (crashed)" failure was exactly
+#   ImportError: cannot import name 'descriptor' from 'google.protobuf'
+# in transform_with_state_driver_worker.py. A pure-Python protobuf
+# runtime (v6.32.0, plain `google.protobuf` imports) DOES ship on disk
+# inside the gcloud SDK; the StateMessage gencode was built by protoc
+# 6.33, so the runtime's one-minor-older version gate must be relaxed.
+# We stage a patched copy under the engine scratch dir and hand it to
+# the worker via sc.environment["PYTHONPATH"] — captured with the
+# python function at plan-build time, so it works in a VANILLA session
+# with no env prep.
+_PB_DONOR = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+)
+
+
+def _ensure_tws_protobuf(spark: SparkSession) -> None:
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return  # a real runtime is importable; workers inherit it
+    except ImportError:
+        pass
+    shim_root = os.path.join(TMP_ROOT, "pbshim")
+    pkg = os.path.join(shim_root, "google", "protobuf")
+    if not os.path.isdir(pkg):
+        if not os.path.isdir(_PB_DONOR):  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "transformWithStateInPandas needs a google.protobuf runtime; "
+                "none installed and no vendored donor copy found"
+            )
+        os.makedirs(os.path.dirname(pkg), exist_ok=True)
+        shutil.copytree(_PB_DONOR, pkg)
+        open(os.path.join(shim_root, "google", "__init__.py"), "w").close()
+        rv = os.path.join(pkg, "runtime_version.py")
+        src = open(rv).read()
+        head = src.index(":", src.index(")", src.index(
+            "def ValidateProtobufRuntimeVersion("))) + 1
+        open(rv, "w").write(
+            src[:head]
+            + "\n  return  # shim: tolerate 6.33 gencode on this 6.32 runtime\n"
+            + src[head:]
+        )
+    env = spark.sparkContext.environment
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if shim_root not in parts:
+        env["PYTHONPATH"] = os.pathsep.join([shim_root, *parts])
+
+
+def _running_total_processor():
+    """StatefulProcessor for transformWithStateInPandas. Defined in a
+    closure factory so cloudpickle ships the class by value."""
+    from pyspark.sql import types as _T  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState(
+                "totals",
+                _T.StructType(
+                    [
+                        _T.StructField("n", _T.LongType()),
+                        _T.StructField("cents", _T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+            n, cents = (
+                self.state.get() if self.state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self.state.update((n, cents))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    return RunningTotal()
+
+
+def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 arbitrary-state API (transformWithStateInPandas) over
+    the event stream: one ValueState row per user holding (count,
+    integer-cents total). Sums are kept in int64 cents so the result
+    is order-independent — the whole pipeline is deterministic and the
+    single availableNow batch emits exactly one row per user, giving a
+    plain SQL oracle (unlike the applyInPandasWithState twin
+    ``stream_stateful_user_totals``, whose float accumulators are
+    checked rows-only). Requires a google.protobuf runtime for the
+    state-server protocol; ``_ensure_tws_protobuf`` stages one. TWS
+    state lives in per-state-variable column families, which only the
+    RocksDB provider supports — self-applied for this query and
+    restored after (a vanilla session defaults to HDFSBackedStateStore
+    and would throw STATE_STORE_MULTIPLE_COLUMN_FAMILIES)."""
+    _ensure_tws_protobuf(spark)
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_running_total_processor(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_to_memory(out, spark, sf_dir, "stream_tws_totals", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+STREAM_STATEFUL_RUNNING_TOTAL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding (hopping) window: 10-minute windows every 5
     minutes, so each event lands in exactly two windows. Spark fans
@@ -277,6 +418,13 @@ SPECS = [
         stream_stateful_user_totals,
         None,
         doc="rows-only: emitted rows depend on micro-batch boundaries",
+        tags=("stream",),
+    ),
+    QuerySpec(
+        "stream_stateful_running_total",
+        stream_stateful_running_total,
+        STREAM_STATEFUL_RUNNING_TOTAL_ORACLE,
+        doc="Spark 4 transformWithStateInPandas ValueState totals (int-cents, oracled).",
         tags=("stream",),
     ),
 ]

@@ -74,3 +74,29 @@ def test_watermark_append_drops_open_windows(spark):
     if missing:
         max_start = max(w for w, _ in batch)
         assert all(w >= max_start for w, _ in missing) or len(missing) <= 4
+
+
+def test_transform_with_state_matches_batch_aggregate(spark):
+    """The Spark 4 arbitrary-state API end-to-end: the TWS ValueState
+    totals must equal the batch groupBy aggregate exactly (int-cents
+    accumulators make the comparison order-independent). Also proves
+    the runtime protobuf staging (_ensure_tws_protobuf) works in this
+    session."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.streaming.jobs import stream_stateful_running_total
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_cents"])
+        for r in stream_stateful_running_total(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], r["total_cents"])
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want

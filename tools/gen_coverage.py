@@ -143,7 +143,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "OHLC timeseries resample": ["win_ohlc_resample"],
         "sliding windows": ["win_sliding", "stream_sliding"],
         "session windows": ["win_session", "stream_session"],
-        "custom stateful operator": ["stream_stateful_user_totals"],
+        "custom stateful operator": [
+            "stream_stateful_user_totals", "stream_stateful_running_total"
+        ],
         "streaming dedup": ["stream_dedup"],
         "stream-stream interval join": ["stream_stream_interval_join"],
         "foreachBatch idempotent sink": ["stream_foreach_batch_sink"],
