@@ -56,7 +56,22 @@ HEADLINE = [
     "wf_mv_incremental",
     "dedup_substring_spans",
     "sim_pq_adc",
+    "join_skew_unsalted",
+    "join_skew_salted",
 ]
+
+# Per-query session confs applied around EXECUTION (set → run → restore).
+# The skew pair runs with AQE's skew-join split off and a scaled-down
+# advisory partition size: scale-down emulation of the cases salting is
+# for — skewed aggregation groups / window partitions AQE cannot split,
+# and engines without AQE. See operators/storage.py for the rationale.
+EXTRA_CONFS: dict[str, dict[str, str]] = {
+    name: {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    for name in ("join_skew_unsalted", "join_skew_salted")
+}
 
 
 def main() -> None:
@@ -69,10 +84,18 @@ def main() -> None:
     by_name = {s.name: s for s in SPECS}
 
     def run(name: str) -> float:
-        t0 = time.perf_counter()
-        df = by_name[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        extra = EXTRA_CONFS.get(name, {})
+        saved = {k: spark.conf.get(k, None) for k in extra}
+        for k, v in extra.items():
+            spark.conf.set(k, v)
+        try:
+            t0 = time.perf_counter()
+            df = by_name[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+        finally:
+            for k, v in saved.items():
+                spark.conf.unset(k) if v is None else spark.conf.set(k, v)
 
     # Warm-up: JVM/codegen/parquet-footer caches, not measured.
     if "agg_group_sums" in by_name:

@@ -297,6 +297,136 @@ SPECS.append(
 )
 
 
+# --- skew demonstration pair (bench-scale, VERDICT r1 item 8) ----------
+#
+# The fixtures are uniform, so the hot key is SYNTHESIZED: every user
+# not divisible by 100 collapses onto key 0 (~99% of rows), and the
+# fact side is deterministically replicated ×SKEW_REPL so the hot
+# partition is straggler-sized at sf0.1. The join strategy is
+# PLAN-EMBEDDED (hint("shuffle_hash") on the dim side) so the contrast
+# survives any session's broadcast confs — a conf sandbox around the
+# BUILD would be useless, since Spark physical-plans lazily at action
+# time. Transparency note: AQE's skew-join split DOES auto-rescue
+# skewed shuffle joins when its 256MB threshold trips; salting is the
+# explicit tool for skewed AGGREGATION groups and WINDOW partitions
+# (which AQE cannot split) and for engines without AQE. bench.py runs
+# this pair with skew-split disabled and a scaled-down AQE advisory
+# size to emulate those conditions at fixture scale.
+
+SKEW_REPL = 100
+SKEW_SALTS = 32
+
+
+def _skew_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture ships events as ONE small file = one input split; a
+    # 100 TB fact arrives as thousands of splits. Spread the scan so
+    # the map side isn't an artifact single task.
+    ev = load(spark, sf_dir, "events").repartition(32, "event_id")
+    return ev.select(
+        F.when(F.col("user_id") % 100 == 0, F.col("user_id"))
+        .otherwise(F.lit(0))
+        .alias("skew_key"),
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(SKEW_REPL - 1))).alias("rep"),
+    )
+
+
+def _skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _skew_fact(spark, sf_dir)
+        .select("skew_key")
+        .distinct()
+        .withColumn("bucket", (F.col("skew_key") % 10).cast("int"))
+    )
+
+
+def _skew_agg(joined: DataFrame) -> DataFrame:
+    # Post-join enrichment (references the dim's bucket column, so it
+    # cannot be pushed below the join): this is the per-row reduce-side
+    # work that a hot key concentrates onto one straggler task.
+    payload = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("event_id"), F.col("rep"), F.col("bucket"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("cents") + F.col("rep")).alias("total_cents"),
+        F.sum(payload).alias("payload_sum"),
+    )
+
+
+def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline half of the skew pair: shuffle-hash join straight on
+    the synthesized 99%-hot key — the hot reducer drags ~all fact
+    rows through the probe + post-join enrichment while its 31
+    siblings idle (compare wall-clock with ``join_skew_salted`` in
+    BENCH). The hint pins the shuffle strategy into the plan so the
+    contrast is session-independent; results are strategy-independent
+    (the oracle is the plain join)."""
+    fact = _skew_fact(spark, sf_dir)
+    dim = _skew_dim(spark, sf_dir).hint("shuffle_hash")
+    return _skew_agg(fact.join(dim, "skew_key"))
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted half of the skew pair: the fact key gains a
+    deterministic pmod(hash) shard, the dim explodes ×SKEW_SALTS, so
+    the hot key's rows spread over 32 reducers instead of one. Same
+    rows, same oracle as the unsalted twin."""
+    fact = _skew_fact(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.hash("event_id", "rep"), F.lit(SKEW_SALTS))
+    )
+    dim = (
+        _skew_dim(spark, sf_dir)
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALTS - 1))))
+        .hint("shuffle_hash")
+    )
+    return _skew_agg(fact.join(dim, ["skew_key", "salt"]))
+
+
+JOIN_SKEW_ORACLE = f"""
+WITH fact AS (
+    SELECT CASE WHEN user_id % 100 = 0 THEN user_id ELSE 0 END AS skew_key,
+           event_id, CAST(round(value * 100) AS BIGINT) AS cents, t.rep
+    FROM events, (SELECT unnest(range({SKEW_REPL})) AS rep) t
+),
+dim AS (
+    SELECT DISTINCT skew_key, CAST(skew_key % 10 AS INTEGER) AS bucket FROM fact
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents + rep) AS BIGINT) AS total_cents,
+       CAST(SUM(('0x' || substring(md5(event_id || '_' || rep || '_' || bucket), 1, 8))::BIGINT)
+            AS BIGINT) AS payload_sum
+FROM fact JOIN dim USING (skew_key)
+GROUP BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_skew_unsalted",
+        join_skew_unsalted,
+        JOIN_SKEW_ORACLE,
+        doc="skew pair baseline: straight shuffle join on a 99%-hot synthesized key",
+        tags=("core", "storage", "skew"),
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "join_skew_salted",
+        join_skew_salted,
+        JOIN_SKEW_ORACLE,
+        doc="skew pair treatment: salted join, hot key spread over 32 reducers",
+        tags=("core", "storage", "skew"),
+    )
+)
+
+
 _Z_BITS = 20  # 2^20 ≈ 1M distinct values per dimension — covers the
 # part/supp key domains up to sf ~50; widen to 31 for a full BIGINT
 # domain (interleaved z still fits a LONG at 2x31 = 62 bits).

@@ -268,7 +268,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "cohort retention": ["cohort_retention"],
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "bucketed co-located join": ["join_bucketed"],
-        "skew salting": ["join_salted"],
+        "skew salting": [
+            "join_salted", "join_skew_unsalted", "join_skew_salted"
+        ],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],

@@ -79,6 +79,15 @@ SHOWCASE = {
     "the exploded length-probe key (NO BroadcastNestedLoopJoin): "
     "|Δlen|≤2 is an equi key via 5 probes per name, distance via the "
     "bounded levenshtein(…, 2) kernel",
+    "join_skew_salted": "skew-mitigation demonstration (pair with "
+    "join_skew_unsalted in BENCH): a synthesized 99%-hot key over a "
+    "×100-replicated events fact, shuffle_hash-hinted so the strategy is "
+    "plan-embedded. Measured at sf0.1 with AQE skew-split disabled "
+    "(emulating the agg/window skew AQE cannot split): unsalted 12.1s — "
+    "one straggler reducer drags the whole fact — vs salted 2.2s "
+    "(5.5×) at the shipped ×100 replication; salting the fact key with "
+    "pmod(hash, 32) and exploding the dim ×32 turns the straggler into "
+    "32 parallel reducers, identical results (shared exact oracle)",
 }
 
 
