@@ -797,6 +797,118 @@ SPECS.append(
 )
 
 
+_PJ_TAU = 2  # edit-distance threshold → τ+1 = 3 segments
+
+
+def dedup_levenshtein_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PassJoin segment blocking (Li/Deng/Feng, VLDB'11) — the finer
+    equi-join dial for edit-distance joins when length blocks skew:
+    each indexed name splits into τ+1 = 3 contiguous segments
+    (pigeonhole: ≤ τ edits cannot touch all of them, so a pair within
+    distance τ shares at least one segment VERBATIM, at a start
+    position shifted by at most τ). Probe side enumerates, for each
+    admissible partner length and segment, the ≤ (2τ+1) aligned
+    substrings — a bounded JVM-side explode — and the join is a hash
+    join on (partner_len, segment_id, substring). Candidates then
+    verify with the bounded Levenshtein kernel. Same output and
+    oracle as ``dedup_levenshtein``; the blocking key carries ~content
+    (segment text), not just length, so hot length blocks subdivide."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    tau, nseg = _PJ_TAU, _PJ_TAU + 1
+
+    # Index side: name_b → (lb, seg_id, seg_str). Even-split rule:
+    # seg i covers [i*lb//3, (i+1)*lb//3) — all JVM substring exprs.
+    def seg_start(lb, i):  # 1-based for F.substring
+        return F.floor(lb * i / nseg).cast("int") + 1
+
+    lb = F.length("p_name")
+    idx_segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_id"),
+                F.substring(
+                    F.col("p_name"),
+                    seg_start(lb, i),
+                    (seg_start(lb, i + 1) - seg_start(lb, i)),
+                ).alias("seg"),
+            )
+            for i in range(nseg)
+        ]
+    )
+    b = (
+        names.select(F.col("p_name").alias("name_b"), lb.alias("lb"), F.explode(idx_segs).alias("s"))
+        .select("name_b", "lb", F.col("s.seg_id").alias("seg_id"), F.col("s.seg").alias("seg"))
+        .filter(F.length("seg") > 0)
+    )
+
+    # Probe side: name_a → for each partner length lb in [la−τ, la+τ]
+    # and each segment of THAT length's split, the substrings of
+    # name_a at start positions shifted by ≤ τ.
+    la = F.length("p_name")
+    probes = []
+    for dl in range(-tau, tau + 1):
+        plb = la + F.lit(dl)
+        for i in range(nseg):
+            st = F.floor(plb * i / nseg).cast("int") + 1
+            ln = (F.floor(plb * (i + 1) / nseg) - F.floor(plb * i / nseg)).cast("int")
+            for shift in range(-tau, tau + 1):
+                pos = st + F.lit(shift)
+                probes.append(
+                    F.when(
+                        (plb >= F.lit(1))
+                        & (pos >= F.lit(1))
+                        & (pos + ln - 1 <= la)
+                        & (ln > F.lit(0)),
+                        F.struct(
+                            plb.cast("int").alias("lb"),
+                            F.lit(i).alias("seg_id"),
+                            F.substring(F.col("p_name"), pos, ln).alias("seg"),
+                        ),
+                    )
+                )
+    a = (
+        names.select(
+            F.col("p_name").alias("name_a"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.array(*probes), lambda x: x.isNotNull())
+                )
+            ).alias("p"),
+        )
+        .select(
+            "name_a",
+            F.col("p.lb").alias("lb"),
+            F.col("p.seg_id").alias("seg_id"),
+            F.col("p.seg").alias("seg"),
+        )
+    )
+
+    cand = (
+        a.join(b, ["lb", "seg_id", "seg"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b", _PJ_TAU).cast("bigint")
+        )
+        .filter(F.col("dist") >= 0)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_levenshtein_passjoin",
+        dedup_levenshtein_passjoin,
+        DEDUP_LEVENSHTEIN_ORACLE,
+        doc="PassJoin segment blocking for the edit-distance join (VLDB'11)",
+        tags=("llm", "dedup"),
+    )
+)
+
+
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs whose 3-gram
     shingles are substantially contained in any held-out eval doc

@@ -20,6 +20,7 @@ rows, and metadata-only projections never touch the blob column
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
-from ._helpers import spread
+from ._helpers import spread, workdir
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, fake_width int, fake_height int, "
@@ -335,7 +336,102 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
 """
 
 
+def _blob_writer_batches_fn(blob_dir: str):
+    """Executor-side media-file writer: one real .bmp/.wav file per
+    document, written atomically (tmp + rename). At 100 TB this is the
+    object-store PUT path; locally it stages the binaryFile fixture.
+    Closure-captured codec fns — no package import on workers."""
+    enc, _ = _media_codec_fns()
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os  # noqa: PLC0415 - worker-side import
+
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                ext = ".bmp" if did % 2 == 0 else ".wav"
+                path = _os.path.join(blob_dir, f"{did:08d}{ext}")
+                if not _os.path.exists(path):
+                    tmp = f"{path}.tmp.{_os.getpid()}"
+                    with open(tmp, "wb") as fh:
+                        fh.write(enc(did, bytes(payload)))
+                    _os.replace(tmp, path)
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    return write
+
+
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal ingest over Spark's ``binaryFile``
+    source — the path a 100 TB media corpus actually arrives by
+    (one blob per object in storage, not rows in a table):
+
+    1. stage (once): executors write one real BMP/WAV file per
+       document via ``mapInPandas`` (atomic rename, idempotent);
+    2. ``spark.read.format("binaryFile")`` lists and reads the blob
+       files — Spark's real media-lake entry point, with the blob in
+       the ``content`` column and per-file metadata alongside;
+    3. the vendored codec parses each container's binary header back
+       into typed metadata, keyed by the doc id recovered from the
+       file NAME (as an object-store layout would).
+
+    The oracle predicts every decoded field from the source documents
+    table, so it also proves the staged files round-tripped exactly.
+    Excluded: modificationTime (wall-clock, nondeterministic)."""
+    blob_dir = workdir(sf_dir, "media_files")
+    if not os.path.exists(os.path.join(blob_dir, "_STAGED")):
+        (
+            _media_table(spark, sf_dir)
+            .mapInPandas(_blob_writer_batches_fn(blob_dir), schema="n long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        with open(os.path.join(blob_dir, "_STAGED"), "w") as fh:
+            fh.write("ok")
+
+    _, dec = _media_codec_fns()
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os  # noqa: PLC0415 - worker-side import
+
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = dec(bytes(content))
+                meta["doc_id"] = int(
+                    _os.path.splitext(_os.path.basename(path))[0]
+                )
+                rows.append(meta)
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "modality", "n_bytes", "width", "height",
+                    "channels", "sample_rate", "n_samples",
+                ],
+            )
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[bw]*")
+        .load(blob_dir)
+        .select("path", "content")
+    )
+    return blobs.mapInPandas(parse, schema=MM_DECODE_REAL_SCHEMA)
+
+
 SPECS = [
+    QuerySpec(
+        "src_binary_files",
+        src_binary_files,
+        MM_DECODE_REAL_ORACLE,
+        doc="binaryFile-source media ingest: staged real blob files, header parse.",
+        tags=("llm", "multimodal", "source"),
+    ),
     QuerySpec(
         "mm_decode_real",
         mm_decode_real,

@@ -181,6 +181,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "decode / feature-extract": [
             "mm_decode_real", "mm_decode_meta", "mm_feature_extract"
         ],
+        "binaryFile blob ingest": ["src_binary_files"],
         "frame sampling": ["mm_frame_sample"],
         "resize plumbing": ["mm_resize_stub"],
     },
@@ -268,6 +269,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "cohort retention": ["cohort_retention"],
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "bucketed co-located join": ["join_bucketed"],
+        "edit-distance PassJoin blocking": ["dedup_levenshtein_passjoin"],
         "skew salting": [
             "join_salted", "join_skew_unsalted", "join_skew_salted"
         ],
