@@ -137,7 +137,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 # Unverified queries sort by family, north-star first; ties keep
 # registration order. Families past the window land in later rounds.
 _FAMILY_ORDER: tuple[str, ...] = (
-    "dedup_", "sim_", "text_", "mm_", "stream_", "pipeline_",
+    "dedup_", "sim_", "text_", "mm_", "pipeline_", "stream_",
     "sample_", "split_", "wf_shuffle", "udtf_",
     "tpch_", "win_", "graph_", "dq_",
     "agg_", "join_", "analytic_", "wf_", "fn_", "filter_", "subquery_",

@@ -368,6 +368,100 @@ FROM events GROUP BY user_id
 """
 
 
+_TWS_RECENT_K = 3
+
+
+def _recent_events_processor(k: int):
+    """ListState processor: per-user bounded recent-event list.
+    Keeps the k latest events by (ts_micros, event_id) — re-sorted on
+    every update, so the result is independent of arrival order."""
+    from pyspark.sql import types as _T  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class RecentEvents(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getListState(
+                "recent",
+                _T.StructType(
+                    [
+                        _T.StructField("ts_us", _T.LongType()),
+                        _T.StructField("event_id", _T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+            items = [(r[0], r[1]) for r in self.state.get()]
+            for pdf in rows:
+                items.extend(
+                    zip(pdf["ts_us"].astype(int), pdf["event_id"].astype(int))
+                )
+            items.sort(reverse=True)  # (ts, id) desc — deterministic
+            items = items[:k]
+            self.state.put([(int(t), int(e)) for t, e in items])
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "rank": list(range(1, len(items) + 1)),
+                    "event_id": [e for _, e in items],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return RecentEvents()
+
+
+def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListState flavor of the Spark 4 state API: each user's k most
+    recent events (by event time, id tiebreak) held as bounded list
+    state — the "recent activity" serving shape (fraud features,
+    session context). The processor re-sorts on update, so the final
+    emitted ranking is arrival-order independent and has an exact SQL
+    oracle."""
+    _ensure_tws_protobuf(spark)
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        "event_id",
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_recent_events_processor(_TWS_RECENT_K),
+        outputStructType="user_id long, rank int, event_id long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_to_memory(out, spark, sf_dir, "stream_tws_recent", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+STREAM_TWS_RECENT_EVENTS_ORACLE = f"""
+SELECT user_id, CAST(rn AS INTEGER) AS rank, event_id
+FROM (
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn <= {_TWS_RECENT_K}
+"""
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding (hopping) window: 10-minute windows every 5
     minutes, so each event lands in exactly two windows. Spark fans
@@ -425,6 +519,13 @@ SPECS = [
         stream_stateful_running_total,
         STREAM_STATEFUL_RUNNING_TOTAL_ORACLE,
         doc="Spark 4 transformWithStateInPandas ValueState totals (int-cents, oracled).",
+        tags=("stream",),
+    ),
+    QuerySpec(
+        "stream_tws_recent_events",
+        stream_tws_recent_events,
+        STREAM_TWS_RECENT_EVENTS_ORACLE,
+        doc="transformWithStateInPandas ListState: per-user k most recent events.",
         tags=("stream",),
     ),
 ]

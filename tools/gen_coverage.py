@@ -144,7 +144,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "sliding windows": ["win_sliding", "stream_sliding"],
         "session windows": ["win_session", "stream_session"],
         "custom stateful operator": [
-            "stream_stateful_user_totals", "stream_stateful_running_total"
+            "stream_stateful_user_totals",
+            "stream_stateful_running_total",
+            "stream_tws_recent_events",
         ],
         "streaming dedup": ["stream_dedup"],
         "stream-stream interval join": ["stream_stream_interval_join"],
