@@ -834,3 +834,73 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation over the labeled embedding
+    corpus: each query's exact top-k cosine neighbors vote by label
+    (majority; ties break to the smaller label id — a total order, so
+    the prediction is deterministic). This is the eval harness every
+    retrieval index here (LSH / IVF / PQ) gets judged against at
+    serving time: swap ``sim_topk_bruteforce`` for an ANN variant and
+    the same vote measures end-task accuracy loss, not just recall.
+    Plan shape: the neighbor list is query-broadcast (corpus scanned
+    once, never shuffled); the vote is a tiny two-level aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    neighbors = sim_topk_bruteforce(spark, sf_dir)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        neighbors.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("predicted_label"), "votes")
+    )
+    truth = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        F.col("votes").cast("int").alias("votes"),
+        (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+    )
+
+
+SIM_KNN_CLASSIFY_ORACLE = f"""
+WITH topk AS ({SIM_TOPK_BRUTEFORCE_ORACLE}),
+votes AS (
+    SELECT t.query_id, e.label AS n_label, COUNT(*) AS votes
+    FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+    GROUP BY 1, 2
+),
+pred AS (
+    SELECT query_id, n_label AS predicted_label, votes
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, n_label ASC) AS rn
+          FROM votes)
+    WHERE rn = 1
+)
+SELECT p.query_id, e.label AS true_label, p.predicted_label,
+       CAST(p.votes AS INTEGER) AS votes,
+       e.label = p.predicted_label AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_knn_classify",
+        sim_knn_classify,
+        SIM_KNN_CLASSIFY_ORACLE,
+        doc="k-NN majority-vote classification eval over the labeled corpus.",
+        tags=("llm", "similarity"),
+    )
+)

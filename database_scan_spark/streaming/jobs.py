@@ -462,6 +462,84 @@ WHERE rn <= {_TWS_RECENT_K}
 """
 
 
+def _type_counts_processor():
+    """MapState processor: per-user map of event_type → running count.
+    Emits the full map after each batch (single availableNow batch →
+    one deterministic row per (user, type))."""
+    from pyspark.sql import types as _T  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getMapState(
+                "type_counts",
+                _T.StructType([_T.StructField("event_type", _T.StringType())]),
+                _T.StructType([_T.StructField("n", _T.LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+            for pdf in rows:
+                for et, n in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.state.getValue((et,))[0]
+                        if self.state.containsKey((et,))
+                        else 0
+                    )
+                    self.state.updateValue((et,), (prev + int(n),))
+            out = sorted(
+                ((k[0], v[0]) for k, v in self.state.iterator()),
+            )
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_type": [t for t, _ in out],
+                    "n_events": [n for _, n in out],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return TypeCounts()
+
+
+def stream_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState flavor of the Spark 4 state API: per-user map of
+    event_type → count, the per-entity feature-map shape (user
+    activity profiles). Exact SQL oracle — counts are
+    order-independent."""
+    _ensure_tws_protobuf(spark)
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_type_counts_processor(),
+        outputStructType="user_id long, event_type string, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_to_memory(out, spark, sf_dir, "stream_tws_types", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+STREAM_TWS_TYPE_COUNTS_ORACLE = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding (hopping) window: 10-minute windows every 5
     minutes, so each event lands in exactly two windows. Spark fans
@@ -526,6 +604,13 @@ SPECS = [
         stream_tws_recent_events,
         STREAM_TWS_RECENT_EVENTS_ORACLE,
         doc="transformWithStateInPandas ListState: per-user k most recent events.",
+        tags=("stream",),
+    ),
+    QuerySpec(
+        "stream_tws_type_counts",
+        stream_tws_type_counts,
+        STREAM_TWS_TYPE_COUNTS_ORACLE,
+        doc="transformWithStateInPandas MapState: per-user event_type counts.",
         tags=("stream",),
     ),
 ]

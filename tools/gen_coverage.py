@@ -147,6 +147,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "stream_stateful_user_totals",
             "stream_stateful_running_total",
             "stream_tws_recent_events",
+            "stream_tws_type_counts",
         ],
         "streaming dedup": ["stream_dedup"],
         "stream-stream interval join": ["stream_stream_interval_join"],
@@ -175,6 +176,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "in-engine recall evaluation": ["sim_lsh_recall_eval"],
         "class prototypes (exact centroid components)": ["sim_label_centroids"],
         "nearest-centroid classification": ["sim_centroid_assign"],
+        "k-NN majority-vote classification eval": ["sim_knn_classify"],
         "K-means clustering (unrolled Lloyd iterations)": ["sim_kmeans"],
         "product-quantization ANN (PQ codes + ADC lookup)": ["sim_pq_adc"],
         "two-stage retrieval (PQ candidates, exact rerank)": ["sim_pq_rerank"],
