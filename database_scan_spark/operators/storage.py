@@ -596,3 +596,121 @@ SPECS.append(
         tags=("workflow", "storage"),
     )
 )
+
+
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent daily-ingest shape
+    at 100 TB: re-running a day's job replaces ONLY the partitions the
+    job produced, never truncating the table. Base = orders
+    partitioned by o_orderpriority; the "rerun" writes a corrected
+    batch for exactly one priority class with
+    partitionOverwriteMode=dynamic (set per-write via the DataFrameWriter
+    option, not session conf, so the driver's session is untouched).
+    The audit proves surgical replacement: untouched partitions keep
+    their original checksum, the replaced one carries the corrected
+    rows. Oracle recomputes the expected post-state from the source."""
+    path = workdir(sf_dir, "dyn_overwrite")
+    tgt = os.path.join(path, "orders_by_priority")
+    stamp = os.path.join(path, "_DONE")
+    orders = load(spark, sf_dir, "orders")
+    if not os.path.exists(stamp):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tgt)
+        corrected = (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn(
+                "o_totalprice", (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double")
+            )
+        )
+        (
+            corrected.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderpriority")
+            .parquet(tgt)
+        )
+        with open(stamp, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.parquet(tgt)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SINK_DYNAMIC_PARTITION_OVERWRITE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS price_checksum
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sink_dynamic_partition_overwrite",
+        sink_dynamic_partition_overwrite,
+        SINK_DYNAMIC_PARTITION_OVERWRITE_ORACLE,
+        doc="idempotent partition-scoped rerun: dynamic overwrite replaces only written partitions",
+        tags=("storage", "workflow"),
+    )
+)
+
+
+def src_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — a decade-scale table
+    never has one schema. Generation 1 writes (o_orderkey, o_custkey,
+    o_totalprice); generation 2 adds o_orderpriority (new column).
+    ``mergeSchema=true`` reads both generations as one table, with the
+    missing column NULL-filled for gen-1 rows — Spark resolves the
+    union of parquet footers instead of failing on the first
+    mismatch. Split rule is deterministic (orderkey parity), so the
+    oracle reproduces the merged view exactly."""
+    gen_dir = workdir(sf_dir, "schema_gens")
+    orders = load(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(gen_dir, "_DONE")):
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(gen_dir, "gen=1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(gen_dir, "gen=2"))
+        )
+        with open(os.path.join(gen_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(gen_dir, "gen=1"), os.path.join(gen_dir, "gen=2")
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+SRC_MERGE_SCHEMA_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_merge_schema",
+        src_merge_schema,
+        SRC_MERGE_SCHEMA_ORACLE,
+        doc="schema-evolution read: mergeSchema unions parquet generations, NULL-fills",
+        tags=("storage", "source"),
+    )
+)

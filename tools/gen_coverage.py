@@ -22,6 +22,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "src_csv": ["src_csv"],
         "(engine addition) tolerant JSON ingestion": ["src_json_permissive"],
         "(engine addition) ORC columnar source": ["src_orc"],
+        "(engine addition) schema-evolution read (mergeSchema)": ["src_merge_schema"],
         "sink_csv": ["sink_csv"],
         "sink_stdout": ["sink_stdout"],
         "param_bind": ["param_bind"],
@@ -274,6 +275,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "partitioned write + pruning": ["sink_parquet_partitioned"],
         "bucketed co-located join": ["join_bucketed"],
         "edit-distance PassJoin blocking": ["dedup_levenshtein_passjoin"],
+        "(engine addition) dynamic partition overwrite": ["sink_dynamic_partition_overwrite"],
         "skew salting": [
             "join_salted", "join_skew_unsalted", "join_skew_salted"
         ],
