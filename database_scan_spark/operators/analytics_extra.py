@@ -1047,3 +1047,76 @@ SPECS.append(
         tags=("analytic", "agg"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_backfill_plan — missing-partition detection for backfill jobs
+# ---------------------------------------------------------------------------
+
+
+def wf_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: which daily partitions are MISSING from the
+    orders fact, grouped into contiguous runs — the unit a backfill
+    scheduler submits as one job. Calendar = min..max order date
+    (one-row agg, broadcast, exploded date sequence); missing days =
+    calendar anti-join; runs = gaps-and-islands (date minus
+    row-number). The global window is bounded by the CALENDAR SPAN
+    (≤ a few thousand rows regardless of fact size — data-independent
+    by construction), so the single-partition sort can never become a
+    bottleneck at any SF. At sf0.1 the calendar is fully covered and
+    the plan is correctly empty."""
+    days = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    rng = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    missing = cal.join(days, "d", "left_anti")
+    w = Window.orderBy("d")
+    return (
+        missing.withColumn(
+            "grp",
+            F.datediff(F.col("d"), F.lit("1990-01-01").cast("date"))
+            - F.row_number().over(w),
+        )
+        .groupBy("grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("backfill_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("backfill_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("backfill_start", "backfill_end", "n_days")
+    )
+
+
+WF_BACKFILL_PLAN_ORACLE = """
+WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+rng AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dd),
+cal AS (
+    SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM rng
+),
+miss AS (SELECT d FROM cal WHERE d NOT IN (SELECT d FROM dd)),
+isl AS (
+    SELECT d,
+           date_diff('day', DATE '1990-01-01', d)
+             - ROW_NUMBER() OVER (ORDER BY d) AS grp
+    FROM miss
+)
+SELECT strftime(MIN(d), '%Y-%m-%d') AS backfill_start,
+       strftime(MAX(d), '%Y-%m-%d') AS backfill_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM isl GROUP BY grp
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_backfill_plan",
+        wf_backfill_plan,
+        WF_BACKFILL_PLAN_ORACLE,
+        doc="missing daily partitions grouped into contiguous backfill runs",
+        tags=("workflow",),
+    )
+)

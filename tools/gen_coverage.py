@@ -136,6 +136,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: incremental materialized-view refresh)": [
             "wf_mv_incremental"
         ],
+        "(engine addition: missing-partition backfill planner)": [
+            "wf_backfill_plan"
+        ],
         "wf_known_broken": "NOT REPLICATED by design (SURVEY §7.3 #4: broken "
         "resume artifact + pandas index leak are reference bugs)",
     },
