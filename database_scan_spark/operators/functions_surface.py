@@ -264,3 +264,67 @@ SPECS.append(
         tags=("functions",),
     )
 )
+
+
+def _median_cents_agg_fn():
+    """GROUPED_AGG pandas UDF body (closure-wrapped for by-value
+    pickling): exact median over integer cents — middle element, or
+    the mean of the two middles (a half-integer, exactly
+    representable in binary FP), so the result is deterministic and
+    engine-portable."""
+    @pandas_udf("double")
+    def median_cents(v: pd.Series) -> float:
+        s = v.sort_values().reset_index(drop=True)
+        n = len(s)
+        if n == 0:
+            return float("nan")
+        mid = n // 2
+        if n % 2 == 1:
+            return float(s[mid])
+        return (float(s[mid - 1]) + float(s[mid])) / 2.0
+
+    return median_cents
+
+
+def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the remaining cell of the Python-UDF
+    API matrix (scalar pandas_udf, applyInPandas, mapInPandas, UDTF,
+    applyInPandasWithState, transformWithStateInPandas are all
+    exercised elsewhere): a whole-group Arrow series reduces to one
+    scalar per group inside Python. Median order price per priority
+    class, computed over INTEGER CENTS so the exact-middle (or exact
+    half-integer) result is order-independent and hash-matches
+    DuckDB's median(). The plan shows ObjectHashAggregate with an
+    ArrowEvalPython-backed aggregate — partial aggregation is NOT
+    available for opaque Python aggregates, so at 100 TB this shape
+    costs a full shuffle of the value column; use it for semantics
+    SQL can't express, not for sums."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = _median_cents_agg_fn()
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg((med(F.col("cents")) / 100.0).alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+UDF_GROUPED_AGG_MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       median(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "udf_grouped_agg_median",
+        udf_grouped_agg_median,
+        UDF_GROUPED_AGG_MEDIAN_ORACLE,
+        doc="GROUPED_AGG pandas UDF: exact integer-cents median per group.",
+        tags=("functions", "udf"),
+    )
+)

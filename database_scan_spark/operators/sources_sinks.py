@@ -583,3 +583,65 @@ SPECS.append(
         tags=("core", "source"),
     )
 )
+
+
+def src_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-format read — one logical table whose rows
+    live in three physical formats (the lake reality: historical CSV
+    dumps, an ORC era, current parquet). The supplier table is staged
+    once as disjoint format shards (suppkey mod 3) and the query
+    unions the three scans back into the full table; Catalyst pushes
+    the filter into EACH format's scan independently. Oracle = the
+    plain filtered table, proving the shards are disjoint-complete."""
+    import os  # noqa: PLC0415
+
+    from ..operators._helpers import workdir  # noqa: PLC0415
+
+    base = workdir(sf_dir, "federated")
+    sup = load(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        sup.filter(F.col("s_suppkey") % 3 == 0).write.mode("overwrite").parquet(
+            os.path.join(base, "pq")
+        )
+        (
+            sup.filter(F.col("s_suppkey") % 3 == 1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(os.path.join(base, "csv"))
+        )
+        sup.filter(F.col("s_suppkey") % 3 == 2).write.mode("overwrite").orc(
+            os.path.join(base, "orc")
+        )
+        with open(os.path.join(base, "_DONE"), "w") as fh:
+            fh.write("ok")
+    schema = sup.schema
+    pq = spark.read.schema(schema).parquet(os.path.join(base, "pq"))
+    csv = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(os.path.join(base, "csv"))
+    )
+    orc = spark.read.schema(schema).orc(os.path.join(base, "orc"))
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    return (
+        pq.select(*cols)
+        .unionByName(csv.select(*cols))
+        .unionByName(orc.select(*cols))
+        .filter(F.col("s_acctbal") >= 0)
+    )
+
+
+SRC_FEDERATED_UNION_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_acctbal >= 0
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_federated_union",
+        src_federated_union,
+        SRC_FEDERATED_UNION_ORACLE,
+        doc="one logical table across parquet+CSV+ORC shards, filter pushed per format",
+        tags=("source", "storage"),
+    )
+)

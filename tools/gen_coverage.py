@@ -23,6 +23,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition) tolerant JSON ingestion": ["src_json_permissive"],
         "(engine addition) ORC columnar source": ["src_orc"],
         "(engine addition) schema-evolution read (mergeSchema)": ["src_merge_schema"],
+        "(engine addition) federated multi-format union": ["src_federated_union"],
         "sink_csv": ["sink_csv"],
         "sink_stdout": ["sink_stdout"],
         "param_bind": ["param_bind"],
@@ -128,6 +129,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "udf_smiles_canonical": ["udf_smiles_canonical"],
         "udf_molecule_name": ["udf_molecule_name"],
         "(engine addition: Python UDTF, Arrow-batched)": ["udtf_rle_tokens"],
+        "(engine addition: GROUPED_AGG pandas UDF)": ["udf_grouped_agg_median"],
     },
     "§2.11 Workflow / orchestration": {
         "wf_checkpoint_resume": ["wf_checkpoint_resume"],
