@@ -108,3 +108,46 @@ def test_shingles_match_python_reference(spark, texts):
             " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
         }
         assert g == want, (t, g, want)
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=1 << 40),
+    payload=st.binary(min_size=0, max_size=5000),
+)
+@settings(**_SETTINGS)
+def test_media_codec_roundtrip(doc_id, payload):
+    """The vendored BMP/WAV codec must parse back exactly the
+    metadata it encoded, for ANY payload bytes — header integrity is
+    what mm_decode_real's oracle hash depends on."""
+    from database_scan_spark.operators.multimodal import (
+        decode_media,
+        encode_media,
+    )
+
+    blob = encode_media(doc_id, payload)
+    meta = decode_media(blob)
+    n = len(payload)
+    assert meta["n_bytes"] == len(blob)
+    if doc_id % 2 == 0:
+        assert meta["modality"] == "image"
+        assert meta["width"] == n % 64 + 1
+        assert meta["height"] == n % 48 + 1
+        stride = ((meta["width"] * 3 + 3) // 4) * 4
+        assert len(blob) == 54 + stride * meta["height"]
+    else:
+        assert meta["modality"] == "audio"
+        assert meta["channels"] == n % 2 + 1
+        assert meta["sample_rate"] == (8000, 16000, 44100)[n % 3]
+        assert meta["n_samples"] == n % 1000 + 1
+        assert len(blob) == 44 + meta["n_samples"] * meta["channels"] * 2
+
+
+def test_media_codec_opaque_fallback():
+    """Unknown container formats must degrade to opaque byte
+    metadata, never raise."""
+    from database_scan_spark.operators.multimodal import decode_media
+
+    for blob in (b"", b"\x89PNG\r\n\x1a\n", b"JFIF" * 40, b"RIFF1234AVI "):
+        meta = decode_media(blob)
+        assert meta["modality"] == "opaque"
+        assert meta["n_bytes"] == len(blob)

@@ -100,3 +100,42 @@ def test_transform_with_state_matches_batch_aggregate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tws_list_and_map_state_match_batch(spark):
+    """ListState (recent-k) and MapState (type counts) operators must
+    equal their batch equivalents exactly."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.streaming.jobs import (
+        stream_tws_recent_events,
+        stream_tws_type_counts,
+    )
+    from pyspark.sql import Window
+
+    ev = load(spark, SF_SMOKE, "events")
+    got_recent = {
+        (r["user_id"], r["rank"], r["event_id"])
+        for r in stream_tws_recent_events(spark, SF_SMOKE).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want_recent = {
+        (r["user_id"], r["rn"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got_recent == want_recent
+
+    got_counts = {
+        (r["user_id"], r["event_type"], r["n_events"])
+        for r in stream_tws_type_counts(spark, SF_SMOKE).collect()
+    }
+    want_counts = {
+        (r["user_id"], r["event_type"], r["n"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_counts == want_counts
