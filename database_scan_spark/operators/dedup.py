@@ -290,6 +290,36 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 
+def _bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, sig) LSH band table from a shingle table —
+    the single source of the signature/banding expressions, shared by
+    the batch pipeline and the incremental index."""
+    sh_hashed = sh.withColumn("h", _h32(F.col("shingle")) % F.lit(P31))
+    mins = sh_hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(P31)
+            ).alias(f"m{i}")
+            for i in range(_K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * _R + t}").cast("string") for t in range(_R)]
+                ).alias("sig"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    return mins.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH + exact verification.
 
@@ -326,30 +356,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrades to a shuffle join instead of a driver OOM.
     """
     sh = _shingle_df(spark, sf_dir).persist()
-    sh_hashed = sh.withColumn("h", _h32(F.col("shingle")) % F.lit(P31))
-    mins = sh_hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                % F.lit(P31)
-            ).alias(f"m{i}")
-            for i in range(_K)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * _R + t}").cast("string") for t in range(_R)]
-                ).alias("sig"),
-            )
-            for j in range(_BANDS)
-        ]
-    )
-    bands = mins.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig")
-    )
+    bands = _bands_from_shingles(sh)
     buckets = (
         bands.groupBy("band_idx", "sig")
         .agg(F.collect_set("doc_id").alias("ids"))
@@ -1179,6 +1186,77 @@ SPECS.append(
         dedup_substring_spans,
         DEDUP_SUBSTRING_SPANS_ORACLE,
         doc="Shared 8-token span detection (exact-substring dedup signal).",
+        tags=("llm", "dedup"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_minhash — daily-ingest dedup against a standing index
+# ---------------------------------------------------------------------------
+
+_DELTA_MOD = 10  # h32(doc_id) % 10 == 0 → today's arrivals (~10%)
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — the PRODUCTION shape of
+    corpus dedup: a standing MinHash band INDEX over the existing
+    corpus is materialized once (parquet, partition-pruned reads);
+    each ingest batch computes bands for the NEW docs only and joins
+    them against index ∪ batch, so the work per day is
+    O(batch × collision rate), never a full-corpus re-dedup. Output:
+    verified near-dup pairs with at least one member in the batch
+    (exact Jaccard on candidates, same contract as
+    ``dedup_minhash_lsh``). The batch split is deterministic
+    (h32(doc_id) % 10 == 0, the ``dedup_decontaminate`` convention),
+    so the whole pipeline has an exact SQL oracle. At 100 TB the
+    index is the only state the pipeline keeps; appending today's
+    bands to it (one partition write) rolls the window forward."""
+    sh = _shingle_df(spark, sf_dir).persist()
+    is_delta = _h32(F.col("doc_id").cast("string")) % _DELTA_MOD == 0
+
+    import os  # noqa: PLC0415
+
+    from ._helpers import workdir  # noqa: PLC0415
+
+    idx_path = os.path.join(workdir(sf_dir, "minhash_index"), "bands")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        _bands_from_shingles(sh.filter(~is_delta)).write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+    base_bands = spark.read.parquet(idx_path)
+    delta_bands = _bands_from_shingles(sh.filter(is_delta)).persist()
+    all_bands = base_bands.unionByName(delta_bands)
+    cand = (
+        delta_bands.alias("d")
+        .join(all_bands.alias("o"), ["band_idx", "sig"])
+        .filter(F.col("d.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.least(F.col("d.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verified_pairs(sh, cand)
+
+
+def _incremental_minhash_oracle() -> str:
+    base = _minhash_oracle()
+    delta_pred = _SQL_H32.format(expr="CAST({c} AS VARCHAR)") + f" % {_DELTA_MOD} = 0"
+    return base.replace(
+        "ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id",
+        "ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id\n"
+        f"    WHERE ({delta_pred.format(c='x.doc_id')})"
+        f" OR ({delta_pred.format(c='y.doc_id')})",
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_incremental_minhash",
+        dedup_incremental_minhash,
+        _incremental_minhash_oracle(),
+        doc="incremental dedup: new-batch bands vs standing MinHash index",
         tags=("llm", "dedup"),
     )
 )

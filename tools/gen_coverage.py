@@ -163,6 +163,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
         "MinHash + LSH": ["dedup_minhash_lsh", "dedup_minhash_mllib"],
+        "incremental dedup vs standing index": ["dedup_incremental_minhash"],
         "connected-components clustering (iterative)": ["dedup_cluster_cc"],
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
@@ -170,7 +171,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exact-substring span detection (shared 8-token grams)": [
             "dedup_substring_spans"
         ],
-        "edit-distance entity resolution": ["dedup_levenshtein"],
+        "edit-distance entity resolution": ["dedup_levenshtein", "dedup_levenshtein_passjoin"],
         "embedding cosine": ["dedup_embedding_cosine"],
         "eval-set decontamination": ["dedup_decontaminate"],
         "one-sided containment (subset/superset pairs)": ["dedup_containment"],
