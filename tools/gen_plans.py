@@ -79,6 +79,19 @@ SHOWCASE = {
     "the exploded length-probe key (NO BroadcastNestedLoopJoin): "
     "|Δlen|≤2 is an equi key via 5 probes per name, distance via the "
     "bounded levenshtein(…, 2) kernel",
+    "dedup_incremental_minhash": "incremental dedup — expect the standing "
+    "band index read back from parquet (FileScan on the minhash_index "
+    "scratch path) while ONLY the ~10% batch re-derives shingles/bands; "
+    "candidates from the (band_idx, sig) equi-join of batch bands vs "
+    "index∪batch; exact-Jaccard verify on candidates only",
+    "src_federated_union": "federated multi-format read — expect THREE "
+    "FileScans (parquet, csv, orc) under one Union, the s_acctbal filter "
+    "pushed into each branch independently (PushedFilters on all three)",
+    "udf_grouped_agg_median": "GROUPED_AGG pandas UDF — expect "
+    "AggregateInPandas (Arrow-batched, NOT BatchEvalPython) with a full "
+    "shuffle of the value column: opaque Python aggregates get no "
+    "map-side partials, which is exactly why this path is reserved for "
+    "semantics SQL can't express",
     "join_skew_salted": "skew-mitigation demonstration (pair with "
     "join_skew_unsalted in BENCH): a synthesized 99%-hot key over a "
     "×100-replicated events fact, shuffle_hash-hinted so the strategy is "
