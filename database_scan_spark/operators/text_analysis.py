@@ -719,3 +719,94 @@ SPECS.append(
         tags=("llm", "text"),
     )
 )
+
+
+CHUNK_WORDS = 10  # contiguous-word chunk size ("line" analog)
+CHUNK_MIN_DOCS = 2  # a chunk repeated across >= this many docs is boilerplate
+
+
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (paragraph) dedup, the CCNet / RefinedWeb repeated-
+    line removal signal: chunks of CHUNK_WORDS consecutive words that
+    appear verbatim in >= CHUNK_MIN_DOCS distinct docs are boilerplate
+    and removed from every doc; the cleaned text is reassembled in
+    original order. (The fixture text has no newlines, so fixed-width
+    word windows stand in for lines — same pipeline shape.)
+
+    Scale shape: explode -> one groupBy on the chunk text (the global
+    duplicate census), one shuffle-hash join back, one groupBy doc_id
+    to reassemble. No driver-side state; at 100 TB the chunk census is
+    the same map-side-combinable aggregate Spark uses for any heavy-
+    hitter count. All JVM expressions (split / slice / posexplode /
+    collect_list) — no Python in the hot path.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+        ),
+    )
+    ch = docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    dup = (
+        ch.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= CHUNK_MIN_DOCS)
+        .select("chunk", F.lit(1).alias("is_dup"))
+    )
+    joined = ch.join(dup, "chunk", "left")
+    kept_structs = F.array_sort(
+        F.collect_list(  # collect_list drops the NULLed dup chunks
+            F.when(F.col("is_dup").isNull(), F.struct("pos", "chunk"))
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.count("is_dup").cast("int").alias("n_dup_chunks"),
+            kept_structs.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.when(
+                F.size("kept") > 0,
+                F.array_join(F.transform("kept", lambda s: s.chunk), " "),
+            ).alias("kept_text"),
+        )
+    )
+
+
+TEXT_CHUNK_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ch AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(t[(i*{CHUNK_WORDS}+1):(i*{CHUNK_WORDS}+{CHUNK_WORDS})], ' ') AS chunk
+    FROM w, unnest(generate_series(0, CAST(ceil(len(t)/{CHUNK_WORDS}.0) AS BIGINT) - 1)) AS g(i)
+),
+dup AS (
+    SELECT chunk FROM ch GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= {CHUNK_MIN_DOCS}
+)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_chunks,
+       CAST(COUNT(d.chunk) AS INTEGER) AS n_dup_chunks,
+       string_agg(CASE WHEN d.chunk IS NULL THEN ch.chunk END, ' ' ORDER BY pos) AS kept_text
+FROM ch LEFT JOIN dup d USING (chunk)
+GROUP BY ch.doc_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_chunk_dedup",
+        text_chunk_dedup,
+        TEXT_CHUNK_DEDUP_ORACLE,
+        doc="repeated-line (chunk) boilerplate removal, CCNet/RefinedWeb shape: "
+        "global chunk census -> join-back -> in-order reassembly",
+        tags=("llm", "text", "dedup"),
+    )
+)

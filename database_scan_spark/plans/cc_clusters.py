@@ -120,12 +120,133 @@ SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
 """
 
 
+MAX_TWOSTAR_ROUNDS = 12  # O(log^2 n) bound; each round is 2 star ops
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (hi, lo) orientation, no
+    self-loops, no duplicates. One shuffle (the dropDuplicates)."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star(u): for every neighbor v > u, connect v to
+    m = min(N(u) ∪ {u}). Input canonical (hi, lo); symmetrize first so
+    every node sees its full neighborhood. groupBy + join — no
+    collect_list blowup on high-degree nodes."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    # output rows (v, m) satisfy v > u >= m, so they are already in
+    # canonical (hi, lo) orientation with no self-loops — duplicates
+    # are tolerated here and collapsed by small-star's trailing dedup,
+    # saving one shuffle per round
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star(u): connect u and every neighbor v ≤ u to
+    m = min(N_small(u) ∪ {u}). Input canonical (hi, lo), so the
+    smaller-neighbor lists are exactly the rows grouped by u."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))  # v < u always
+    star_u = mins.select(F.col("u"), F.col("m").alias("v"))
+    star_v = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canonical(star_u.unionByName(star_v))
+
+
+def dedup_cluster_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the 100 TB-posture CC: O(log² n) rounds
+    regardless of component DIAMETER, where the min-label loop in
+    ``dedup_cluster_cc`` needs diameter-many rounds. Same pairs input,
+    same (doc_id, cluster_id) output, same recursive-CTE oracle.
+
+    Each round is two star operations = 2 groupBy + 2 join + 1
+    trailing dedup shuffle (large-star output is canonical by
+    construction), all on the (shrinking) edge set; no driver-side
+    data, convergence checked with a one-row count+hash fingerprint
+    action per round. At the fixed point the canonical edge set is a
+    star forest: every non-root points directly at its component min.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # eager localCheckpoint (not persist): truncates lineage each
+    # round. Each star op references its input 2×, so an evicted cache
+    # would otherwise recompute a lineage that doubles per round —
+    # checkpointing makes every round O(edge set), even in a 1g-heap
+    # vanilla driver session.
+    edges = _canonical(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # one-row aggregate action (count + order-insensitive XOR hash;
+        # XOR is safe on the deduped edge set and can't overflow ANSI
+        # arithmetic): the per-round convergence probe, like
+        # dedup_cluster_cc's count()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(edges)
+    converged = False
+    for _ in range(MAX_TWOSTAR_ROUNDS):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_fp = _fingerprint(new_edges)
+        edges = new_edges  # previous round's blocks are GC-cleaned
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"two-star CC did not reach a fixed point within "
+            f"{MAX_TWOSTAR_ROUNDS} rounds — raise MAX_TWOSTAR_ROUNDS"
+        )
+    # Star forest: every non-root points directly at its component min
+    # (appears as u exactly once), and every root appears only as v —
+    # so the label table is the edge set itself plus the roots'
+    # self-labels. No pre-loop node snapshot needed: pairs guarantee
+    # every node is in a component of size >= 2, hence in the forest.
+    root_of = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    roots = root_of.select("cluster_id").dropDuplicates()
+    return root_of.select(F.col("u").alias("doc_id"), "cluster_id").unionByName(
+        roots.select(F.col("cluster_id").alias("doc_id"), "cluster_id")
+    )
+
+
 SPECS = [
     QuerySpec(
         "dedup_cluster_cc",
         dedup_cluster_cc,
         DEDUP_CLUSTER_CC_ORACLE,
         doc="iterative connected components over near-dup pairs vs recursive-CTE oracle",
+        tags=("llm", "dedup", "iterative"),
+    ),
+    QuerySpec(
+        "dedup_cluster_cc_twostar",
+        dedup_cluster_cc_twostar,
+        DEDUP_CLUSTER_CC_ORACLE,
+        doc="large-star/small-star CC (Kiveris SoCC'14) — diameter-independent "
+        "round count, the 100 TB CC shape; same oracle as dedup_cluster_cc",
         tags=("llm", "dedup", "iterative"),
     ),
 ]

@@ -134,6 +134,17 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "src_python_datasource",
 })
 
+# Ops registered AFTER the round-2 window was planned: sort behind the
+# existing unverified queue (but still ahead of driver-verified names)
+# so they don't displace the families promised to this round's window.
+# Fold into the normal rotation once they've been through local parity
+# for a full round.
+_DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
+    "dedup_cluster_cc_twostar",
+    "text_chunk_dedup",
+    "stream_tws_inactivity_flush",
+})
+
 # Unverified queries sort by family, north-star first; ties keep
 # registration order. Families past the window land in later rounds.
 _FAMILY_ORDER: tuple[str, ...] = (
@@ -158,6 +169,7 @@ def _rotate() -> None:
     SPECS.sort(
         key=lambda s: (
             s.name in _DRIVER_VERIFIED,
+            s.name in _DEFER_TO_NEXT_WINDOW,
             _family_rank(s.name),
             order[id(s)],
         )

@@ -866,3 +866,236 @@ SPECS.append(
         tags=("stream", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-time TIMERS (transformWithStateInPandas, timeMode="EventTime"):
+# inactivity-flush sessions observed across MULTIPLE micro-batches.
+# ---------------------------------------------------------------------------
+
+_TWS_FLUSH_SPLIT = "2024-01-16 00:00:00"  # fixture events span Jan 2024
+_TWS_FLUSH_GAP_S = 3600  # inactivity gap (whole-second timer granularity)
+
+
+def _inactivity_flush_processor(gap_s: int):
+    """ValueState + event-time-timer processor: per-user open window
+    (n, first_us, last_us). A window flushes when (a) a later batch
+    brings events >= gap after its last event (arrival flush), or
+    (b) its re-armed inactivity timer expires because the watermark
+    advanced past last + gap (timer flush). Timer expiry is registered
+    at whole-second granularity so the decision is reproducible in SQL;
+    a stale timer (window since extended) is recognized by comparing
+    the expiry against the CURRENT window's last_us and ignored, which
+    makes the output independent of Spark's rows-vs-timers ordering
+    within a batch."""
+    from pyspark.sql import types as _T  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class InactivityFlush(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState(
+                "win",
+                _T.StructType(
+                    [
+                        _T.StructField("n", _T.LongType()),
+                        _T.StructField("first_us", _T.LongType()),
+                        _T.StructField("last_us", _T.LongType()),
+                    ]
+                ),
+            )
+
+        @staticmethod
+        def _expiry_ms(last_us: int) -> int:
+            return (last_us // 1_000_000 + gap_s) * 1000
+
+        @staticmethod
+        def _row(key, n, first_us, last_us):
+            import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+            return _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            gap_us = gap_s * 1_000_000
+            bn, bfirst, blast = 0, None, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                bn += len(pdf)
+                mn, mx = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+                bfirst = mn if bfirst is None else min(bfirst, mn)
+                blast = mx if blast is None else max(blast, mx)
+            if bn == 0:
+                return
+            if self.state.exists():
+                n, first_us, last_us = self.state.get()
+                if bfirst - last_us >= gap_us:
+                    yield self._row(key, n, first_us, last_us)  # arrival flush
+                    n, first_us, last_us = bn, bfirst, blast
+                else:  # window extends across the batch boundary
+                    n, first_us, last_us = (
+                        n + bn, min(first_us, bfirst), max(last_us, blast)
+                    )
+            else:
+                n, first_us, last_us = bn, bfirst, blast
+            self.state.update((n, first_us, last_us))
+            for t in list(self.handle.listTimers()):  # exactly one pending
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(self._expiry_ms(last_us))
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 - worker passes camelCase kwargs
+            if not self.state.exists():
+                return
+            n, first_us, last_us = self.state.get()
+            if expiredTimerInfo.getExpiryTimeInMs() != self._expiry_ms(last_us):
+                return  # stale timer: the window was extended/replaced
+            yield self._row(key, n, first_us, last_us)
+            self.state.clear()
+
+        def close(self):
+            pass
+
+    return InactivityFlush()
+
+
+def stream_tws_inactivity_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMERS on the Spark 4 state API, observed across
+    REAL micro-batches: events are staged as a pre-split and a
+    post-split arrival file (maxFilesPerTrigger=1, availableNow).
+    Batch 2 runs with batch 1's watermark (max pre-split event time,
+    delay 0), so the inactivity timers armed in batch 1 expire for
+    users silent since >gap before it, and users whose first post-split
+    event lands >=gap after their open window trigger an arrival flush.
+    The engine then runs a trailing NO-DATA batch (default
+    spark.sql.streaming.noDataMicroBatches.enabled) with the final
+    watermark, expiring the still-armed timers of the remaining open
+    windows — only windows ending within gap of the global max event
+    time stay open (and unemitted). Every branch is deterministic, so
+    the memory-sink content has an exact SQL oracle reproducing the
+    batch-by-batch watermark sequence (emit1/emit2 CTEs)."""
+    import glob  # noqa: PLC0415
+
+    _ensure_tws_protobuf(spark)
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+    nts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast(T.TimestampType())
+    )
+    root = workdir(sf_dir, "stream_tws_flush")
+    src_dir = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        split = F.lit(_TWS_FLUSH_SPLIT).cast(T.TimestampType())
+        for i, cond in enumerate([nts < split, nts >= split]):
+            (
+                ev.filter(cond)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+            f = glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet"))[0]
+            dst = os.path.join(src_dir, f"events_{i}.parquet")
+            os.replace(f, dst)
+            # FileStreamSource orders arrivals by mtime: force it
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ev = (
+        stream.withColumn("ts", nts)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_inactivity_flush_processor(_TWS_FLUSH_GAP_S),
+        outputStructType="user_id long, n_events long, first_us long, last_us long",
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sink = _run_to_memory(out, spark, sf_dir, "stream_tws_flush", "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return sink.select(
+        "user_id",
+        "n_events",
+        F.timestamp_micros("first_us").alias("first_ts"),
+        F.timestamp_micros("last_us").alias("last_ts"),
+    )
+
+
+STREAM_TWS_INACTIVITY_FLUSH_ORACLE = f"""
+WITH h1 AS (SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '{_TWS_FLUSH_SPLIT}'),
+h2 AS (SELECT user_id, ts FROM events WHERE ts >= TIMESTAMP '{_TWS_FLUSH_SPLIT}'),
+w1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n1, min(ts) AS f1, max(ts) AS l1 FROM h1 GROUP BY user_id),
+w2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n2, min(ts) AS f2, max(ts) AS l2 FROM h2 GROUP BY user_id),
+wm1 AS (SELECT epoch_us(max(ts)) // 1000 AS ms FROM h1),
+wm2 AS (SELECT epoch_us(max(ts)) // 1000 AS ms FROM events),
+u AS (
+  SELECT COALESCE(w1.user_id, w2.user_id) AS user_id, n1, f1, l1, n2, f2, l2,
+         w1.user_id IS NOT NULL AS has1, w2.user_id IS NOT NULL AS has2,
+         (w2.user_id IS NOT NULL AND w1.user_id IS NOT NULL
+          AND epoch_us(f2) - epoch_us(l1) >= CAST({_TWS_FLUSH_GAP_S} AS BIGINT)*1000000) AS arrival,
+         (w1.user_id IS NOT NULL AND w2.user_id IS NULL
+          AND (epoch_us(l1)//1000000 + {_TWS_FLUSH_GAP_S})*1000 < (SELECT ms FROM wm1)) AS timer1
+  FROM w1 FULL JOIN w2 USING (user_id)
+),
+emit1 AS (  -- W1 windows flushed during the second data batch
+  SELECT user_id, n1 AS n_events, f1 AS first_ts, l1 AS last_ts
+  FROM u WHERE arrival OR timer1
+),
+fin AS (    -- the per-user window still open after the second batch
+  SELECT user_id,
+         CASE WHEN has2 AND has1 AND NOT arrival AND NOT timer1 THEN n1 + n2
+              WHEN has2 THEN n2
+              WHEN NOT timer1 THEN n1 END AS n_events,
+         CASE WHEN has2 AND has1 AND NOT arrival AND NOT timer1 THEN f1
+              WHEN has2 THEN f2
+              WHEN NOT timer1 THEN f1 END AS first_ts,
+         CASE WHEN has2 THEN l2 WHEN NOT timer1 THEN l1 END AS last_ts
+  FROM u
+),
+emit2 AS (  -- flushed by the trailing no-data batch's advanced watermark
+  SELECT user_id, n_events, first_ts, last_ts FROM fin
+  WHERE n_events IS NOT NULL
+    AND (epoch_us(last_ts)//1000000 + {_TWS_FLUSH_GAP_S})*1000 < (SELECT ms FROM wm2)
+)
+SELECT * FROM emit1 UNION ALL SELECT * FROM emit2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_tws_inactivity_flush",
+        stream_tws_inactivity_flush,
+        STREAM_TWS_INACTIVITY_FLUSH_ORACLE,
+        doc="event-time TIMERS across two real micro-batches: inactivity session "
+        "flush (timer + arrival), exact SQL oracle over the same split",
+        tags=("stream",),
+    )
+)

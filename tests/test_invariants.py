@@ -260,3 +260,40 @@ def test_pq_adc_recall_vs_bruteforce(spark, specs):
     assert all(q != n for q, n in pq)
     recall = len(pq & exact) / len(exact)
     assert recall >= 0.15, f"PQ recall {recall:.2f} below floor"
+
+
+def test_cc_twostar_agrees_with_minlabel(spark, specs):
+    """Two independent CC algorithms (min-label propagation vs
+    large-star/small-star) must produce identical (doc_id, cluster_id)
+    assignments — same fixed point, different round structure."""
+    ml = {
+        (r.doc_id, r.cluster_id)
+        for r in specs["dedup_cluster_cc"].fn(spark, SF_SMOKE).collect()
+    }
+    ts = {
+        (r.doc_id, r.cluster_id)
+        for r in specs["dedup_cluster_cc_twostar"].fn(spark, SF_SMOKE).collect()
+    }
+    assert ml == ts and len(ml) > 0
+
+
+def test_chunk_dedup_reassembly(spark, specs):
+    """Chunk dedup must be a pure subsequence filter: docs with no
+    duplicated chunks reassemble to exactly their original text, and
+    kept counts are consistent (n_chunks - n_dup = kept chunk count)."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators.text_analysis import CHUNK_WORDS
+
+    out = {r.doc_id: r for r in specs["text_chunk_dedup"].fn(spark, SF_SMOKE).collect()}
+    orig = {r.doc_id: r.text for r in load(spark, SF_SMOKE, "documents").collect()}
+    assert set(out) == set(orig)
+    import math
+
+    for doc_id, r in out.items():
+        words = orig[doc_id].split(" ")
+        assert r.n_chunks == math.ceil(len(words) / CHUNK_WORDS)
+        if r.n_dup_chunks == 0:
+            assert r.kept_text == orig[doc_id]
+        elif r.kept_text is not None:
+            # every kept chunk is a verbatim window of the original
+            assert all(w in words for w in r.kept_text.split(" "))

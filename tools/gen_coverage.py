@@ -165,6 +165,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "MinHash + LSH": ["dedup_minhash_lsh", "dedup_minhash_mllib"],
         "incremental dedup vs standing index": ["dedup_incremental_minhash"],
         "connected-components clustering (iterative)": ["dedup_cluster_cc"],
+        "large-star/small-star CC (Kiveris SoCC'14, diameter-independent)": [
+            "dedup_cluster_cc_twostar"
+        ],
+        "repeated-line (chunk) boilerplate removal (CCNet/RefinedWeb)": [
+            "text_chunk_dedup"
+        ],
         "SimHash": ["dedup_simhash", "dedup_simhash_pairs"],
         "n-gram Jaccard": ["dedup_ngram_jaccard"],
         "prefix-filtered set-similarity join (PPJoin)": ["dedup_jaccard_prefix"],
