@@ -58,6 +58,9 @@ HEADLINE = [
     "sim_pq_adc",
     "join_skew_unsalted",
     "join_skew_salted",
+    "dedup_cluster_cc_twostar",
+    "text_chunk_dedup",
+    "join_bloom_prefilter",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

@@ -714,3 +714,100 @@ SPECS.append(
         tags=("storage", "source"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter semi-join reduction (Catalyst InjectRuntimeFilter)
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # the rewrite itself (default-on in Spark 4, pinned for vanilla sessions)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # fixture tables are far below the 10GB production default — the
+    # mechanism, not the threshold, is what this op demonstrates
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    # InjectRuntimeFilter skips joins it could plan as broadcast-hash
+    # (the build side already prefilters those); at fixture scale every
+    # dim is broadcastable, so disable auto-broadcast to model the
+    # 100 TB case where the dim exceeds the driver. The conf window
+    # only spans plan OPTIMIZATION (forced eagerly below), then is
+    # restored — other queries in the session are untouched.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via Catalyst's runtime bloom filter: the
+    selective dim side (urgent finished orders) builds a
+    ``bloom_filter_agg`` subquery that is pushed into the FACT scan as
+    a ``might_contain`` predicate BEFORE the fact side shuffles — at
+    100 TB this is the difference between shuffling every lineitem row
+    and shuffling only the ~1/10th that can possibly join. Catalyst
+    only injects when the join can't be planned broadcast (a broadcast
+    join prefilters from its build side anyway), so the op pins
+    auto-broadcast off for its plan window — modeling the big-dim
+    case. Results are identical to the plain join: the bloom is a
+    conservative prefilter, false positives are removed by the join.
+    ``tests/test_scale_posture.py`` asserts might_contain reaches the
+    fact side's scan stage."""
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        sel = (
+            load(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderstatus") == "F")
+            )
+            .select("o_orderkey", "o_orderdate")
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        out = joined.groupBy(F.month("o_orderdate").alias("order_month")).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        # QueryExecution caches the optimized plan per Dataset: force
+        # optimization NOW, inside the conf window, so the returned
+        # DataFrame keeps the injected bloom filter (and the shuffle
+        # join it rides on) after the confs are restored.
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+JOIN_BLOOM_PREFILTER_ORACLE = """
+SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_bloom_prefilter",
+        join_bloom_prefilter,
+        JOIN_BLOOM_PREFILTER_ORACLE,
+        doc="runtime bloom-filter semi-join reduction: dim builds bloom_filter_agg, "
+        "fact scan gains might_contain before its shuffle",
+        tags=("core", "storage", "scale"),
+    )
+)

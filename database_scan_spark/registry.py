@@ -143,6 +143,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",
+    "join_bloom_prefilter",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

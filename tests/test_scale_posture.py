@@ -358,3 +358,26 @@ def test_candidate_parts_no_global_window(spark):
 
     plan = _plan(candidate_parts(spark, SF_SMOKE))
     assert "Window" not in plan
+
+
+def test_bloom_prefilter_reaches_fact_side(spark):
+    """join_bloom_prefilter must carry Catalyst's injected runtime
+    bloom filter: bloom_filter_agg built from the selective dim,
+    might_contain applied on the fact side before its shuffle — and
+    must leave the session confs untouched."""
+    from database_scan_spark.operators.storage import join_bloom_prefilter
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = join_bloom_prefilter(spark, SF_SMOKE)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in opt and "might_contain" in opt
+    plan = _plan(df)
+    assert "might_contain" in plan
+
+
+def test_twostar_cc_plan_has_no_cartesian(spark):
+    from database_scan_spark.plans.cc_clusters import dedup_cluster_cc_twostar
+
+    plan = _plan(dedup_cluster_cc_twostar(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

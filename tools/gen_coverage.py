@@ -159,6 +159,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "stream-stream interval join": ["stream_stream_interval_join"],
         "foreachBatch idempotent sink": ["stream_foreach_batch_sink"],
         "streaming incremental MV maintenance": ["stream_mv_refresh"],
+        "event-time timers (multi-batch inactivity flush)": [
+            "stream_tws_inactivity_flush"
+        ],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
@@ -291,6 +294,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "skew salting": [
             "join_salted", "join_skew_unsalted", "join_skew_salted"
         ],
+        "runtime bloom-filter semi-join reduction": ["join_bloom_prefilter"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
