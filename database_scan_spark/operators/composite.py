@@ -569,3 +569,59 @@ SPECS.append(
         tags=("composite", "analytics"),
     )
 )
+
+
+_THETA_LG_K = 20  # nominal 2^20 entries per sketch — exact below that
+
+
+def agg_theta_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches theta,
+    Spark 4.1 `theta_sketch_agg`/`theta_union_agg`) — the 100 TB
+    COUNT(DISTINCT) architecture: each partition builds a bounded
+    sketch, partial aggregation merges them executor-side, and
+    cross-group set union happens on kilobyte sketches instead of
+    re-scanning the fact table (exact distinct would shuffle every
+    raw key once per grouping). Output: per-event-type distinct
+    users plus the 'ALL' union row computed FROM THE SKETCHES —
+    never from the raw data.
+
+    Oracle regime: a theta sketch is EXACT while retained entries
+    stay under its nominal 2^20 (no sampling has kicked in), so at
+    fixture scales this hash-matches exact COUNT(DISTINCT); at
+    100 TB the same plan degrades gracefully to ~1.6% relative
+    error per sketch instead of an OOM or a second shuffle. Unlike
+    `agg_approx` (rows-only, HLL internals engine-specific), the
+    below-nominal regime makes a full value oracle possible."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id"), F.lit(_THETA_LG_K)).alias("sk")
+    )
+    per_type = per.select(
+        "event_type",
+        F.theta_sketch_estimate(F.col("sk")).cast("bigint").alias("distinct_users"),
+    )
+    union_all = per.agg(
+        F.theta_sketch_estimate(
+            F.theta_union_agg(F.col("sk"), F.lit(_THETA_LG_K))
+        ).cast("bigint").alias("distinct_users")
+    ).select(F.lit("ALL").alias("event_type"), "distinct_users")
+    return per_type.unionAll(union_all)
+
+
+AGG_THETA_DISTINCT_UNION_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_theta_distinct_union",
+        agg_theta_distinct_union,
+        AGG_THETA_DISTINCT_UNION_ORACLE,
+        doc="theta-sketch distinct counts with sketch-level set union ('ALL' row)",
+        tags=("composite", "approx", "sketch"),
+    )
+)

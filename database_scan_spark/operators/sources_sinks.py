@@ -645,3 +645,71 @@ SPECS.append(
         tags=("source", "storage"),
     )
 )
+
+
+def src_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python DataSource API surface: the
+    reference's cursor-paged crawl loop
+    (`/root/reference/opentargets_client_api.py:138-292`) as a live
+    Structured Streaming source — each micro-batch consumes one
+    response page, the checkpointed offset {"page": i} is the cursor,
+    and failure recovery replays committed ranges through
+    `readBetweenOffsets` (see sources/page_stream.py). Runs under a
+    processing-time trigger + `processAllAvailable()` so the
+    page-per-batch cadence is real (availableNow prefetches and
+    coalesces the whole backlog into one batch);
+    tests/test_streaming.py asserts >= n_pages committed offsets in
+    the checkpoint. The aggregate mirrors the batch twin's shape and
+    hash-matches the same DuckDB oracle — stream/batch unification."""
+    import shutil  # noqa: PLC0415
+
+    from ..sources.graphql_snapshot import materialize_pages  # noqa: PLC0415
+    from ..sources.page_stream import make_page_stream_source  # noqa: PLC0415
+
+    pages_dir = workdir(sf_dir, "graphql_pages")
+    materialize_pages(spark, sf_dir, pages_dir)
+    try:
+        spark.dataSource.register(make_page_stream_source())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    edges = spark.readStream.format("page_stream").option("path", pages_dir).load()
+    agg = edges.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("score").cast("decimal(18,2)")).cast("double").alias("sum_score"),
+    )
+    sink = f"src_py_stream_{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
+    ckpt = os.path.join(workdir(sf_dir, "src_python_stream_datasource"), "checkpoint")
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh cursor each invocation
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
+SRC_PYTHON_STREAM_DATASOURCE_ORACLE = """
+SELECT o_custkey AS entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_score
+FROM orders WHERE o_custkey < 50
+GROUP BY o_custkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_python_stream_datasource",
+        src_python_stream_datasource,
+        SRC_PYTHON_STREAM_DATASOURCE_ORACLE,
+        doc="Python streaming DataSource: cursor-paged source, one page per micro-batch",
+        tags=("core", "source", "stream"),
+    )
+)

@@ -787,3 +787,91 @@ SPECS.append(
         tags=("sql", "analytics"),
     )
 )
+
+
+_CBO_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+}
+
+_CBO_TABLES = ("lineitem", "nation", "orders", "customer")
+
+
+def _cbo_table_name(sf_dir: str, table: str) -> str:
+    import os  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return f"stats_{table}_{tag}"
+
+
+def catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization from ANALYZE'd catalog statistics — how
+    a 1000-executor cluster avoids planning a 100 TB fact table early
+    in a join tree. Fixture tables are registered as external catalog
+    tables (sf-scoped names, idempotent), `ANALYZE TABLE .. COMPUTE
+    STATISTICS FOR ALL COLUMNS` collects row counts + column NDVs,
+    and the 4-way star query below is DELIBERATELY written in a
+    pathological order (fact first, dims last). With
+    `spark.sql.cbo.joinReorder.enabled`, Catalyst re-orders from the
+    statistics: customer⋈nation (25 rows) builds first, the fact scan
+    joins last — and the optimized plan's cardinality estimate for
+    the output is exact (tests/test_scale_posture.py asserts both).
+    The conf window follows the `join_bloom_prefilter` pattern:
+    QueryExecution caches the optimized plan forced inside the
+    window, then session confs are restored."""
+    for t in _CBO_TABLES:
+        tbl = _cbo_table_name(sf_dir, t)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} USING parquet "
+            f"LOCATION '{sf_dir}/{t}.parquet'"
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    li, na, od, cu = (_cbo_table_name(sf_dir, t) for t in _CBO_TABLES)
+    saved = {}
+    for k, v in _CBO_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        out = spark.sql(
+            f"""
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM {li} l, {na} n, {od} o, {cu} c
+            WHERE l.l_orderkey = o.o_orderkey
+              AND o.o_custkey = c.c_custkey
+              AND c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
+            """
+        )
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+CATALOG_STATS_CBO_ORACLE = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l, nation n, orders o, customer c
+WHERE l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+"""
+
+SPECS.append(
+    QuerySpec(
+        "catalog_stats_cbo",
+        catalog_stats_cbo,
+        CATALOG_STATS_CBO_ORACLE,
+        doc="ANALYZE'd catalog stats drive CBO join reorder on a pathological star order",
+        tags=("sql", "catalog", "scale"),
+    )
+)

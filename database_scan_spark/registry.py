@@ -144,6 +144,10 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",
     "join_bloom_prefilter",
+    "fn_variant_json",
+    "agg_theta_distinct_union",
+    "catalog_stats_cbo",
+    "src_python_stream_datasource",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

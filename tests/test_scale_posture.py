@@ -381,3 +381,37 @@ def test_twostar_cc_plan_has_no_cartesian(spark):
 
     plan = _plan(dedup_cluster_cc_twostar(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cbo_reorders_pathological_star(spark):
+    """catalog_stats_cbo: ANALYZE'd stats must reorder the written
+    (fact-first) join order — the fact relation joins LAST — and the
+    optimized plan's output-cardinality estimate must be exact (25
+    nations), proving the estimate flows from real statistics."""
+    from database_scan_spark.operators.sql_surface import catalog_stats_cbo
+
+    df = catalog_stats_cbo(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan()
+    text = opt.toString()
+    rel_order = [
+        t
+        for line in text.splitlines()
+        for t in ("lineitem", "nation", "orders", "customer")
+        if f"stats_{t}" in line and "Relation" in line
+    ]
+    # written order was (lineitem, nation, orders, customer); CBO must
+    # push the fact table to the end of the join tree
+    assert rel_order[-1] == "lineitem", rel_order
+    assert "Join" in text and "Cartesian" not in text
+    # stats() evaluates lazily under the CURRENT conf — re-open the CBO
+    # window so the estimate comes from the ANALYZE'd statistics, not
+    # the size-only fallback
+    saved = spark.conf.get("spark.sql.cbo.enabled", None)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        assert "rowCount=25" in opt.stats().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved)

@@ -139,3 +139,29 @@ def test_tws_list_and_map_state_match_batch(spark):
         .collect()
     }
     assert got_counts == want_counts
+
+
+def test_python_stream_source_pages_per_batch(spark):
+    """src_python_stream_datasource must actually page: the staged
+    layout has 4 response pages and the processing-time trigger must
+    commit one offset per page (>= 4 committed batches; availableNow
+    would coalesce them into one). Offset files in the checkpoint are
+    the engine's own durable evidence."""
+    import glob
+    import os
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.sources_sinks import (
+        src_python_stream_datasource,
+    )
+
+    out = src_python_stream_datasource(spark, SF_SMOKE)
+    assert out.count() > 0
+    ckpt = os.path.join(workdir(SF_SMOKE, "src_python_stream_datasource"), "checkpoint")
+    offsets = [
+        p for p in glob.glob(os.path.join(ckpt, "offsets", "*"))
+        if os.path.basename(p).isdigit()
+    ]
+    n_pages = len(glob.glob(os.path.join(workdir(SF_SMOKE, "graphql_pages"), "page=*")))
+    assert n_pages >= 4
+    assert len(offsets) >= n_pages

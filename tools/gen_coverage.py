@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "§2.1 Scans / sources / sinks": {
         "src_graphql_post": ["src_graphql_post", "src_python_datasource"],
+        "(engine addition) Python STREAMING DataSource (cursor-paged live crawl)": ["src_python_stream_datasource"],
         "src_rest_get": ["src_rest_get"],
         "src_csv": ["src_csv"],
         "(engine addition) tolerant JSON ingestion": ["src_json_permissive"],
@@ -295,6 +296,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "join_salted", "join_skew_unsalted", "join_skew_salted"
         ],
         "runtime bloom-filter semi-join reduction": ["join_bloom_prefilter"],
+        "mergeable theta sketches (distinct + sketch-level union)": ["agg_theta_distinct_union"],
+        "Spark 4 VARIANT semi-structured surface": ["fn_variant_json"],
+        "ANALYZE'd catalog stats + CBO join reorder": ["catalog_stats_cbo"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],

@@ -101,6 +101,20 @@ SHOWCASE = {
     "(5.5×) at the shipped ×100 replication; salting the fact key with "
     "pmod(hash, 32) and exploding the dim ×32 turns the straggler into "
     "32 parallel reducers, identical results (shared exact oracle)",
+    "catalog_stats_cbo": "cost-based join reorder — the query is WRITTEN "
+    "fact-first (lineitem, nation, orders, customer) but ANALYZE'd "
+    "statistics must flip it: expect customer⋈nation built first and the "
+    "lineitem scan joining LAST, with broadcast dims; the optimized "
+    "plan's output-cardinality estimate is exactly 25 (the nation count) "
+    "— proof the estimate flows from real stats, asserted in "
+    "test_cbo_reorders_pathological_star",
+    "agg_theta_distinct_union": "mergeable theta sketches — expect "
+    "partial+final ObjectHashAggregate around ONE exchange for the "
+    "per-type sketches; the 'ALL' row unions kilobyte sketches, never "
+    "re-scanning events (a second COUNT DISTINCT pass would)",
+    "fn_variant_json": "VARIANT extraction — expect a single Project over "
+    "the scan (parse-once variant, typed-path gets), whole-stage codegen, "
+    "no Python anywhere",
 }
 
 
