@@ -809,7 +809,7 @@ def catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1000-executor cluster avoids planning a 100 TB fact table early
     in a join tree. Fixture tables are registered as external catalog
     tables (sf-scoped names, idempotent), `ANALYZE TABLE .. COMPUTE
-    STATISTICS FOR ALL COLUMNS` collects row counts + column NDVs,
+    STATISTICS FOR COLUMNS <join keys>` collects row counts + key NDVs,
     and the 4-way star query below is DELIBERATELY written in a
     pathological order (fact first, dims last). With
     `spark.sql.cbo.joinReorder.enabled`, Catalyst re-orders from the
@@ -819,13 +819,24 @@ def catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     The conf window follows the `join_bloom_prefilter` pattern:
     QueryExecution caches the optimized plan forced inside the
     window, then session confs are restored."""
+    stat_cols = {
+        "lineitem": "l_orderkey",
+        "nation": "n_nationkey, n_name",
+        "orders": "o_orderkey, o_custkey",
+        "customer": "c_custkey, c_nationkey",
+    }
     for t in _CBO_TABLES:
         tbl = _cbo_table_name(sf_dir, t)
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {tbl} USING parquet "
             f"LOCATION '{sf_dir}/{t}.parquet'"
         )
-        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        # row counts + NDV/min/max for the JOIN KEYS only: that is all
+        # the reorderer consumes here, and at 100 TB "ANALYZE FOR ALL
+        # COLUMNS" is an own-goal (full NDV pass over every string col)
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {stat_cols[t]}"
+        )
     li, na, od, cu = (_cbo_table_name(sf_dir, t) for t in _CBO_TABLES)
     saved = {}
     for k, v in _CBO_CONFS.items():

@@ -163,13 +163,25 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_minhash_verify_has_no_extra_shingle_agg(spark):
-    """The LSH verification must reuse the persisted shingle table
-    (InMemoryTableScan), not recompute the explode from parquet."""
+def test_minhash_verify_prunes_before_shingle_explode(spark):
+    """The LSH verification must NOT materialize a full-corpus shingle
+    cache (memory-impossible at 100 TB): no InMemoryRelation, and the
+    verification branch joins the broadcast candidate-doc list against
+    the documents scan BEFORE its shingle explode (the explode runs on
+    the pruned side, so the corpus is exploded exactly once — for the
+    signatures)."""
     from database_scan_spark.operators.dedup import dedup_minhash_lsh
 
-    plan = _plan(dedup_minhash_lsh(spark, SF_SMOKE))
-    assert "InMemoryTableScan" in plan
+    df = dedup_minhash_lsh(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the only cached relation is the tiny candidate-PAIR table; no
+    # cached relation may carry a shingle column
+    cached = [
+        line for line in plan.splitlines() if "InMemoryTableScan" in line
+    ]
+    assert all("shingle" not in line for line in cached), cached
+    # the verify branch broadcasts the candidate list into a hash join
+    assert "BroadcastHashJoin" in plan
 
 
 def test_compaction_reduces_file_count(spark):

@@ -23,8 +23,10 @@ SHOWCASE = {
     "around ONE exchange, filter pushed to the scan",
     "src_parquet_scan": "scan discipline — expect PushedFilters + pruned ReadSchema",
     "dedup_minhash_lsh": "LSH pipeline — signature agg exchange, bucket "
-    "group-by candidates, array-intersect verification over the cached "
-    "shingle table (InMemoryTableScan), AQE-broadcast candidate sides",
+    "group-by candidates, array-intersect verification over shingles "
+    "re-derived for candidate docs only (broadcast candidate list joined "
+    "BEFORE the explode; no full-corpus shingle cache anywhere — "
+    "memory-impossible at 100 TB and measured slower at sf0.1)",
     "join_asof": "as-of via union+window — expect ONE exchange on the key, "
     "a window sort, no join operator at all",
     "tpch_q5_local_supplier_volume": "5-table join — expect broadcast dims, "
