@@ -288,9 +288,9 @@ def _median_cents_agg_fn():
 
 def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDF — the remaining cell of the Python-UDF
-    API matrix (scalar pandas_udf, applyInPandas, mapInPandas, UDTF,
-    applyInPandasWithState, transformWithStateInPandas are all
-    exercised elsewhere): a whole-group Arrow series reduces to one
+    API matrix (scalar pandas_udf, applyInPandas, mapInPandas,
+    mapInArrow, UDTF, applyInPandasWithState,
+    transformWithStateInPandas are all exercised elsewhere): a whole-group Arrow series reduces to one
     scalar per group inside Python. Median order price per priority
     class, computed over INTEGER CENTS so the exact-middle (or exact
     half-integer) result is order-independent and hash-matches
@@ -373,5 +373,56 @@ SPECS.append(
         FN_VARIANT_JSON_ORACLE,
         doc="Spark 4 VARIANT: parse-once typed JSON access with corrupt-row tolerance",
         tags=("functions", "variant"),
+    )
+)
+
+
+def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the last cell of the Python-execution API matrix
+    (scalar pandas_udf, GROUPED_AGG, applyInPandas, mapInPandas, UDTF,
+    applyInPandasWithState, transformWithStateInPandas are exercised
+    elsewhere): the Python function receives raw Arrow RecordBatches
+    and computes with pyarrow.compute kernels — no pandas conversion
+    at either boundary, which is the cheapest possible Python hop for
+    columnar numeric work (pandas round-trips copy + box; Arrow
+    kernels run vectorized C++ on the shared buffers). Gross revenue
+    per line item; IEEE-754 multiply is correctly rounded in every
+    engine, so the doubles hash-match the oracle bit-for-bit."""
+
+    def gross_batches(batches):
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        for batch in batches:
+            gross = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), gross],
+                names=["l_orderkey", "l_linenumber", "gross"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        gross_batches, "l_orderkey long, l_linenumber int, gross double"
+    )
+
+
+UDF_ARROW_MAP_BATCHES_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS gross
+FROM lineitem
+"""
+
+SPECS.append(
+    QuerySpec(
+        "udf_arrow_map_batches",
+        udf_arrow_map_batches,
+        UDF_ARROW_MAP_BATCHES_ORACLE,
+        doc="mapInArrow: raw RecordBatch iteration with pyarrow.compute kernels",
+        tags=("functions", "udf", "arrow"),
     )
 )

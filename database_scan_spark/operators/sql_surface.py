@@ -886,3 +886,123 @@ SPECS.append(
         tags=("sql", "catalog", "scale"),
     )
 )
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk(node_id, root_region, level) AS (
+    SELECT CONCAT('r', CAST(r_regionkey AS {str_t})), r_name, 0
+    FROM region
+    UNION ALL
+    SELECT child.node_id, walk.root_region, walk.level + 1
+    FROM walk
+    JOIN (
+        SELECT CONCAT('r', CAST(n_regionkey AS {str_t})) AS parent_id,
+               CONCAT('n', CAST(n_nationkey AS {str_t})) AS node_id
+        FROM nation
+        UNION ALL
+        SELECT CONCAT('n', CAST(c_nationkey AS {str_t})) AS parent_id,
+               CONCAT('c', CAST(c_custkey AS {str_t})) AS node_id
+        FROM customer
+    ) child ON child.parent_id = walk.node_id
+)
+SELECT root_region, CAST(level AS {int_t}) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM walk GROUP BY root_region, level
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 `WITH RECURSIVE`) — the declarative
+    form of the engine's iterative fixpoints (cc_clusters.py drives
+    the same recursion by hand; the reference's crawl loop at
+    `/root/reference/x2.2.py:285-324` is this walk, serialized): the
+    region→nation→customer hierarchy is flattened as a typed-id
+    parent/child edge union and walked from the region roots, giving
+    per-root level populations. Each recursion step is one join
+    against the (dimension-sized) edge table; depth is bounded by the
+    hierarchy (3), not a guessed iteration cap. DuckDB runs the same
+    recursion verbatim — the oracle differs only in type-name
+    spelling (STRING/VARCHAR)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALK_SQL.format(str_t="STRING", int_t="INT"))
+
+
+SQL_RECURSIVE_CTE_ORACLE = _RECURSIVE_WALK_SQL.format(
+    str_t="VARCHAR", int_t="INTEGER"
+)
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-outer-row top-k without a
+    window function: for each nation, its two highest-balance
+    customers (deterministic tiebreak on custkey). Catalyst decorrelates
+    the LATERAL into a join + per-group limit rather than re-executing
+    the subquery per row — the shape `topk_per_group` expresses with
+    a rank window, here written the way migrating SQL users write it.
+    DuckDB executes the identical statement as the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_TOPK_ORACLE)
+
+
+SQL_LATERAL_TOPK_ORACLE = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators) — the TPC-H Q1 shape
+    written as a linear pipeline (FROM → WHERE → EXTEND → AGGREGATE →
+    ORDER BY) instead of inside-out nested SQL. Same Catalyst plan as
+    the classic form; the DuckDB oracle is the classic form, so the
+    check also proves the two syntaxes agree."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+|> EXTEND l_extendedprice * (1 - l_discount) AS gross
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(gross AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+""")
+
+
+SQL_PIPE_SYNTAX_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "sql_recursive_cte",
+            sql_recursive_cte,
+            SQL_RECURSIVE_CTE_ORACLE,
+            doc="WITH RECURSIVE hierarchy walk (region→nation→customer) with per-root level counts",
+            tags=("sql", "recursive"),
+        ),
+        QuerySpec(
+            "sql_lateral_topk",
+            sql_lateral_topk,
+            SQL_LATERAL_TOPK_ORACLE,
+            doc="LATERAL correlated per-row top-k, decorrelated by Catalyst",
+            tags=("sql",),
+        ),
+        QuerySpec(
+            "sql_pipe_syntax",
+            sql_pipe_syntax,
+            SQL_PIPE_SYNTAX_ORACLE,
+            doc="SQL pipe-syntax (|>) pipeline form of the Q1 aggregate",
+            tags=("sql",),
+        ),
+    ]
+)

@@ -148,6 +148,10 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_theta_distinct_union",
     "catalog_stats_cbo",
     "src_python_stream_datasource",
+    "sql_recursive_cte",
+    "sql_lateral_topk",
+    "sql_pipe_syntax",
+    "udf_arrow_map_batches",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -299,6 +299,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "mergeable theta sketches (distinct + sketch-level union)": ["agg_theta_distinct_union"],
         "Spark 4 VARIANT semi-structured surface": ["fn_variant_json"],
         "ANALYZE'd catalog stats + CBO join reorder": ["catalog_stats_cbo"],
+        "recursive CTE hierarchy walk (WITH RECURSIVE)": ["sql_recursive_cte"],
+        "LATERAL correlated subquery": ["sql_lateral_topk"],
+        "SQL pipe syntax (|>)": ["sql_pipe_syntax"],
+        "mapInArrow raw RecordBatch path": ["udf_arrow_map_batches"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
