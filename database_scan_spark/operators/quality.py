@@ -280,3 +280,62 @@ SPECS.append(
         tags=("quality", "profile"),
     )
 )
+
+
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-scan pipeline audit via `df.observe` (CollectMetrics):
+    the quality-gate pass-through is written to its sink, and the audit
+    aggregates (row count, exact DECIMAL value sum, ship-date bounds)
+    are collected as OBSERVED METRICS on the same action — accumulator
+    semantics, no second scan of the gated data. At 100 TB this is the
+    difference between "write + audit" costing one pass or two; it is
+    also the monitoring hook a production gate exports per batch.
+    DISTINCT aggregates are rejected by CollectMetrics (use sketches —
+    `agg_theta_distinct_union` — for distinct monitoring).
+
+    The returned one-row relation is rebuilt from the observation on
+    the driver (metrics are driver-side by nature, like `catalog`);
+    the oracle recomputes the same aggregates independently."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("quality_gate")
+    gated = li.filter(F.col("l_quantity") >= 45).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_pass"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    gated.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_pass"],
+                float(m["sum_price"]),
+                m["first_ship"],
+                m["last_ship"],
+            )
+        ],
+        "n_pass bigint, sum_price double, first_ship timestamp, last_ship timestamp",
+    )
+
+
+DQ_OBSERVED_METRICS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pass,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_observed_metrics",
+        dq_observed_metrics,
+        DQ_OBSERVED_METRICS_ORACLE,
+        doc="df.observe audit metrics piggybacked on the gated write (no second scan)",
+        tags=("quality", "observe"),
+    )
+)

@@ -713,3 +713,54 @@ SPECS.append(
         tags=("core", "source", "stream"),
     )
 )
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python DataSource API (batch writer with
+    a real commit protocol — see sources/jsonl_sink.py): the
+    entity-edge projection is written through the custom sink
+    (executor-staged files, driver-side atomic commit + `_SUCCESS`
+    manifest, abort-cleans-staging), then read back and returned, so
+    the oracle hash-checks the full write→commit→read round trip.
+    JSON float round-trip is exact (repr shortest-roundtrip)."""
+    import shutil  # noqa: PLC0415
+
+    from ..sources.jsonl_sink import make_jsonl_sink  # noqa: PLC0415
+
+    try:
+        spark.dataSource.register(make_jsonl_sink())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    out_dir = workdir(sf_dir, "sink_python_datasource")
+    shutil.rmtree(out_dir, ignore_errors=True)  # fresh commit each run
+    edges = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            F.col("o_custkey").alias("entity_id"),
+            F.col("o_orderkey").alias("edge_id"),
+            F.col("o_totalprice").alias("score"),
+        )
+    )
+    edges.write.format("edges_jsonl").option("path", out_dir).mode("append").save()
+    assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    return spark.read.schema("entity_id bigint, edge_id bigint, score double").json(
+        os.path.join(out_dir, "part-*.jsonl")
+    )
+
+
+SINK_PYTHON_DATASOURCE_ORACLE = """
+SELECT o_custkey AS entity_id, o_orderkey AS edge_id, o_totalprice AS score
+FROM orders WHERE o_custkey < 50
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sink_python_datasource",
+        sink_python_datasource,
+        SINK_PYTHON_DATASOURCE_ORACLE,
+        doc="Python DataSource batch writer: staged files, atomic driver commit, manifest",
+        tags=("core", "sink"),
+    )
+)

@@ -152,6 +152,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sql_lateral_topk",
     "sql_pipe_syntax",
     "udf_arrow_map_batches",
+    "dq_observed_metrics",
+    "sink_python_datasource",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -303,6 +303,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "LATERAL correlated subquery": ["sql_lateral_topk"],
         "SQL pipe syntax (|>)": ["sql_pipe_syntax"],
         "mapInArrow raw RecordBatch path": ["udf_arrow_map_batches"],
+        "df.observe audit metrics (no second scan)": ["dq_observed_metrics"],
+        "Python DataSource batch WRITER (staged commit protocol)": ["sink_python_datasource"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
