@@ -426,3 +426,126 @@ SPECS.append(
         tags=("functions", "udf", "arrow"),
     )
 )
+
+
+def fn_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE) — case-insensitive
+    equality as a TYPE property instead of lower() scattered through
+    every predicate: a deterministic case-mangled copy of the customer
+    names (upper for even keys, lower for odd) is counted distinct
+    under binary collation vs UTF8_LCASE. The collated count collapses
+    the case variants engine-side — the classic entity-resolution
+    blocking key without rewriting expressions. Oracle models the
+    collation with lower() (the UTF8_LCASE contract for ASCII)."""
+    cust = load(spark, sf_dir, "customer")
+    name = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_name")
+    ).otherwise(F.lower("c_name"))
+    return (
+        cust.select("c_mktsegment", name.alias("name"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("name").alias("distinct_binary"),
+            F.countDistinct(F.collate("name", "UTF8_LCASE")).alias("distinct_ci"),
+        )
+    )
+
+
+FN_COLLATION_COMPARE_ORACLE = """
+WITH mangled AS (
+    SELECT c_mktsegment,
+           CASE WHEN c_custkey % 2 = 0 THEN upper(c_name) ELSE lower(c_name) END AS name
+    FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS distinct_binary,
+       CAST(COUNT(DISTINCT lower(name)) AS BIGINT) AS distinct_ci
+FROM mangled GROUP BY c_mktsegment
+"""
+
+
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 to_xml/from_xml): each part row is
+    serialized to an XML fragment and parsed back with a declared
+    schema; the oracle selects the original columns, so the check
+    proves the serialize→parse round trip is lossless (the ingestion
+    contract for XML feeds — the one mainstream format the fixture
+    set lacks natively)."""
+    part = load(spark, sf_dir, "part")
+    xml = part.select(
+        "p_partkey",
+        F.to_xml(F.struct("p_name", "p_brand", "p_size")).alias("xml"),
+    )
+    parsed = xml.select(
+        "p_partkey",
+        F.from_xml("xml", "p_name string, p_brand string, p_size int").alias("s"),
+    )
+    return parsed.select("p_partkey", "s.p_name", "s.p_brand", "s.p_size")
+
+
+FN_XML_ROUNDTRIP_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_size FROM part
+"""
+
+
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + structured extraction (`parse_url`) — the
+    REST-connector bookkeeping the reference does with f-strings
+    (`/root/reference/chembl_to_smile.py:21-22` builds
+    `molecule/{id}.json` URLs by hand): each order becomes its API
+    URL, then host / path / query params are pulled back out as
+    typed columns. The oracle re-derives the same parts with string
+    arithmetic from the construction — an independent derivation
+    because it never calls a URL parser."""
+    orders = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://api.example.com/v1/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?cust="),
+        F.col("o_custkey").cast("string"),
+        F.lit("&status="),
+        F.col("o_orderstatus"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("cust")).cast("bigint").alias("cust_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("status")).alias("status_param"),
+    )
+
+
+FN_URL_PARSE_ORACLE = """
+SELECT o_orderkey,
+       'api.example.com' AS host,
+       '/v1/orders/' || CAST(o_orderkey AS VARCHAR) AS path,
+       o_custkey AS cust_param,
+       o_orderstatus AS status_param
+FROM orders
+"""
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "fn_collation_compare",
+            fn_collation_compare,
+            FN_COLLATION_COMPARE_ORACLE,
+            doc="Spark 4 collations: UTF8_LCASE distinct-count vs binary",
+            tags=("functions", "collation"),
+        ),
+        QuerySpec(
+            "fn_xml_roundtrip",
+            fn_xml_roundtrip,
+            FN_XML_ROUNDTRIP_ORACLE,
+            doc="to_xml/from_xml lossless round trip against the original columns",
+            tags=("functions", "xml"),
+        ),
+        QuerySpec(
+            "fn_url_parse",
+            fn_url_parse,
+            FN_URL_PARSE_ORACLE,
+            doc="parse_url host/path/query extraction vs string-arithmetic oracle",
+            tags=("functions", "url"),
+        ),
+    ]
+)

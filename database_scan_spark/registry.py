@@ -154,6 +154,11 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "udf_arrow_map_batches",
     "dq_observed_metrics",
     "sink_python_datasource",
+    "fn_collation_compare",
+    "fn_xml_roundtrip",
+    "fn_url_parse",
+    "stream_static_join",
+    "stream_dedup_within_watermark",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

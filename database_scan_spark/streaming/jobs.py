@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import table_path
+from ..catalog import load, table_path
 from ..operators._helpers import TMP_ROOT, workdir
 from ..spec import QuerySpec
 
@@ -1098,4 +1098,77 @@ SPECS.append(
         "flush (timer + arrival), exact SQL oracle over the same split",
         tags=("stream",),
     )
+)
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming dim
+    lookup: the event stream joins the STATIC customer dimension
+    (broadcast per micro-batch; no state, no watermark needed for the
+    join itself because the static side never changes mid-query),
+    then aggregates revenue-weighted activity per market segment. At
+    100 TB/day the static side is the one you pin in executor memory;
+    Spark replans the broadcast each micro-batch so slowly-changing
+    dims pick up snapshot refreshes between restarts. Same oracle as
+    the batch join — stream/batch unification again."""
+    ev = _events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, spark, sf_dir, "stream_static_join", "complete")
+
+
+STREAM_STATIC_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the bounded-state variant of
+    streaming dedup (Spark 3.5+/4.x API): duplicates are only
+    suppressed while their key is younger than the watermark delay,
+    so state size is O(events per delay window) instead of O(all keys
+    ever seen) — the ONLY dedup contract that survives an unbounded
+    100 TB/day feed whose duplicates arrive close together (at-least-
+    once ingestion retries), as opposed to `stream_dedup`'s exact
+    global state. Fixture event_ids are unique, so output ≡ input
+    (the oracle) while the within-watermark eviction machinery runs
+    for real."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(
+        deduped, spark, sf_dir, "stream_dedup_within_watermark", "append"
+    )
+
+
+STREAM_DEDUP_WITHIN_WATERMARK_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "stream_static_join",
+            stream_static_join,
+            STREAM_STATIC_JOIN_ORACLE,
+            doc="stream-static broadcast dim enrichment + windowless aggregate",
+            tags=("stream", "join"),
+        ),
+        QuerySpec(
+            "stream_dedup_within_watermark",
+            stream_dedup_within_watermark,
+            STREAM_DEDUP_WITHIN_WATERMARK_ORACLE,
+            doc="bounded-state dropDuplicatesWithinWatermark (state evicts at the delay)",
+            tags=("stream", "dedup"),
+        ),
+    ]
 )

@@ -165,3 +165,42 @@ def test_python_stream_source_pages_per_batch(spark):
     n_pages = len(glob.glob(os.path.join(workdir(SF_SMOKE, "graphql_pages"), "page=*")))
     assert n_pages >= 4
     assert len(offsets) >= n_pages
+
+
+def test_python_stream_source_replay_is_deterministic(spark):
+    """Exactly-once recovery contract: `readBetweenOffsets(start, end)`
+    must re-serve precisely the rows the original `read` calls produced
+    for that offset range — asserted by driving the reader directly
+    (it is plain Python over the page files; no Spark needed beyond
+    staging the pages)."""
+    from pyspark.sql.types import StructType
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.sources.graphql_snapshot import materialize_pages
+    from database_scan_spark.sources.page_stream import make_page_stream_source
+
+    pages_dir = workdir(SF_SMOKE, "graphql_pages")
+    materialize_pages(spark, SF_SMOKE, pages_dir)
+    cls = make_page_stream_source()
+    ds = cls(options={"path": pages_dir})
+    schema = StructType.fromDDL(ds.schema())
+    reader = ds.simpleStreamReader(schema)
+
+    # walk the stream page by page, recording rows per offset step
+    offset = reader.initialOffset()
+    walked = []
+    while True:
+        rows, nxt = reader.read(offset)
+        rows = list(rows)
+        if nxt == offset:
+            assert rows == []  # exhausted stream must be stable
+            break
+        walked.append((offset, nxt, rows))
+        offset = nxt
+    assert len(walked) >= 4  # one batch per staged page
+
+    # any committed range must replay byte-identically
+    for start, end, rows in walked:
+        assert list(reader.readBetweenOffsets(start, end)) == rows
+    full = [r for _, _, rows in walked for r in rows]
+    assert list(reader.readBetweenOffsets(walked[0][0], walked[-1][1])) == full

@@ -305,6 +305,11 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "mapInArrow raw RecordBatch path": ["udf_arrow_map_batches"],
         "df.observe audit metrics (no second scan)": ["dq_observed_metrics"],
         "Python DataSource batch WRITER (staged commit protocol)": ["sink_python_datasource"],
+        "collation-aware comparison (UTF8_LCASE)": ["fn_collation_compare"],
+        "XML serialize/parse round trip": ["fn_xml_roundtrip"],
+        "URL construction + parse_url extraction": ["fn_url_parse"],
+        "stream-static broadcast dim join": ["stream_static_join"],
+        "bounded-state streaming dedup (withinWatermark)": ["stream_dedup_within_watermark"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
