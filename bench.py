@@ -103,9 +103,13 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.unset(k) if v is None else spark.conf.set(k, v)
 
-    # Warm-up: JVM/codegen/parquet-footer caches, not measured.
-    if "agg_group_sums" in by_name:
-        run("agg_group_sums")
+    # Warm-up: JVM/codegen/parquet-footer caches, not measured — one
+    # cheap query per heavily-used fact table (lineitem, documents) so
+    # the first timed query against each measures its plan, not the
+    # session's first-touch JIT.
+    for warm in ("agg_group_sums", "text_quality"):
+        if warm in by_name:
+            run(warm)
 
     # One-time layout ETL, not measured: join_bucketed times the
     # co-located READ path; building the bucketed layout is a write-once

@@ -202,12 +202,16 @@ SPECS = [
 
 def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation: per nation, supplier names joined
-    in sorted order — collect_list is order-nondeterministic, so
-    array_sort pins it (SURVEY §1.4 discipline); DuckDB's
-    string_agg(... ORDER BY) is the twin."""
+    in sorted order via the native `listagg .. WITHIN GROUP (ORDER BY)`
+    (Spark 4.1) — the explicit order pins the result against Spark's
+    nondeterministic row arrival (SURVEY §1.4 discipline; the
+    collect_list+array_sort formulation this replaces did the same
+    by hand); DuckDB's string_agg(... ORDER BY) is the twin."""
     supplier = load(spark, sf_dir, "supplier")
     return supplier.groupBy("s_nationkey").agg(
-        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+        F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").alias(
+            "suppliers"
+        ),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
 
@@ -548,4 +552,50 @@ SPECS.extend(
             tags=("functions", "url"),
         ),
     ]
+)
+
+
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error tolerance via `try_*` expressions — the engine
+    runs ANSI SQL (Spark 4 default: overflow/bad-cast/div-zero THROW
+    instead of silently corrupting), and `try_divide`/`try_cast`/
+    `try_add` are the per-expression opt-outs that turn a poison row
+    into a NULL instead of a failed 100 TB job. Each column here has
+    real failing rows in the fixture: division by zero where
+    l_quantity = 45, a never-parses flag cast, and bigint overflow
+    everywhere except l_orderkey = 0. The oracle reproduces the NULL
+    contract with NULLIF/TRY_CAST/CASE."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 45).alias(
+            "safe_ratio"
+        ),
+        F.try_to_binary(F.col("l_returnflag"), F.lit("base64")).isNotNull().alias(
+            "flag_b64_ok"
+        ),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_int"),
+        F.try_add(F.lit(9223372036854775807), F.col("l_orderkey")).alias("near_ovf"),
+    )
+
+
+FN_TRY_ARITHMETIC_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_quantity - 45, 0) AS safe_ratio,
+       TRY_CAST(l_returnflag AS BLOB) IS NOT NULL AND length(l_returnflag) % 4 = 0
+           AS flag_b64_ok,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+       CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS near_ovf
+FROM lineitem
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_try_arithmetic",
+        fn_try_arithmetic,
+        FN_TRY_ARITHMETIC_ORACLE,
+        doc="ANSI try_* family: div-zero/bad-cast/overflow become NULLs, not failed jobs",
+        tags=("functions", "ansi"),
+    )
 )

@@ -159,6 +159,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_url_parse",
     "stream_static_join",
     "stream_dedup_within_watermark",
+    "fn_try_arithmetic",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

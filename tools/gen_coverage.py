@@ -310,6 +310,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "URL construction + parse_url extraction": ["fn_url_parse"],
         "stream-static broadcast dim join": ["stream_static_join"],
         "bounded-state streaming dedup (withinWatermark)": ["stream_dedup_within_watermark"],
+        "ANSI try_* error-tolerant expressions": ["fn_try_arithmetic"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
