@@ -151,3 +151,49 @@ def test_media_codec_opaque_fallback():
         meta = decode_media(blob)
         assert meta["modality"] == "opaque"
         assert meta["n_bytes"] == len(blob)
+
+
+@given(texts=TEXTS, ks=st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_variant_extraction_matches_duckdb_json(spark, texts, ks):
+    """fn_variant_json's contract on adversarial input: for every
+    string — valid {"k": int} objects AND arbitrary junk —
+    try_parse_json + try_variant_get must agree with DuckDB's
+    json_valid-guarded json_extract_string on the extracted value."""
+    import json
+
+    rows = [json.dumps({"k": k}) for k in ks] + list(texts)
+    sdf = spark.createDataFrame([(r,) for r in rows], "x string")
+    got = (
+        sdf.select(
+            F.try_variant_get(F.try_parse_json("x"), "$.k", "bigint").alias("k")
+        )
+        .toPandas()["k"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": rows}))
+    want = [
+        r[0]
+        for r in con.sql(
+            "SELECT CASE WHEN json_valid(x) THEN "
+            "TRY_CAST(json_extract_string(x, '$.k') AS BIGINT) END FROM t"
+        ).fetchall()
+    ]
+    assert [None if pd.isna(v) else int(v) for v in got] == [
+        None if v is None else int(v) for v in want
+    ]
+
+
+@given(vals=st.lists(st.integers(-2**31, 2**31), min_size=1, max_size=200))
+@settings(**_SETTINGS)
+def test_theta_sketch_exact_below_nominal(spark, vals):
+    """agg_theta_distinct_union's oracle regime: a theta sketch with
+    lgK=20 must report the EXACT distinct count for any input whose
+    cardinality is below the nominal 2^20 — the property that makes a
+    full value oracle legitimate at fixture scale."""
+    sdf = spark.createDataFrame([(v,) for v in vals], "x long")
+    est = sdf.agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg(F.col("x"), F.lit(20))).alias("d")
+    ).collect()[0]["d"]
+    assert est == len(set(vals))
