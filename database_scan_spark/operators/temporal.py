@@ -174,3 +174,201 @@ SPECS = [
         tags=("temporal",),
     ),
 ]
+
+
+def _tagged_purchase_error_union(spark: SparkSession, sf_dir: str, purchase_tag: int, error_tag: int):
+    """Shared scaffold for the directional as-of variants: purchases
+    (deduped to one per (user, ts) — min event_id) and errors of the
+    same user united into one stream, tagged so the window ordering
+    can place equal-time rows on the correct side of the inequality."""
+    ev = load(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(purchase_tag).alias("tag"),
+            F.col("event_id").alias("p_id"),
+            F.col("value").alias("p_value"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(error_tag).alias("tag"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+    )
+    return purch.unionByName(err)
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the `join_asof` backward twin, pandas
+    merge_asof direction='forward'): each error event picks the
+    EARLIEST same-user purchase with purchase.ts >= error.ts —
+    time-to-next-action analysis. Same union+window trick, mirrored:
+    one shuffle on the user key, `first(ignorenulls)` over the
+    FOLLOWING frame; purchases sort after errors at equal time so the
+    >= bound is inclusive. DuckDB's native forward ASOF JOIN
+    (e.ts <= p.ts) is the oracle."""
+    merged = _tagged_purchase_error_union(spark, sf_dir, purchase_tag=1, error_tag=0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", F.coalesce("event_id", F.col("p_id")))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = merged.select(
+        "user_id",
+        "t",
+        "tag",
+        "event_id",
+        F.first("p_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first("p_value", ignorenulls=True).over(w).alias("next_value"),
+        F.first(F.when(F.col("p_id").isNotNull(), F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("next_t"),
+    )
+    return (
+        out.filter((F.col("tag") == 0) & F.col("next_purchase_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            "next_purchase_id",
+            "next_value",
+            (F.unix_micros("next_t") - F.unix_micros("t")).alias("gap_us"),
+        )
+    )
+
+
+JOIN_ASOF_FORWARD_ORACLE = """
+WITH purch AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+), err AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts,
+       p.event_id AS next_purchase_id,
+       p.value AS next_value,
+       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+FROM err e
+ASOF JOIN purch p ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    each error event picks the same-user purchase with the smallest
+    |Δt|; exact ties go to the EARLIER purchase (the backward side —
+    documented, deterministic). ONE shuffle computes both directions:
+    the union is sorted once per user and scanned with a
+    last-preceding frame AND a first-following frame; the equal-time
+    purchase sorts into the PRECEDING frame, so a zero-gap match is a
+    backward match by construction. Oracle: DuckDB LEFT ASOF joins in
+    both directions + the same tie rule."""
+    merged = _tagged_purchase_error_union(spark, sf_dir, purchase_tag=0, error_tag=1)
+    order = ("t", "tag", F.coalesce("event_id", F.col("p_id")))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_t = F.when(F.col("p_id").isNotNull(), F.col("t"))
+    out = merged.select(
+        "user_id",
+        "t",
+        "tag",
+        "event_id",
+        F.last("p_id", ignorenulls=True).over(w_prev).alias("prev_id"),
+        F.last("p_value", ignorenulls=True).over(w_prev).alias("prev_value"),
+        F.last(p_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("p_id", ignorenulls=True).over(w_next).alias("next_id"),
+        F.first("p_value", ignorenulls=True).over(w_next).alias("next_value"),
+        F.first(p_t, ignorenulls=True).over(w_next).alias("next_t"),
+    ).filter(F.col("tag") == 1)
+    d_prev = F.unix_micros("t") - F.unix_micros("prev_t")
+    d_next = F.unix_micros("next_t") - F.unix_micros("t")
+    take_prev = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (d_prev <= d_next)
+    )
+    return (
+        out.filter(F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias(
+                "nearest_purchase_id"
+            ),
+            F.when(take_prev, F.col("prev_value"))
+            .otherwise(F.col("next_value"))
+            .alias("nearest_value"),
+            F.when(take_prev, -d_prev).otherwise(d_next).alias("delta_us"),
+        )
+    )
+
+
+JOIN_ASOF_NEAREST_ORACLE = """
+WITH purch AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+), err AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+), cand AS (
+    SELECT e.event_id, e.user_id, e.ts,
+           pb.event_id AS prev_id, pb.value AS prev_value, pb.ts AS prev_t,
+           pf.event_id AS next_id, pf.value AS next_value, pf.ts AS next_t
+    FROM err e
+    ASOF LEFT JOIN purch pb ON e.user_id = pb.user_id AND e.ts >= pb.ts
+    ASOF LEFT JOIN purch pf ON e.user_id = pf.user_id AND e.ts <= pf.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN next_id IS NULL
+                 OR (prev_id IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_t)
+                         <= epoch_us(next_t) - epoch_us(ts))
+            THEN prev_id ELSE next_id END AS nearest_purchase_id,
+       CASE WHEN next_id IS NULL
+                 OR (prev_id IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_t)
+                         <= epoch_us(next_t) - epoch_us(ts))
+            THEN prev_value ELSE next_value END AS nearest_value,
+       CASE WHEN next_id IS NULL
+                 OR (prev_id IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_t)
+                         <= epoch_us(next_t) - epoch_us(ts))
+            THEN epoch_us(prev_t) - epoch_us(ts)
+            ELSE epoch_us(next_t) - epoch_us(ts) END AS delta_us
+FROM cand
+WHERE prev_id IS NOT NULL OR next_id IS NOT NULL
+"""
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "join_asof_forward",
+            join_asof_forward,
+            JOIN_ASOF_FORWARD_ORACLE,
+            doc="forward as-of (next purchase after each error) via mirrored union+window",
+            tags=("temporal", "asof"),
+        ),
+        QuerySpec(
+            "join_asof_nearest",
+            join_asof_nearest,
+            JOIN_ASOF_NEAREST_ORACLE,
+            doc="nearest as-of: both directions in one shuffle, backward wins ties",
+            tags=("temporal", "asof"),
+        ),
+    ]
+)

@@ -160,6 +160,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_static_join",
     "stream_dedup_within_watermark",
     "fn_try_arithmetic",
+    "join_asof_forward",
+    "join_asof_nearest",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -58,7 +58,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "join_lookup_nested_loop": ["join_lookup_nested_loop"],
         "join_api_foreach": ["join_api_foreach"],
         "join_multi_hop": ["join_multi_hop", "candidate_parts"],
-        "(absent in reference: as-of / range joins)": ["join_asof", "join_range_events"],
+        "(absent in reference: as-of / range joins)": [
+            "join_asof", "join_asof_forward", "join_asof_nearest", "join_range_events"
+        ],
         "(engine addition: weighted PageRank over the trade graph)": ["graph_pagerank"],
         "(engine addition: per-node triangle counts)": ["graph_triangle_count"],
         "(engine addition: BFS shortest path, recursive-CTE oracle)": ["graph_shortest_path"],
