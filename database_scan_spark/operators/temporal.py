@@ -178,23 +178,26 @@ SPECS = [
 
 def _tagged_purchase_error_union(spark: SparkSession, sf_dir: str, purchase_tag: int, error_tag: int):
     """Shared scaffold for the directional as-of variants: purchases
-    (deduped to one per (user, ts) — min event_id) and errors of the
-    same user united into one stream, tagged so the window ordering
-    can place equal-time rows on the correct side of the inequality."""
+    and errors of the same user united into one stream, tagged so the
+    window ordering can place equal-time rows on the correct side of
+    the inequality.
+
+    Purchase dedup (one per (user, ts) — min event_id, required for a
+    deterministic "the" as-of row) is folded into the SAME shuffle as
+    the as-of windows: a row_number over (user_id, t, tag) nulls out
+    duplicate purchases' payload instead of pre-deduping behind its
+    own (user_id, ts) exchange. HashPartitioning(user_id) satisfies
+    the subset-clustered distribution of every window here, so the
+    whole directional as-of — dedup included — is ONE exchange plus
+    re-sorts (asserted in tests/test_scale_posture.py)."""
     ev = load(spark, sf_dir, "events")
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w_dedup))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("t"),
-            F.lit(purchase_tag).alias("tag"),
-            F.col("event_id").alias("p_id"),
-            F.col("value").alias("p_value"),
-            F.lit(None).cast("long").alias("event_id"),
-        )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(purchase_tag).alias("tag"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     err = ev.filter(F.col("event_type") == "error").select(
         "user_id",
@@ -204,7 +207,28 @@ def _tagged_purchase_error_union(spark: SparkSession, sf_dir: str, purchase_tag:
         F.lit(None).cast("double").alias("p_value"),
         "event_id",
     )
-    return purch.unionByName(err)
+    merged = purch.unionByName(err)
+    # duplicate purchases are consecutive in the per-user (t, tag, id)
+    # order, so lag() detects them under the SAME partitioning the
+    # as-of windows use — partitionBy(user_id), never (user_id, t):
+    # HashPartitioning satisfies a clustered distribution only when its
+    # expressions are a SUBSET of the clustering, so a finer-keyed
+    # dedup window would force a second exchange.
+    w_dup = Window.partitionBy("user_id").orderBy(
+        "t", "tag", F.coalesce("event_id", F.col("p_id"))
+    )
+    same_slot = (F.lag("t").over(w_dup) == F.col("t")) & (
+        F.lag("tag").over(w_dup) == F.col("tag")
+    )
+    keep = F.col("p_id").isNull() | ~F.coalesce(same_slot, F.lit(False))
+    return merged.select(
+        "user_id",
+        "t",
+        "tag",
+        F.when(keep, F.col("p_id")).alias("p_id"),
+        F.when(keep, F.col("p_value")).alias("p_value"),
+        "event_id",
+    )
 
 
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -427,3 +427,22 @@ def test_cbo_reorders_pathological_star(spark):
             spark.conf.unset("spark.sql.cbo.enabled")
         else:
             spark.conf.set("spark.sql.cbo.enabled", saved)
+
+
+def test_directional_asof_is_single_exchange(spark):
+    """join_asof_forward / join_asof_nearest: purchase dedup is folded
+    into the as-of pass (lag-based, partitioned by user_id only), so
+    each directional as-of — nearest computes BOTH directions — costs
+    exactly ONE shuffle; a (user_id, ts)-keyed dedup window would have
+    added a second."""
+    import re
+
+    from database_scan_spark.operators.temporal import (
+        join_asof_forward,
+        join_asof_nearest,
+    )
+
+    for fn in (join_asof_forward, join_asof_nearest):
+        plan = _plan(fn(spark, SF_SMOKE))
+        n_exchange = len(re.findall(r"\n\(\d+\) Exchange", plan))
+        assert n_exchange == 1, (fn.__name__, n_exchange)
