@@ -78,6 +78,9 @@ def _load_all() -> None:
     from .operators import graph  # noqa: PLC0415
 
     _extend(graph.SPECS)
+    from .operators import geo  # noqa: PLC0415
+
+    _extend(geo.SPECS)
     from .operators import quality  # noqa: PLC0415
 
     _extend(quality.SPECS)
@@ -162,6 +165,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_try_arithmetic",
     "join_asof_forward",
     "join_asof_nearest",
+    "geo_radius_join",
+    "geo_knn_join",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -446,3 +446,16 @@ def test_directional_asof_is_single_exchange(spark):
         plan = _plan(fn(spark, SF_SMOKE))
         n_exchange = len(re.findall(r"\n\(\d+\) Exchange", plan))
         assert n_exchange == 1, (fn.__name__, n_exchange)
+
+
+def test_geo_radius_join_blocks_on_cells(spark):
+    """geo_radius_join must plan the cell equi-join — never a
+    coordinate cross product (the naive spatial join shape)."""
+    from database_scan_spark.operators.geo import geo_radius_join
+
+    plan = _plan(geo_radius_join(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join keys are the grid cells
+    joins = [l for l in plan.splitlines() if "Join" in l and "cx" in l]
+    assert joins or "[cx" in plan, plan[:500]

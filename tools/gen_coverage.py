@@ -313,6 +313,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "stream-static broadcast dim join": ["stream_static_join"],
         "bounded-state streaming dedup (withinWatermark)": ["stream_dedup_within_watermark"],
         "ANSI try_* error-tolerant expressions": ["fn_try_arithmetic"],
+        "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
+        "grid-cell-blocked spatial radius join": ["geo_radius_join"],
+        "radius-bounded spatial kNN": ["geo_knn_join"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
