@@ -51,9 +51,13 @@ def make_jsonl_sink():
             if not self.path:
                 raise ValueError("edges_jsonl requires option 'path'")
             self.overwrite = overwrite
+            # test hook: deterministic task failure to exercise abort()
+            self.fail_partition = int(options.get("fail_partition", "-1"))
 
         def write(self, rows):
             pid = TaskContext.get().partitionId()
+            if pid == self.fail_partition:
+                raise RuntimeError(f"edges_jsonl: injected failure on partition {pid}")
             os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
             staged = os.path.join(
                 self.path, "_staging", f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"

@@ -64,3 +64,45 @@ def test_json_permissive_quarantines_planted_corrupt_rows(spark):
         assert raw.filter(F.col("_corrupt").isNotNull()).count() == _N_CORRUPT_PLANTED
     finally:
         raw.unpersist()
+
+
+def test_jsonl_sink_abort_leaves_no_committed_output(spark):
+    """The Python DataSource writer's commit protocol under task
+    failure: a write job with one injected failing partition must (a)
+    fail the job, (b) commit NOTHING — no _SUCCESS manifest and no
+    part files outside _staging — because abort() runs instead of
+    commit(). Readers honoring the manifest therefore see
+    all-or-nothing output."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.sources.jsonl_sink import make_jsonl_sink
+
+    try:
+        spark.dataSource.register(make_jsonl_sink())
+    except Exception:
+        pass  # already registered in this session
+    out_dir = workdir(SF_SMOKE, "jsonl_sink_abort_test")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    df = (
+        load(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select("o_orderkey", "o_custkey")
+        .repartition(4)
+    )
+    with pytest.raises(Exception, match="injected failure"):
+        (
+            df.write.format("edges_jsonl")
+            .option("path", out_dir)
+            .option("fail_partition", "2")
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    assert glob.glob(os.path.join(out_dir, "part-*.jsonl")) == []

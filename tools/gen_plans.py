@@ -117,6 +117,15 @@ SHOWCASE = {
     "fn_variant_json": "VARIANT extraction — expect a single Project over "
     "the scan (parse-once variant, typed-path gets), whole-stage codegen, "
     "no Python anywhere",
+    "join_asof_nearest": "nearest as-of — expect exactly ONE Exchange "
+    "(hashpartitioning on user_id): purchase dedup is a lag() under the "
+    "same partitioning, and BOTH direction frames (last-preceding, "
+    "first-following) ride the one sorted pass; a (user_id, ts)-keyed "
+    "dedup window would have cost a second shuffle",
+    "geo_radius_join": "spatial radius join — expect the 3×3 cell explode "
+    "on the supplier side feeding an equi-join on (cx, cy); NO "
+    "CartesianProduct / BroadcastNestedLoopJoin anywhere (the naive "
+    "coordinate-inequality plan), exact distance filter on candidates only",
 }
 
 
