@@ -531,3 +531,95 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def _make_parse_delimited_udtf():
+    """Factory closure (by-value pickling, same rule as _make_rle_udtf)
+    for the POLYMORPHIC UDTF: `analyze()` derives the output schema
+    from the constant format argument at plan time."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        AnalyzeArgument,
+        AnalyzeResult,
+        udtf,
+    )
+
+    _TYPES = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "double": T.DoubleType(),
+    }
+
+    @udtf
+    class ParseDelimited:
+        @staticmethod
+        def analyze(fmt: AnalyzeArgument, line: AnalyzeArgument) -> AnalyzeResult:
+            if not fmt.isConstantExpression:
+                raise Exception("parse_delimited: fmt must be a constant")
+            # analyze() runs in Spark's context-less Python planner
+            # process — StructType.fromDDL needs a SparkContext, so the
+            # mini-DDL is parsed by hand
+            fields = []
+            for spec in fmt.value.split(","):
+                name, typ = spec.strip().rsplit(" ", 1)
+                fields.append(T.StructField(name, _TYPES[typ]))
+            return AnalyzeResult(schema=T.StructType(fields))
+
+        def __init__(self, analyze_result=None):
+            self.schema = analyze_result.schema if analyze_result else None
+
+        def eval(self, fmt: str, line: str):
+            parts = line.split(",")
+            out = []
+            for f, p in zip(self.schema.fields, parts):
+                t = f.dataType.simpleString()
+                if t in ("int", "bigint"):
+                    out.append(int(p))
+                elif t == "double":
+                    out.append(float(p))
+                else:
+                    out.append(p)
+            yield tuple(out)
+
+    return ParseDelimited
+
+
+def udtf_analyze_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — `analyze()` (Spark 3.5+/4.x) computes
+    the output schema at PLAN time from the constant format string, so
+    one registered function parses any delimited layout with typed
+    columns (the classic "schema-on-read ingestion helper" that would
+    otherwise need one UDTF per layout). The fixture exercise
+    round-trips part attributes through a CSV line and back; the
+    oracle selects the originals, proving the parse is lossless and
+    correctly typed."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("parse_delimited", _make_parse_delimited_udtf())
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"part_lines_{sf_tag}"
+    load(spark, sf_dir, "part").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT p.p_partkey, s.name, s.brand, s.size
+        FROM {view} p,
+        LATERAL parse_delimited(
+            'name string, brand string, size int',
+            concat_ws(',', p.p_name, p.p_brand, CAST(p.p_size AS STRING))) s
+        """
+    )
+
+
+UDTF_ANALYZE_PARSE_ORACLE = """
+SELECT p_partkey, p_name AS name, p_brand AS brand, p_size AS size FROM part
+"""
+
+SPECS.append(
+    QuerySpec(
+        name="udtf_analyze_parse",
+        fn=udtf_analyze_parse,
+        oracle=UDTF_ANALYZE_PARSE_ORACLE,
+        doc="polymorphic UDTF: analyze() derives typed output schema from the format arg",
+        tags=("llm", "udf"),
+    )
+)

@@ -167,6 +167,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_asof_nearest",
     "geo_radius_join",
     "geo_knn_join",
+    "udtf_analyze_parse",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -316,6 +316,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
         "radius-bounded spatial kNN": ["geo_knn_join"],
+        "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
