@@ -861,3 +861,44 @@ SPECS = [
     QuerySpec("sort_topk", sort_topk, SORT_TOPK_ORACLE, tags=("core",)),
     QuerySpec("topk_per_group", topk_per_group, TOPK_PER_GROUP_ORACLE, tags=("core",)),
 ]
+
+
+def param_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized IDENTIFIERS (`IDENTIFIER(:name)`, Spark 3.4+/4.x)
+    — the injection-safe form of the reference's templated QUERY
+    SELECTION (`/root/reference/x2.2.py:189-206` picks which query
+    file to load by name): table AND column references bind as typed
+    parameters, so dynamic dispatch over datasets/columns never
+    string-splices SQL. Aggregates supplier balances per nation with
+    both the table and the grouping column supplied as parameters."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"param_ident_supplier_{sf_tag}"
+    load(spark, sf_dir, "supplier").createOrReplaceTempView(view)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": view, "grp": "s_nationkey"},
+    )
+
+
+PARAM_IDENTIFIER_ORACLE = """
+SELECT s_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "param_identifier",
+        param_identifier,
+        PARAM_IDENTIFIER_ORACLE,
+        doc="IDENTIFIER(:name) parameterized table/column references (injection-safe dispatch)",
+        tags=("core", "params"),
+    )
+)

@@ -168,6 +168,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "geo_radius_join",
     "geo_knn_join",
     "udtf_analyze_parse",
+    "param_identifier",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

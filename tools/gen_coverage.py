@@ -27,7 +27,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition) federated multi-format union": ["src_federated_union"],
         "sink_csv": ["sink_csv"],
         "sink_stdout": ["sink_stdout"],
-        "param_bind": ["param_bind"],
+        "param_bind": ["param_bind", "param_identifier"],
         "src_search": ["src_search"],
         "catalog": ["catalog"],
         "paginate": ["paginate"],
