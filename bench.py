@@ -64,6 +64,8 @@ HEADLINE = [
     "agg_theta_distinct_union",
     "fn_variant_json",
     "catalog_stats_cbo",
+    "join_asof_nearest",
+    "geo_radius_join",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

@@ -764,3 +764,54 @@ SPECS.append(
         tags=("core", "sink"),
     )
 )
+
+
+def sink_csv_roundtrip_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect hardening: values containing the delimiter, the
+    quote character, AND embedded newlines must survive a write→read
+    round trip (RFC 4180 quoting; `multiLine` on the read side since
+    records now span physical lines). The reference's CSV sink
+    (`/root/reference/x2.2.py:331-336`) writes raw f-strings and
+    would corrupt on the first comma — this op is the proof the
+    engine's sink doesn't. Returned rows are the READ-BACK; the
+    oracle reconstructs the expected values from `part`, so any
+    quoting asymmetry breaks the hash."""
+    import shutil  # noqa: PLC0415
+
+    gnarly = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"), F.lit(',"x"'), F.lit("\n"), F.col("p_brand")
+        ).alias("tricky"),
+        F.col("p_retailprice").alias("price"),
+    )
+    out_dir = workdir(sf_dir, "sink_csv_roundtrip_quoted")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    gnarly.write.option("header", True).option("escape", '"').mode(
+        "overwrite"
+    ).csv(out_dir)
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("p_partkey bigint, tricky string, price double")
+        .csv(out_dir)
+    )
+
+
+SINK_CSV_ROUNDTRIP_QUOTED_ORACLE = """
+SELECT p_partkey,
+       p_name || ',"x"' || chr(10) || p_brand AS tricky,
+       p_retailprice AS price
+FROM part
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sink_csv_roundtrip_quoted",
+        sink_csv_roundtrip_quoted,
+        SINK_CSV_ROUNDTRIP_QUOTED_ORACLE,
+        doc="RFC 4180 round trip: delimiter/quote/newline-bearing values survive the sink",
+        tags=("core", "sink", "csv"),
+    )
+)

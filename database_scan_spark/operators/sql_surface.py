@@ -1006,3 +1006,73 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def join_existence_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED column (not a filter): every customer
+    with a boolean "has an urgent order" flag. Catalyst plans the
+    correlation as an ExistenceJoin — the fifth join shape next to
+    inner/outer/semi/anti (plan-asserted): like a left-semi it stops
+    probing on first match and never duplicates rows, but non-matching
+    rows survive carrying false. The 100 TB enrichment-flag pattern —
+    a naive LEFT JOIN + IS NOT NULL would duplicate on multi-match
+    and need a post-dedup."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        FROM customer c
+        """
+    )
+
+
+JOIN_EXISTENCE_PROJECT_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') AS has_urgent
+FROM customer c
+"""
+
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI `FILTER (WHERE ...)` on aggregates — several differently-
+    conditioned aggregates in ONE pass over the fact table (the
+    alternative is N scans or N self-joins; at 100 TB this clause IS
+    the multi-metric dashboard query). DuckDB executes the identical
+    statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(AGG_FILTER_CLAUSE_ORACLE)
+
+
+AGG_FILTER_CLAUSE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open
+FROM orders GROUP BY o_orderpriority
+"""
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "join_existence_project",
+            join_existence_project,
+            JOIN_EXISTENCE_PROJECT_ORACLE,
+            doc="EXISTS projected as a flag column -> ExistenceJoin (no row duplication)",
+            tags=("sql", "join"),
+        ),
+        QuerySpec(
+            "agg_filter_clause",
+            agg_filter_clause,
+            AGG_FILTER_CLAUSE_ORACLE,
+            doc="FILTER (WHERE ...) aggregates: N conditioned metrics in one scan",
+            tags=("sql", "agg"),
+        ),
+    ]
+)

@@ -169,6 +169,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "geo_knn_join",
     "udtf_analyze_parse",
     "param_identifier",
+    "join_existence_project",
+    "agg_filter_clause",
+    "sink_csv_roundtrip_quoted",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

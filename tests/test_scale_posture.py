@@ -459,3 +459,14 @@ def test_geo_radius_join_blocks_on_cells(spark):
     # the join keys are the grid cells
     joins = [l for l in plan.splitlines() if "Join" in l and "cx" in l]
     assert joins or "[cx" in plan, plan[:500]
+
+
+def test_existence_project_plans_existence_join(spark):
+    """join_existence_project must plan the EXISTS projection as an
+    ExistenceJoin — no row-duplicating outer join + dedup, no per-row
+    subquery re-execution."""
+    from database_scan_spark.operators.sql_surface import join_existence_project
+
+    df = join_existence_project(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistenceJoin" in opt, opt[:400]

@@ -317,6 +317,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
         "radius-bounded spatial kNN": ["geo_knn_join"],
         "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
+        "ExistenceJoin (projected EXISTS flag)": ["join_existence_project"],
+        "FILTER (WHERE) conditioned aggregates": ["agg_filter_clause"],
+        "RFC 4180 CSV dialect round trip": ["sink_csv_roundtrip_quoted"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
