@@ -1076,3 +1076,44 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — `INTERSECT ALL` / `EXCEPT ALL`
+    preserve MULTIPLICITY (min / difference of per-value counts),
+    unlike the DISTINCT set ops the engine already ships
+    (`set_difference` / `set_intersection`). Order keys appear once
+    per matching line item on each side, so the multiplicities are
+    real. Spark plans both without building count-maps by hand; the
+    oracle is the identical statement. Output: surviving keys with
+    their multiplicities per operator."""
+    register_views(spark, sf_dir)
+    return spark.sql(SET_OPS_MULTISET_ORACLE)
+
+
+SET_OPS_MULTISET_ORACLE = """
+WITH r_items AS (
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), f_items AS (
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+), inter AS (
+    SELECT l_orderkey FROM r_items INTERSECT ALL SELECT l_orderkey FROM f_items
+), diff AS (
+    SELECT l_orderkey FROM r_items EXCEPT ALL SELECT l_orderkey FROM f_items
+)
+SELECT 'intersect_all' AS op, l_orderkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM inter GROUP BY l_orderkey
+UNION ALL
+SELECT 'except_all' AS op, l_orderkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM diff GROUP BY l_orderkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "set_ops_multiset",
+        set_ops_multiset,
+        SET_OPS_MULTISET_ORACLE,
+        doc="INTERSECT ALL / EXCEPT ALL bag semantics (multiplicity-preserving)",
+        tags=("sql", "set"),
+    )
+)

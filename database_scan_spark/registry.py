@@ -172,6 +172,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_existence_project",
     "agg_filter_clause",
     "sink_csv_roundtrip_quoted",
+    "set_ops_multiset",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
