@@ -599,3 +599,48 @@ SPECS.append(
         tags=("functions", "ansi"),
     )
 )
+
+
+def fn_interval_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface beyond `fn_date_ops`' trunc
+    rollup: interval addition, day offsets, day diffs, month-end
+    clamping (`add_months` and DuckDB month-interval addition share
+    the clamp convention), and `last_day` — the due-date /
+    SLA-bookkeeping family. All calendar arithmetic, no floats.
+    (Spark's `months_between` is deliberately absent: its /31
+    fractional convention has no DuckDB twin, so it can't be
+    independently oracled.)"""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due"),
+        # DATE results surface as timestamps so both engines' pandas
+        # canonicalization agree (DuckDB dates arrive as datetime64)
+        F.date_add(d, 30).cast("timestamp").alias("d30"),
+        F.add_months(d, 1).cast("timestamp").alias("next_month_clamped"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).cast("int").alias("days_to_99"),
+        F.last_day(d).cast("timestamp").alias("eom"),
+    )
+
+
+FN_INTERVAL_OPS_ORACLE = """
+SELECT o_orderkey, o_orderdate AS d,
+       o_orderdate + INTERVAL 90 DAY AS due,
+       CAST(o_orderdate AS DATE) + 30 AS d30,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month_clamped,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_99,
+       last_day(CAST(o_orderdate AS DATE)) AS eom
+FROM orders
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_interval_ops",
+        fn_interval_ops,
+        FN_INTERVAL_OPS_ORACLE,
+        doc="interval arithmetic: +INTERVAL, date_add, add_months clamp, datediff, last_day",
+        tags=("functions", "temporal"),
+    )
+)

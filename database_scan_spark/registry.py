@@ -173,6 +173,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_filter_clause",
     "sink_csv_roundtrip_quoted",
     "set_ops_multiset",
+    "fn_interval_ops",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
