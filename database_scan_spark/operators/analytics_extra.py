@@ -1120,3 +1120,126 @@ SPECS.append(
         tags=("workflow",),
     )
 )
+
+
+LOGREG_STEPS = 3
+LOGREG_LR = 1.0
+LOGREG_XSCALE = 500000.0
+
+
+def analytic_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE model TRAINING: logistic-style classifier (urgent
+    order from scaled price) fit by LOGREG_STEPS unrolled batch
+    gradient-descent steps — the iterative-training pattern
+    (`sim_kmeans`, `graph_pagerank`) applied to supervised learning.
+    Each step is ONE aggregation over the fact table: per-row gradient
+    terms are computed in doubles (identical IEEE ops on identical
+    inputs in both engines), rounded to 12dp, and summed EXACTLY in
+    DECIMAL (order-independent under partial aggregation); the weight
+    update happens on the two exact sums. The activation is a hard
+    sigmoid (clamp(z/4 + 1/2)) — pure arithmetic, because exp() is
+    libm-dependent and would break the cross-engine hash (same reason
+    the similarity ops avoid transcendental score functions). At
+    100 TB each step shuffles TWO decimal sums, never rows; the
+    broadcast weight row is the model. The oracle replays the
+    identical chain as CTEs."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") / F.lit(LOGREG_XSCALE), 9).alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
+    )
+    D = "decimal(28,12)"
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w"), F.lit(0.0).alias("b")
+    )
+    for _ in range(LOGREG_STEPS):
+        j = base.crossJoin(F.broadcast(w))
+        z = F.col("w") * F.col("x") + F.col("b")
+        p = F.least(F.greatest(z * 0.25 + 0.5, F.lit(0.0)), F.lit(1.0))
+        err = p - F.col("y")
+        g = j.agg(
+            F.sum(F.round(err * F.col("x"), 12).cast(D)).alias("sgw"),
+            F.sum(F.round(err, 12).cast(D)).alias("sgb"),
+            F.count(F.lit(1)).alias("n"),
+            F.first("w").alias("w0"),
+            F.first("b").alias("b0"),
+        )
+        w = g.select(
+            F.round(
+                F.col("w0")
+                - F.lit(LOGREG_LR) * F.col("sgw").cast("double") / F.col("n"),
+                12,
+            ).alias("w"),
+            F.round(
+                F.col("b0")
+                - F.lit(LOGREG_LR) * F.col("sgb").cast("double") / F.col("n"),
+                12,
+            ).alias("b"),
+        )
+    # evaluation pass: confusion counts at p >= 0.5 with the final model
+    j = base.crossJoin(F.broadcast(w))
+    z = F.col("w") * F.col("x") + F.col("b")
+    p = F.least(F.greatest(z * 0.25 + 0.5, F.lit(0.0)), F.lit(1.0))
+    pred = (p >= 0.5).cast("int")
+    return j.groupBy().agg(
+        F.first("w").alias("w"),
+        F.first("b").alias("b"),
+        F.sum(F.when((pred == 1) & (F.col("y") == 1.0), 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when((pred == 1) & (F.col("y") == 0.0), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when((pred == 0) & (F.col("y") == 1.0), 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when((pred == 0) & (F.col("y") == 0.0), 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+
+
+def _logreg_oracle() -> str:
+    base = f"""
+base AS (
+    SELECT round(o_totalprice / {LOGREG_XSCALE!r}, 9) AS x,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+    FROM orders
+)"""
+    ctes = [base.strip()]
+    prev_w, prev_b = "0.0", "0.0"
+    for k in range(LOGREG_STEPS):
+        ctes.append(f"""
+g{k} AS (
+    SELECT SUM(CAST(round((least(greatest((({prev_w}) * x + ({prev_b})) * 0.25 + 0.5, 0.0), 1.0) - y) * x, 12) AS DECIMAL(28,12))) AS sgw,
+           SUM(CAST(round(least(greatest((({prev_w}) * x + ({prev_b})) * 0.25 + 0.5, 0.0), 1.0) - y, 12) AS DECIMAL(28,12))) AS sgb,
+           COUNT(*) AS n
+    FROM base
+),
+w{k} AS (
+    SELECT round(({prev_w}) - {LOGREG_LR!r} * CAST(sgw AS DOUBLE) / n, 12) AS w,
+           round(({prev_b}) - {LOGREG_LR!r} * CAST(sgb AS DOUBLE) / n, 12) AS b
+    FROM g{k}
+)""".strip())
+        prev_w = f"(SELECT w FROM w{k})"
+        prev_b = f"(SELECT b FROM w{k})"
+    final = f"""
+SELECT (SELECT w FROM w{LOGREG_STEPS-1}) AS w,
+       (SELECT b FROM w{LOGREG_STEPS-1}) AS b,
+       CAST(SUM(CASE WHEN pred = 1 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN pred = 1 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN pred = 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN pred = 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM (
+    SELECT y,
+           CASE WHEN least(greatest(((SELECT w FROM w{LOGREG_STEPS-1}) * x + (SELECT b FROM w{LOGREG_STEPS-1})) * 0.25 + 0.5, 0.0), 1.0) >= 0.5
+                THEN 1 ELSE 0 END AS pred
+    FROM base
+)"""
+    # hard sigmoid wrapped per step; z for step k uses w{k-1}
+    return "WITH " + ",\n".join(ctes) + "\n" + final.strip()
+
+
+ANALYTIC_LOGREG_GD_ORACLE = _logreg_oracle()
+
+SPECS.append(
+    QuerySpec(
+        "analytic_logreg_gd",
+        analytic_logreg_gd,
+        ANALYTIC_LOGREG_GD_ORACLE,
+        doc="in-engine GD training: 3 unrolled steps, exact decimal gradient sums, hard sigmoid",
+        tags=("analytics", "ml"),
+    )
+)

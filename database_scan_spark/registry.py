@@ -174,6 +174,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sink_csv_roundtrip_quoted",
     "set_ops_multiset",
     "fn_interval_ops",
+    "analytic_logreg_gd",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

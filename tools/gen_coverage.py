@@ -322,6 +322,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "RFC 4180 CSV dialect round trip": ["sink_csv_roundtrip_quoted"],
         "multiset INTERSECT ALL / EXCEPT ALL": ["set_ops_multiset"],
         "interval/calendar arithmetic": ["fn_interval_ops"],
+        "in-engine GD training (unrolled, exact gradient sums)": ["analytic_logreg_gd"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
