@@ -591,3 +591,50 @@ SPECS.append(
         tags=("window",),
     )
 )
+
+
+def win_nav_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation — the sparse-signal window family
+    beyond `win_forward_fill`'s last(): for each event (per user,
+    time-ordered with a unique tiebreak), the FIRST and the SECOND
+    purchase value seen so far (`first_value` / `nth_value` with
+    IGNORE NULLS over a growing frame), treating non-purchase rows as
+    gaps. The classic "carry sparse measurements across dense
+    timelines" shape; one exchange, no joins."""
+    ev = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first(pv, ignorenulls=True).over(w).alias("first_purchase_value"),
+        F.nth_value(pv, 2, ignoreNulls=True).over(w).alias("second_purchase_value"),
+        F.last(pv, ignorenulls=True).over(w).alias("latest_purchase_value"),
+    )
+
+
+WIN_NAV_IGNORE_NULLS_ORACLE = """
+SELECT event_id, user_id,
+       first_value(pv IGNORE NULLS) OVER w AS first_purchase_value,
+       nth_value(pv, 2 IGNORE NULLS) OVER w AS second_purchase_value,
+       last_value(pv IGNORE NULLS) OVER w AS latest_purchase_value
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_nav_ignore_nulls",
+        win_nav_ignore_nulls,
+        WIN_NAV_IGNORE_NULLS_ORACLE,
+        doc="first_value/nth_value/last_value IGNORE NULLS over sparse purchase signal",
+        tags=("window",),
+    )
+)

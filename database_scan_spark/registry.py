@@ -175,6 +175,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "set_ops_multiset",
     "fn_interval_ops",
     "analytic_logreg_gd",
+    "win_nav_ignore_nulls",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

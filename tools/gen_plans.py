@@ -126,6 +126,14 @@ SHOWCASE = {
     "on the supplier side feeding an equi-join on (cx, cy); NO "
     "CartesianProduct / BroadcastNestedLoopJoin anywhere (the naive "
     "coordinate-inequality plan), exact distance filter on candidates only",
+    "join_existence_project": "projected EXISTS — expect the correlation "
+    "planned as an ExistenceJoin-derived hash join carrying the exists flag "
+    "(first-match probe, no row duplication, no re-executed subquery)",
+    "analytic_logreg_gd": "in-engine GD training — expect THREE chained "
+    "two-value aggregations (partial+final HashAggregate each), the "
+    "one-row weight table broadcast back onto the scan per step, and no "
+    "Window/CartesianProduct: each training step moves two decimal sums, "
+    "never rows",
 }
 
 
