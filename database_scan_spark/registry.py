@@ -99,6 +99,9 @@ def _load_all() -> None:
     from .plans import cc_clusters  # noqa: PLC0415
 
     _extend(cc_clusters.SPECS)
+    from .plans import incremental_ingest  # noqa: PLC0415
+
+    _extend(incremental_ingest.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)
@@ -176,6 +179,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_interval_ops",
     "analytic_logreg_gd",
     "win_nav_ignore_nulls",
+    "pipeline_incremental_ingest",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
