@@ -811,3 +811,132 @@ SPECS.append(
         tags=("core", "storage", "scale"),
     )
 )
+
+
+_TT_DEL_MOD = 17
+_TT_UPD_MOD = 20
+
+
+def _tt_versions(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the mini copy-on-write table (two versioned parquet
+    snapshots + a JSON manifest committed by atomic rename) if absent;
+    return the table root. Version 1 applies the engine's synthetic
+    CDC discipline (delete h%17==0, reprice h%20==0 by 1.1) to
+    version 0."""
+    import json  # noqa: PLC0415
+
+    root = workdir(sf_dir, "cow_table")
+    manifest = os.path.join(root, "_manifest.json")
+    if os.path.exists(manifest):
+        return root
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    key_h = h32(F.col("o_orderkey").cast("string"))
+    v1 = base.filter(key_h % _TT_DEL_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            key_h % _TT_UPD_MOD == 0,
+            F.round(F.col("price") * F.lit(1.1), 2).cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    base.write.mode("overwrite").parquet(os.path.join(root, "v0"))
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"versions": [{"version": 0, "path": "v0"}, {"version": 1, "path": "v1"}]},
+            fh,
+        )
+    os.replace(tmp, manifest)  # the commit: readers never see a partial table
+    return root
+
+
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read: resolve the snapshot path for `version` from
+    the manifest and read it. Unknown versions fail loudly."""
+    import json  # noqa: PLC0415
+
+    with open(os.path.join(root, "_manifest.json")) as fh:
+        m = json.load(fh)
+    for v in m["versions"]:
+        if v["version"] == version:
+            return spark.read.parquet(os.path.join(root, v["path"]))
+    raise ValueError(f"version {version} not in manifest {m['versions']}")
+
+
+def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini copy-on-write versioned table with TIME TRAVEL — the
+    lakehouse-format capability (Delta/Iceberg shape) built from the
+    engine's own primitives: immutable versioned parquet snapshots, a
+    JSON manifest committed by atomic rename (readers see the old
+    table or the new one, never a mix — the same all-or-nothing
+    contract as `sink_python_datasource`'s commit), and reads
+    addressed BY VERSION through the manifest. Full-snapshot COW here;
+    file-granular COW (rewrite only affected files) changes the write
+    amplification, not the read contract. Output audits both
+    versions — row count and exact value checksum per version — so
+    the oracle (which re-derives each version from the source table)
+    proves both snapshots AND the manifest routing are right."""
+    root = _tt_versions(spark, sf_dir)
+    out = []
+    for ver in (0, 1):
+        df = read_version(spark, root, ver)
+        out.append(
+            df.agg(
+                F.lit(ver).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price").cast("double").alias("sum_price"),
+                F.sum(
+                    (h32(F.col("o_orderkey").cast("string")) % 97).cast(
+                        "decimal(18,0)"
+                    )
+                )
+                .cast("double")
+                .alias("key_checksum"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+STORAGE_TIME_TRAVEL_ORACLE = f"""
+WITH v0 AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+),
+keyed AS (
+    SELECT *, ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM v0
+),
+v1 AS (
+    SELECT o_orderkey,
+           CASE WHEN h % {_TT_UPD_MOD} = 0
+                THEN CAST(round(price * 1.1, 2) AS DECIMAL(18,2))
+                ELSE price END AS price,
+           h
+    FROM keyed WHERE h % {_TT_DEL_MOD} != 0
+)
+SELECT 0 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE) AS key_checksum
+FROM keyed
+UNION ALL
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE) AS key_checksum
+FROM v1
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_time_travel",
+        storage_time_travel,
+        STORAGE_TIME_TRAVEL_ORACLE,
+        doc="mini COW versioned table: manifest commit by atomic rename, reads by version",
+        tags=("storage", "scale"),
+    )
+)

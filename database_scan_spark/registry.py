@@ -180,6 +180,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_logreg_gd",
     "win_nav_ignore_nulls",
     "pipeline_incremental_ingest",
+    "storage_time_travel",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
