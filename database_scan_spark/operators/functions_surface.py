@@ -644,3 +644,47 @@ SPECS.append(
         tags=("functions", "temporal"),
     )
 )
+
+
+def fn_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas as an explicit surface —
+    transform / filter / exists / forall / aggregate (fold) — the
+    §2.9 functional-collection story stated in one place (zip_with
+    runs in the similarity dot products, transform inside the shingle
+    builder). These execute INTERPRETED per element (no whole-stage
+    codegen inside a lambda), which is why the hot paths
+    (`_shingles`, minhash) prefer flat expressions where possible —
+    but they stay JVM-side: still no Python, still pushdown-friendly.
+    DuckDB's list lambdas are the oracle twins."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda t: F.length(t).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("int").alias("n_long"),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.forall(lens, lambda n: n < 50).alias("all_short"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, n: acc + n).alias("sum_len"),
+        F.array_max(lens).alias("max_len"),
+    )
+
+
+FN_LAMBDA_OPS_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text,' '), t -> length(t) > 4)) AS INTEGER) AS n_long,
+       len(list_filter(string_split(text,' '), t -> t = 'the')) > 0 AS has_the,
+       len(list_filter(string_split(text,' '), t -> length(t) >= 50)) = 0 AS all_short,
+       CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS BIGINT) AS sum_len,
+       CAST(list_max(list_transform(string_split(text,' '), t -> length(t))) AS INTEGER) AS max_len
+FROM documents
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_lambda_ops",
+        fn_lambda_ops,
+        FN_LAMBDA_OPS_ORACLE,
+        doc="higher-order lambdas: transform/filter/exists/forall/aggregate",
+        tags=("functions", "lambda"),
+    )
+)

@@ -181,6 +181,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_nav_ignore_nulls",
     "pipeline_incremental_ingest",
     "storage_time_travel",
+    "fn_lambda_ops",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -326,6 +326,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "IGNORE NULLS navigation (first/nth/last over sparse signal)": ["win_nav_ignore_nulls"],
         "daily incremental-ingest pipeline (composed end-to-end)": ["pipeline_incremental_ingest"],
         "versioned COW table + time-travel reads": ["storage_time_travel"],
+        "higher-order array lambdas": ["fn_lambda_ops"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
