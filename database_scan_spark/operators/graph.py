@@ -317,3 +317,71 @@ SPECS.append(
         tags=("graph", "analytics"),
     )
 )
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected trade graph — the graph
+    profiling primitive (skew diagnosis for every other graph op: a
+    heavy-tailed degree histogram predicts hot keys in PageRank's
+    contribution shuffle and blowup in triangle enumeration). Two
+    dimension-sized aggregates after the one fact-fact edge build:
+    per-node degree, then nodes per degree."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+GRAPH_DEGREE_HISTOGRAM_ORACLE = """
+WITH und AS (
+    SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                    greatest(c_nationkey, s_nationkey) AS b
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE c_nationkey != s_nationkey
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+    GROUP BY node
+)
+SELECT degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS min_node,
+       MAX(node) AS max_node
+FROM deg GROUP BY degree
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_degree_histogram",
+        graph_degree_histogram,
+        GRAPH_DEGREE_HISTOGRAM_ORACLE,
+        doc="degree distribution of the trade graph (skew diagnosis for graph ops)",
+        tags=("graph",),
+    )
+)

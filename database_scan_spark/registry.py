@@ -182,6 +182,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_incremental_ingest",
     "storage_time_travel",
     "fn_lambda_ops",
+    "graph_degree_histogram",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
