@@ -354,6 +354,197 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITER = 3
+LPA_FANOUT = 1
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the undirected weighted trade graph — the clustering
+    primitive the reference's disease→drug neighborhoods imply but
+    never compute (its walks stop at fixed depth, x2.2.py:168-210).
+
+    SYNCHRONOUS variant with a total-order tiebreak so the fixpoint is
+    deterministic and cross-engine exact: every node simultaneously
+    adopts the neighbor label with the greatest incident edge weight
+    (ties → smallest label); 3 unrolled rounds, mirroring the engine's
+    other bounded fixpoints (PageRank above, BFS below). Classic async
+    LPA is order-dependent — useless for a hash-matched oracle.
+
+    The near-complete trade graph collapses to ONE community under any
+    LPA, so the graph is first sparsified to each node's single
+    strongest trade partner (w desc, partner asc — the kNN-graph
+    sparsification BFS uses, at k=1: the standard preprocessing for
+    community detection on dense similarity graphs, where the mutual-
+    best-edge forest is the community skeleton). An edge survives if
+    EITHER endpoint ranks it.
+
+    Scale shape: the one fact-fact aggregate that builds the weighted
+    edge list dominates; each round is a broadcast join + a
+    dimension-sized (node,label) aggregate + an argmax window over at
+    most |E| rows. At 100 TB over a node-scale graph the same plan
+    holds with the edge list hash-partitioned by dst instead of
+    broadcast — the per-round shuffle key (dst) never changes, so the
+    exchange is reused across rounds.
+
+    Scale shape addendum (sparsification): the top-k per node is one
+    window over the dimension-sized edge list; at node-scale graphs it
+    is the standard per-key top-k shuffle, bounded output k·|V|."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dirs = (
+        pairs.select("a", "b", "w")
+        .unionByName(
+            pairs.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    )
+    krn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    kept = (
+        dirs.withColumn("krn", krn)
+        .filter(F.col("krn") <= LPA_FANOUT)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sparse = kept.join(pairs, ["a", "b"])
+    edges = (
+        sparse.select("a", "b", "w")
+        .unionByName(
+            sparse.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .persist()
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("wsum"), F.asc("label"))
+    )
+    for _ in range(LPA_ITER):
+        best = (
+            edges.join(
+                F.broadcast(labels.select(F.col("node").alias("nbr"), "label")),
+                edges.dst == F.col("nbr"),
+            )
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("wsum"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(F.broadcast(best), "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "node").alias("label"),
+            )
+        )
+    names = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return (
+        labels.join(F.broadcast(names), "node")
+        .select("node", "n_name", F.col("label").alias("community"))
+        .orderBy("node")
+    )
+
+
+def _lpa_oracle() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, LPA_ITER + 1):
+        iters.append(f"""
+l{i} AS (
+    SELECT n.node, COALESCE(b.label, n.node) AS label
+    FROM nodes n LEFT JOIN (
+        SELECT src AS node, label FROM (
+            SELECT src, label, row_number() OVER (
+                PARTITION BY src ORDER BY wsum DESC, label) AS rn
+            FROM (
+                SELECT e.src, l.label, CAST(SUM(e.w) AS BIGINT) AS wsum
+                FROM edges e JOIN {prev} l ON e.dst = l.node
+                GROUP BY e.src, l.label
+            )
+        ) WHERE rn = 1
+    ) b ON n.node = b.node
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS (
+    SELECT least(c_nationkey, s_nationkey) AS a,
+           greatest(c_nationkey, s_nationkey) AS b,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE c_nationkey <> s_nationkey
+    GROUP BY 1, 2
+),
+dirs AS (
+    SELECT a AS src, b AS dst, w FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst, w FROM pairs
+),
+kept AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM (
+        SELECT src, dst, row_number() OVER (
+            PARTITION BY src ORDER BY w DESC, dst) AS krn
+        FROM dirs
+    ) WHERE krn <= {LPA_FANOUT}
+),
+sparse AS (
+    SELECT k.a, k.b, p.w FROM kept k JOIN pairs p ON k.a = p.a AND k.b = p.b
+),
+edges AS (
+    SELECT a AS src, b AS dst, w FROM sparse
+    UNION ALL
+    SELECT b AS src, a AS dst, w FROM sparse
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+l0 AS (SELECT node, node AS label FROM nodes),{",".join(iters)}
+SELECT l.node, n.n_name, l.label AS community
+FROM {prev} l JOIN nation n ON l.node = n.n_nationkey
+ORDER BY l.node
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_label_propagation",
+        graph_label_propagation,
+        _lpa_oracle(),
+        doc="deterministic synchronous LPA communities, 3 unrolled rounds",
+        tags=("graph", "analytics"),
+    )
+)
+
+
 GRAPH_DEGREE_HISTOGRAM_ORACLE = """
 WITH und AS (
     SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,

@@ -183,6 +183,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_time_travel",
     "fn_lambda_ops",
     "graph_degree_histogram",
+    "graph_label_propagation",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

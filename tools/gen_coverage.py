@@ -328,6 +328,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "versioned COW table + time-travel reads": ["storage_time_travel"],
         "higher-order array lambdas": ["fn_lambda_ops"],
         "graph degree distribution (skew diagnosis)": ["graph_degree_histogram"],
+        "label-propagation communities (deterministic sync LPA)": ["graph_label_propagation"],
         "small-file compaction": ["sink_compact_small_files"],
         "range-clustered layout (min/max skipping)": ["sink_clustered_write"],
         "Z-order 2-D clustered layout": ["sink_zorder_write"],
