@@ -336,6 +336,151 @@ SPECS.append(
 
 
 # ---------------------------------------------------------------------------
+# agg_countmin_sketch — Count-Min sketch build + point estimates
+# ---------------------------------------------------------------------------
+
+CMS_P = 1_000_003  # prime modulus for the 2-universal hash family
+CMS_W = 256  # buckets per hash row
+CMS_A = (999_331, 613_651, 774_581)  # depth-3 hash multipliers
+CMS_B = (87_251, 516_389, 191_861)
+CMS_PROBE = 20  # probe the first 20 part keys
+
+
+def _cms_bucket(key, j: int):
+    """h_j(k) = ((a_j·(k mod P) + b_j) mod P) mod W — explicit carry-
+    free 2-universal hashing so both engines compute identical buckets
+    (engine-native hash() functions differ and can't be oracled)."""
+    return ((F.lit(CMS_A[j]) * (key % CMS_P) + F.lit(CMS_B[j])) % CMS_P) % CMS_W
+
+
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): the sublinear
+    frequency summary that replaces ``agg_heavy_hitters``' exact
+    per-key phase when even one-row-per-distinct-key is too much state
+    (e.g. URL/token frequencies over a 100 TB crawl). The reference
+    keeps exact in-memory seen-maps (x2.2.py:118-131 resume sets) —
+    this is the bounded-memory analog.
+
+    Build: each lineitem row increments D=3 hash rows × W=256 buckets
+    — an explode to 3 cells per row, then ONE partial-aggregatable
+    groupBy((j,bucket)): the sketch is ≤ 768 rows regardless of input
+    size, and map-side combine collapses each partition to ≤ 768
+    partials before the shuffle, so the exchange is O(cells), not
+    O(rows). Point estimates for a fixed probe set take
+    min_j(sketch[j][h_j(k)]) via a broadcast join of the tiny sketch
+    against the probe cells, with the exact counts joined alongside so
+    the CM overestimate (est ≥ true, w.h.p. within εN) is visible and
+    oracle-checked. Hashes are explicit modular arithmetic (not
+    engine hash()) for cross-engine exactness."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("l_partkey"), j).alias("bucket"),
+                    )
+                    for j in range(len(CMS_A))
+                ]
+            )
+        ).alias("c")
+    ).select("c.j", "c.bucket")
+    sketch = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probe = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < CMS_PROBE)
+        .select(F.col("p_partkey").alias("key"))
+    )
+    probe_cells = probe.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("key"), j).alias("bucket"),
+                    )
+                    for j in range(len(CMS_A))
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "c.j", "c.bucket")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_cnt"))
+    )
+    truth = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(F.broadcast(truth), "key", "left")
+        .select(
+            F.col("key").alias("p_partkey"),
+            F.coalesce("true_cnt", F.lit(0)).cast("long").alias("true_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.coalesce("true_cnt", F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+AGG_COUNTMIN_SKETCH_ORACLE = f"""
+WITH params(j, a, b) AS (
+    VALUES (0, {CMS_A[0]}, {CMS_B[0]}),
+           (1, {CMS_A[1]}, {CMS_B[1]}),
+           (2, {CMS_A[2]}, {CMS_B[2]})
+),
+cells AS (
+    SELECT p.j,
+           ((p.a * (l.l_partkey % {CMS_P}) + p.b) % {CMS_P}) % {CMS_W} AS bucket
+    FROM lineitem l, params p
+),
+sketch AS (
+    SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY 1, 2
+),
+probe AS (SELECT p_partkey AS key FROM part WHERE p_partkey < {CMS_PROBE}),
+est AS (
+    SELECT pr.key,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_cnt
+    FROM probe pr
+    CROSS JOIN params p
+    LEFT JOIN sketch s
+      ON s.j = p.j
+     AND s.bucket = ((p.a * (pr.key % {CMS_P}) + p.b) % {CMS_P}) % {CMS_W}
+    GROUP BY pr.key
+),
+truth AS (
+    SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+    FROM lineitem GROUP BY 1
+)
+SELECT e.key AS p_partkey,
+       CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+       e.est_cnt,
+       CAST(e.est_cnt - COALESCE(t.true_cnt, 0) AS BIGINT) AS overestimate
+FROM est e LEFT JOIN truth t ON e.key = t.key
+ORDER BY p_partkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_countmin_sketch",
+        agg_countmin_sketch,
+        AGG_COUNTMIN_SKETCH_ORACLE,
+        doc="Count-Min sketch: bounded-memory frequency summary + point estimates.",
+        tags=("core", "agg", "sketch"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # agg_histogram_equidepth — ntile-based equi-depth histogram
 # ---------------------------------------------------------------------------
 

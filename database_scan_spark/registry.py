@@ -184,6 +184,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_lambda_ops",
     "graph_degree_histogram",
     "graph_label_propagation",
+    "agg_countmin_sketch",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -87,6 +87,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "agg_histogram_equidepth"
         ],
         "(engine addition: exact heavy hitters, two-phase)": ["agg_heavy_hitters"],
+        "(engine addition: Count-Min sketch frequency summary)": ["agg_countmin_sketch"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
