@@ -336,6 +336,145 @@ SPECS.append(
 
 
 # ---------------------------------------------------------------------------
+# analytic_attribution — multi-touch marketing attribution
+# ---------------------------------------------------------------------------
+
+
+def analytic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution over the event stream: each
+    purchase's value is credited to the user's preceding marketing
+    touches (click/view) under three standard models — first-touch
+    (100% to the earliest touch), last-touch (100% to the latest), and
+    linear (split by touch-type share). Purchases with no prior touch
+    land in an explicit 'none' bucket so every dollar is accounted for.
+
+    Entirely window-expressible — NO touch×purchase pair join (the
+    naive per-user range join is quadratic in per-user history): one
+    shuffle keyed user_id, then first/last(ignorenulls) and running
+    per-type counts over the (ts, event_id)-ordered frame ENDING AT
+    THE PREVIOUS ROW, so a purchase never credits itself. At 100 TB
+    this is the linear-cost attribution plan: per-user state is the
+    window sort, partial counts stream, and the final rollup is a
+    9-row aggregate. Revenue sums run in DECIMAL after per-row
+    round-to-6 (the engine's float discipline), so the unordered sum
+    is exact and the DuckDB twin hash-matches."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    enriched = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_t"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_t"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_view"),
+    ).filter(F.col("event_type") == "purchase")
+
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    tot = F.col("n_click") + F.col("n_view")
+    first_m = enriched.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("first_t", F.lit("none")).alias("touch_type"),
+        vd.alias("amount"),
+    )
+    last_m = enriched.select(
+        F.lit("last_touch").alias("model"),
+        F.coalesce("last_t", F.lit("none")).alias("touch_type"),
+        vd.alias("amount"),
+    )
+    lin_click = enriched.filter(F.col("n_click") > 0).select(
+        F.lit("linear").alias("model"),
+        F.lit("click").alias("touch_type"),
+        F.round(F.col("value") * F.col("n_click") / tot, 6)
+        .cast("decimal(18,6)")
+        .alias("amount"),
+    )
+    lin_view = enriched.filter(F.col("n_view") > 0).select(
+        F.lit("linear").alias("model"),
+        F.lit("view").alias("touch_type"),
+        F.round(F.col("value") * F.col("n_view") / tot, 6)
+        .cast("decimal(18,6)")
+        .alias("amount"),
+    )
+    lin_none = enriched.filter(tot == 0).select(
+        F.lit("linear").alias("model"),
+        F.lit("none").alias("touch_type"),
+        vd.alias("amount"),
+    )
+    long = first_m.unionByName(last_m).unionByName(lin_click).unionByName(
+        lin_view
+    ).unionByName(lin_none)
+    return (
+        long.groupBy("model", "touch_type")
+        .agg(
+            F.sum("amount").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+ANALYTIC_ATTRIBUTION_ORACLE = """
+WITH enriched AS (
+    SELECT event_type, value,
+           first_value(CASE WHEN event_type IN ('click','view')
+                            THEN event_type END IGNORE NULLS) OVER w AS first_t,
+           last_value(CASE WHEN event_type IN ('click','view')
+                           THEN event_type END IGNORE NULLS) OVER w AS last_t,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+purch AS (SELECT * FROM enriched WHERE event_type = 'purchase'),
+long AS (
+    SELECT 'first_touch' AS model, COALESCE(first_t, 'none') AS touch_type,
+           CAST(round(value, 6) AS DECIMAL(18,6)) AS amount
+    FROM purch
+    UNION ALL
+    SELECT 'last_touch', COALESCE(last_t, 'none'),
+           CAST(round(value, 6) AS DECIMAL(18,6))
+    FROM purch
+    UNION ALL
+    SELECT 'linear', 'click',
+           CAST(round(value * n_click / (n_click + n_view), 6) AS DECIMAL(18,6))
+    FROM purch WHERE n_click > 0
+    UNION ALL
+    SELECT 'linear', 'view',
+           CAST(round(value * n_view / (n_click + n_view), 6) AS DECIMAL(18,6))
+    FROM purch WHERE n_view > 0
+    UNION ALL
+    SELECT 'linear', 'none', CAST(round(value, 6) AS DECIMAL(18,6))
+    FROM purch WHERE n_click + n_view = 0
+)
+SELECT model, touch_type,
+       CAST(SUM(amount) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM long GROUP BY model, touch_type
+ORDER BY model, touch_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_attribution",
+        analytic_attribution,
+        ANALYTIC_ATTRIBUTION_ORACLE,
+        doc="First/last/linear multi-touch attribution, window-only (no pair join).",
+        tags=("core", "analytics"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # agg_countmin_sketch — Count-Min sketch build + point estimates
 # ---------------------------------------------------------------------------
 

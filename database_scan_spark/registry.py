@@ -185,6 +185,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_degree_histogram",
     "graph_label_propagation",
     "agg_countmin_sketch",
+    "analytic_attribution",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
