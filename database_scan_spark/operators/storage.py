@@ -940,3 +940,218 @@ SPECS.append(
         tags=("storage", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_merge_on_read — base + delta log merged at read time (MOR)
+# ---------------------------------------------------------------------------
+
+_MOR_UPD1 = 23  # delta1 repricing: h % 23 == 0 -> *1.2
+_MOR_INS = 31  # delta1 inserts:   h % 31 == 0 -> new key (+1e9), *0.5
+_MOR_UPD2 = 23  # delta2 repricing: h % 23 == 1 -> *0.9
+_MOR_DEL = 29  # delta2 tombstone: h % 29 == 0
+_MOR_KEY_SHIFT = 1_000_000_000  # insert-key offset (above any fixture key)
+
+
+def _mor_reprice(mult: str):
+    """price * mult in EXACT DECIMAL arithmetic (multiplier parsed as
+    decimal(2,1), product scale 3, HALF_UP round to 2) — double
+    multiplication here diverges from the DECIMAL-native oracle on
+    half-way products (observed: 5 cents across 1159 rows at sf0.01)."""
+    m = F.lit(mult).cast("decimal(2,1)")
+    return (
+        F.round(F.col("price") * m, 2).cast("decimal(18,2)").alias("price")
+    )
+
+
+def _mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the mini MERGE-ON-READ table if absent: one base
+    parquet snapshot plus two append-only delta files (upserts,
+    inserts, tombstones) derived deterministically from orders by the
+    engine's synthetic-CDC hash discipline. Unlike the COW twin
+    (`_tt_versions`), a write here never rewrites the base — that is
+    the MOR trade: O(delta) writes, merge cost paid by readers."""
+    root = workdir(sf_dir, "mor_table")
+    marker = os.path.join(root, "_MOR_OK")
+    if os.path.exists(marker):
+        return root
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    h = h32(F.col("key").cast("string"))
+    d1_upd = base.filter(h % _MOR_UPD1 == 0).select(
+        "key",
+        _mor_reprice("1.2"),
+        F.lit("upsert").alias("op"),
+    )
+    d1_ins = base.filter(h % _MOR_INS == 0).select(
+        (F.col("key") + F.lit(_MOR_KEY_SHIFT)).alias("key"),
+        _mor_reprice("0.5"),
+        F.lit("upsert").alias("op"),
+    )
+    d2_upd = base.filter((h % _MOR_UPD2 == 1) & (h % _MOR_DEL != 0)).select(
+        "key",
+        _mor_reprice("0.9"),
+        F.lit("upsert").alias("op"),
+    )
+    d2_del = base.filter(h % _MOR_DEL == 0).select(
+        "key",
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit("delete").alias("op"),
+    )
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    d1_upd.unionByName(d1_ins).write.mode("overwrite").parquet(
+        os.path.join(root, "delta1")
+    )
+    d2_upd.unionByName(d2_del).write.mode("overwrite").parquet(
+        os.path.join(root, "delta2")
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def read_merge_on_read(spark: SparkSession, root: str) -> DataFrame:
+    """The MOR read path: base ∪ deltas tagged with their commit
+    sequence, latest record per key wins (row_number over seq desc —
+    unique because a key appears at most once per commit), tombstones
+    dropped after the merge. ONE shuffle keyed on the table key; at
+    100 TB the delta files are tiny next to base, so AQE plans the
+    union's delta side as locally-read small partitions and the merge
+    cost is the one sort-shuffle — which compaction (rewriting base
+    with the deltas folded in, then truncating the log) amortizes
+    away; `sink_compact_small_files` is that maintenance pass."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    base = (
+        spark.read.parquet(os.path.join(root, "base"))
+        .select("key", "price", F.lit("upsert").alias("op"))
+        .withColumn("seq", F.lit(0))
+    )
+    d1 = spark.read.parquet(os.path.join(root, "delta1")).withColumn(
+        "seq", F.lit(1)
+    )
+    d2 = spark.read.parquet(os.path.join(root, "delta2")).withColumn(
+        "seq", F.lit(2)
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        base.unionByName(d1)
+        .unionByName(d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("key", "price")
+    )
+
+
+def _mor_audit(df: DataFrame, layer: str) -> DataFrame:
+    return df.agg(
+        F.lit(layer).alias("layer"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum((h32(F.col("key").cast("string")) % 97).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("key_checksum"),
+    )
+
+
+def storage_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ table (Hudi/Iceberg-v2 read-path shape), the
+    write-optimized complement to `storage_time_travel`'s COW: commits
+    append delta files (upserts, inserts, delete tombstones) without
+    touching the base snapshot, and the reader reconciles — latest
+    commit per key wins, tombstones drop. Output audits every layer
+    (base, both deltas, merged view) with row counts and exact
+    checksums; the oracle re-derives each from the source table by the
+    same hash discipline, INDEPENDENTLY of the seq-merge formulation —
+    so it proves the staged files and the reader's merge semantics.
+    (Insert keys are offset by 1e9 — above any fixture key; a real
+    table would allocate from a key server or UUIDs.)"""
+    root = _mor_table(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(root, "base"))
+    d1 = spark.read.parquet(os.path.join(root, "delta1"))
+    d2 = spark.read.parquet(os.path.join(root, "delta2"))
+    merged = read_merge_on_read(spark, root)
+    return (
+        _mor_audit(base, "0_base")
+        .unionByName(_mor_audit(d1, "1_delta1"))
+        .unionByName(_mor_audit(d2, "2_delta2"))
+        .unionByName(_mor_audit(merged, "3_merged"))
+    )
+
+
+STORAGE_MERGE_ON_READ_ORACLE = f"""
+WITH keyed AS (
+    SELECT o_orderkey AS k,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM orders
+),
+ins AS (
+    SELECT k + {_MOR_KEY_SHIFT} AS key,
+           CAST(round(price * 0.5, 2) AS DECIMAL(18,2)) AS price
+    FROM keyed WHERE h % {_MOR_INS} = 0
+),
+hh AS (
+    SELECT key, price,
+           ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM ins
+),
+d1 AS (
+    SELECT k AS key, CAST(round(price * 1.2, 2) AS DECIMAL(18,2)) AS price, h
+    FROM keyed WHERE h % {_MOR_UPD1} = 0
+    UNION ALL
+    SELECT key, price, h FROM hh
+),
+d2 AS (
+    SELECT k AS key, CAST(round(price * 0.9, 2) AS DECIMAL(18,2)) AS price, h
+    FROM keyed WHERE h % {_MOR_UPD2} = 1 AND h % {_MOR_DEL} != 0
+    UNION ALL
+    SELECT k, CAST(NULL AS DECIMAL(18,2)), h FROM keyed WHERE h % {_MOR_DEL} = 0
+),
+merged AS (
+    SELECT k AS key,
+           CASE WHEN h % {_MOR_UPD2} = 1
+                THEN CAST(round(price * 0.9, 2) AS DECIMAL(18,2))
+                WHEN h % {_MOR_UPD1} = 0
+                THEN CAST(round(price * 1.2, 2) AS DECIMAL(18,2))
+                ELSE price END AS price,
+           h
+    FROM keyed WHERE h % {_MOR_DEL} != 0
+    UNION ALL
+    SELECT key, price, h FROM hh
+),
+audits AS (
+    SELECT '0_base' AS layer, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE) AS key_checksum
+    FROM keyed
+    UNION ALL
+    SELECT '1_delta1', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM d1
+    UNION ALL
+    SELECT '2_delta2', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM d2
+    UNION ALL
+    SELECT '3_merged', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM merged
+)
+SELECT * FROM audits
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_merge_on_read",
+        storage_merge_on_read,
+        STORAGE_MERGE_ON_READ_ORACLE,
+        doc="merge-on-read table: append-only delta log, reader-side latest-wins merge",
+        tags=("storage", "scale"),
+    )
+)

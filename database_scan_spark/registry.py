@@ -186,6 +186,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_label_propagation",
     "agg_countmin_sketch",
     "analytic_attribution",
+    "storage_merge_on_read",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
