@@ -623,3 +623,157 @@ SPECS.append(
         tags=("llm", "udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train — byte-pair-encoding merge induction over the corpus
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+_BPE_EOW = "_"  # end-of-word marker symbol (classic BPE Sennrich et al.)
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING in-engine (Sennrich et al. 2016): learn
+    the first 3 merge rules from the corpus — the vocabulary-induction
+    step every LLM data pipeline runs before tokenization. Each round:
+    count adjacent symbol pairs over the word-frequency table (weights,
+    not raw occurrences — the classic trick that makes the corpus pass
+    O(|vocab|) instead of O(|corpus|) per round), take the argmax pair
+    under an explicit total order (weight desc, pair asc), and apply
+    the merge to every symbol sequence.
+
+    The merge application uses delimiter-wrapped string replace:
+    sequences render as '<s1><s2>...' and merging (a,b) is ONE literal
+    replace of '<a><b>' → '<ab>' — both engines' replace() scans
+    left-to-right non-overlapping and resumes AFTER the replacement,
+    which IS greedy BPE merge semantics (no adjacent-overlap
+    double-merge). Symbols stay in [a-z_] so the delimiters are safe.
+
+    Scale shape: the per-round pair count is a map-side-combinable
+    aggregate over the DISTINCT-WORD table (shuffle carries one row
+    per distinct pair); the 1-row argmax broadcasts; applying the
+    merge is row-local. Production BPE runs thousands of rounds with
+    the same per-round plan (checkpointing the sequence table every k
+    rounds to cut lineage) — 3 unrolled here so the DuckDB twin can
+    chain the same rounds as CTEs and hash-match exactly."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "word",
+        "cnt",
+        F.concat(F.split("word", ""), F.array(F.lit(_BPE_EOW))).alias("arr"),
+    )
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "cnt",
+            F.expr(
+                "explode(arrays_zip(slice(arr, 1, size(arr)-1),"
+                " slice(arr, 2, size(arr)-1)))"
+            ).alias("p"),
+        ).select(
+            F.expr("p.`0`").alias("lhs"), F.expr("p.`1`").alias("rhs"), "cnt"
+        )
+        m = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("pair_weight"))
+            .orderBy(F.desc("pair_weight"), "lhs", "rhs")
+            .limit(1)
+        )
+        merges.append(
+            m.select(
+                F.lit(r).alias("merge_rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "pair_weight",
+            )
+        )
+        wrapped = F.concat_ws(
+            "", F.transform("arr", lambda s: F.concat(F.lit("<"), s, F.lit(">")))
+        )
+        cur = cur.crossJoin(F.broadcast(m)).select(
+            "word",
+            "cnt",
+            F.regexp_extract_all(
+                F.replace(
+                    wrapped,
+                    F.concat(
+                        F.lit("<"), F.col("lhs"), F.lit("><"), F.col("rhs"),
+                        F.lit(">"),
+                    ),
+                    F.concat(F.lit("<"), F.col("lhs"), F.col("rhs"), F.lit(">")),
+                ),
+                F.lit("<([^>]*)>"),
+                1,
+            ).alias("arr"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    prev = "seq0"
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(f"""
+p{r} AS (
+    SELECT arr[i+1] AS lhs, arr[i+2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_weight
+    FROM (
+        SELECT arr, cnt, unnest(range(len(arr) - 1)) AS i FROM {prev}
+    )
+    GROUP BY 1, 2
+),
+m{r} AS (
+    SELECT lhs, rhs, pair_weight FROM p{r}
+    ORDER BY pair_weight DESC, lhs, rhs LIMIT 1
+),
+seq{r} AS (
+    SELECT word, cnt,
+           regexp_extract_all(
+               replace(
+                   list_aggregate(
+                       list_transform(arr, s -> '<' || s || '>'),
+                       'string_agg', ''),
+                   '<' || m{r}.lhs || '><' || m{r}.rhs || '>',
+                   '<' || m{r}.lhs || m{r}.rhs || '>'),
+               '<([^>]*)>', 1) AS arr
+    FROM {prev}, m{r}
+)""")
+        prev = f"seq{r}"
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_weight FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+),
+seq0 AS (
+    SELECT word, cnt, list_append(string_split(word, ''), '{_BPE_EOW}') AS arr
+    FROM words
+),{",".join(rounds)}
+SELECT * FROM ({selects}) ORDER BY merge_rank
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_train",
+        text_bpe_train,
+        _bpe_oracle(),
+        doc="BPE merge induction (3 unrolled rounds) over the word-frequency table",
+        tags=("llm", "text"),
+    )
+)

@@ -187,6 +187,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_countmin_sketch",
     "analytic_attribution",
     "storage_merge_on_read",
+    "text_bpe_train",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -89,6 +89,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: exact heavy hitters, two-phase)": ["agg_heavy_hitters"],
         "(engine addition: Count-Min sketch frequency summary)": ["agg_countmin_sketch"],
         "(engine addition: multi-touch attribution, window-only)": ["analytic_attribution"],
+        "BPE merge induction (tokenizer training)": ["text_bpe_train"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
