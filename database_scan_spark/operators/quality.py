@@ -339,3 +339,97 @@ SPECS.append(
         tags=("quality", "observe"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_anomaly_mad — robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 0.6745  # Φ⁻¹(0.75): scales MAD to a normal-consistent sigma
+_MAD_Z = 3.5  # Iglewicz-Hoaglin modified-z cutoff
+
+
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection on event values via MEDIAN
+    ABSOLUTE DEVIATION (Iglewicz & Hoaglin modified z-score,
+    |0.6745·(x−med)/MAD| > 3.5) — the monitoring primitive that,
+    unlike mean/stddev gating (`wf_quality_gate`) or PSI drift
+    (`dq_drift_psi`), is not itself corrupted by the outliers it
+    hunts: median and MAD have a 50% breakdown point.
+
+    Two exact-percentile aggregations (median of values, then median
+    of |x−med|) with the tiny per-group medians broadcast back between
+    them, then one counting pass. The outlier comparison is written
+    with the IDENTICAL operation order in both engines
+    (|x−med|·0.6745 > 3.5·MAD), so the IEEE doubles agree exactly.
+    Scale note: exact medians hold a group's values — at 100 TB swap
+    in approx_percentile; the three-pass shape (locate, spread,
+    flag) is unchanged."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    flagged = j.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med")) * F.lit(_MAD_K)
+                    > F.lit(_MAD_Z) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_ANOMALY_MAD_ORACLE = f"""
+WITH base AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+med AS (
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+    FROM base GROUP BY 1
+),
+j AS (
+    SELECT b.event_type, b.value, m.med
+    FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med)) AS mad
+    FROM j GROUP BY 1
+)
+SELECT j.event_type,
+       round(MIN(j.med), 6) AS med,
+       round(MIN(a.mad), 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN abs(j.value - j.med) * {_MAD_K} > {_MAD_Z} * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM j JOIN mad a USING (event_type)
+GROUP BY j.event_type
+ORDER BY j.event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_anomaly_mad",
+        dq_anomaly_mad,
+        DQ_ANOMALY_MAD_ORACLE,
+        doc="MAD modified-z robust outlier counts per event type (50% breakdown point)",
+        tags=("quality",),
+    )
+)

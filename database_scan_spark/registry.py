@@ -188,6 +188,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_attribution",
     "storage_merge_on_read",
     "text_bpe_train",
+    "dq_anomaly_mad",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -90,6 +90,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: Count-Min sketch frequency summary)": ["agg_countmin_sketch"],
         "(engine addition: multi-touch attribution, window-only)": ["analytic_attribution"],
         "BPE merge induction (tokenizer training)": ["text_bpe_train"],
+        "MAD robust anomaly detection (modified z)": ["dq_anomaly_mad"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
