@@ -1155,3 +1155,111 @@ SPECS.append(
         tags=("storage", "scale"),
     )
 )
+
+
+def storage_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR COMPACTION — the maintenance pass that repays the
+    merge-on-read read tax: materialize the reader's merged view as a
+    new base snapshot (one keyed shuffle, same plan as the read path),
+    commit it by atomic marker rename, and retire the delta log for
+    that base. Readers before the commit merge base+deltas; readers
+    after scan one compacted file set with NO merge — the
+    write-amplification/read-cost trade flipping back, on the
+    schedule compaction chooses (Hudi's compactor, Iceberg's
+    rewrite_data_files — same contract).
+
+    Output proves the flip: the audit row of the COMPACTED base read
+    back from disk (layer 'compacted') next to the live merged view
+    ('merged') — identical n_rows/sum/checksum — plus the retired
+    delta log's row count as 'log_retired'. The oracle re-derives all
+    three from the source table; a compaction that lost an upsert or
+    resurrected a tombstone breaks the hash."""
+    root = _mor_table(spark, sf_dir)
+    cdir = os.path.join(root, "compacted")
+    marker = os.path.join(root, "_COMPACT_OK")
+    if not os.path.exists(marker):
+        read_merge_on_read(spark, root).write.mode("overwrite").parquet(cdir)
+        with open(marker, "w") as fh:
+            fh.write("base+delta1+delta2")  # the retired-log commit record
+    compacted = spark.read.parquet(cdir)
+    merged = read_merge_on_read(spark, root)
+    retired = (
+        spark.read.parquet(os.path.join(root, "delta1"))
+        .unionByName(spark.read.parquet(os.path.join(root, "delta2")))
+        .select("key", "price")
+    )
+    return (
+        _mor_audit(compacted, "compacted")
+        .unionByName(_mor_audit(merged, "merged"))
+        .unionByName(_mor_audit(retired, "log_retired"))
+    )
+
+
+STORAGE_MOR_COMPACT_ORACLE = f"""
+WITH keyed AS (
+    SELECT o_orderkey AS k,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM orders
+),
+ins AS (
+    SELECT k + {_MOR_KEY_SHIFT} AS key,
+           CAST(round(price * 0.5, 2) AS DECIMAL(18,2)) AS price
+    FROM keyed WHERE h % {_MOR_INS} = 0
+),
+hh AS (
+    SELECT key, price,
+           ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM ins
+),
+merged AS (
+    SELECT k AS key,
+           CASE WHEN h % {_MOR_UPD2} = 1
+                THEN CAST(round(price * 0.9, 2) AS DECIMAL(18,2))
+                WHEN h % {_MOR_UPD1} = 0
+                THEN CAST(round(price * 1.2, 2) AS DECIMAL(18,2))
+                ELSE price END AS price,
+           h
+    FROM keyed WHERE h % {_MOR_DEL} != 0
+    UNION ALL
+    SELECT key, price, h FROM hh
+),
+log_rows AS (
+    SELECT k AS key, CAST(round(price * 1.2, 2) AS DECIMAL(18,2)) AS price, h
+    FROM keyed WHERE h % {_MOR_UPD1} = 0
+    UNION ALL
+    SELECT key, price, h FROM hh
+    UNION ALL
+    SELECT k, CAST(round(price * 0.9, 2) AS DECIMAL(18,2)), h
+    FROM keyed WHERE h % {_MOR_UPD2} = 1 AND h % {_MOR_DEL} != 0
+    UNION ALL
+    SELECT k, CAST(NULL AS DECIMAL(18,2)), h FROM keyed WHERE h % {_MOR_DEL} = 0
+),
+audits AS (
+    SELECT 'compacted' AS layer, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE) AS key_checksum
+    FROM merged
+    UNION ALL
+    SELECT 'merged', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM merged
+    UNION ALL
+    SELECT 'log_retired', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM log_rows
+)
+SELECT * FROM audits
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_mor_compact",
+        storage_mor_compact,
+        STORAGE_MOR_COMPACT_ORACLE,
+        doc="MOR compaction: merged view materialized as new base, delta log retired",
+        tags=("storage", "scale"),
+    )
+)

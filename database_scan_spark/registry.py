@@ -189,6 +189,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_merge_on_read",
     "text_bpe_train",
     "dq_anomaly_mad",
+    "storage_mor_compact",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -331,6 +331,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "daily incremental-ingest pipeline (composed end-to-end)": ["pipeline_incremental_ingest"],
         "versioned COW table + time-travel reads": ["storage_time_travel"],
         "merge-on-read table (delta log + reader merge)": ["storage_merge_on_read"],
+        "MOR compaction (log folded into new base)": ["storage_mor_compact"],
         "higher-order array lambdas": ["fn_lambda_ops"],
         "graph degree distribution (skew diagnosis)": ["graph_degree_histogram"],
         "label-propagation communities (deterministic sync LPA)": ["graph_label_propagation"],
