@@ -66,6 +66,12 @@ HEADLINE = [
     "catalog_stats_cbo",
     "join_asof_nearest",
     "geo_radius_join",
+    # round-2 continuation additions
+    "graph_label_propagation",
+    "text_bpe_train",
+    "storage_merge_on_read",
+    "analytic_attribution",
+    "agg_countmin_sketch",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

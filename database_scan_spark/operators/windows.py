@@ -638,3 +638,78 @@ SPECS.append(
         tags=("window",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_twap — time-weighted average (irregular-interval signal)
+# ---------------------------------------------------------------------------
+
+
+def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average of each user's event value — the
+    irregular-time-series mean (finance TWAP / monitoring gauge
+    average) that a plain AVG gets wrong whenever observations arrive
+    unevenly: each value is held until the next observation and
+    weighted by that holding interval. lead(ts) over the
+    (ts, event_id)-ordered per-user frame gives the interval; the last
+    observation has no interval and drops (standard left-closed TWAP).
+
+    Exactness: intervals are integer MICROSECONDS, values quantized to
+    decimal(18,6), so the value·dt products and both sums are exact
+    decimals — the single double division happens once per user at the
+    end and rounds to 6. One shuffle (the window sort), then the
+    groupBy rides the same partitioning. At 100 TB this is the
+    canonical gauge-rollup plan: state per row is one lead()."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    spans = ev.select(
+        "user_id", vd.alias("vd"), dt.alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("span_us"),
+            F.round(
+                F.sum(F.col("vd") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+WIN_TWAP_ORACLE = """
+WITH spans AS (
+    SELECT user_id,
+           CAST(round(value, 6) AS DECIMAL(18,6)) AS vd,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - epoch_us(ts) AS dt_us
+    FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       round(CAST(SUM(vd * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE), 6)
+         AS twap
+FROM spans WHERE dt_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_twap",
+        win_twap,
+        WIN_TWAP_ORACLE,
+        doc="time-weighted average over irregular per-user event intervals",
+        tags=("window",),
+    )
+)

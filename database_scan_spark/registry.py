@@ -190,6 +190,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_bpe_train",
     "dq_anomaly_mad",
     "storage_mor_compact",
+    "win_twap",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

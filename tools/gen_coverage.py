@@ -91,6 +91,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: multi-touch attribution, window-only)": ["analytic_attribution"],
         "BPE merge induction (tokenizer training)": ["text_bpe_train"],
         "MAD robust anomaly detection (modified z)": ["dq_anomaly_mad"],
+        "time-weighted average (irregular intervals)": ["win_twap"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
