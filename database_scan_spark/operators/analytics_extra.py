@@ -1527,3 +1527,87 @@ SPECS.append(
         tags=("analytics", "ml"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — weighted quantile via distributed cumulative sums
+# ---------------------------------------------------------------------------
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile computed the way it SCALES: a per-group running sum of
+    weights over the price-sorted order, then the smallest price whose
+    doubled cumulative weight reaches the total. No per-group value
+    buffering (exact `percentile` holds the whole group in memory;
+    this holds one running decimal per row), so the same plan works
+    when a group is billions of rows: sort-shuffle on (group, price),
+    windowed cumsum, one thresholded min-aggregate.
+
+    Exactness: weights and prices quantize to DECIMAL; the crossing
+    test is `2·cum ≥ total` (no division); intra-block row order
+    cannot change which PRICE crosses the threshold, so the result is
+    total-order-robust. The lower weighted median is returned (the
+    standard discrete definition, no interpolation)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        "qty",
+        F.sum("qty").over(wrun).alias("cum"),
+        F.sum("qty").over(wall).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.min("total").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_WEIGHTED_MEDIAN_ORACLE = """
+WITH cum AS (
+    SELECT l_returnflag,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                        l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag) AS total
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MIN(price) AS DOUBLE) AS weighted_median,
+       CAST(MIN(total) AS DOUBLE) AS total_weight
+FROM cum
+WHERE cum * 2 >= total
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_weighted_median",
+        agg_weighted_median,
+        AGG_WEIGHTED_MEDIAN_ORACLE,
+        doc="weighted median via windowed cumulative weights (no group buffering)",
+        tags=("core", "agg"),
+    )
+)

@@ -191,6 +191,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_anomaly_mad",
     "storage_mor_compact",
     "win_twap",
+    "agg_weighted_median",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -92,6 +92,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "BPE merge induction (tokenizer training)": ["text_bpe_train"],
         "MAD robust anomaly detection (modified z)": ["dq_anomaly_mad"],
         "time-weighted average (irregular intervals)": ["win_twap"],
+        "weighted median via windowed cumulative weights": ["agg_weighted_median"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
