@@ -380,38 +380,56 @@ def analytic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vd = F.round("value", 6).cast("decimal(18,6)")
     tot = F.col("n_click") + F.col("n_view")
-    first_m = enriched.select(
-        F.lit("first_touch").alias("model"),
-        F.coalesce("first_t", F.lit("none")).alias("touch_type"),
-        vd.alias("amount"),
-    )
-    last_m = enriched.select(
-        F.lit("last_touch").alias("model"),
-        F.coalesce("last_t", F.lit("none")).alias("touch_type"),
-        vd.alias("amount"),
-    )
-    lin_click = enriched.filter(F.col("n_click") > 0).select(
-        F.lit("linear").alias("model"),
-        F.lit("click").alias("touch_type"),
-        F.round(F.col("value") * F.col("n_click") / tot, 6)
-        .cast("decimal(18,6)")
-        .alias("amount"),
-    )
-    lin_view = enriched.filter(F.col("n_view") > 0).select(
-        F.lit("linear").alias("model"),
-        F.lit("view").alias("touch_type"),
-        F.round(F.col("value") * F.col("n_view") / tot, 6)
-        .cast("decimal(18,6)")
-        .alias("amount"),
-    )
-    lin_none = enriched.filter(tot == 0).select(
-        F.lit("linear").alias("model"),
-        F.lit("none").alias("touch_type"),
-        vd.alias("amount"),
-    )
-    long = first_m.unionByName(last_m).unionByName(lin_click).unionByName(
-        lin_view
-    ).unionByName(lin_none)
+
+    def _row(model: str, touch, amount, include):
+        return F.struct(
+            F.lit(model).alias("model"),
+            touch.alias("touch_type"),
+            amount.cast("decimal(18,6)").alias("amount"),
+            include.alias("include"),
+        )
+
+    # One explode instead of a 5-branch union: a union would re-run
+    # the window pass (and its user_id shuffle) once PER MODEL on the
+    # same input; the long format here costs one row-local fan-out.
+    long = enriched.select(
+        F.explode(
+            F.array(
+                _row(
+                    "first_touch",
+                    F.coalesce("first_t", F.lit("none")),
+                    vd,
+                    F.lit(True),
+                ),
+                _row(
+                    "last_touch",
+                    F.coalesce("last_t", F.lit("none")),
+                    vd,
+                    F.lit(True),
+                ),
+                _row(
+                    "linear",
+                    F.lit("click"),
+                    # CASE short-circuits: no ANSI divide-by-zero when tot=0
+                    F.when(
+                        F.col("n_click") > 0,
+                        F.round(F.col("value") * F.col("n_click") / tot, 6),
+                    ),
+                    F.col("n_click") > 0,
+                ),
+                _row(
+                    "linear",
+                    F.lit("view"),
+                    F.when(
+                        F.col("n_view") > 0,
+                        F.round(F.col("value") * F.col("n_view") / tot, 6),
+                    ),
+                    F.col("n_view") > 0,
+                ),
+                _row("linear", F.lit("none"), vd, tot == 0),
+            )
+        ).alias("r")
+    ).select("r.*").filter(F.col("include"))
     return (
         long.groupBy("model", "touch_type")
         .agg(
