@@ -426,7 +426,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sparse = kept.join(pairs, ["a", "b"])
+    sparse = F.broadcast(kept).join(pairs, ["a", "b"])
     edges = (
         sparse.select("a", "b", "w")
         .unionByName(

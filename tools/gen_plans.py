@@ -134,6 +134,36 @@ SHOWCASE = {
     "one-row weight table broadcast back onto the scan per step, and no "
     "Window/CartesianProduct: each training step moves two decimal sums, "
     "never rows",
+    "graph_label_propagation": "LPA communities — expect the one fact-fact "
+    "edge aggregate to dominate (broadcast dim hops), the k=1 "
+    "sparsification as a single per-src top-k window, and each unrolled "
+    "round as a broadcast label join + (src,label) aggregate + argmax "
+    "window; no CartesianProduct",
+    "text_bpe_train": "BPE merge induction — expect each round's pair "
+    "count as partial+final HashAggregate over the distinct-word table, "
+    "the 1-row argmax as TakeOrderedAndProject (per-task heaps, no "
+    "global sort), and the merge application as a row-local project "
+    "under a bounded one-row BroadcastNestedLoopJoin",
+    "storage_merge_on_read": "MOR read path — expect a Union of the "
+    "base+delta FileScans feeding exactly ONE Exchange "
+    "(hashpartitioning on the table key) for the latest-wins window; "
+    "tombstones drop AFTER the merge, never a join operator",
+    "agg_countmin_sketch": "Count-Min sketch — expect the 3-cell explode "
+    "fused into the lineitem scan stage, ONE exchange carrying ≤768 "
+    "(j,bucket) partials (map-side combine collapses each task to "
+    "sketch size), and the probe estimates via BroadcastHashJoins of "
+    "the tiny sketch/truth sides",
+    "agg_weighted_median": "weighted median — expect ONE exchange (the "
+    "(group,price) window sort), a running-decimal cumsum, and the "
+    "thresholded min-aggregate riding the same partitioning; no "
+    "per-group buffering aggregate (percentile) anywhere",
+    "win_twap": "time-weighted average — expect ONE exchange on user_id: "
+    "the lead() window and the final per-user aggregate share the same "
+    "hashpartitioning, so the groupBy adds no shuffle",
+    "analytic_attribution": "multi-touch attribution — expect ONE Window "
+    "operator (all three models ride a single windowed pass; the "
+    "per-model fan-out is a row-local explode, not a union re-running "
+    "the window), then the 9-row rollup aggregate",
 }
 
 
