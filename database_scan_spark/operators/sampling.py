@@ -16,7 +16,7 @@ variant shuffles only for its per-stratum audit aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -282,5 +282,72 @@ SPECS.append(
         SAMPLE_RESERVOIR_ORACLE,
         doc="Efraimidis-Spirakis weighted sample w/o replacement, hash-derived keys",
         tags=("sampling",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sample_balanced_class — balanced downsample to the minority class
+# ---------------------------------------------------------------------------
+
+
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of the labeled embedding corpus:
+    every label keeps exactly minority-class-many rows, selected by
+    ascending CONTENT HASH of the id (h32 — the package's
+    deterministic sampling discipline, `sample_hash_bernoulli`), so
+    the balanced subset is reproducible across engines, runs, and
+    partitionings — no RNG, no sampleBy.
+
+    Plan: one shuffle for the per-label rank window, one tiny
+    per-label count aggregate whose MIN broadcasts back as the cut;
+    at 100 TB per-label top-k via window is the standard shape (swap
+    row_number for the aggregation-based top-k in `topk_group_agg` if
+    labels are few and k is small)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy(
+        h32(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+    cut = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("cut"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .filter(F.col("rk") <= F.col("cut"))
+        .select("vec_id", "label", F.col("rk").cast("int").alias("rk"))
+        .orderBy("label", "rk")
+    )
+
+
+SAMPLE_BALANCED_CLASS_ORACLE = """
+WITH ranked AS (
+    SELECT vec_id, label,
+           row_number() OVER (
+               PARTITION BY label
+               ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                        vec_id) AS rk
+    FROM embeddings
+),
+cut AS (
+    SELECT MIN(n) AS cut FROM (
+        SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    )
+)
+SELECT vec_id, label, CAST(rk AS INTEGER) AS rk
+FROM ranked, cut
+WHERE rk <= cut
+ORDER BY label, rk
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sample_balanced_class",
+        sample_balanced_class,
+        SAMPLE_BALANCED_CLASS_ORACLE,
+        doc="balanced per-class downsample to minority size, content-hash order",
+        tags=("sampling", "llm"),
     )
 )

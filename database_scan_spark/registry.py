@@ -192,6 +192,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_mor_compact",
     "win_twap",
     "agg_weighted_median",
+    "sample_balanced_class",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

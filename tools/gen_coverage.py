@@ -93,6 +93,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "MAD robust anomaly detection (modified z)": ["dq_anomaly_mad"],
         "time-weighted average (irregular intervals)": ["win_twap"],
         "weighted median via windowed cumulative weights": ["agg_weighted_median"],
+        "class-balanced downsample (content-hash order)": ["sample_balanced_class"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
