@@ -396,3 +396,109 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — as-of with a max-staleness bound (feature-store)
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 72 * 3600 * 1_000_000  # 72 hours
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-STALENESS bound — the feature-store
+    point-in-time rule: each non-purchase event may use its user's
+    latest preceding purchase only if that purchase is at most 72
+    hours old, else the feature is NULL (serving a stale feature
+    silently is the classic training/serving-skew bug). LEFT
+    semantics: every lookup row survives, with the match nulled when
+    absent or stale and the observed staleness kept for auditing.
+
+    Same ONE-shuffle union+window plan as `join_asof` (tag, union,
+    last(ignorenulls) over the key-time order) plus one carried
+    column: the as-of ROW TIME, from which the tolerance predicate
+    derives row-locally in exact integer microseconds — the bound
+    costs nothing at any scale. Oracle: DuckDB's native ASOF LEFT
+    JOIN with the same CASE guard — an independent formulation of
+    both the match and the bound."""
+    ev = load(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("ts").alias("t"),
+            F.lit(0).alias("tag"),
+            F.col("event_id").alias("p_id"),
+            F.col("value").alias("p_value"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    lookups = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+    )
+    w = Window.partitionBy("key").orderBy(
+        "t", "tag", F.coalesce("event_id", F.col("p_id"))
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch_t = F.when(F.col("tag") == 0, F.col("t"))
+    merged = purch.unionByName(lookups).select(
+        "key",
+        "t",
+        "tag",
+        "event_id",
+        F.last("p_id", ignorenulls=True).over(w).alias("raw_pid"),
+        F.last("p_value", ignorenulls=True).over(w).alias("raw_pvalue"),
+        F.last(purch_t, ignorenulls=True).over(w).alias("asof_t"),
+    )
+    staleness = F.unix_micros("t") - F.unix_micros("asof_t")
+    fresh = staleness <= ASOF_TOL_US
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(fresh, F.col("raw_pid")).alias("asof_purchase_id"),
+        F.when(fresh, F.col("raw_pvalue")).alias("asof_value"),
+        staleness.alias("staleness_us"),
+        F.coalesce(fresh, F.lit(False)).alias("is_fresh"),
+    )
+
+
+JOIN_ASOF_TOLERANCE_ORACLE = f"""
+WITH purch AS (
+    SELECT user_id, ts, event_id AS p_id, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) = 1
+),
+lookups AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+            THEN p.p_id END AS asof_purchase_id,
+       CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+            THEN p.p_value END AS asof_value,
+       epoch_us(e.ts) - epoch_us(p.ts) AS staleness_us,
+       COALESCE(epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}, FALSE)
+         AS is_fresh
+FROM lookups e
+ASOF LEFT JOIN purch p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_asof_tolerance",
+        join_asof_tolerance,
+        JOIN_ASOF_TOLERANCE_ORACLE,
+        doc="as-of join with 72h staleness bound (feature-store point-in-time rule)",
+        tags=("join", "temporal"),
+    )
+)

@@ -193,6 +193,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_twap",
     "agg_weighted_median",
     "sample_balanced_class",
+    "join_asof_tolerance",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
