@@ -1629,3 +1629,94 @@ SPECS.append(
         tags=("core", "agg"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_late_restatement — late-data corrections to published daily aggregates
+# ---------------------------------------------------------------------------
+
+_LATE_MOD = 5  # h % 5 == 0 -> the row arrives 2 days late
+
+
+def wf_late_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data RESTATEMENT ledger: daily purchase revenue is
+    published at end of day from the rows that have ARRIVED by then
+    (v1); rows that arrive late (here: a deterministic hash-selected
+    cohort landing two days after their event time — the engine's
+    synthetic-CDC discipline standing in for real ingest lag) are
+    issued as per-day CORRECTIONS, and v2 = v1 + correction is the
+    restated figure. This is the batch complement of the engine's
+    incremental MV surface (`wf_mv_incremental`, `stream_mv_refresh`):
+    those merge deltas forward; this audits what the consumer-visible
+    history looked like BEFORE and AFTER the late data.
+
+    Plan shape: ONE partial-aggregatable groupBy(event_day) with
+    conditional DECIMAL sums — no join, no window; the on-time/late
+    classification is a row-local hash. At 100 TB this is a single
+    map-side-combined pass over the fact."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    late = h32(F.col("event_id").cast("string")) % _LATE_MOD == 0
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    day = F.to_date("ts")
+    return (
+        ev.select(
+            F.date_format(day, "yyyy-MM-dd").alias("event_day"),
+            F.when(~late, vd).alias("ontime_v"),
+            F.when(late, vd).alias("late_v"),
+            late.cast("long").alias("is_late"),
+        )
+        .groupBy("event_day")
+        .agg(
+            F.coalesce(F.sum("ontime_v"), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v1"),
+            F.coalesce(F.sum("late_v"), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("correction"),
+            F.coalesce(
+                F.sum(F.coalesce("ontime_v", F.lit(0).cast("decimal(18,6)")) +
+                      F.coalesce("late_v", F.lit(0).cast("decimal(18,6)"))),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("v2"),
+            F.sum("is_late").alias("n_late"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_day")
+    )
+
+
+WF_LATE_RESTATEMENT_ORACLE = f"""
+WITH base AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_day,
+           CAST(round(value, 6) AS DECIMAL(18,6)) AS vd,
+           ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+             % {_LATE_MOD} = 0 AS late
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+)
+SELECT event_day,
+       CAST(COALESCE(SUM(CASE WHEN NOT late THEN vd END),
+                     CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS v1,
+       CAST(COALESCE(SUM(CASE WHEN late THEN vd END),
+                     CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS correction,
+       CAST(COALESCE(SUM(vd), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS v2,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM base
+GROUP BY event_day
+ORDER BY event_day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_late_restatement",
+        wf_late_restatement,
+        WF_LATE_RESTATEMENT_ORACLE,
+        doc="published-v1 vs restated-v2 daily revenue with late-arrival corrections",
+        tags=("core", "workflow"),
+    )
+)

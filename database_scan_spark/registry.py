@@ -194,6 +194,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_weighted_median",
     "sample_balanced_class",
     "join_asof_tolerance",
+    "wf_late_restatement",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -95,6 +95,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "weighted median via windowed cumulative weights": ["agg_weighted_median"],
         "class-balanced downsample (content-hash order)": ["sample_balanced_class"],
         "staleness-bounded as-of join (point-in-time rule)": ["join_asof_tolerance"],
+        "late-data restatement ledger (v1/correction/v2)": ["wf_late_restatement"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
