@@ -182,3 +182,97 @@ SPECS.append(
         tags=("geo", "join"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# geo_point_in_polygon — row-local ray-casting containment
+# ---------------------------------------------------------------------------
+
+# Non-self-intersecting pentagon in degree space; NO horizontal edge
+# (adjacent vertices never share a y), so the crossing test's division
+# is never by zero — ANSI-safe without guards.
+POLY = [(0.0, 0.0), (40.0, 10.0), (50.0, 50.0), (10.0, 60.0), (-20.0, 30.0)]
+
+
+def _pip_terms_spark(x, y):
+    """Ray-casting crossing count as a SUM OF STATIC EDGE TERMS —
+    completely row-local (no explode, no join): both engines build the
+    identical IEEE expression from the same vertex list."""
+    terms = None
+    n = len(POLY)
+    for i in range(n):
+        x1, y1 = POLY[i]
+        x2, y2 = POLY[(i + 1) % n]
+        crosses = ((F.lit(y1) > y) != (F.lit(y2) > y)) & (
+            x
+            < (F.lit(x2) - F.lit(x1)) * (y - F.lit(y1)) / (F.lit(y2) - F.lit(y1))
+            + F.lit(x1)
+        )
+        t = F.when(crosses, 1).otherwise(0)
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def _pip_terms_sql(x: str, y: str) -> str:
+    parts = []
+    n = len(POLY)
+    for i in range(n):
+        x1, y1 = POLY[i]
+        x2, y2 = POLY[(i + 1) % n]
+        parts.append(
+            f"(CASE WHEN (({y1} > {y}) != ({y2} > {y})) AND "
+            f"({x} < ({x2} - {x1}) * ({y} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment (ray casting) for every customer
+    against a fixed 5-vertex region — the geofencing primitive the
+    radius/kNN pair doesn't cover. The crossing count is a sum of
+    five STATIC edge terms generated from one shared vertex list, so
+    the whole test is a row-local projection fused into the scan: no
+    explode, no join, no shuffle before the final ordering — the
+    embarrassing-parallel shape geofencing needs at 100 TB (a real
+    multi-polygon fence adds a cell-bucketed polygon-candidate join in
+    front, exactly `geo_radius_join`'s blocking pattern; the per-pair
+    test stays this expression)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    key = F.col("c_custkey").cast("string")
+    lat, lon = _lat(key), _lon(key)
+    pts = cust.select(
+        "c_custkey",
+        F.round(lat, 3).alias("lat"),
+        F.round(lon, 3).alias("lon"),
+        (_pip_terms_spark(lon, lat) % 2 == 1).alias("inside"),
+    )
+    return pts.filter("inside").select("c_custkey", "lat", "lon").orderBy(
+        "c_custkey"
+    )
+
+
+def _pip_oracle() -> str:
+    lat = _lat_sql("CAST(c_custkey AS VARCHAR)")
+    lon = _lon_sql("CAST(c_custkey AS VARCHAR)")
+    return f"""
+WITH pts AS (
+    SELECT c_custkey,
+           round({lat}, 3) AS lat,
+           round({lon}, 3) AS lon,
+           ({_pip_terms_sql(f"({lon})", f"({lat})")}) % 2 = 1 AS inside
+    FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts WHERE inside ORDER BY c_custkey
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "geo_point_in_polygon",
+        geo_point_in_polygon,
+        _pip_oracle(),
+        doc="ray-casting geofence test as row-local static edge terms (no join)",
+        tags=("geo",),
+    )
+)

@@ -195,6 +195,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sample_balanced_class",
     "join_asof_tolerance",
     "wf_late_restatement",
+    "geo_point_in_polygon",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
