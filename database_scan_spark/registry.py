@@ -196,6 +196,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_asof_tolerance",
     "wf_late_restatement",
     "geo_point_in_polygon",
+    "stream_left_outer_interval_join",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

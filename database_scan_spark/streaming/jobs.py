@@ -1172,3 +1172,102 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner variant (`stream_stream_interval_join`) cannot express: a
+    purchase with NO error within ±1h still emits, null-extended,
+    once the WATERMARK proves no future match can arrive. Matched
+    pairs emit as they join; the null rows are watermark-driven — in
+    this availableNow run they surface in the trailing no-data batch,
+    and purchases inside the final watermark's uncertainty horizon
+    (ts + 1h >= final watermark = MIN over the two streams of that
+    stream's max event time − 10 min) stay
+    UNEMITTED, exactly like a live job awaiting more data. The oracle
+    reproduces both the join and that horizon cutoff, so the hash
+    check pins the eviction semantics, not just the pairs."""
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 3600 seconds"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 3600 seconds")),
+        "leftOuter",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "purchase_id",
+        "error_id",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+    return _run_to_memory(joined, spark, sf_dir, "stream_lo_join", "append")
+
+
+# The final watermark after the trailing no-data batch: max event time
+# (ms granularity) minus the 10-minute delay. A purchase emits its
+# null-extended row only once ts_a + 60s is BELOW that watermark.
+STREAM_LEFT_OUTER_JOIN_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id AS purchase_id, ts FROM events
+    WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, event_id AS error_id, ts FROM events
+    WHERE event_type = 'error'
+),
+wm AS (
+    -- global watermark = MIN of the two per-stream watermarks
+    SELECT least((SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 FROM p),
+                 (SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 FROM e))
+           AS wm_us
+),
+matched AS (
+    SELECT p.user_id, p.purchase_id, e.error_id,
+           epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 3600 * CAST(1000000 AS BIGINT)
+),
+unmatched AS (
+    SELECT p.user_id, p.purchase_id,
+           CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS gap_us
+    FROM p, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.user_id = p.user_id
+          AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 3600 * CAST(1000000 AS BIGINT)
+    )
+    AND epoch_us(p.ts) + 3600 * CAST(1000000 AS BIGINT) < wm.wm_us
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_left_outer_interval_join",
+        stream_left_outer_interval_join,
+        STREAM_LEFT_OUTER_JOIN_ORACLE,
+        doc="stream-stream LEFT OUTER interval join: watermark-driven null emission, "
+        "oracle pins the eviction horizon",
+        tags=("stream", "temporal"),
+    )
+)
