@@ -197,3 +197,52 @@ def test_theta_sketch_exact_below_nominal(spark, vals):
         F.theta_sketch_estimate(F.theta_sketch_agg(F.col("x"), F.lit(20))).alias("d")
     ).collect()[0]["d"]
     assert est == len(set(vals))
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12), min_size=1, max_size=30
+    ),
+    pair=st.tuples(st.sampled_from("ab_"), st.sampled_from("ab_")),
+)
+@settings(**_SETTINGS)
+def test_bpe_merge_replace_matches_reference(spark, words, pair):
+    """The delimiter-wrapped replace() used by text_bpe_train must
+    implement GREEDY LEFT-TO-RIGHT NON-OVERLAPPING pair merging — the
+    BPE rule — for arbitrary symbol sequences, including the
+    adversarial overlap cases ('aaaa' merging (a,a) -> [aa, aa], not
+    [aa, a, a] or [a, aa, a]). Alphabet {a,b,_} with the end-of-word
+    marker provokes maximal overlap."""
+    import re as _re
+
+    lhs, rhs = pair
+
+    def reference_merge(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    pdf = pd.DataFrame({"word": words})
+    sdf = spark.createDataFrame(pdf)
+    arr = F.concat(F.split("word", ""), F.array(F.lit("_")))
+    wrapped = F.concat_ws(
+        "", F.transform(arr, lambda s: F.concat(F.lit("<"), s, F.lit(">")))
+    )
+    merged = F.regexp_extract_all(
+        F.replace(
+            wrapped,
+            F.lit(f"<{lhs}><{rhs}>"),
+            F.lit(f"<{lhs}{rhs}>"),
+        ),
+        F.lit("<([^>]*)>"),
+        1,
+    )
+    got = [r[0] for r in sdf.select(merged).collect()]
+    want = [reference_merge(list(w) + ["_"], lhs, rhs) for w in words]
+    assert got == want, (pair, words, got, want)

@@ -470,3 +470,63 @@ def test_existence_project_plans_existence_join(spark):
     df = join_existence_project(spark, SF_SMOKE)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistenceJoin" in opt, opt[:400]
+
+
+def test_mor_read_is_single_shuffle(spark):
+    """The merge-on-read reconcile (latest-wins per key) must cost
+    exactly ONE hash exchange — base and deltas union into one keyed
+    window; a join-based merge would shuffle per delta file."""
+    from database_scan_spark.operators.storage import (
+        _mor_table,
+        read_merge_on_read,
+    )
+
+    root = _mor_table(spark, SF_SMOKE)
+    plan = _plan(read_merge_on_read(spark, root))
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_twap_window_and_agg_share_partitioning(spark):
+    """TWAP's lead() window and the per-user aggregate must ride the
+    SAME user_id hashpartitioning — a second hash exchange means the
+    groupBy re-shuffled what the window already co-located."""
+    from database_scan_spark.operators.windows import win_twap
+
+    plan = _plan(win_twap(spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_weighted_median_no_group_buffering(spark):
+    """The weighted median must plan the windowed-cumsum shape: one
+    hash exchange, NO percentile aggregate (which buffers each
+    group's values) anywhere."""
+    from database_scan_spark.operators.analytics_extra import (
+        agg_weighted_median,
+    )
+
+    plan = _plan(agg_weighted_median(spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "percentile" not in plan.lower()
+
+
+def test_attribution_single_window_pass(spark):
+    """All three attribution models must ride ONE windowed pass — a
+    per-model union would repeat the user_id shuffle."""
+    from database_scan_spark.operators.analytics_extra import (
+        analytic_attribution,
+    )
+
+    plan = _plan(analytic_attribution(spark, SF_SMOKE))
+    assert plan.count(") Window") == 1, plan
+    assert plan.count("hashpartitioning(") <= 2, plan
+
+
+def test_point_in_polygon_is_row_local(spark):
+    """The geofence test must fuse into the scan: no join operator
+    and no hash exchange of the point table."""
+    from database_scan_spark.operators.geo import geo_point_in_polygon
+
+    plan = _plan(geo_point_in_polygon(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(" not in plan, plan
