@@ -1720,3 +1720,96 @@ SPECS.append(
         tags=("core", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_rfm — recency/frequency/monetary segmentation
+# ---------------------------------------------------------------------------
+
+
+def analytic_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing triage:
+    per-user Recency (days since last purchase, vs the corpus max
+    event time), Frequency (purchase count) and Monetary (DECIMAL
+    revenue sum), each cut into quintiles, composed into the 3-digit
+    segment code (111 = best, 555 = churned-cheap).
+
+    Determinism: every ntile runs over an explicit TOTAL order
+    (metric, then user_id) — without the tiebreak, equal metrics
+    straddling a quintile boundary would split engine-dependently.
+    Scale note: the ntile input is the AGGREGATED per-user table
+    (dimension-sized, one shuffle to build), so the global sort is
+    bounded by user cardinality, not events; at billions of users the
+    quintile cuts come from approx_percentile instead and the rank
+    windows disappear — the aggregation pass is unchanged."""
+    p = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    per_user = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(vd).alias("m_dec"),
+    )
+    maxts = p.agg(F.max("ts").alias("corpus_max"))
+    rfm = per_user.crossJoin(F.broadcast(maxts)).select(
+        "user_id",
+        F.datediff(F.to_date("corpus_max"), F.to_date("last_ts")).alias("r_days"),
+        "f_cnt",
+        F.col("m_dec").cast("double").alias("m_sum"),
+    )
+    r_q = F.ntile(5).over(Window.orderBy("r_days", "user_id"))
+    f_q = F.ntile(5).over(Window.orderBy(F.desc("f_cnt"), F.asc("user_id")))
+    m_q = F.ntile(5).over(Window.orderBy(F.desc("m_sum"), F.asc("user_id")))
+    return rfm.select(
+        "user_id",
+        F.col("r_days").cast("int").alias("r_days"),
+        "f_cnt",
+        "m_sum",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+        (r_q * 100 + f_q * 10 + m_q).alias("segment"),
+    ).orderBy("user_id")
+
+
+ANALYTIC_RFM_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, CAST(round(value, 6) AS DECIMAL(18,6)) AS vd
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+per_user AS (
+    SELECT user_id, max(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS f_cnt,
+           SUM(vd) AS m_dec
+    FROM p GROUP BY user_id
+),
+rfm AS (
+    SELECT user_id,
+           date_diff('day', CAST(last_ts AS DATE),
+                     CAST((SELECT max(ts) FROM p) AS DATE)) AS r_days,
+           f_cnt,
+           CAST(m_dec AS DOUBLE) AS m_sum
+    FROM per_user
+),
+q AS (
+    SELECT user_id, r_days, f_cnt, m_sum,
+           ntile(5) OVER (ORDER BY r_days, user_id) AS r_q,
+           ntile(5) OVER (ORDER BY f_cnt DESC, user_id) AS f_q,
+           ntile(5) OVER (ORDER BY m_sum DESC, user_id) AS m_q
+    FROM rfm
+)
+SELECT user_id, CAST(r_days AS INTEGER) AS r_days, f_cnt, m_sum,
+       r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
+FROM q ORDER BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_rfm",
+        analytic_rfm,
+        ANALYTIC_RFM_ORACLE,
+        doc="RFM quintile segmentation with total-order-deterministic ntiles",
+        tags=("core", "analytics"),
+    )
+)

@@ -197,6 +197,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_late_restatement",
     "geo_point_in_polygon",
     "stream_left_outer_interval_join",
+    "analytic_rfm",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -98,6 +98,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "late-data restatement ledger (v1/correction/v2)": ["wf_late_restatement"],
         "point-in-polygon geofence (ray casting, row-local)": ["geo_point_in_polygon"],
         "stream-stream LEFT OUTER interval join (watermark eviction)": ["stream_left_outer_interval_join"],
+        "RFM quintile segmentation": ["analytic_rfm"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
