@@ -815,3 +815,83 @@ SPECS.append(
         tags=("core", "sink", "csv"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# src_csv_corrupt_recovery — PERMISSIVE parse with corrupt-record capture
+# ---------------------------------------------------------------------------
+
+
+def src_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV RECOVERY — the ingestion-robustness surface
+    `src_json_permissive` provides for JSON, on the CSV path: rows
+    with a type-failing field or a wrong column count parse in
+    PERMISSIVE mode with the RAW LINE captured in the corrupt-record
+    column, so bad input is quarantined with full fidelity instead of
+    killing the job (FAILFAST) or vanishing (DROPMALFORMED).
+
+    The fixture CSV is staged deterministically from nation —
+    key%5==0 rows get a non-integer key ('bad<k>'), key%7==3 rows an
+    extra field — via a distributed text write (no driver-side row
+    handling). Observed-and-pinned recovery semantics: a type failure
+    NULLs only the failing field (n_name survives), and BOTH
+    corruption modes capture the verbatim line. The oracle
+    re-derives every parsed field AND the raw corrupt line from the
+    same staging rule, so the hash check pins the recovery contract."""
+    path = workdir(sf_dir, "csv_corrupt")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        nat = load(spark, sf_dir, "nation").select(
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat_ws(
+                    ",",
+                    F.concat(F.lit("bad"), F.col("n_nationkey")),
+                    F.col("n_name"),
+                ),
+            )
+            .when(
+                F.col("n_nationkey") % 7 == 3,
+                F.concat_ws(
+                    ",", F.col("n_nationkey"), F.col("n_name"), F.lit("extra")
+                ),
+            )
+            .otherwise(F.concat_ws(",", F.col("n_nationkey"), F.col("n_name")))
+            .alias("value")
+        )
+        nat.coalesce(1).write.mode("overwrite").text(os.path.join(path, "data"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.schema("n_key INT, n_name STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(path, "data"))
+        .select("n_key", "n_name", "_corrupt")
+        .orderBy(F.coalesce("n_key", F.lit(-1)), "n_name")
+    )
+
+
+SRC_CSV_CORRUPT_RECOVERY_ORACLE = """
+SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+            ELSE CAST(n_nationkey AS INTEGER) END AS n_key,
+       n_name,
+       CASE WHEN n_nationkey % 5 = 0
+            THEN 'bad' || n_nationkey || ',' || n_name
+            WHEN n_nationkey % 7 = 3
+            THEN n_nationkey || ',' || n_name || ',extra'
+            END AS _corrupt
+FROM nation
+ORDER BY COALESCE(CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                       ELSE CAST(n_nationkey AS INTEGER) END, -1), n_name
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_csv_corrupt_recovery",
+        src_csv_corrupt_recovery,
+        SRC_CSV_CORRUPT_RECOVERY_ORACLE,
+        doc="PERMISSIVE CSV parse: corrupt lines quarantined verbatim, fields recovered",
+        tags=("core", "source", "csv"),
+    )
+)

@@ -198,6 +198,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "geo_point_in_polygon",
     "stream_left_outer_interval_join",
     "analytic_rfm",
+    "src_csv_corrupt_recovery",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -99,6 +99,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "point-in-polygon geofence (ray casting, row-local)": ["geo_point_in_polygon"],
         "stream-stream LEFT OUTER interval join (watermark eviction)": ["stream_left_outer_interval_join"],
         "RFM quintile segmentation": ["analytic_rfm"],
+        "malformed-CSV recovery (PERMISSIVE + corrupt capture)": ["src_csv_corrupt_recovery"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
