@@ -713,3 +713,95 @@ SPECS.append(
         tags=("window",),
     )
 )
+
+
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative purchase-value
+    curve — the canonical nested-window shape (running SUM, running
+    MAX of that, max deficit) that stress-tests window composition:
+    three frames over ONE (ts, event_id)-ordered sort, no
+    re-shuffle between them because all three share the user_id
+    partitioning. Purchases count +value, errors −value (a synthetic
+    P&L so the curve actually draws down); everything accumulates in
+    DECIMAL, so the running sums are exact and the DuckDB twin
+    hash-matches. Per-row state is O(1); the plan survives
+    billion-row users."""
+    signed = F.when(
+        F.col("event_type") == "purchase", F.round("value", 6)
+    ).otherwise(-F.round("value", 6))
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "error")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            signed.cast("decimal(18,6)").alias("delta"),
+        )
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = ev.select(
+        "user_id", "ts", "event_id", F.sum("delta").over(run).alias("cum")
+    )
+    curve = with_cum.select(
+        "user_id",
+        "cum",
+        F.max("cum").over(run).alias("peak"),
+    )
+    return (
+        curve.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("cum")).cast("double").alias("max_drawdown"),
+            F.max("peak").cast("double").alias("peak_value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("user_id")
+    )
+
+
+WIN_DRAWDOWN_ORACLE = """
+WITH with_cum AS (
+    SELECT user_id, ts, event_id,
+           SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+    FROM (
+        SELECT user_id, ts, event_id,
+               CAST(CASE WHEN event_type = 'purchase' THEN round(value, 6)
+                         ELSE -round(value, 6) END AS DECIMAL(18,6)) AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+    )
+),
+curve AS (
+    SELECT user_id, cum,
+           MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS peak
+    FROM with_cum
+)
+SELECT user_id,
+       CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+       CAST(MAX(peak) AS DOUBLE) AS peak_value,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM curve
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_drawdown",
+        win_drawdown,
+        WIN_DRAWDOWN_ORACLE,
+        doc="max drawdown via nested running-sum/running-max windows, exact DECIMAL",
+        tags=("window",),
+    )
+)

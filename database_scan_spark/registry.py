@@ -199,6 +199,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_left_outer_interval_join",
     "analytic_rfm",
     "src_csv_corrupt_recovery",
+    "win_drawdown",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -100,6 +100,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "stream-stream LEFT OUTER interval join (watermark eviction)": ["stream_left_outer_interval_join"],
         "RFM quintile segmentation": ["analytic_rfm"],
         "malformed-CSV recovery (PERMISSIVE + corrupt capture)": ["src_csv_corrupt_recovery"],
+        "max drawdown (nested running windows)": ["win_drawdown"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
