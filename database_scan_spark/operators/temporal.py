@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
+from ._helpers import h32
 
 
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +500,101 @@ SPECS.append(
         join_asof_tolerance,
         JOIN_ASOF_TOLERANCE_ORACLE,
         doc="as-of join with 72h staleness bound (feature-store point-in-time rule)",
+        tags=("join", "temporal"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap — banded interval-overlap self-join
+# ---------------------------------------------------------------------------
+
+_IV_BAND_US = 2 * 3600 * 1_000_000  # band edge == max duration -> <=2 bands
+_IV_MAX_MIN = 120  # synthesized durations: 1..120 minutes
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-overlap self-join — the temporal-extent counterpart of
+    the point-proximity `join_range_events`: each event carries a
+    deterministic hash-synthesized duration (1..120 min; the fixture
+    has no native extents), and the join finds same-user interval
+    pairs that OVERLAP, with the exact overlap length.
+
+    Banding for extents: with the band edge >= the max duration, an
+    interval covers at most TWO bands; exploding BOTH sides to their
+    covered bands and equi-joining on (user, band) generates every
+    overlapping pair (overlap ⇒ some shared band) with at most 4
+    duplicates, removed by one distinct. Cost stays linear in band
+    occupancy — a raw `a.start <= b.end AND b.start <= a.end` join
+    plans as the per-user cross product. DuckDB's optimized
+    inequality join (IEJoin) is the oracle — an independent
+    formulation of the same overlap set."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (h32(F.col("event_id").cast("string")) % _IV_MAX_MIN + 1)
+            * 60_000_000
+        ).alias("e_us"),
+    )
+
+    def banded(side: str):
+        return ev.select(
+            "user_id",
+            F.col("event_id").alias(f"event_{side}"),
+            F.col("s_us").alias(f"s_{side}"),
+            F.col("e_us").alias(f"e_{side}"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s_us") / _IV_BAND_US).cast("long"),
+                    F.floor(F.col("e_us") / _IV_BAND_US).cast("long"),
+                )
+            ).alias("band"),
+        )
+
+    pairs = (
+        banded("a")
+        .join(banded("b"), ["user_id", "band"])
+        .filter(F.col("event_a") < F.col("event_b"))
+        .select("user_id", "event_a", "s_a", "e_a", "event_b", "s_b", "e_b")
+        .distinct()
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+    )
+    return pairs.select(
+        "user_id",
+        "event_a",
+        "event_b",
+        (
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).alias("overlap_us"),
+    ).orderBy("user_id", "event_a", "event_b")
+
+
+JOIN_INTERVAL_OVERLAP_ORACLE = f"""
+WITH iv AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s_us,
+           epoch_us(ts)
+           + (('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_IV_MAX_MIN} + 1) * 60000000 AS e_us
+    FROM events
+)
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+ORDER BY a.user_id, event_a, event_b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_interval_overlap",
+        join_interval_overlap,
+        JOIN_INTERVAL_OVERLAP_ORACLE,
+        doc="banded interval-overlap join: extents explode to <=2 bands, exact overlap",
         tags=("join", "temporal"),
     )
 )

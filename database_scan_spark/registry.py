@@ -200,6 +200,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_rfm",
     "src_csv_corrupt_recovery",
     "win_drawdown",
+    "join_interval_overlap",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -101,6 +101,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "RFM quintile segmentation": ["analytic_rfm"],
         "malformed-CSV recovery (PERMISSIVE + corrupt capture)": ["src_csv_corrupt_recovery"],
         "max drawdown (nested running windows)": ["win_drawdown"],
+        "banded interval-overlap join": ["join_interval_overlap"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
