@@ -1813,3 +1813,130 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_histogram — mergeable equi-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+_QH_BINS = 100
+_QH_PS = (0.5, 0.9, 0.99)
+
+
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE equi-width histogram —
+    the portable sketch-quantile path for 100 TB facts, where exact
+    `percentile` (buffer the column) and rank-windows (global sort)
+    are both off the table: one pass bins order totals into 100
+    equi-width buckets (bounds from a first min/max aggregate —
+    itself partial-aggregatable), bucket counts merge associatively
+    across any partitioning, and each quantile reads off the first
+    bucket whose cumulative count crosses p·N, answering with the
+    bucket's upper bound (error ≤ one bin width, stated in the
+    output). Unlike t-digest/KLL the estimate is DETERMINISTIC — no
+    merge-order sensitivity — which is what makes a cross-engine
+    hash oracle possible at all.
+
+    The cumulative crossing runs over the 100-row histogram (a
+    bounded global window, data-independent by construction — the
+    `wf_backfill_plan` discipline)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    mm = o.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        o.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.lit(_QH_BINS - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / _QH_BINS)
+                ).cast("int"),
+            ).alias("bin"),
+            "lo",
+            "hi",
+            "n",
+        )
+        .groupBy("bin", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "bin",
+        "lo",
+        "hi",
+        "n",
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+    out = None
+    for p in _QH_PS:
+        est = (
+            cum.filter(F.col("cum") * F.lit(1.0) >= F.lit(p) * F.col("n"))
+            .groupBy()
+            .agg(
+                F.lit(p).alias("p"),
+                F.round(
+                    F.min(
+                        F.col("lo")
+                        + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / _QH_BINS)
+                    ),
+                    6,
+                )
+                .cast("double")
+                .alias("estimate"),
+                F.round(
+                    F.min((F.col("hi") - F.col("lo")) / _QH_BINS), 6
+                )
+                .cast("double")
+                .alias("max_error"),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    return out.orderBy("p")
+
+
+AGG_QUANTILE_HISTOGRAM_ORACLE = f"""
+WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM o),
+binned AS (
+    SELECT least({_QH_BINS - 1},
+                 CAST(floor((v - lo) / ((hi - lo) / {_QH_BINS})) AS INTEGER))
+             AS bin,
+           lo, hi, n, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM o, mm
+    GROUP BY 1, 2, 3, 4
+),
+cum AS (
+    SELECT bin, lo, hi, n,
+           SUM(cnt) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+    FROM binned
+),
+qs(p) AS (VALUES {", ".join(f"({p})" for p in _QH_PS)})
+SELECT p,
+       CAST(round(MIN(lo + (bin + 1) * ((hi - lo) / {_QH_BINS})), 6) AS DOUBLE)
+         AS estimate,
+       CAST(round(MIN((hi - lo) / {_QH_BINS}), 6) AS DOUBLE) AS max_error
+FROM cum, qs
+WHERE cum * 1.0 >= p * n
+GROUP BY p
+ORDER BY p
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_quantile_histogram",
+        agg_quantile_histogram,
+        AGG_QUANTILE_HISTOGRAM_ORACLE,
+        doc="deterministic mergeable histogram quantiles (p50/p90/p99, bounded error)",
+        tags=("core", "agg", "sketch"),
+    )
+)

@@ -201,6 +201,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "src_csv_corrupt_recovery",
     "win_drawdown",
     "join_interval_overlap",
+    "agg_quantile_histogram",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

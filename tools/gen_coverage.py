@@ -102,6 +102,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "malformed-CSV recovery (PERMISSIVE + corrupt capture)": ["src_csv_corrupt_recovery"],
         "max drawdown (nested running windows)": ["win_drawdown"],
         "banded interval-overlap join": ["join_interval_overlap"],
+        "mergeable histogram quantiles (deterministic sketch)": ["agg_quantile_histogram"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
