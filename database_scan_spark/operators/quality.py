@@ -433,3 +433,63 @@ SPECS.append(
         tags=("quality",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_sla — per-partition ingest-lag audit
+# ---------------------------------------------------------------------------
+
+_SLA_LAG_MIN = 30  # breach when a feed's newest event lags >30min behind
+
+
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA audit — the monitoring question every ingest
+    pipeline answers first: per event_type (standing in for a feed /
+    partition), how far does its newest event lag behind the
+    corpus-wide high-water mark, and does that breach the 30-minute
+    SLA?
+    Two partial-aggregatable max() passes (per-feed, then the 1-row
+    global broadcast back), lag in exact integer microseconds. The
+    same two-aggregate shape audits 100 TB of landing partitions,
+    because the intermediate is one row per feed."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    per_feed = ev.groupBy("event_type").agg(
+        F.max("ts").alias("newest"), F.count(F.lit(1)).alias("n_rows")
+    )
+    hwm = ev.agg(F.max("ts").alias("hwm"))
+    lag = F.unix_micros("hwm") - F.unix_micros("newest")
+    return (
+        per_feed.crossJoin(F.broadcast(hwm))
+        .select(
+            "event_type",
+            "n_rows",
+            lag.alias("lag_us"),
+            (lag > _SLA_LAG_MIN * 60 * 1_000_000).alias("sla_breach"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_FRESHNESS_SLA_ORACLE = f"""
+WITH per_feed AS (
+    SELECT event_type, max(ts) AS newest, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+),
+hwm AS (SELECT max(ts) AS hwm FROM events)
+SELECT event_type, n_rows,
+       epoch_us(hwm) - epoch_us(newest) AS lag_us,
+       (epoch_us(hwm) - epoch_us(newest))
+         > {_SLA_LAG_MIN} * 60 * CAST(1000000 AS BIGINT) AS sla_breach
+FROM per_feed, hwm
+ORDER BY event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_freshness_sla",
+        dq_freshness_sla,
+        DQ_FRESHNESS_SLA_ORACLE,
+        doc="per-feed ingest-lag vs high-water mark with SLA breach flags",
+        tags=("quality",),
+    )
+)

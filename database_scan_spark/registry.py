@@ -202,6 +202,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_drawdown",
     "join_interval_overlap",
     "agg_quantile_histogram",
+    "dq_freshness_sla",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -103,6 +103,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "max drawdown (nested running windows)": ["win_drawdown"],
         "banded interval-overlap join": ["join_interval_overlap"],
         "mergeable histogram quantiles (deterministic sketch)": ["agg_quantile_histogram"],
+        "freshness SLA audit (ingest lag vs high-water mark)": ["dq_freshness_sla"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
