@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators._helpers import h32, money, workdir
+from ..operators._helpers import disc_price, h32, money, workdir
 from ..spec import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -1938,5 +1938,107 @@ SPECS.append(
         AGG_QUANTILE_HISTOGRAM_ORACLE,
         doc="deterministic mergeable histogram quantiles (p50/p90/p99, bounded error)",
         tags=("core", "agg", "sketch"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic_pareto — ABC / 80-20 cumulative-share classification
+# ---------------------------------------------------------------------------
+
+
+def analytic_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (ABC) analysis: customers ranked by revenue, classified
+    by the CUMULATIVE share of total revenue they account for —
+    A up to 80%, B up to 95%, C the tail — plus each class's member
+    count and revenue share. The inventory-management classic, and the
+    canonical "how concentrated is this distribution" audit for
+    corpus sources just as much as customers.
+
+    Exactness: revenue sums and BOTH cumulative ratios run in DECIMAL
+    (the class boundary test is `cum·100 <= total·80` — integer-free
+    of division); the rank order is total (revenue desc, custkey) so
+    boundary ties never split engine-dependently. The cumulative
+    window runs over the AGGREGATED per-customer table — one fact
+    shuffle, then dimension-sized work (the billion-customer variant
+    pre-buckets by approx revenue quantile; the fact pass is
+    unchanged)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_orderkey")).agg(
+        F.sum(disc_price()).alias("o_rev")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_rev").alias("revenue"))
+    )
+    wcum = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    cum = per_cust.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum"),
+        F.sum("revenue").over(wtot).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "revenue", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+            F.round(F.sum("revenue") * 100 / F.min("total"), 6)
+            .cast("double")
+            .alias("revenue_pct"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ANALYTIC_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,2))) AS o_rev
+    FROM lineitem GROUP BY l_orderkey
+),
+per_cust AS (
+    SELECT o.o_custkey, SUM(r.o_rev) AS revenue
+    FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+),
+cum AS (
+    SELECT o_custkey, revenue,
+           SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+           SUM(revenue) OVER () AS total
+    FROM per_cust
+)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+       CAST(round(SUM(revenue) * 100 / MIN(total), 6) AS DOUBLE) AS revenue_pct
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_pareto",
+        analytic_pareto,
+        ANALYTIC_PARETO_ORACLE,
+        doc="ABC/80-20 concentration analysis, division-free DECIMAL boundaries",
+        tags=("core", "analytics"),
     )
 )

@@ -203,6 +203,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_interval_overlap",
     "agg_quantile_histogram",
     "dq_freshness_sla",
+    "analytic_pareto",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
