@@ -106,3 +106,41 @@ def test_jsonl_sink_abort_leaves_no_committed_output(spark):
         )
     assert not os.path.exists(os.path.join(out_dir, "_SUCCESS"))
     assert glob.glob(os.path.join(out_dir, "part-*.jsonl")) == []
+
+
+def test_mor_staging_idempotent(spark):
+    """storage_merge_on_read must be invocation-idempotent: a second
+    call reuses the staged table (marker file) and returns identical
+    audits — re-staging on every call would rewrite the delta log the
+    compaction op depends on mid-flight."""
+    from database_scan_spark.operators.storage import storage_merge_on_read
+
+    a = storage_merge_on_read(spark, SF_SMOKE).toPandas()
+    b = storage_merge_on_read(spark, SF_SMOKE).toPandas()
+    assert a.sort_values("layer").to_dict("records") == b.sort_values(
+        "layer"
+    ).to_dict("records")
+
+
+def test_mor_compact_preserves_merged_view(spark):
+    """Compaction must be an equivalence transform: the compacted
+    base's audit row equals the live merged view's, column for
+    column."""
+    from database_scan_spark.operators.storage import storage_mor_compact
+
+    pdf = storage_mor_compact(spark, SF_SMOKE).toPandas().set_index("layer")
+    for col in ("n_rows", "sum_price", "key_checksum"):
+        assert pdf.loc["compacted", col] == pdf.loc["merged", col]
+
+
+def test_csv_corrupt_recovery_restages_cleanly(spark):
+    """A second invocation must read the already-staged CSV (marker)
+    and corrupt-row counts must be stable."""
+    from database_scan_spark.operators.sources_sinks import (
+        src_csv_corrupt_recovery,
+    )
+
+    a = src_csv_corrupt_recovery(spark, SF_SMOKE).toPandas()
+    b = src_csv_corrupt_recovery(spark, SF_SMOKE).toPandas()
+    assert a["_corrupt"].notna().sum() == b["_corrupt"].notna().sum() == 8
+    assert len(a) == len(b) == 25
