@@ -1263,3 +1263,66 @@ SPECS.append(
         tags=("storage", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# join_dynamic_partition_pruning — runtime partition pruning off a dim filter
+# ---------------------------------------------------------------------------
+
+
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime half of the engine's
+    pruning story: `sink_parquet_partitioned` proves static pruning
+    (literal predicate → PartitionFilters); here the pruning VALUES
+    are only known at runtime, from the dimension side of a join. The
+    customer table is staged partitioned by c_nationkey; the query
+    joins it to nations filtered to one region name. Catalyst inserts
+    a dynamicpruning subquery on the fact's partition column
+    (asserted in tests/test_scale_posture.py), so only the 5 matching
+    nation directories are read — at 100 TB this is the difference
+    between scanning a fact table and scanning 20% of it, and it
+    composes with every star join whose dim carries a filter."""
+    path = workdir(sf_dir, "dpp_customer")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "customer").write.mode("overwrite").partitionBy(
+            "c_nationkey"
+        ).parquet(path)
+    cust = spark.read.parquet(path)
+    nat = load(spark, sf_dir, "nation").join(
+        load(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")
+    ).filter(F.col("r_name") == "EUROPE").select("n_nationkey", "n_name")
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+JOIN_DPP_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_dynamic_partition_pruning",
+        join_dynamic_partition_pruning,
+        JOIN_DPP_ORACLE,
+        doc="runtime partition pruning: dim filter prunes fact directories via DPP",
+        tags=("join", "storage", "scale"),
+    )
+)

@@ -204,6 +204,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_quantile_histogram",
     "dq_freshness_sla",
     "analytic_pareto",
+    "join_dynamic_partition_pruning",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -530,3 +530,15 @@ def test_point_in_polygon_is_row_local(spark):
     plan = _plan(geo_point_in_polygon(spark, SF_SMOKE))
     assert "Join" not in plan, plan
     assert "hashpartitioning(" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The DPP join must carry a dynamicpruning subquery on the
+    fact's partition column — without it the partitioned fact is
+    fully scanned and the op proves nothing."""
+    from database_scan_spark.operators.storage import (
+        join_dynamic_partition_pruning,
+    )
+
+    plan = _plan(join_dynamic_partition_pruning(spark, SF_SMOKE))
+    assert "dynamicpruning" in plan.lower(), plan

@@ -105,6 +105,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "mergeable histogram quantiles (deterministic sketch)": ["agg_quantile_histogram"],
         "freshness SLA audit (ingest lag vs high-water mark)": ["dq_freshness_sla"],
         "Pareto/ABC concentration analysis": ["analytic_pareto"],
+        "dynamic partition pruning join": ["join_dynamic_partition_pruning"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
