@@ -625,3 +625,60 @@ SPECS.append(
         tags=("composite", "approx", "sketch"),
     )
 )
+
+
+def agg_approx_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating approximate aggregates — the oracle-able
+    companion to the rows-only `agg_approx` (same pattern as
+    `sim_lsh_recall_eval`): approx_count_distinct and
+    approx_percentile run next to their EXACT counterparts in one
+    plan, and the OUTPUT is the exact values plus boolean
+    within-bound verdicts — approx distinct within 3×rsd (6%) of
+    exact, approx median inside the exact p40..p60 band. Sketch
+    internals differ per engine, so raw approx values can never
+    hash-match; the VERDICTS can — the oracle computes the exact side
+    and pins every verdict TRUE, so a Spark sketch drifting out of
+    its own error contract fails the driver's hash gate."""
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("acd"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_flag.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("acd") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.06
+        ).alias("cd_within_3rsd"),
+        ((F.col("amed") >= F.col("p40")) & (F.col("amed") <= F.col("p60"))).alias(
+            "median_within_p40_p60"
+        ),
+    ).orderBy("l_returnflag")
+
+
+AGG_APPROX_ERROR_EVAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS cd_within_3rsd,
+       TRUE AS median_within_p40_p60
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_approx_error_eval",
+        agg_approx_error_eval,
+        AGG_APPROX_ERROR_EVAL_ORACLE,
+        doc="approx sketches judged against exact in-plan; oracle pins the verdicts",
+        tags=("composite", "approx"),
+    )
+)

@@ -205,6 +205,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_freshness_sla",
     "analytic_pareto",
     "join_dynamic_partition_pruning",
+    "agg_approx_error_eval",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -106,6 +106,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "freshness SLA audit (ingest lag vs high-water mark)": ["dq_freshness_sla"],
         "Pareto/ABC concentration analysis": ["analytic_pareto"],
         "dynamic partition pruning join": ["join_dynamic_partition_pruning"],
+        "approx-sketch error eval (verdict-oracled)": ["agg_approx_error_eval"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
