@@ -633,30 +633,11 @@ BPE_ROUNDS = 3
 _BPE_EOW = "_"  # end-of-word marker symbol (classic BPE Sennrich et al.)
 
 
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING in-engine (Sennrich et al. 2016): learn
-    the first 3 merge rules from the corpus — the vocabulary-induction
-    step every LLM data pipeline runs before tokenization. Each round:
-    count adjacent symbol pairs over the word-frequency table (weights,
-    not raw occurrences — the classic trick that makes the corpus pass
-    O(|vocab|) instead of O(|corpus|) per round), take the argmax pair
-    under an explicit total order (weight desc, pair asc), and apply
-    the merge to every symbol sequence.
-
-    The merge application uses delimiter-wrapped string replace:
-    sequences render as '<s1><s2>...' and merging (a,b) is ONE literal
-    replace of '<a><b>' → '<ab>' — both engines' replace() scans
-    left-to-right non-overlapping and resumes AFTER the replacement,
-    which IS greedy BPE merge semantics (no adjacent-overlap
-    double-merge). Symbols stay in [a-z_] so the delimiters are safe.
-
-    Scale shape: the per-round pair count is a map-side-combinable
-    aggregate over the DISTINCT-WORD table (shuffle carries one row
-    per distinct pair); the 1-row argmax broadcasts; applying the
-    merge is row-local. Production BPE runs thousands of rounds with
-    the same per-round plan (checkpointing the sequence table every k
-    rounds to cut lineage) — 3 unrolled here so the DuckDB twin can
-    chain the same rounds as CTEs and hash-match exactly."""
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE machinery: the learn loop returning (merge-row
+    DataFrames, final per-distinct-word symbol sequences) after
+    BPE_ROUNDS merges — `text_bpe_train` reports the former,
+    `text_bpe_apply` consumes the latter."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -714,13 +695,42 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).alias("arr"),
         )
+    return merges, cur
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING in-engine (Sennrich et al. 2016): learn
+    the first 3 merge rules from the corpus — the vocabulary-induction
+    step every LLM data pipeline runs before tokenization. Each round:
+    count adjacent symbol pairs over the word-frequency table (weights,
+    not raw occurrences — the classic trick that makes the corpus pass
+    O(|vocab|) instead of O(|corpus|) per round), take the argmax pair
+    under an explicit total order (weight desc, pair asc), and apply
+    the merge to every symbol sequence.
+
+    The merge application uses delimiter-wrapped string replace:
+    sequences render as '<s1><s2>...' and merging (a,b) is ONE literal
+    replace of '<a><b>' → '<ab>' — both engines' replace() scans
+    left-to-right non-overlapping and resumes AFTER the replacement,
+    which IS greedy BPE merge semantics (no adjacent-overlap
+    double-merge). Symbols stay in [a-z_] so the delimiters are safe.
+
+    Scale shape: the per-round pair count is a map-side-combinable
+    aggregate over the DISTINCT-WORD table (shuffle carries one row
+    per distinct pair); the 1-row argmax broadcasts; applying the
+    merge is row-local. Production BPE runs thousands of rounds with
+    the same per-round plan (checkpointing the sequence table every k
+    rounds to cut lineage) — 3 unrolled here so the DuckDB twin can
+    chain the same rounds as CTEs and hash-match exactly."""
+    merges, _ = _bpe_learn(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
 
 
-def _bpe_oracle() -> str:
+def _bpe_with_body() -> tuple[str, str]:
+    """Shared WITH-body (words, seq0, rounds) + the final seq CTE name."""
     rounds = []
     prev = "seq0"
     for r in range(1, BPE_ROUNDS + 1):
@@ -749,11 +759,7 @@ seq{r} AS (
     FROM {prev}, m{r}
 )""")
         prev = f"seq{r}"
-    selects = " UNION ALL ".join(
-        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_weight FROM m{r}"
-        for r in range(1, BPE_ROUNDS + 1)
-    )
-    return f"""
+    body = f"""
 WITH words AS (
     SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -763,7 +769,17 @@ WITH words AS (
 seq0 AS (
     SELECT word, cnt, list_append(string_split(word, ''), '{_BPE_EOW}') AS arr
     FROM words
-),{",".join(rounds)}
+),{",".join(rounds)}"""
+    return body, prev
+
+
+def _bpe_train_oracle() -> str:
+    body, _ = _bpe_with_body()
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_weight FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""{body}
 SELECT * FROM ({selects}) ORDER BY merge_rank
 """
 
@@ -772,8 +788,83 @@ SPECS.append(
     QuerySpec(
         "text_bpe_train",
         text_bpe_train,
-        _bpe_oracle(),
+        _bpe_train_oracle(),
         doc="BPE merge induction (3 unrolled rounds) over the word-frequency table",
+        tags=("llm", "text"),
+    )
+)
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY — tokenize the corpus with the merges just learned
+    (train→apply is the full tokenizer pipeline): the final symbol
+    sequences computed once per DISTINCT word join back onto each
+    document's word occurrences, so the corpus pass is an equi-join +
+    one aggregate, never re-running the merge string ops per
+    occurrence (the same distinct-word amortization the trainer
+    uses). Output per document: word count, pre-BPE symbol count
+    (chars + end marker), post-BPE token count, and the compression
+    ratio — the number an LLM-data pipeline budgets by."""
+    _, seqs = _bpe_learn(spark, sf_dir)
+    tok = seqs.select("word", F.size("arr").alias("n_tok"))
+    docword = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    per_doc = (
+        docword.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * (F.length("word") + 1)).alias("n_char_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_tok")).alias("n_bpe_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens") / F.col("n_char_tokens"), 6).alias(
+            "compression"
+        ),
+    ).orderBy("doc_id")
+
+
+def _bpe_apply_oracle() -> str:
+    body, final = _bpe_with_body()
+    return f"""{body},
+tok AS (SELECT word, CAST(len(arr) AS BIGINT) AS n_tok FROM {final}),
+docword AS (
+    SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ) WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(SUM(d.n_occ) AS BIGINT) AS n_words,
+       CAST(SUM(d.n_occ * (length(d.word) + 1)) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(d.n_occ * t.n_tok) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(d.n_occ * t.n_tok) * 1.0
+             / SUM(d.n_occ * (length(d.word) + 1)), 6) AS compression
+FROM docword d JOIN tok t USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_apply",
+        text_bpe_apply,
+        _bpe_apply_oracle(),
+        doc="tokenize the corpus with the learned BPE merges; per-doc compression",
         tags=("llm", "text"),
     )
 )

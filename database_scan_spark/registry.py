@@ -206,6 +206,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_pareto",
     "join_dynamic_partition_pruning",
     "agg_approx_error_eval",
+    "text_bpe_apply",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

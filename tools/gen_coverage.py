@@ -90,6 +90,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: Count-Min sketch frequency summary)": ["agg_countmin_sketch"],
         "(engine addition: multi-touch attribution, window-only)": ["analytic_attribution"],
         "BPE merge induction (tokenizer training)": ["text_bpe_train"],
+        "BPE apply (corpus tokenization + compression)": ["text_bpe_apply"],
         "MAD robust anomaly detection (modified z)": ["dq_anomaly_mad"],
         "time-weighted average (irregular intervals)": ["win_twap"],
         "weighted median via windowed cumulative weights": ["agg_weighted_median"],
