@@ -207,6 +207,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_dynamic_partition_pruning",
     "agg_approx_error_eval",
     "text_bpe_apply",
+    "sink_python_stream_datasource",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

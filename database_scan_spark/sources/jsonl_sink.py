@@ -92,3 +92,79 @@ def make_jsonl_sink():
             return _JsonlWriter(self.options, overwrite)
 
     return EdgesJsonlSink
+
+
+def make_jsonl_stream_sink():
+    """Return the edges_jsonl_stream DataSource class — the STREAMING
+    write half of the connector matrix: per micro-batch, executors
+    stage task files, and the driver's commit(batchId) renames them
+    under a batch prefix and drops a per-batch commit marker. A batch
+    replayed after a crash overwrites its own files idempotently
+    (batch-scoped names), so the sink is exactly-once downstream of
+    the checkpoint — the same contract as the engine's foreachBatch
+    sink, expressed through the Spark 4 DataSourceStreamWriter API."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+    from dataclasses import dataclass  # noqa: PLC0415
+
+    from pyspark import TaskContext  # noqa: PLC0415
+    from pyspark.sql.datasource import (  # noqa: PLC0415
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _Staged(WriterCommitMessage):
+        staged: str
+        rows: int
+
+    class _JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options: dict):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("edges_jsonl_stream requires option 'path'")
+
+        def write(self, iterator):
+            pid = TaskContext.get().partitionId()
+            os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+            staged = os.path.join(
+                self.path, "_staging", f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+            )
+            n = 0
+            with open(staged, "w") as fh:
+                for r in iterator:
+                    fh.write(json.dumps(r.asDict(), default=str) + "\n")
+                    n += 1
+            return _Staged(staged=staged, rows=n)
+
+        def commit(self, messages, batchId):  # noqa: N803 - API name
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                final = os.path.join(
+                    self.path, f"batch-{batchId:05d}-part-{i:05d}.jsonl"
+                )
+                os.replace(m.staged, final)  # batch-scoped: replay-safe
+            with open(
+                os.path.join(self.path, f"_COMMITTED-{batchId:05d}"), "w"
+            ) as fh:
+                fh.write(str(sum(m.rows for m in messages if m is not None)))
+
+        def abort(self, messages, batchId):  # noqa: N803 - API name
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+
+    class EdgesJsonlStreamSink(DataSource):
+        """``df.writeStream.format("edges_jsonl_stream")...``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "edges_jsonl_stream"
+
+        def streamWriter(self, schema, overwrite):  # noqa: N802 - API name
+            return _JsonlStreamWriter(self.options)
+
+    return EdgesJsonlStreamSink

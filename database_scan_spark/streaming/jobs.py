@@ -1271,3 +1271,69 @@ SPECS.append(
         tags=("stream", "temporal"),
     )
 )
+
+
+def sink_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write through a Python DataSource — the last cell of
+    the connector matrix (batch read `src_python_datasource`, stream
+    read `src_python_stream_datasource`, batch write
+    `sink_python_datasource`): events stream through
+    ``writeStream.format("edges_jsonl_stream")`` into the custom
+    JSONL sink, whose driver-side commit(batchId) renames
+    batch-scoped staged files and drops per-batch markers (replay
+    after a crash rewrites the SAME names — exactly-once downstream
+    of the checkpoint). The op then reads the committed files back
+    and the oracle compares against the source table, so the hash
+    gate proves the full write-commit-read loop, not just that a
+    query ran. Timestamps travel as integer micros (JSON has no
+    timestamp type; string round-trips are locale bait)."""
+    from ..sources.jsonl_sink import make_jsonl_stream_sink  # noqa: PLC0415
+
+    try:
+        spark.dataSource.register(make_jsonl_stream_sink())
+    except Exception:
+        pass  # already registered in this session
+    root = workdir(sf_dir, "stream_pysink")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "checkpoint")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    q = (
+        ev.writeStream.format("edges_jsonl_stream")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, ts_us long,"
+            " value double"
+        )
+        .option("pathGlobFilter", "batch-*.jsonl")
+        .json(out)
+    )
+
+
+SINK_PYTHON_STREAM_DATASOURCE_ORACLE = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sink_python_stream_datasource",
+        sink_python_stream_datasource,
+        SINK_PYTHON_STREAM_DATASOURCE_ORACLE,
+        doc="streaming Python DataSource sink: batch-scoped commit, full loop oracled",
+        tags=("stream", "sink"),
+    )
+)

@@ -108,6 +108,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Pareto/ABC concentration analysis": ["analytic_pareto"],
         "dynamic partition pruning join": ["join_dynamic_partition_pruning"],
         "approx-sketch error eval (verdict-oracled)": ["agg_approx_error_eval"],
+        "streaming Python DataSource sink (batch-scoped commit)": ["sink_python_stream_datasource"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
