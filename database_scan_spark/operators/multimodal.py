@@ -444,3 +444,107 @@ SPECS = [
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE, tags=("llm", "multimodal")),
     QuerySpec("mm_resize_stub", mm_resize_stub, None, doc="rows-only: stubbed decode", tags=("llm", "multimodal")),
 ]
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_energy — REAL windowed PCM energy over the WAV blobs
+# ---------------------------------------------------------------------------
+
+_AE_WIN = 256  # samples per analysis window
+
+
+def _audio_energy_batches_fn():
+    """Arrow batch fn: construct the REAL WAV container for each odd
+    doc (same codec path as mm_decode_real), parse the PCM16 data
+    chunk back out of the binary, and emit per-window ENERGY (sum of
+    squared samples — exact integers, the DSP primitive under VAD /
+    silence trimming / loudness normalization). Codec fns captured by
+    value; numpy only worker-side."""
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import struct  # noqa: PLC0415 - worker-side imports
+        import numpy as _np  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], "n_samples": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 0:
+                    continue  # images have no audio track
+                blob = enc(did, bytes(payload))
+                # RIFF walk to the data chunk (same loop as decode_media)
+                pos, data = 12, None
+                while pos + 8 <= len(blob):
+                    cid, csz = struct.unpack_from("<4sI", blob, pos)
+                    if cid == b"data":
+                        data = blob[pos + 8 : pos + 8 + csz]
+                        break
+                    pos += 8 + csz + (csz % 2)
+                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+                for w in range(0, len(samples), _AE_WIN):
+                    win = samples[w : w + _AE_WIN]
+                    out["doc_id"].append(did)
+                    out["window_idx"].append(w // _AE_WIN)
+                    out["n_samples"].append(len(win))
+                    out["energy"].append(int((win * win).sum()))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio ENERGY over the real PCM16 WAV blobs — actual
+    signal processing on actual container bytes, not a metadata fake:
+    the Arrow batch fn builds each odd-doc WAV (vendored codec),
+    re-parses its data chunk, and reduces 256-sample windows to exact
+    integer sums of squares. The oracle predicts every energy value
+    from the documents table ALONE: PCM bytes are the doc's UTF-8
+    text tiled over the data chunk, interleaved little-endian — so
+    sample k = ord(c[2k mod L]) + 256·ord(c[(2k+1) mod L]) (ASCII
+    high byte < 128 ⇒ always positive, no sign branch), and DuckDB
+    recomputes the identical integers. A one-byte codec or framing
+    bug breaks the hash.
+
+    Scale: blobs never leave the task (mapInPandas, Arrow-batched);
+    output is one row per window — the decode/feature pattern of a
+    real audio pipeline with the model forward pass swapped for an
+    exact reduction."""
+    return _media_table(spark, sf_dir).mapInPandas(
+        _audio_energy_batches_fn(),
+        schema="doc_id long, window_idx int, n_samples int, energy long",
+    )
+
+
+MM_AUDIO_ENERGY_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           (octet_length(encode(text)) % 1000 + 1)
+             * (octet_length(encode(text)) % 2 + 1) AS n_samp
+    FROM documents WHERE doc_id % 2 = 1
+),
+samp AS (
+    SELECT doc_id, k,
+           ord(text[(2 * k) % L + 1]) + 256 * ord(text[(2 * k + 1) % L + 1])
+             AS s
+    FROM (SELECT doc_id, text, L, unnest(range(n_samp)) AS k FROM meta)
+)
+SELECT doc_id,
+       CAST(k // {_AE_WIN} AS INTEGER) AS window_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM samp
+GROUP BY doc_id, k // {_AE_WIN}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_audio_energy",
+        mm_audio_energy,
+        MM_AUDIO_ENERGY_ORACLE,
+        doc="real windowed PCM energy from the WAV data chunk, byte-exact oracle",
+        tags=("llm", "multimodal", "udf"),
+    )
+)

@@ -208,6 +208,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_approx_error_eval",
     "text_bpe_apply",
     "sink_python_stream_datasource",
+    "mm_audio_energy",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

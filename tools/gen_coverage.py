@@ -109,6 +109,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "dynamic partition pruning join": ["join_dynamic_partition_pruning"],
         "approx-sketch error eval (verdict-oracled)": ["agg_approx_error_eval"],
         "streaming Python DataSource sink (batch-scoped commit)": ["sink_python_stream_datasource"],
+        "real windowed PCM audio energy (byte-exact)": ["mm_audio_energy"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
