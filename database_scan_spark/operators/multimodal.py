@@ -548,3 +548,90 @@ SPECS.append(
         tags=("llm", "multimodal", "udf"),
     )
 )
+
+
+def _image_rowsum_batches_fn():
+    """Arrow batch fn: build each even doc's REAL BMP, slice the pixel
+    array out of the container (54-byte header, 4-byte-aligned rows),
+    and reduce each pixel ROW to its exact integer byte sum — the
+    luminance-profile primitive under blockhash/aHash perceptual
+    fingerprints. Codec captured by value; numpy worker-side."""
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import numpy as _np  # noqa: PLC0415 - worker-side imports
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "row_idx": [], "row_bytes": [], "row_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 1:
+                    continue  # audio docs have no pixel array
+                blob = enc(did, bytes(payload))
+                n = len(bytes(payload))
+                w, h = n % 64 + 1, n % 48 + 1
+                stride = ((w * 3 + 3) // 4) * 4
+                pix = _np.frombuffer(blob[54 : 54 + stride * h], dtype=_np.uint8)
+                sums = pix.reshape(h, stride).astype(_np.int64).sum(axis=1)
+                for r in range(h):
+                    out["doc_id"].append(did)
+                    out["row_idx"].append(r)
+                    out["row_bytes"].append(stride)
+                    out["row_sum"].append(int(sums[r]))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+def mm_image_rowsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row pixel luminance sums over the real BMP blobs — the
+    image counterpart of `mm_audio_energy`: the batch fn constructs
+    each even doc's BMP (vendored codec), slices the pixel array past
+    the 54-byte header, and reduces every 4-byte-aligned pixel row to
+    an exact integer byte sum. The oracle re-derives each sum from
+    the documents table alone (pixels are the doc's bytes tiled over
+    stride·h positions), so the hash check pins header size, stride
+    alignment, and tiling — the exact places image decoders break."""
+    return _media_table(spark, sf_dir).mapInPandas(
+        _image_rowsum_batches_fn(),
+        schema="doc_id long, row_idx int, row_bytes int, row_sum long",
+    )
+
+
+MM_IMAGE_ROWSUM_ORACLE = """
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           ((octet_length(encode(text)) % 64 + 1) * 3 + 3) // 4 * 4 AS stride,
+           octet_length(encode(text)) % 48 + 1 AS h
+    FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+    SELECT doc_id, r, stride,
+           ord(text[(r * stride + j) % L + 1]) AS b
+    FROM (
+        SELECT doc_id, text, L, stride, j,
+               unnest(range(h)) AS r
+        FROM (SELECT doc_id, text, L, stride, h,
+                     unnest(range(stride)) AS j
+              FROM meta)
+    )
+)
+SELECT doc_id,
+       CAST(r AS INTEGER) AS row_idx,
+       CAST(stride AS INTEGER) AS row_bytes,
+       CAST(SUM(b) AS BIGINT) AS row_sum
+FROM px
+GROUP BY doc_id, r, stride
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_image_rowsum",
+        mm_image_rowsum,
+        MM_IMAGE_ROWSUM_ORACLE,
+        doc="real BMP pixel-row luminance sums, header/stride/tiling pinned by oracle",
+        tags=("llm", "multimodal", "udf"),
+    )
+)

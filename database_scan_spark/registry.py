@@ -209,6 +209,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_bpe_apply",
     "sink_python_stream_datasource",
     "mm_audio_energy",
+    "mm_image_rowsum",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

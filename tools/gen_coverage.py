@@ -110,6 +110,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "approx-sketch error eval (verdict-oracled)": ["agg_approx_error_eval"],
         "streaming Python DataSource sink (batch-scoped commit)": ["sink_python_stream_datasource"],
         "real windowed PCM audio energy (byte-exact)": ["mm_audio_energy"],
+        "real BMP pixel-row luminance sums (byte-exact)": ["mm_image_rowsum"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
