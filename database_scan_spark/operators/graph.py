@@ -474,11 +474,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_oracle() -> str:
+    """Chained-CTE twin of the unrolled rounds. Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+    l3→l2→l1 chain multiplied the edge-build fact join exponentially —
+    un-materialized, this oracle hangs (>120s, tens of GB) at sf0.1;
+    materialized it runs in 0.2s."""
     iters = []
     prev = "l0"
     for i in range(1, LPA_ITER + 1):
         iters.append(f"""
-l{i} AS (
+l{i} AS MATERIALIZED (
     SELECT n.node, COALESCE(b.label, n.node) AS label
     FROM nodes n LEFT JOIN (
         SELECT src AS node, label FROM (
@@ -494,7 +499,7 @@ l{i} AS (
 )""")
         prev = f"l{i}"
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
     SELECT least(c_nationkey, s_nationkey) AS a,
            greatest(c_nationkey, s_nationkey) AS b,
            CAST(COUNT(*) AS BIGINT) AS w
@@ -505,12 +510,12 @@ WITH pairs AS (
     WHERE c_nationkey <> s_nationkey
     GROUP BY 1, 2
 ),
-dirs AS (
+dirs AS MATERIALIZED (
     SELECT a AS src, b AS dst, w FROM pairs
     UNION ALL
     SELECT b AS src, a AS dst, w FROM pairs
 ),
-kept AS (
+kept AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
     FROM (
         SELECT src, dst, row_number() OVER (
@@ -518,16 +523,16 @@ kept AS (
         FROM dirs
     ) WHERE krn <= {LPA_FANOUT}
 ),
-sparse AS (
+sparse AS MATERIALIZED (
     SELECT k.a, k.b, p.w FROM kept k JOIN pairs p ON k.a = p.a AND k.b = p.b
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT a AS src, b AS dst, w FROM sparse
     UNION ALL
     SELECT b AS src, a AS dst, w FROM sparse
 ),
-nodes AS (SELECT n_nationkey AS node FROM nation),
-l0 AS (SELECT node, node AS label FROM nodes),{",".join(iters)}
+nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),{",".join(iters)}
 SELECT l.node, n.n_name, l.label AS community
 FROM {prev} l JOIN nation n ON l.node = n.n_nationkey
 ORDER BY l.node
