@@ -904,3 +904,67 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate variant every
+    production vector store needs (RAG retrieval scoped to a tenant /
+    language / date range): each query's top-k neighbors restricted
+    to corpus vectors sharing the QUERY'S OWN label. Implemented as
+    PRE-filtering: the label predicate lands in the corpus-side scan
+    (equi-condition in the broadcast join), so distances are computed
+    for matching rows only — post-filtering the unfiltered top-k (the
+    naive composition) silently returns FEWER than k or misses
+    qualifying neighbors entirely when the filter is selective. With
+    a 10-label corpus this scans ~10% of the table per query; the
+    oracle runs the identical pre-filter formulation."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("nlabel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(
+            corpus,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("qlabel") == F.col("nlabel")),
+        )
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("qlabel").alias("label"), "neighbor_id", "cosine", "rank")
+    )
+
+
+SIM_TOPK_FILTERED_ORACLE = f"""
+SELECT query_id, label, neighbor_id, cosine, rank FROM (
+    SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id <> c.vec_id AND q.label = c.label
+    WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rank <= {TOP_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_topk_filtered",
+        sim_topk_filtered,
+        SIM_TOPK_FILTERED_ORACLE,
+        doc="filtered vector search: label predicate pre-filters the corpus scan",
+        tags=("llm", "similarity"),
+    )
+)

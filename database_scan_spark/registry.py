@@ -210,6 +210,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sink_python_stream_datasource",
     "mm_audio_energy",
     "mm_image_rowsum",
+    "sim_topk_filtered",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -111,6 +111,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "streaming Python DataSource sink (batch-scoped commit)": ["sink_python_stream_datasource"],
         "real windowed PCM audio energy (byte-exact)": ["mm_audio_energy"],
         "real BMP pixel-row luminance sums (byte-exact)": ["mm_image_rowsum"],
+        "filtered vector search (metadata pre-filter)": ["sim_topk_filtered"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
