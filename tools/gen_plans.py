@@ -164,6 +164,14 @@ SHOWCASE = {
     "operator (all three models ride a single windowed pass; the "
     "per-model fan-out is a row-local explode, not a union re-running "
     "the window), then the 9-row rollup aggregate",
+    "join_dynamic_partition_pruning": "runtime partition pruning — expect "
+    "a dynamicpruningexpression subquery on the fact scan's partition "
+    "column (c_nationkey), fed by the region-filtered dim broadcast: "
+    "only the 5 matching nation directories are listed and read",
+    "sim_topk_filtered": "filtered vector search — expect the label "
+    "equi-condition INSIDE the broadcast hash join (pre-filter: "
+    "distances computed on matching rows only), then the per-query "
+    "rank window; no post-filter of an unfiltered top-k",
 }
 
 
