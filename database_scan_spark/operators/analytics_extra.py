@@ -2042,3 +2042,111 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_cohort_ltv — cumulative revenue curves per signup cohort
+# ---------------------------------------------------------------------------
+
+
+def analytic_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curves: users grouped by FIRST-SIGNUP week, their purchase
+    revenue accumulated by weeks-since-signup — the
+    lifetime-value matrix finance models revenue forecasts on, and
+    the revenue counterpart of `cohort_retention`'s activity counts.
+    Purchases BEFORE the user's signup are excluded (pre-signup
+    revenue belongs to no cohort age).
+
+    Same two-aggregate-plus-join shape as retention: one pass finds
+    each user's anchor (min signup ts), one broadcast join tags
+    purchases with (cohort_week, age_week), one aggregate builds the
+    matrix; the cumulative sum runs over the MATRIX (bounded by
+    weeks², data-independent), partitioned per cohort. DECIMAL
+    revenue end to end."""
+    ev = load(spark, sf_dir, "events")
+    anchors = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", "ts", vd.alias("vd"))
+    tagged = (
+        purchases.join(F.broadcast(anchors), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            F.floor(
+                F.datediff(F.to_date("signup_ts"), F.lit("2024-01-01")) / 7
+            )
+            .cast("int")
+            .alias("cohort_week"),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("signup_ts"))
+                / (7 * 86400 * 1_000_000)
+            )
+            .cast("int")
+            .alias("age_week"),
+            "vd",
+        )
+    )
+    matrix = tagged.groupBy("cohort_week", "age_week").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("vd").alias("rev_dec"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return matrix.select(
+        "cohort_week",
+        "age_week",
+        "n_purchases",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(wcum).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_week", "age_week")
+
+
+ANALYTIC_COHORT_LTV_ORACLE = """
+WITH anchors AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+tagged AS (
+    SELECT CAST(floor(date_diff('day', DATE '2024-01-01',
+                                CAST(a.signup_ts AS DATE)) / 7) AS INTEGER)
+             AS cohort_week,
+           CAST(floor((epoch_us(p.ts) - epoch_us(a.signup_ts))
+                      / (7 * 86400 * CAST(1000000 AS BIGINT))) AS INTEGER)
+             AS age_week,
+           CAST(round(p.value, 6) AS DECIMAL(18,6)) AS vd
+    FROM events p JOIN anchors a USING (user_id)
+    WHERE p.event_type = 'purchase' AND p.value IS NOT NULL
+      AND p.ts >= a.signup_ts
+),
+matrix AS (
+    SELECT cohort_week, age_week,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           SUM(vd) AS rev_dec
+    FROM tagged GROUP BY 1, 2
+)
+SELECT cohort_week, age_week, n_purchases,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY age_week
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+FROM matrix
+ORDER BY cohort_week, age_week
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_cohort_ltv",
+        analytic_cohort_ltv,
+        ANALYTIC_COHORT_LTV_ORACLE,
+        doc="signup-cohort LTV curves: revenue matrix + per-cohort cumulative sums",
+        tags=("core", "analytics"),
+    )
+)

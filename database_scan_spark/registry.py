@@ -211,6 +211,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_audio_energy",
     "mm_image_rowsum",
     "sim_topk_filtered",
+    "analytic_cohort_ltv",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -112,6 +112,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "real windowed PCM audio energy (byte-exact)": ["mm_audio_energy"],
         "real BMP pixel-row luminance sums (byte-exact)": ["mm_image_rowsum"],
         "filtered vector search (metadata pre-filter)": ["sim_topk_filtered"],
+        "signup-cohort LTV curves": ["analytic_cohort_ltv"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
