@@ -2150,3 +2150,111 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_time_to_convert — signup→purchase conversion curve
+# ---------------------------------------------------------------------------
+
+
+def analytic_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event conversion curve: days from a user's first
+    signup to their FIRST subsequent purchase, as the cumulative
+    conversion fraction by day — the survival-analysis shape (users
+    who never purchase are right-censored and simply never enter the
+    numerator; the denominator is all signed-up users). Two per-user
+    aggregates and a broadcast 1-row total; the cumulative window
+    runs over the ≤ observation-span day axis, data-independent.
+
+    The rate divides exact BIGINT counts and rounds once at the end,
+    so the curve hash-matches despite being a fraction."""
+    ev = load(spark, sf_dir, "events")
+    anchors = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(anchors), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    per_day = (
+        first_purchase.select(
+            F.floor(
+                (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+                / (86400 * 1_000_000)
+            )
+            .cast("int")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    total = anchors.agg(F.count(F.lit(1)).alias("n_signups"))
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            "n_converted",
+            F.sum("n_converted").over(wcum).alias("cum_converted"),
+            "n_signups",
+        )
+        .select(
+            "day",
+            "n_converted",
+            F.col("cum_converted").cast("long").alias("cum_converted"),
+            "n_signups",
+            F.round(F.col("cum_converted") / F.col("n_signups"), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ANALYTIC_TIME_TO_CONVERT_ORACLE = """
+WITH anchors AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+    SELECT p.user_id, a.signup_ts, min(p.ts) AS first_purchase_ts
+    FROM events p JOIN anchors a USING (user_id)
+    WHERE p.event_type = 'purchase' AND p.ts >= a.signup_ts
+    GROUP BY p.user_id, a.signup_ts
+),
+per_day AS (
+    SELECT CAST(floor((epoch_us(first_purchase_ts) - epoch_us(signup_ts))
+                      / (86400 * CAST(1000000 AS BIGINT))) AS INTEGER) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_converted
+    FROM fp GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signups FROM anchors)
+SELECT day, n_converted,
+       CAST(SUM(n_converted) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_converted,
+       n_signups,
+       round(SUM(n_converted) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) * 1.0 / n_signups, 6)
+         AS conversion_rate
+FROM per_day, total
+ORDER BY day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_time_to_convert",
+        analytic_time_to_convert,
+        ANALYTIC_TIME_TO_CONVERT_ORACLE,
+        doc="signup-to-first-purchase conversion curve with right-censoring",
+        tags=("core", "analytics"),
+    )
+)

@@ -212,6 +212,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_image_rowsum",
     "sim_topk_filtered",
     "analytic_cohort_ltv",
+    "analytic_time_to_convert",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
