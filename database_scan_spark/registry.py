@@ -102,6 +102,9 @@ def _load_all() -> None:
     from .plans import incremental_ingest  # noqa: PLC0415
 
     _extend(incremental_ingest.SPECS)
+    from .plans import rag_retrieval  # noqa: PLC0415
+
+    _extend(rag_retrieval.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)
@@ -213,6 +216,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_topk_filtered",
     "analytic_cohort_ltv",
     "analytic_time_to_convert",
+    "pipeline_rag_retrieval",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

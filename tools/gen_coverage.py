@@ -114,6 +114,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "filtered vector search (metadata pre-filter)": ["sim_topk_filtered"],
         "signup-cohort LTV curves": ["analytic_cohort_ltv"],
         "time-to-convert survival curve": ["analytic_time_to_convert"],
+        "RAG retrieval pipeline (chunk/embed/score/rank)": ["pipeline_rag_retrieval"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
