@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -490,6 +490,82 @@ SPECS.append(
         dq_freshness_sla,
         DQ_FRESHNESS_SLA_ORACLE,
         doc="per-feed ingest-lag vs high-water mark with SLA breach flags",
+        tags=("quality",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dq_error_budget — SLO error-budget burn per day
+# ---------------------------------------------------------------------------
+
+_SLO_BUDGET_BP = 2200  # SLO: <=22% of events may be errors (fixture-scaled)
+
+
+def dq_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget accounting — the SRE complement to the
+    freshness audit: per day, the error rate in basis points, the
+    day's BURN (rate/budget, >1 means the day spent more than its
+    budget), and the cumulative budget consumed across the window —
+    the number a burn-rate alert fires on. One conditional-count
+    aggregate per day plus a cumulative window over the bounded day
+    axis; rates divide exact BIGINTs and round once, so the ledger
+    hash-matches."""
+    ev = load(spark, sf_dir, "events")
+    per_day = (
+        ev.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_err").alias("n_errors"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate_bp = F.col("n_errors") * 10000 / F.col("n_events")
+    cum_rate_bp = (
+        F.sum("n_errors").over(wcum) * 10000 / F.sum("n_events").over(wcum)
+    )
+    return per_day.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.round(rate_bp, 6).alias("rate_bp"),
+        F.round(rate_bp / _SLO_BUDGET_BP, 6).alias("day_burn"),
+        F.round(cum_rate_bp / _SLO_BUDGET_BP, 6).alias("cum_burn"),
+        (rate_bp > _SLO_BUDGET_BP).alias("over_budget"),
+    ).orderBy("day")
+
+
+DQ_ERROR_BUDGET_ORACLE = f"""
+WITH per_day AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events GROUP BY 1
+)
+SELECT day, n_events, n_errors,
+       round(n_errors * 10000 / n_events, 6) AS rate_bp,
+       round(n_errors * 10000 / n_events / {_SLO_BUDGET_BP}, 6) AS day_burn,
+       round(SUM(n_errors) OVER w * 10000 / SUM(n_events) OVER w
+             / {_SLO_BUDGET_BP}, 6) AS cum_burn,
+       n_errors * 10000 / n_events > {_SLO_BUDGET_BP} AS over_budget
+FROM per_day
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_error_budget",
+        dq_error_budget,
+        DQ_ERROR_BUDGET_ORACLE,
+        doc="per-day SLO error-budget burn with cumulative consumption ledger",
         tags=("quality",),
     )
 )

@@ -217,6 +217,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_cohort_ltv",
     "analytic_time_to_convert",
     "pipeline_rag_retrieval",
+    "dq_error_budget",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -115,6 +115,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "signup-cohort LTV curves": ["analytic_cohort_ltv"],
         "time-to-convert survival curve": ["analytic_time_to_convert"],
         "RAG retrieval pipeline (chunk/embed/score/rank)": ["pipeline_rag_retrieval"],
+        "SLO error-budget burn ledger": ["dq_error_budget"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
