@@ -1266,3 +1266,126 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_bbit — b-bit minhash estimates vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_BBIT = 2  # keep the lowest 2 bits of each of the 64 min slots
+
+
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-BIT minhash (Li & König 2010): store only the lowest b=2
+    bits of each of the k=64 minhash slots — a 16-byte signature per
+    doc instead of 256 — and estimate Jaccard from the bit-collision
+    rate with the collision correction J ≈ (match − C)/(1 − C),
+    C = 2^-b: the storage/accuracy dial corpus-scale dedup actually
+    tunes (GPU-era pipelines run b=1..4). The op emits, for every
+    exact-Jaccard pair above threshold, the exact value next to the
+    b-bit match fraction and the corrected estimate — the estimator's
+    bias/variance is VISIBLE and hash-checked, because the min slots
+    are deterministic arithmetic both engines reproduce exactly (no
+    verdict booleans needed, unlike engine-internal sketches).
+
+    Plan: the 64-slot min aggregate is the same one-shuffle signature
+    build as `dedup_minhash_lsh`; pairs join their two signature rows
+    and the 64 two-bit comparisons fold row-locally."""
+    from .relational import SPECS as _  # noqa: F401  (import cycle guard no-op)
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    sh = _shingle_df(spark, sf_dir)
+    sh_hashed = sh.withColumn("h", _h32(F.col("shingle")) % F.lit(P31))
+    mins = sh_hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(P31)
+            ).alias(f"m{i}")
+            for i in range(_K)
+        ]
+    )
+    a = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[(F.col(f"m{i}") % (1 << _BBIT)).alias(f"a{i}") for i in range(_K)],
+    )
+    b = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[(F.col(f"m{i}") % (1 << _BBIT)).alias(f"b{i}") for i in range(_K)],
+    )
+    match_cnt = None
+    for i in range(_K):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        match_cnt = t if match_cnt is None else match_cnt + t
+    c = 1.0 / (1 << _BBIT)
+    frac = match_cnt / F.lit(float(_K))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "exact_jaccard",
+            F.round(frac, 6).alias("bbit_match_frac"),
+            F.round((frac - F.lit(c)) / F.lit(1.0 - c), 6).alias("bbit_estimate"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _bbit_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P31}) AS m{i}"
+        for i in range(_K)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} % {1 << _BBIT} = b.m{i} % {1 << _BBIT}"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(_K)
+    )
+    c = 1.0 / (1 << _BBIT)
+    return f"""
+WITH sh AS MATERIALIZED ({_SQL_SHINGLES}),
+sizes AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+),
+pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS exact_jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
+),
+hashed AS MATERIALIZED (
+    SELECT doc_id, {_SQL_H32.format(expr="shingle")} % {P31} AS h FROM sh
+),
+mins AS MATERIALIZED (
+    SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b, p.exact_jaccard,
+       round(({matches}) / {float(_K)}, 6) AS bbit_match_frac,
+       round((({matches}) / {float(_K)} - {c}) / {1.0 - c}, 6) AS bbit_estimate
+FROM pairs p
+JOIN mins a ON p.doc_a = a.doc_id
+JOIN mins b ON p.doc_b = b.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_minhash_bbit",
+        dedup_minhash_bbit,
+        _bbit_oracle(),
+        doc="b-bit minhash: 2-bit slots, collision-corrected Jaccard vs exact",
+        tags=("llm", "dedup"),
+    )
+)

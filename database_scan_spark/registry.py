@@ -218,6 +218,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_time_to_convert",
     "pipeline_rag_retrieval",
     "dq_error_budget",
+    "dedup_minhash_bbit",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
