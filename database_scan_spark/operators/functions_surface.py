@@ -688,3 +688,64 @@ SPECS.append(
         tags=("functions", "lambda"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# fn_column_protection — masking + AES column encryption surface
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # 128-bit demo key (a real deployment: KMS)
+
+
+def fn_column_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-protection surface — the governance pair every PII
+    pipeline needs: format-preserving MASKING (`mask()`: upper→X,
+    lower→x, digit→n, punctuation kept) for display paths, and AES
+    column ENCRYPTION (ECB here for determinism; GCM's random IV is
+    the production mode) for storage paths, proven by an in-plan
+    decrypt roundtrip. DuckDB has neither function, so the oracle
+    checks what IS cross-engine checkable: the mask re-implemented as
+    three character-class regex replaces (byte-identical on this
+    surface), the roundtrip pinned TRUE, and the PKCS7 ciphertext
+    length predicted exactly (⌊n/16⌋+1 blocks) — a padding or
+    key-handling bug breaks the hash."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    enc = F.expr(
+        f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB')"
+    )
+    dec = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'),"
+        f" '{_AES_KEY}', 'ECB') as string)"
+    )
+    return cust.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_name"),
+        dec.alias("decrypted"),
+        (dec == F.col("c_name")).alias("roundtrip_ok"),
+        F.length(enc).cast("int").alias("cipher_bytes"),
+    ).orderBy("c_custkey")
+
+
+FN_COLUMN_PROTECTION_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+           '[0-9]', 'n', 'g') AS masked_name,
+       c_name AS decrypted,
+       TRUE AS roundtrip_ok,
+       CAST((octet_length(encode(c_name)) // 16 + 1) * 16 AS INTEGER)
+         AS cipher_bytes
+FROM customer
+WHERE c_custkey < 100
+ORDER BY c_custkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_column_protection",
+        fn_column_protection,
+        FN_COLUMN_PROTECTION_ORACLE,
+        doc="PII masking + AES roundtrip; oracle pins mask bytes and PKCS7 length",
+        tags=("core", "fn", "governance"),
+    )
+)

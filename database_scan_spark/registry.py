@@ -219,6 +219,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_rag_retrieval",
     "dq_error_budget",
     "dedup_minhash_bbit",
+    "fn_column_protection",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -117,6 +117,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "RAG retrieval pipeline (chunk/embed/score/rank)": ["pipeline_rag_retrieval"],
         "SLO error-budget burn ledger": ["dq_error_budget"],
         "b-bit minhash (collision-corrected estimate vs exact)": ["dedup_minhash_bbit"],
+        "PII masking + AES column encryption roundtrip": ["fn_column_protection"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
