@@ -569,3 +569,90 @@ SPECS.append(
         tags=("quality",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_seasonal_baseline — same-weekday baseline deviation monitor
+# ---------------------------------------------------------------------------
+
+_SEAS_Z = 2.0  # flag days beyond 2 sigma of their weekday baseline
+
+
+def dq_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly monitor: each day's purchase revenue
+    is judged against the baseline of ITS OWN WEEKDAY (mean ± 2σ over
+    the other same-weekday days, leave-one-out so a spike can't
+    inflate its own baseline) — the monitor shape that doesn't page
+    on every Saturday dip the way a flat daily threshold does.
+
+    Exactness: per-day revenue in DECIMAL; the leave-one-out mean and
+    variance derive from per-weekday SUM/SUM-OF-SQUARES moments
+    (broadcast back, one row per weekday), so no second pass over the
+    days and no float accumulation — the flag comparison squares both
+    sides (dev² vs z²·var) to stay division- and sqrt-free."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    per_day = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+        vd.alias("vd"),
+    ).groupBy("day", "dow").agg(F.sum("vd").alias("rev"))
+    moments = per_day.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("rev").alias("s1"),
+        F.sum(F.col("rev") * F.col("rev")).alias("s2"),
+    )
+    j = per_day.join(F.broadcast(moments), "dow")
+    # leave-one-out moments: exclude the row's own day
+    km1 = F.col("k") - 1
+    mean_loo = (F.col("s1") - F.col("rev")) / km1
+    var_loo = (
+        (F.col("s2") - F.col("rev") * F.col("rev")) / km1 - mean_loo * mean_loo
+    )
+    dev = F.col("rev") - mean_loo
+    return j.select(
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(mean_loo, 6).cast("double").alias("baseline"),
+        (dev * dev > F.lit(_SEAS_Z * _SEAS_Z) * var_loo).alias("anomalous"),
+    ).orderBy("day")
+
+
+DQ_SEASONAL_BASELINE_ORACLE = f"""
+WITH per_day AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           dayofweek(CAST(ts AS DATE)) + 1 AS dow,  -- Spark: Sunday=1
+           SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS rev
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+moments AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(rev) AS s1, SUM(rev * rev) AS s2
+    FROM per_day GROUP BY dow
+)
+SELECT day, CAST(p.dow AS INTEGER) AS dow,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(round((s1 - rev) / (k - 1), 6) AS DOUBLE) AS baseline,
+       (rev - (s1 - rev) / (k - 1)) * (rev - (s1 - rev) / (k - 1))
+         > {_SEAS_Z * _SEAS_Z}
+           * ((s2 - rev * rev) / (k - 1)
+              - ((s1 - rev) / (k - 1)) * ((s1 - rev) / (k - 1)))
+         AS anomalous
+FROM per_day p JOIN moments m ON p.dow = m.dow
+ORDER BY day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_seasonal_baseline",
+        dq_seasonal_baseline,
+        DQ_SEASONAL_BASELINE_ORACLE,
+        doc="leave-one-out same-weekday baseline anomaly flags, moment-derived",
+        tags=("quality",),
+    )
+)

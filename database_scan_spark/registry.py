@@ -220,6 +220,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_error_budget",
     "dedup_minhash_bbit",
     "fn_column_protection",
+    "dq_seasonal_baseline",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
