@@ -351,3 +351,62 @@ SPECS.append(
         tags=("sampling", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# split_kfold — deterministic k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment by content hash — the
+    multi-way generalization of `split_train_test`: every document
+    lands in exactly one of 5 folds via the shared deterministic
+    hash, so any engine (or a rerun after the corpus is re-sharded)
+    derives the IDENTICAL folds. Output is the per-fold audit the CV
+    harness needs — fold sizes, token counts, and a membership
+    checksum that proves assignment equality, not just equal sizes.
+    Narrow map + one aggregation; the assignment predicate pushes
+    onto a 100 TB scan unchanged."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fold = h32(F.concat_ws(":", F.col("doc_id"), F.lit("fold"))) % _KFOLD
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            fold.cast("int").alias("fold"),
+            n_tok.alias("n_tok"),
+            (h32(F.col("doc_id").cast("string")) % 97).alias("chk"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("chk").cast("long").alias("membership_checksum"),
+        )
+        .orderBy("fold")
+    )
+
+
+SPLIT_KFOLD_ORACLE = f"""
+SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || 'fold'), 1, 8))::BIGINT
+            % {_KFOLD} AS INTEGER) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 97)
+            AS BIGINT) AS membership_checksum
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+SPECS.append(
+    QuerySpec(
+        "split_kfold",
+        split_kfold,
+        SPLIT_KFOLD_ORACLE,
+        doc="deterministic 5-fold CV assignment with membership checksums",
+        tags=("sampling", "llm"),
+    )
+)

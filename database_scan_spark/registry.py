@@ -221,6 +221,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dedup_minhash_bbit",
     "fn_column_protection",
     "dq_seasonal_baseline",
+    "split_kfold",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -119,6 +119,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "b-bit minhash (collision-corrected estimate vs exact)": ["dedup_minhash_bbit"],
         "PII masking + AES column encryption roundtrip": ["fn_column_protection"],
         "same-weekday seasonal baseline anomaly flags": ["dq_seasonal_baseline"],
+        "deterministic k-fold CV assignment": ["split_kfold"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
