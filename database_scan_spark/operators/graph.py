@@ -581,3 +581,164 @@ SPECS.append(
         tags=("graph",),
     )
 )
+
+
+LINKPRED_TOP = 10
+
+
+def _linkpred_build(spark: SparkSession, sf_dir: str):
+    """Shared k=1-sparsified undirected edge list (same construction
+    as `graph_label_propagation`)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dirs = pairs.select("a", "b", "w").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    krn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    kept = (
+        dirs.withColumn("krn", krn)
+        .filter(F.col("krn") <= LPA_FANOUT)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    return kept.select("a", "b").unionByName(
+        kept.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst")).persist()
+
+
+def graph_link_prediction_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by neighbor overlap (the common-neighbors /
+    Jaccard baseline every graph-ML evaluation starts from): over the
+    k=1 strongest-partner graph (same sparsification as
+    `graph_label_propagation` — the dense trade graph has no missing
+    links to predict), score every NON-adjacent two-hop pair by
+    Jaccard of neighbor sets and return the top-10 predicted links.
+
+    Candidate generation is the two-hop join (a-x-b through a shared
+    neighbor) minus existing edges — never all-pairs: only pairs with
+    at least one common neighbor can score above zero, so the
+    candidate space IS the two-hop space. At node scale this is the
+    standard triangle-closing plan: one self-join of the
+    dimension-sized edge list on the shared endpoint, an anti-join
+    against edges, a per-pair count; degrees broadcast."""
+    edges = _linkpred_build(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("dst").alias("na"), F.col("src").alias("x"))
+    e2 = edges.select(F.col("src").alias("x2"), F.col("dst").alias("nb"))
+    twohop = (
+        e1.join(F.broadcast(e2), F.col("x") == F.col("x2"))
+        .filter(F.col("na") < F.col("nb"))
+        .select(F.col("na").alias("a"), F.col("nb").alias("b"), "x")
+        .distinct()
+    )
+    non_adj = twohop.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    common = non_adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("jaccard"), F.desc("cn"), "a", "b")
+        .limit(LINKPRED_TOP)
+    )
+
+
+GRAPH_LINK_PREDICTION_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT least(c_nationkey, s_nationkey) AS a,
+           greatest(c_nationkey, s_nationkey) AS b,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE c_nationkey <> s_nationkey
+    GROUP BY 1, 2
+),
+dirs AS MATERIALIZED (
+    SELECT a AS src, b AS dst, w FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst, w FROM pairs
+),
+kept AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM (
+        SELECT src, dst, row_number() OVER (
+            PARTITION BY src ORDER BY w DESC, dst) AS krn
+        FROM dirs
+    ) WHERE krn <= {LPA_FANOUT}
+),
+edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM kept
+    UNION ALL
+    SELECT b AS src, a AS dst FROM kept
+),
+deg AS MATERIALIZED (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+twohop AS MATERIALIZED (
+    SELECT DISTINCT e1.dst AS a, e2.dst AS b, e1.src AS x
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+    WHERE e1.dst < e2.dst
+),
+non_adj AS MATERIALIZED (
+    SELECT t.a, t.b, t.x FROM twohop t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = t.a AND e.dst = t.b
+    )
+),
+common AS MATERIALIZED (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM non_adj GROUP BY a, b
+)
+SELECT c.a, c.b, c.cn,
+       round(c.cn * 1.0 / (da.deg + db.deg - c.cn), 6) AS jaccard
+FROM common c
+JOIN deg da ON c.a = da.src
+JOIN deg db ON c.b = db.src
+ORDER BY jaccard DESC, cn DESC, a, b
+LIMIT {LINKPRED_TOP}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_link_prediction",
+        graph_link_prediction_impl,
+        GRAPH_LINK_PREDICTION_ORACLE,
+        doc="common-neighbor Jaccard link prediction over two-hop candidates only",
+        tags=("graph", "analytics"),
+    )
+)

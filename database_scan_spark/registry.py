@@ -222,6 +222,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_column_protection",
     "dq_seasonal_baseline",
     "split_kfold",
+    "graph_link_prediction",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -120,6 +120,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "PII masking + AES column encryption roundtrip": ["fn_column_protection"],
         "same-weekday seasonal baseline anomaly flags": ["dq_seasonal_baseline"],
         "deterministic k-fold CV assignment": ["split_kfold"],
+        "common-neighbor link prediction": ["graph_link_prediction"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
