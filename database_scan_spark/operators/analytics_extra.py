@@ -2258,3 +2258,98 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_gini — Gini concentration coefficient per market segment
+# ---------------------------------------------------------------------------
+
+
+def analytic_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue per market segment — the
+    single-number concentration measure next to `analytic_pareto`'s
+    class table, by the rank formula G = Σ(2i − n − 1)·x(i) / (n·Σx)
+    over revenue sorted ascending within the segment. The rank window
+    runs over the AGGREGATED per-customer table (dimension-sized, the
+    Pareto discipline); the weighted sum is DECIMAL·BIGINT exact and
+    the single division rounds once at the end. Equal revenues take
+    distinct ranks from the (revenue, custkey) total order — the
+    formula's value is invariant to which equal value takes which
+    rank, so the tiebreak only pins determinism, not the answer."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("o_rev"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_rev").alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_mktsegment", "o_custkey", "revenue")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("revenue", "o_custkey")
+    ranked = per_cust.select(
+        "c_mktsegment", "revenue", F.row_number().over(w).cast("long").alias("i")
+    )
+    counts = ranked.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(counts), "c_mktsegment")
+    num = F.sum((F.col("i") * 2 - F.col("n") - 1) * F.col("revenue"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.min("n").alias("n_customers"),
+            F.sum("revenue").cast("double").alias("total_revenue"),
+            F.round(
+                num.cast("double")
+                / (F.min("n") * F.sum("revenue")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ANALYTIC_GINI_ORACLE = """
+WITH rev AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,2))) AS o_rev
+    FROM lineitem GROUP BY l_orderkey
+),
+per_cust AS (
+    SELECT c.c_mktsegment, o.o_custkey, SUM(r.o_rev) AS revenue
+    FROM rev r
+    JOIN orders o ON r.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_custkey
+),
+ranked AS (
+    SELECT c_mktsegment, revenue,
+           CAST(row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY revenue, o_custkey) AS BIGINT) AS i
+    FROM per_cust
+),
+counts AS (
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked GROUP BY c_mktsegment
+)
+SELECT r.c_mktsegment,
+       MIN(c.n) AS n_customers,
+       CAST(SUM(r.revenue) AS DOUBLE) AS total_revenue,
+       round(CAST(SUM((r.i * 2 - c.n - 1) * r.revenue) AS DOUBLE)
+             / CAST(MIN(c.n) * SUM(r.revenue) AS DOUBLE), 6) AS gini
+FROM ranked r JOIN counts c USING (c_mktsegment)
+GROUP BY r.c_mktsegment
+ORDER BY r.c_mktsegment
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_gini",
+        analytic_gini,
+        ANALYTIC_GINI_ORACLE,
+        doc="per-segment revenue Gini via exact rank-weighted DECIMAL sums",
+        tags=("core", "analytics"),
+    )
+)

@@ -223,6 +223,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_seasonal_baseline",
     "split_kfold",
     "graph_link_prediction",
+    "analytic_gini",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -121,6 +121,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "same-weekday seasonal baseline anomaly flags": ["dq_seasonal_baseline"],
         "deterministic k-fold CV assignment": ["split_kfold"],
         "common-neighbor link prediction": ["graph_link_prediction"],
+        "per-segment revenue Gini coefficient": ["analytic_gini"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
