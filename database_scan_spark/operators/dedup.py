@@ -1389,3 +1389,135 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via embedding clusters (Abbas et al. 2023,
+# arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # clusters (centroids = embeddings of vec_id 0..7)
+SEMDEDUP_TAU = 0.40  # intra-cluster cosine above which a pair is semantic-dup
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus,
+    then mark intra-cluster semantic duplicates — pairs with cosine
+    ≥ τ — keeping, per the paper's rule, the member with the LOWEST
+    similarity to its cluster centroid (ties by vec_id). Output is
+    the full audit relation ``(vec_id, cluster, centroid_sim,
+    kept)`` so downstream filters are a single equi-join.
+
+    Clustering is the deterministic seed-centroid assignment (the
+    ``sim_centroid_assign`` shape: centroids broadcast as ONE
+    collected row, assignment a narrow map over the corpus — no
+    shuffle of the embedding side). The pairwise cosine check is an
+    EQUI self-join on the cluster id: per-cluster pair spaces, not a
+    corpus crossJoin. 100 TB posture: K scales with corpus size so
+    cluster cardinality stays bounded (the paper runs K≈100k for
+    LAION-scale); each cluster is one hash-join partition and AQE
+    splits skewed ones. The generalization of the reference's
+    pervasive id-dedup (x2.2.py dedup loops, SURVEY §2.4) to
+    embedding space.
+    """
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("c")
+    )
+    cents1 = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cand.cluster")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents1))
+        .select("vec_id", "embedding", F.explode("cents").alias("cand"))
+        .withColumn("sim", F.round(_dot(F.col("embedding"), F.col("cand.c")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cand.cluster").alias("cluster"),
+            F.col("sim").alias("centroid_sim"),
+        )
+    )
+    v = assigned.select(
+        F.col("vec_id"), "embedding", "cluster", "centroid_sim"
+    )
+    u = assigned.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_emb"),
+        F.col("cluster").alias("u_cluster"),
+        F.col("centroid_sim").alias("u_csim"),
+    )
+    keep_low = (F.col("u_csim") < F.col("centroid_sim")) | (
+        (F.col("u_csim") == F.col("centroid_sim"))
+        & (F.col("u_id") < F.col("vec_id"))
+    )
+    dropped = (
+        v.join(u, v["cluster"] == u["u_cluster"])
+        .filter(F.col("u_id") != F.col("vec_id"))
+        .filter(F.round(_dot(F.col("embedding"), F.col("u_emb")), 6) >= SEMDEDUP_TAU)
+        .filter(keep_low)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            F.when(F.col("is_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
+DEDUP_SEMDEDUP_ORACLE = f"""
+WITH pts AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+cents AS (
+    SELECT CAST(vec_id AS INT) AS cluster, embedding AS c
+    FROM pts WHERE vec_id < {SEMDEDUP_K}
+),
+assigned AS (
+    SELECT vec_id, embedding, cluster, sim AS centroid_sim FROM (
+        SELECT p.vec_id, p.embedding, c.cluster,
+               round(list_dot_product(p.embedding, c.c), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(list_dot_product(p.embedding, c.c), 6) DESC,
+                            c.cluster
+               ) AS rn
+        FROM pts p CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT v.vec_id
+    FROM assigned v JOIN assigned u USING (cluster)
+    WHERE u.vec_id <> v.vec_id
+      AND round(list_dot_product(u.embedding, v.embedding), 6) >= {SEMDEDUP_TAU}
+      AND (u.centroid_sim < v.centroid_sim
+           OR (u.centroid_sim = v.centroid_sim AND u.vec_id < v.vec_id))
+)
+SELECT a.vec_id, a.cluster, a.centroid_sim,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_semdedup",
+        dedup_semdedup,
+        DEDUP_SEMDEDUP_ORACLE,
+        doc="SemDeDup: seed-centroid clusters, intra-cluster cosine dups, keep-lowest-centroid-sim",
+        tags=("llm", "dedup", "embedding"),
+    )
+)

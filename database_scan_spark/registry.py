@@ -224,6 +224,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "split_kfold",
     "graph_link_prediction",
     "analytic_gini",
+    "dedup_semdedup",
+    "analytic_survival",
+    "sim_mmr_rerank",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
