@@ -2353,3 +2353,102 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_survival — Kaplan-Meier risk table over user event histories
+# ---------------------------------------------------------------------------
+
+SURVIVAL_CHURN_GAP_DAYS = 0
+
+
+def analytic_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival risk table for user retention: each user
+    is a subject observed from their first to their last event day;
+    a user silent for more than ``SURVIVAL_CHURN_GAP_DAYS`` days before
+    the study end (corpus max day — the fixture spans ~29 days, so the
+    gap is 0: churn = not seen on the final day) is an observed churn
+    ("death") at
+    duration ``t_days``; recently-active users are right-censored.
+    Output is the exact risk table at every death time: subjects
+    still at risk, deaths, and censorings — all BIGINT, so the oracle
+    hash-matches bit-for-bit. The survival PRODUCT Π(1 − dᵢ/nᵢ) is
+    deliberately left to the consumer: a cross-engine cumulative
+    float product is the one step that cannot be made deterministic
+    (libm/product-order divergence), while the risk table — the
+    distributed-hard part — is exact.
+
+    Scale: one groupBy(user_id) over the fact table (map-side
+    combine), a one-row study-end agg broadcast back, then all
+    window work runs on the DURATION-DISTINCT relation — bounded by
+    the study length in days (calendar domain), not corpus size, so
+    the unpartitioned cumulative window is scale-independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    end1 = per_user.agg(F.max("last_d").alias("study_end"))
+    subj = per_user.crossJoin(F.broadcast(end1)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t_days"),
+        (F.datediff("study_end", "last_d") > SURVIVAL_CHURN_GAP_DAYS)
+        .cast("int")
+        .alias("observed"),
+    )
+    at_t = subj.groupBy("t_days").agg(
+        F.sum("observed").alias("n_events"),
+        F.sum(F.lit(1) - F.col("observed")).alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = at_t.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    )
+    return (
+        risk.filter(F.col("n_events") > 0)
+        .select("t_days", "n_risk", "n_events", "n_censored")
+        .orderBy("t_days")
+    )
+
+
+ANALYTIC_SURVIVAL_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           min(CAST(ts AS DATE)) AS first_d,
+           max(CAST(ts AS DATE)) AS last_d
+    FROM events GROUP BY user_id
+),
+study AS (SELECT max(last_d) AS study_end FROM per_user),
+subj AS (
+    SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t_days,
+           CASE WHEN date_diff('day', last_d, study_end)
+                     > {SURVIVAL_CHURN_GAP_DAYS} THEN 1 ELSE 0 END AS observed
+    FROM per_user, study
+),
+at_t AS (
+    SELECT t_days,
+           SUM(observed) AS n_events,
+           SUM(1 - observed) AS n_censored
+    FROM subj GROUP BY t_days
+)
+SELECT t_days,
+       CAST(SUM(n_events + n_censored)
+            OVER (ORDER BY t_days DESC) AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored
+FROM at_t
+QUALIFY n_events > 0
+ORDER BY t_days
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_survival",
+        analytic_survival,
+        ANALYTIC_SURVIVAL_ORACLE,
+        doc="Kaplan-Meier retention risk table — exact BIGINT counts at every death time",
+        tags=("core", "analytics", "survival"),
+    )
+)
