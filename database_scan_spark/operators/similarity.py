@@ -968,3 +968,137 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_rerank — Maximal Marginal Relevance diversified re-ranking
+# (Carbonell & Goldstein, SIGIR'98)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20  # candidate pool (exact top-N by relevance)
+MMR_K = 5  # diversified picks
+_MMR_L = "CAST(0.7 AS DOUBLE)"  # λ — SQL literal twin of F.lit(0.7)
+_MMR_D = "CAST(0.3 AS DOUBLE)"  # 1-λ, stated as its own literal (not 1-0.7)
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking for retrieval diversity: take the exact top-20
+    cosine candidates for query vec_id=0, then greedily select 5,
+    each step maximizing ``λ·rel − (1−λ)·max_sim_to_selected`` —
+    the standard RAG-retrieval diversifier.
+
+    Scale split: the only corpus-scale work is the candidate pool —
+    a broadcast-query scan ranked via ``orderBy().limit(N)``
+    (TakeOrderedAndProject: per-partition top-N, never a global
+    sort). The 4 unrolled greedy steps then run on the ≤20-row pool
+    (persisted; each step an anti-join + broadcast pair-max +
+    take-ordered-1) — bounded work independent of corpus size. λ and
+    1−λ are stated as separate literals in BOTH engines so the score
+    arithmetic is bit-identical (1−0.7 ≠ 0.3 in binary FP).
+    """
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", F.round(_dot(F.col("embedding"), F.col("qe")), 6))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .select("vec_id", "embedding", "rel")
+        .persist()
+    )
+    lam, div = F.lit(0.7), F.lit(0.3)
+    sel = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).select(
+        "vec_id",
+        "embedding",
+        "rel",
+        F.lit(1).alias("sel_order"),
+        F.round(lam * F.col("rel"), 6).alias("mmr_score"),
+    )
+    for step in range(2, MMR_K + 1):
+        rem = cand.join(
+            sel.select(F.col("vec_id").alias("s_id")),
+            cand["vec_id"] == F.col("s_id"),
+            "left_anti",
+        )
+        scored = (
+            rem.crossJoin(F.broadcast(sel.select(F.col("embedding").alias("se"))))
+            .groupBy("vec_id", "rel")
+            .agg(
+                F.max(F.round(_dot(F.col("embedding"), F.col("se")), 6)).alias(
+                    "max_sim"
+                )
+            )
+            .withColumn(
+                "mmr_score",
+                F.round(lam * F.col("rel") - div * F.col("max_sim"), 6),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        pick = scored.join(
+            cand.select("vec_id", "embedding"), "vec_id"
+        ).select(
+            "vec_id",
+            "embedding",
+            "rel",
+            F.lit(step).alias("sel_order"),
+            "mmr_score",
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("sel_order", "vec_id", "rel", "mmr_score").orderBy(
+        "sel_order"
+    )
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"""pool AS MATERIALIZED (
+    SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS embedding,
+           round(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 6) AS rel
+    FROM embeddings c,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE c.vec_id <> 0
+    ORDER BY rel DESC, c.vec_id LIMIT {MMR_POOL}
+)""",
+        f"""sel1 AS MATERIALIZED (
+    SELECT vec_id, embedding, rel, 1 AS sel_order,
+           round({_MMR_L} * rel, 6) AS mmr_score
+    FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+)""",
+    ]
+    prev = ["sel1"]
+    for step in range(2, MMR_K + 1):
+        selunion = " UNION ALL ".join(f"SELECT * FROM {p}" for p in prev)
+        parts.append(
+            f"""sel{step} AS MATERIALIZED (
+    SELECT vec_id, embedding, rel, {step} AS sel_order, mmr_score FROM (
+        SELECT p.vec_id, p.embedding, p.rel,
+               round({_MMR_L} * p.rel - {_MMR_D} *
+                     max(round(list_dot_product(p.embedding, s.embedding), 6)),
+                     6) AS mmr_score
+        FROM pool p, ({selunion}) s
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM ({selunion}))
+        GROUP BY p.vec_id, p.embedding, p.rel
+    ) ORDER BY mmr_score DESC, vec_id LIMIT 1
+)"""
+        )
+        prev.append(f"sel{step}")
+    allsel = " UNION ALL ".join(f"SELECT * FROM {p}" for p in prev)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT sel_order, vec_id, rel, mmr_score FROM ({allsel}) ORDER BY sel_order"
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_mmr_rerank",
+        sim_mmr_rerank,
+        _mmr_oracle(),
+        doc="MMR diversified top-5 over the exact top-20 pool; unrolled greedy steps",
+        tags=("llm", "similarity", "rag"),
+    )
+)
