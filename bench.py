@@ -72,6 +72,10 @@ HEADLINE = [
     "storage_merge_on_read",
     "analytic_attribution",
     "agg_countmin_sketch",
+    # round-2 final-session additions
+    "dedup_semdedup",
+    "sim_mmr_rerank",
+    "analytic_survival",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

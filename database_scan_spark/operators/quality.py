@@ -656,3 +656,119 @@ SPECS.append(
         tags=("quality",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_k_anonymity — k-anonymity publication ladder (Sweeney 2002)
+# ---------------------------------------------------------------------------
+
+K_ANON = 5  # minimum equivalence-class size
+
+
+def wf_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement with a two-level generalization ladder
+    — the governance gate a training-data pipeline runs before
+    releasing user-derived tables. Quasi-identifier at level 0 is
+    (segment, nation, acctbal/2000 band); classes smaller than
+    ``K_ANON`` are GENERALIZED to level 1 (segment, region,
+    acctbal/4000 band); classes still small there are SUPPRESSED.
+    Output is the publishable class table: one row per surviving
+    equivalence class at its level, plus a single ``level=2``
+    suppression-audit row ('*', '*', band −1) counting withheld
+    records — no violating class is ever emitted at its true
+    granularity.
+
+    Scale: the record side is scanned once (dim joins broadcast);
+    each ladder rung is one hash aggregation on the QI key, and the
+    violating-class keys re-join the records as an equi join on the
+    same key (dimension-bounded class tables, map-side combine).
+    All counts BIGINT — exact oracle hash-match.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    recs = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            F.col("c_mktsegment").alias("s"),
+            F.col("n_name").alias("nat"),
+            F.col("r_name").alias("rg"),
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("b0"),
+            F.floor(F.col("c_acctbal") / 4000).cast("bigint").alias("b1"),
+        )
+    )
+    l0 = recs.groupBy("s", "nat", "b0").agg(F.count(F.lit(1)).alias("cnt"))
+    keep0 = l0.filter(F.col("cnt") >= K_ANON).select(
+        F.lit(0).alias("level"),
+        F.col("s").alias("segment"),
+        F.col("nat").alias("geo"),
+        F.col("b0").alias("bal_band"),
+        F.col("cnt").alias("class_size"),
+    )
+    v0 = l0.filter(F.col("cnt") < K_ANON).select("s", "nat", "b0")
+    r1 = recs.join(v0, ["s", "nat", "b0"], "left_semi")
+    l1 = r1.groupBy("s", "rg", "b1").agg(F.count(F.lit(1)).alias("cnt"))
+    keep1 = l1.filter(F.col("cnt") >= K_ANON).select(
+        F.lit(1).alias("level"),
+        F.col("s").alias("segment"),
+        F.col("rg").alias("geo"),
+        F.col("b1").alias("bal_band"),
+        F.col("cnt").alias("class_size"),
+    )
+    v1 = l1.filter(F.col("cnt") < K_ANON).select("s", "rg", "b1")
+    suppressed = (
+        r1.join(v1, ["s", "rg", "b1"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(2).alias("level"),
+            F.lit("*").alias("segment"),
+            F.lit("*").alias("geo"),
+            F.lit(-1).cast("bigint").alias("bal_band"),
+            F.col("n").alias("class_size"),
+        )
+    )
+    return keep0.unionByName(keep1).unionByName(suppressed)
+
+
+WF_K_ANONYMITY_ORACLE = f"""
+WITH recs AS (
+    SELECT c_mktsegment AS s, n_name AS nat, r_name AS rg,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS b0,
+           CAST(floor(c_acctbal / 4000) AS BIGINT) AS b1
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+),
+l0 AS (SELECT s, nat, b0, count(*) AS cnt FROM recs GROUP BY ALL),
+v0 AS (SELECT s, nat, b0 FROM l0 WHERE cnt < {K_ANON}),
+r1 AS (
+    SELECT recs.* FROM recs
+    JOIN v0 ON recs.s = v0.s AND recs.nat = v0.nat AND recs.b0 = v0.b0
+),
+l1 AS (SELECT s, rg, b1, count(*) AS cnt FROM r1 GROUP BY ALL),
+v1 AS (SELECT s, rg, b1 FROM l1 WHERE cnt < {K_ANON}),
+r2 AS (
+    SELECT r1.* FROM r1
+    JOIN v1 ON r1.s = v1.s AND r1.rg = v1.rg AND r1.b1 = v1.b1
+)
+SELECT 0 AS level, s AS segment, nat AS geo, b0 AS bal_band,
+       CAST(cnt AS BIGINT) AS class_size
+FROM l0 WHERE cnt >= {K_ANON}
+UNION ALL
+SELECT 1, s, rg, b1, CAST(cnt AS BIGINT) FROM l1 WHERE cnt >= {K_ANON}
+UNION ALL
+SELECT 2, '*', '*', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+FROM r2 HAVING count(*) > 0
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_k_anonymity",
+        wf_k_anonymity,
+        WF_K_ANONYMITY_ORACLE,
+        doc="k-anonymity: two-rung generalization ladder + suppression audit, exact counts",
+        tags=("core", "quality", "governance"),
+    )
+)

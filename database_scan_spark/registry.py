@@ -227,6 +227,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dedup_semdedup",
     "analytic_survival",
     "sim_mmr_rerank",
+    "wf_k_anonymity",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
