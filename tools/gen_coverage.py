@@ -122,6 +122,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "deterministic k-fold CV assignment": ["split_kfold"],
         "common-neighbor link prediction": ["graph_link_prediction"],
         "per-segment revenue Gini coefficient": ["analytic_gini"],
+        "Kaplan-Meier retention risk table": ["analytic_survival"],
+        "MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98)": ["sim_mmr_rerank"],
+        "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
@@ -220,6 +223,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "edit-distance entity resolution": ["dedup_levenshtein", "dedup_levenshtein_passjoin"],
         "embedding cosine": ["dedup_embedding_cosine"],
+        "SemDeDup semantic cluster dedup (Abbas et al. 2023)": ["dedup_semdedup"],
         "eval-set decontamination": ["dedup_decontaminate"],
         "one-sided containment (subset/superset pairs)": ["dedup_containment"],
     },
