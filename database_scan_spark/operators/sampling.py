@@ -410,3 +410,165 @@ SPECS.append(
         tags=("sampling", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_neyman — variance-based Neyman allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 300  # total sample budget across strata
+
+
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling (optimal allocation,
+    Neyman 1934): the fixed budget is split across customer segments
+    proportionally to N_h·S_h — high-variance strata get more of the
+    sample budget than proportional allocation would give. Membership
+    is then the deterministic hash-rank top-``alloc`` per stratum, so
+    the SAME customers are selected on any engine/partitioning; the
+    kept-id checksum in the audit proves membership identity, not
+    just counts.
+
+    Exactness: within-stratum variance comes from exact integer
+    moments (acctbal in cents: Σy and Σy² as DECIMAL(38,0)), only
+    then converted to double — the downstream S_h, N_h·S_h, and
+    floor(budget·w/Σw) are identical IEEE operations on identical
+    inputs in both engines. The stratum-weight total is a one-row agg
+    broadcast back (no global window). Scale: one pass for moments
+    (map-side combine), one per-stratum rank for membership — the
+    rank partitions by stratum, and the kept prefix is
+    budget-bounded.
+    """
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+    stats = (
+        cust.select(F.col("c_mktsegment").alias("stratum"), cents.alias("y"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("y").alias("s1"),
+            F.sum(F.col("y") * F.col("y")).alias("s2"),
+        )
+        .select(
+            "stratum",
+            "n_total",
+            (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n_total")
+                )
+                / (F.col("n_total") - 1)
+                / F.lit(10000.0)
+            ).alias("var"),
+        )
+        .select(
+            "stratum",
+            "n_total",
+            F.sqrt(F.greatest(F.col("var"), F.lit(0.0))).alias("s_h"),
+        )
+        .withColumn("w", F.col("n_total") * F.col("s_h"))
+    )
+    tot = stats.agg(F.sum("w").alias("w_sum"))
+    alloc = stats.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_total",
+        F.round("s_h", 6).alias("stddev"),
+        F.floor(F.lit(NEYMAN_BUDGET) * F.col("w") / F.col("w_sum"))
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    ranked = cust.select(
+        F.col("c_mktsegment").alias("stratum"),
+        "c_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                h32(F.col("c_custkey").cast("string")), F.col("c_custkey")
+            )
+        )
+        .alias("rk"),
+    )
+    kept = (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("c_custkey").alias("kept_checksum"),
+        )
+    )
+    return (
+        alloc.join(kept, "stratum", "left")
+        .select(
+            "stratum",
+            "n_total",
+            "stddev",
+            "alloc",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_checksum", F.lit(0)).cast("bigint").alias(
+                "kept_checksum"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+SAMPLE_STRATIFIED_NEYMAN_ORACLE = f"""
+WITH stats AS (
+    SELECT c_mktsegment AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           SUM(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))) AS s1,
+           SUM(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))
+               * CAST(round(c_acctbal * 100) AS DECIMAL(38,0))) AS s2
+    FROM customer GROUP BY c_mktsegment
+),
+weighted AS (
+    SELECT stratum, n_total,
+           sqrt(greatest(
+               (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_total)
+               / (n_total - 1) / 10000.0, 0.0)) AS s_h
+    FROM stats
+),
+alloc AS (
+    SELECT stratum, n_total, round(s_h, 6) AS stddev,
+           CAST(floor({NEYMAN_BUDGET} * (n_total * s_h)
+                      / (SELECT SUM(n_total * s_h) FROM weighted))
+                AS BIGINT) AS alloc
+    FROM weighted
+),
+ranked AS (
+    SELECT c_mktsegment AS stratum, c_custkey,
+           row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY {H32_SQL.format(x="CAST(c_custkey AS VARCHAR)")},
+                        c_custkey
+           ) AS rk
+    FROM customer
+),
+kept AS (
+    SELECT r.stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(r.c_custkey) AS BIGINT) AS kept_checksum
+    FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+    WHERE r.rk <= a.alloc
+    GROUP BY r.stratum
+)
+SELECT a.stratum, a.n_total, a.stddev, a.alloc,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_checksum, 0) AS kept_checksum
+FROM alloc a LEFT JOIN kept k ON a.stratum = k.stratum
+ORDER BY a.stratum
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sample_stratified_neyman",
+        sample_stratified_neyman,
+        SAMPLE_STRATIFIED_NEYMAN_ORACLE,
+        doc="Neyman optimal allocation from exact integer moments + hash-rank membership",
+        tags=("sampling", "llm"),
+    )
+)

@@ -228,6 +228,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_survival",
     "sim_mmr_rerank",
     "wf_k_anonymity",
+    "sample_stratified_neyman",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -125,6 +125,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Kaplan-Meier retention risk table": ["analytic_survival"],
         "MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98)": ["sim_mmr_rerank"],
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
+        "Neyman optimal-allocation stratified sampling": ["sample_stratified_neyman"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
