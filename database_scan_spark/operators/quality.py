@@ -772,3 +772,100 @@ SPECS.append(
         tags=("core", "quality", "governance"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_entropy_profile — Shannon-entropy column profiling (Deequ-style)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_COLS: tuple[tuple[str, str], ...] = (
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+)
+
+
+def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of the categorical columns a feature
+    platform monitors for collapse/drift: one audit row per column
+    with row count, distinct count, and entropy in bits. Entropy
+    is made hash-matchable by the package's determinism discipline:
+    each term is ``cnt · round(log2(cnt/N), 12)`` — a BIGINT times a
+    12-dp DECIMAL — summed as DECIMAL (exact, order-free), so the
+    only cross-engine surface is libm's log2 AFTER a 12-dp round
+    (the same last-ulp argument as the TF-IDF/BM25 oracles). Each
+    column is one hash aggregation with map-side combine; N arrives
+    as a one-row broadcast, never a global window.
+    """
+    out = None
+    for tbl, col in _ENTROPY_COLS:
+        t = load(spark, sf_dir, tbl)
+        counts = t.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        tot = counts.agg(
+            F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_distinct")
+        )
+        terms = counts.crossJoin(F.broadcast(tot)).select(
+            "n_rows",
+            "n_distinct",
+            (
+                F.col("cnt").cast("decimal(38,0)")
+                * F.round(
+                    F.log2(F.col("cnt").cast("double") / F.col("n_rows")), 12
+                ).cast("decimal(20,12)")
+            ).alias("term"),
+        )
+        row = terms.groupBy("n_rows", "n_distinct").agg(
+            F.sum("term").alias("term_sum")
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(
+                -(F.col("term_sum").cast("double")) / F.col("n_rows"), 6
+            ).alias("entropy_bits"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "col")
+
+
+def _entropy_oracle() -> str:
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        parts.append(f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(-CAST(term_sum AS DOUBLE) / n_rows, 6) AS entropy_bits
+FROM (
+    SELECT MAX(n_rows) AS n_rows, COUNT(*) AS n_distinct,
+           SUM(term) AS term_sum
+    FROM (
+        SELECT cnt, SUM(cnt) OVER () AS n_rows,
+               CAST(cnt AS DECIMAL(38,0))
+               * CAST(round(log2(CAST(cnt AS DOUBLE)
+                                 / (SUM(cnt) OVER ())), 12)
+                      AS DECIMAL(20,12)) AS term
+        FROM (SELECT {col} AS v, COUNT(*) AS cnt FROM {tbl} GROUP BY {col})
+    )
+    -- n_rows is window-constant per category row: MAX collapses it
+)""")
+    # the inner window SUM(cnt) OVER () runs on the per-category counts
+    # relation (cardinality = n_distinct, bounded), not on the raw rows
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY tbl, col"
+
+
+SPECS.append(
+    QuerySpec(
+        "dq_entropy_profile",
+        dq_entropy_profile,
+        _entropy_oracle(),
+        doc="Shannon entropy per categorical column — DECIMAL-summed 12dp log2 terms",
+        tags=("core", "quality", "profile"),
+    )
+)

@@ -229,6 +229,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_mmr_rerank",
     "wf_k_anonymity",
     "sample_stratified_neyman",
+    "dq_entropy_profile",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -126,6 +126,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98)": ["sim_mmr_rerank"],
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
         "Neyman optimal-allocation stratified sampling": ["sample_stratified_neyman"],
+        "Shannon-entropy categorical column profiling": ["dq_entropy_profile"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
