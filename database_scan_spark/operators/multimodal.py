@@ -635,3 +635,159 @@ SPECS.append(
         tags=("llm", "multimodal", "udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_pairs — perceptual-hash image near-dup (aHash + banded blocking)
+# ---------------------------------------------------------------------------
+
+_PH_HAM_T = 7  # ≤7 differing bits over 8 bands ⇒ pigeonhole-exact recall
+
+
+def _phash_batches_fn():
+    """Arrow batch fn: build each even doc's REAL BMP, decode the
+    pixel array, and compute the 64-bit AVERAGE HASH (aHash): sample
+    an 8×8 grid of blue-channel bytes at nearest-pixel positions
+    (⌊r·h/8⌋, ⌊c·w/8⌋), threshold each against the integer mean
+    (64·v > Σv — exact, no float), and pack each grid ROW into one
+    band byte. Output is the banded signature relation
+    (doc_id, band_idx, band_byte) — integers only. Codec captured by
+    value; numpy worker-side."""
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import numpy as _np  # noqa: PLC0415 - worker-side imports
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "band_idx": [], "band_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 1:
+                    continue  # audio docs have no pixel array
+                raw = bytes(payload)
+                blob = enc(did, raw)
+                n = len(raw)
+                w, h = n % 64 + 1, n % 48 + 1
+                stride = ((w * 3 + 3) // 4) * 4
+                pix = _np.frombuffer(
+                    blob[54 : 54 + stride * h], dtype=_np.uint8
+                ).reshape(h, stride)
+                vals = [
+                    [int(pix[(r * h) // 8, ((c * w) // 8) * 3]) for c in range(8)]
+                    for r in range(8)
+                ]
+                tot = sum(sum(row) for row in vals)
+                for r in range(8):
+                    byte = sum(
+                        (1 << c) for c in range(8) if 64 * vals[r][c] > tot
+                    )
+                    out["doc_id"].append(did)
+                    out["band_idx"].append(r)
+                    out["band_byte"].append(byte)
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual hashing: decode the
+    REAL BMP blobs (vendored codec), aHash each image, and report
+    pairs within Hamming distance ``_PH_HAM_T`` — the image analog
+    of ``dedup_simhash_pairs``, with the decode leg exercised
+    byte-for-byte (the oracle re-derives every hash bit from the
+    tiling arithmetic alone, so a one-byte codec/stride/sampling bug
+    breaks the hash match).
+
+    Candidates come from the banded signature (8 bands of 8 bits):
+    a pair within distance 7 MUST agree on ≥1 whole band
+    (pigeonhole), so the equi-join on (band_idx, band_byte) has
+    exact recall — never an all-pairs compare. Exact Hamming then
+    runs on candidates only, via the two signature joins. Scale: the
+    decode is a narrow Arrow map; bands shuffle once; candidate
+    volume is governed by band width exactly as in SimHash LSH."""
+    sig = _media_table(spark, sf_dir).mapInPandas(
+        _phash_batches_fn(), schema="doc_id long, band_idx int, band_byte int"
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_byte"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_byte"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band_idx").alias("i"),
+        F.col("band_byte").alias("ba"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_idx").alias("i"),
+        F.col("band_byte").alias("bb"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))))
+            .cast("int")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= _PH_HAM_T)
+    )
+
+
+MM_PHASH_PAIRS_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           octet_length(encode(text)) % 64 + 1 AS w,
+           octet_length(encode(text)) % 48 + 1 AS h,
+           ((octet_length(encode(text)) % 64 + 1) * 3 + 3) // 4 * 4 AS stride
+    FROM documents WHERE doc_id % 2 = 0
+),
+g AS (
+    SELECT doc_id, r, c,
+           ord(text[((r * h) // 8 * stride + (c * w) // 8 * 3) % L + 1]) AS v
+    FROM meta, range(8) t1(r), range(8) t2(c)
+),
+sig AS (
+    SELECT doc_id, CAST(r AS INTEGER) AS band_idx,
+           CAST(SUM(CASE WHEN 64 * v > tot THEN 1 << CAST(c AS INTEGER)
+                         ELSE 0 END) AS INTEGER) AS band_byte
+    FROM (SELECT doc_id, r, c, v, SUM(v) OVER (PARTITION BY doc_id) AS tot
+          FROM g)
+    GROUP BY doc_id, r
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM sig x JOIN sig y
+      ON x.band_idx = y.band_idx AND x.band_byte = y.band_byte
+         AND x.doc_id < y.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(SUM(bit_count(xor(a.band_byte, b.band_byte))) AS INTEGER)
+           AS hamming
+FROM cand p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b AND b.band_idx = a.band_idx
+GROUP BY p.doc_a, p.doc_b
+HAVING SUM(bit_count(xor(a.band_byte, b.band_byte))) <= {_PH_HAM_T}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_phash_pairs",
+        mm_phash_pairs,
+        MM_PHASH_PAIRS_ORACLE,
+        doc="aHash perceptual image near-dup: real BMP decode, banded candidates, exact Hamming",
+        tags=("llm", "multimodal", "dedup"),
+    )
+)

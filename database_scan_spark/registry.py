@@ -230,6 +230,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_k_anonymity",
     "sample_stratified_neyman",
     "dq_entropy_profile",
+    "mm_phash_pairs",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

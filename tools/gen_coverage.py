@@ -127,6 +127,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
         "Neyman optimal-allocation stratified sampling": ["sample_stratified_neyman"],
         "Shannon-entropy categorical column profiling": ["dq_entropy_profile"],
+        "perceptual-hash image near-dup (aHash, banded)": ["mm_phash_pairs"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
