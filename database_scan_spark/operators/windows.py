@@ -805,3 +805,124 @@ SPECS.append(
         tags=("window",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_cusum — CUSUM change-point monitor via the exact prefix-min identity
+# ---------------------------------------------------------------------------
+
+
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor over the per-priority
+    daily revenue series (Page 1954). The textbook recursion
+    ``C_t = max(0, C_{t-1} + (x_t − k))`` is NOT window-expressible,
+    but its closed form is: with prefix sums ``P_t = Σ(x_i − k)``,
+    ``C⁺_t = P_t − min(0, min_{j≤t} P_j)`` and symmetrically
+    ``C⁻_t = max(0, max_{j≤t} P_j) − P_t`` — two ordinary cumulative
+    windows, no iteration. Each side carries the standard slack
+    allowance (reference level k ± madm/2) so in-control noise does
+    not accumulate; alarm when either side exceeds ``5 × meanAbsDev``
+    (integer h·σ̂ analog — ≈6%% of fixture days alarm).
+
+    Exactness: revenue in integer cents, reference level
+    ``k = ⌊Σx/n⌋`` and dispersion ``⌊Σ|x−k|/n⌋`` integer-floored —
+    the whole monitor is BIGINT arithmetic, hash-exact. Scale: one
+    groupBy to days, one tiny per-priority stats agg broadcast back,
+    and the cumulative windows partition BY PRIORITY over the
+    day-distinct relation — calendar-bounded rows per partition, no
+    global window. (At 100 TB the cents sums outgrow BIGINT around
+    10^18 — promote the sums to DECIMAL(38,0); layout unchanged.)
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    stats = daily.groupBy("priority").agg(
+        F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("k")
+    )
+    with_k = daily.join(F.broadcast(stats), "priority")
+    disp = with_k.groupBy("priority").agg(
+        F.floor(F.sum(F.abs(F.col("x") - F.col("k"))) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("madm")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slack = F.floor(F.col("madm") / 2).cast("bigint")
+    cum = (
+        with_k.join(F.broadcast(disp), "priority")
+        .withColumn("pp", F.sum(F.col("x") - F.col("k") - slack).over(w))
+        .withColumn("pn", F.sum(F.col("x") - F.col("k") + slack).over(w))
+        .withColumn("minpp", F.min("pp").over(w))
+        .withColumn("maxpn", F.max("pn").over(w))
+    )
+    cpos = F.col("pp") - F.least(F.lit(0), F.col("minpp"))
+    cneg = F.greatest(F.lit(0), F.col("maxpn")) - F.col("pn")
+    return cum.select(
+        "priority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        cpos.alias("cusum_pos"),
+        cneg.alias("cusum_neg"),
+        ((cpos > 5 * F.col("madm")) | (cneg > 5 * F.col("madm")))
+        .cast("int")
+        .alias("alarm"),
+    ).orderBy("priority", "day")
+
+
+WIN_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+    FROM orders GROUP BY ALL
+),
+stats AS (
+    SELECT priority, CAST(SUM(x) // COUNT(*) AS BIGINT) AS k
+    FROM daily GROUP BY priority
+),
+disp AS (
+    SELECT d.priority, CAST(SUM(abs(d.x - s.k)) // COUNT(*) AS BIGINT) AS madm
+    FROM daily d JOIN stats s USING (priority) GROUP BY d.priority
+),
+prefix AS (
+    SELECT d.priority, d.day, d.x, p.madm,
+           SUM(d.x - s.k - p.madm // 2) OVER w AS pp,
+           SUM(d.x - s.k + p.madm // 2) OVER w AS pn
+    FROM daily d JOIN stats s USING (priority) JOIN disp p ON d.priority = p.priority
+    WINDOW w AS (PARTITION BY d.priority ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+),
+cum AS (
+    SELECT priority, day, x, madm, pp, pn,
+           MIN(pp) OVER w AS minpp,
+           MAX(pn) OVER w AS maxpn
+    FROM prefix
+    WINDOW w AS (PARTITION BY priority ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT priority, strftime(day, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS x,
+       CAST(pp - least(0, minpp) AS BIGINT) AS cusum_pos,
+       CAST(greatest(0, maxpn) - pn AS BIGINT) AS cusum_neg,
+       CAST(CASE WHEN pp - least(0, minpp) > 5 * madm
+                  OR greatest(0, maxpn) - pn > 5 * madm
+                 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+FROM cum
+ORDER BY priority, day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_cusum",
+        win_cusum,
+        WIN_CUSUM_ORACLE,
+        doc="two-sided CUSUM via prefix-min/max closed form — pure BIGINT windows",
+        tags=("window", "analytics"),
+    )
+)

@@ -231,6 +231,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sample_stratified_neyman",
     "dq_entropy_profile",
     "mm_phash_pairs",
+    "win_cusum",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

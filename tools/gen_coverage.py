@@ -128,6 +128,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Neyman optimal-allocation stratified sampling": ["sample_stratified_neyman"],
         "Shannon-entropy categorical column profiling": ["dq_entropy_profile"],
         "perceptual-hash image near-dup (aHash, banded)": ["mm_phash_pairs"],
+        "CUSUM change-point monitor (prefix-min closed form)": ["win_cusum"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
