@@ -926,3 +926,103 @@ SPECS.append(
         tags=("window", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_hampel — rolling-median (Hampel) outlier filter
+# ---------------------------------------------------------------------------
+
+
+def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the per-priority daily revenue series: flag
+    a day when it deviates from its ±3-day ROLLING median by more
+    than 3.5× the rolling MAD — the robust local-outlier test (the
+    rolling counterpart of the global ``dq_anomaly_mad``; a spike
+    inside a drifting series is invisible to a global MAD but not to
+    this one).
+
+    Exactness: values are integer cents; the rolling median and MAD
+    are DISCRETE (lower-middle of the sorted 7-row frame, computed
+    by sorting the frame's collect_list — both medians come from ONE
+    window pass, since each row's deviation array derives from its
+    own frame array), and the 3.5× test is written as the integer
+    comparison ``2·|x−med| > 7·mad``. Zero floats anywhere. Scale:
+    partitioned by priority over the calendar-bounded daily
+    relation; the frame array is 7 elements — constant memory."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.partitionBy("priority").orderBy("day").rowsBetween(-3, 3)
+    arr = F.array_sort(F.collect_list("x").over(w))
+    mid = (F.size(arr) + 1) / 2
+    framed = daily.withColumn("arr", arr).withColumn(
+        "med", F.element_at(F.col("arr"), F.floor(mid).cast("int"))
+    )
+    devs = F.array_sort(
+        F.transform(F.col("arr"), lambda v: F.abs(v - F.col("med")))
+    )
+    out = framed.withColumn(
+        "mad",
+        F.element_at(devs, F.floor((F.size(devs) + 1) / 2).cast("int")),
+    )
+    return out.select(
+        "priority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "med",
+        "mad",
+        (2 * F.abs(F.col("x") - F.col("med")) > 7 * F.col("mad"))
+        .cast("int")
+        .alias("outlier"),
+    ).orderBy("priority", "day")
+
+
+WIN_HAMPEL_ORACLE = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+    FROM orders GROUP BY ALL
+),
+framed AS (
+    SELECT priority, day, x,
+           list_sort(list(x) OVER (
+               PARTITION BY priority ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+    FROM daily
+),
+med AS (
+    SELECT priority, day, x, arr,
+           arr[CAST(floor((len(arr) + 1) / 2) AS INTEGER)] AS med
+    FROM framed
+),
+mad AS (
+    SELECT priority, day, x, med,
+           list_sort(list_transform(arr, v -> abs(v - med)))
+               [CAST(floor((len(arr) + 1) / 2) AS INTEGER)] AS mad
+    FROM med
+)
+SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+       CAST(x AS BIGINT) AS x, CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad,
+       CAST(CASE WHEN 2 * abs(x - med) > 7 * mad THEN 1 ELSE 0 END
+            AS INTEGER) AS outlier
+FROM mad
+ORDER BY priority, day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_hampel",
+        win_hampel,
+        WIN_HAMPEL_ORACLE,
+        doc="rolling-median Hampel outlier filter — discrete medians, integer 3.5x test",
+        tags=("window", "quality"),
+    )
+)

@@ -232,6 +232,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_entropy_profile",
     "mm_phash_pairs",
     "win_cusum",
+    "win_hampel",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

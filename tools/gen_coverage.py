@@ -129,6 +129,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Shannon-entropy categorical column profiling": ["dq_entropy_profile"],
         "perceptual-hash image near-dup (aHash, banded)": ["mm_phash_pairs"],
         "CUSUM change-point monitor (prefix-min closed form)": ["win_cusum"],
+        "rolling-median Hampel outlier filter": ["win_hampel"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
