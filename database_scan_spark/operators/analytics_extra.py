@@ -2452,3 +2452,138 @@ SPECS.append(
         tags=("core", "analytics", "survival"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_ks_test — exact two-sample Kolmogorov-Smirnov over segment pairs
+# ---------------------------------------------------------------------------
+
+
+def analytic_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between every pair of
+    customer segments on the acctbal distribution — the
+    distribution-shift test that complements the binned PSI monitor
+    (``dq_drift_psi``) with an unbinned, scale-free statistic.
+
+    Exactness: D = max|F₁−F₂| is computed as the INTEGER maximum
+    ``d_num = max|cum₁·N₂ − cum₂·N₁|`` over the merged support (D =
+    d_num/(N₁·N₂)), and the α=0.05 rejection ``D > 1.36·√((N₁+N₂)/
+    (N₁N₂))`` is squared into the integer comparison ``d_num²·10⁴ >
+    1.36²·10⁴·(N₁+N₂)·N₁·N₂`` carried in DECIMAL(38,0) — no float
+    ever decides anything; the reported d_stat is a rounded display
+    value. Scale: one count per (segment, value), the dense ECDF is
+    a 5-way broadcast of the segment list against the distinct-value
+    relation, cumulative windows partition by segment, and the pair
+    join is an equi join on the support value. (At 100 TB the
+    distinct support outgrows this — evaluate D on a quantile grid;
+    the pipeline shape is unchanged.)"""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    vals = pts.select("v").distinct()
+    segs = pts.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    counts = pts.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    dense = (
+        vals.crossJoin(F.broadcast(segs))
+        .join(counts, ["seg", "v"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = dense.withColumn("cum", F.sum("cnt").over(w))
+    a = ecdf.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("n_a"),
+        "v",
+        F.col("cum").alias("cum_a"),
+    )
+    b = ecdf.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("n_b"),
+        "v",
+        F.col("cum").alias("cum_b"),
+    )
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = dec(F.col("d_num")) * dec(F.col("d_num")) * F.lit(10000).cast(
+        "decimal(38,0)"
+    )
+    rhs = (
+        F.lit(18496).cast("decimal(38,0)")
+        * dec(F.col("n_a") + F.col("n_b"))
+        * dec(F.col("n_a"))
+        * dec(F.col("n_b"))
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(
+            F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b")), 6
+        ).alias("d_stat"),
+        (lhs > rhs).cast("int").alias("reject_05"),
+    ).orderBy("seg_a", "seg_b")
+
+
+ANALYTIC_KS_TEST_ORACLE = """
+WITH pts AS (
+    SELECT c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS v
+    FROM customer
+),
+vals AS (SELECT DISTINCT v FROM pts),
+segs AS (SELECT seg, COUNT(*) AS n FROM pts GROUP BY seg),
+counts AS (SELECT seg, v, COUNT(*) AS cnt FROM pts GROUP BY seg, v),
+dense AS (
+    SELECT s.seg, s.n, va.v, COALESCE(c.cnt, 0) AS cnt
+    FROM vals va CROSS JOIN segs s
+    LEFT JOIN counts c ON c.seg = s.seg AND c.v = va.v
+),
+ecdf AS (
+    SELECT seg, n, v,
+           SUM(cnt) OVER (PARTITION BY seg ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dense
+),
+pairs AS (
+    SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+           MAX(abs(a.cum * b.n - b.cum * a.n)) AS d_num
+    FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.seg < b.seg
+    GROUP BY ALL
+)
+SELECT seg_a, seg_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_num AS BIGINT) AS d_num,
+       round(d_num / (CAST(n_a AS DOUBLE) * n_b), 6) AS d_stat,
+       CAST(CASE WHEN CAST(d_num AS DECIMAL(38,0)) * d_num * 10000
+                      > CAST(18496 AS DECIMAL(38,0)) * (n_a + n_b) * n_a * n_b
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM pairs
+ORDER BY seg_a, seg_b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_ks_test",
+        analytic_ks_test,
+        ANALYTIC_KS_TEST_ORACLE,
+        doc="exact two-sample KS over segment pairs — integer D numerator, DECIMAL rejection",
+        tags=("core", "analytics", "stats"),
+    )
+)

@@ -233,6 +233,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_phash_pairs",
     "win_cusum",
     "win_hampel",
+    "analytic_ks_test",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

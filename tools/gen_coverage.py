@@ -130,6 +130,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "perceptual-hash image near-dup (aHash, banded)": ["mm_phash_pairs"],
         "CUSUM change-point monitor (prefix-min closed form)": ["win_cusum"],
         "rolling-median Hampel outlier filter": ["win_hampel"],
+        "exact two-sample Kolmogorov-Smirnov segment test": ["analytic_ks_test"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
