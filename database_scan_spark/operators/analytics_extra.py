@@ -2587,3 +2587,97 @@ SPECS.append(
         tags=("core", "analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_price_index — Laspeyres fixed-basket price index
+# ---------------------------------------------------------------------------
+
+PRICE_INDEX_BASE_YEAR = 1995
+
+
+def analytic_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per brand and ship year against the 1995
+    base basket: I_t = Σ p_{i,t}·q_{i,0} / Σ p_{i,0}·q_{i,0} over the
+    parts traded in BOTH years — the standard fixed-basket inflation
+    measure, reported in parts-per-million.
+
+    Exactness discipline: the unit price is quantized to integer
+    cents-per-unit with INTEGER division (Σcents div Σqty), the
+    basket sums are BIGINT products, and the final ratio is again
+    integer division ppm — no float is ever summed, so the oracle
+    hash-matches regardless of aggregation order. Scale: one
+    (brand, part, year) aggregate with map-side combine, the base
+    year re-joined on the part equi key, then a brand/year rollup —
+    three keyed exchanges, never a window."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ppy = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("partkey"),
+            F.year("l_shipdate").alias("yr"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.round("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("brand", "partkey", "yr")
+        .agg(F.sum("cents").alias("a"), F.sum("qty").alias("b"))
+        .withColumn("unit", F.expr("a div b"))
+    )
+    base = ppy.filter(F.col("yr") == PRICE_INDEX_BASE_YEAR).select(
+        "brand",
+        "partkey",
+        F.col("unit").alias("p0"),
+        F.col("b").alias("q0"),
+    )
+    return (
+        ppy.join(base, ["brand", "partkey"])
+        .groupBy("brand", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("unit") * F.col("q0")).alias("num"),
+            F.sum(F.col("p0") * F.col("q0")).alias("den"),
+        )
+        .select(
+            "brand",
+            F.col("yr").cast("int").alias("yr"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.expr("(1000000 * num) div den").alias("index_ppm"),
+        )
+        .orderBy("brand", "yr")
+    )
+
+
+ANALYTIC_PRICE_INDEX_ORACLE = f"""
+WITH ppy AS (
+    SELECT p_brand AS brand, l_partkey AS partkey,
+           year(l_shipdate) AS yr,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS a,
+           SUM(CAST(round(l_quantity) AS BIGINT)) AS b
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ALL
+),
+priced AS (SELECT brand, partkey, yr, a // b AS unit, b FROM ppy),
+base AS (
+    SELECT brand, partkey, unit AS p0, b AS q0
+    FROM priced WHERE yr = {PRICE_INDEX_BASE_YEAR}
+)
+SELECT t.brand, CAST(t.yr AS INTEGER) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST((1000000 * SUM(t.unit * b.q0)) // SUM(b.p0 * b.q0) AS BIGINT)
+           AS index_ppm
+FROM priced t JOIN base b ON t.brand = b.brand AND t.partkey = b.partkey
+GROUP BY t.brand, t.yr
+ORDER BY t.brand, t.yr
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_price_index",
+        analytic_price_index,
+        ANALYTIC_PRICE_INDEX_ORACLE,
+        doc="Laspeyres fixed-basket price index in ppm — integer division end to end",
+        tags=("core", "analytics"),
+    )
+)

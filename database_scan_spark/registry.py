@@ -234,6 +234,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_cusum",
     "win_hampel",
     "analytic_ks_test",
+    "analytic_price_index",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

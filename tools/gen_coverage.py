@@ -131,6 +131,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "CUSUM change-point monitor (prefix-min closed form)": ["win_cusum"],
         "rolling-median Hampel outlier filter": ["win_hampel"],
         "exact two-sample Kolmogorov-Smirnov segment test": ["analytic_ks_test"],
+        "Laspeyres fixed-basket price index (integer ppm)": ["analytic_price_index"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"

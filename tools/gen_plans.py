@@ -172,6 +172,33 @@ SHOWCASE = {
     "equi-condition INSIDE the broadcast hash join (pre-filter: "
     "distances computed on matching rows only), then the per-query "
     "rank window; no post-filter of an unfiltered top-k",
+    "dedup_semdedup": "SemDeDup — expect centroid assignment as a "
+    "one-row-array broadcast explode (bounded BroadcastNestedLoopJoin, "
+    "no CartesianProduct), the intra-cluster pair check as a HASH join "
+    "on the cluster id (per-cluster pair spaces only), and the final "
+    "kept flag as a left join against the distinct dropped set",
+    "mm_phash_pairs": "perceptual-hash image near-dup — expect the BMP "
+    "decode+aHash as ONE ArrowEvalPython/MapInPandas over the scan "
+    "(blobs never shuffle), candidates from the (band_idx, band_byte) "
+    "equi self-join, and exact Hamming via two keyed signature joins "
+    "on candidates only; no CartesianProduct",
+    "win_cusum": "CUSUM monitor — expect the day rollup as ONE exchange "
+    "with map-side combine, per-priority stats as broadcast joins, and "
+    "ALL cumulative windows sharing one hashpartitioning(priority) "
+    "sort; never a SinglePartition window",
+    "analytic_ks_test": "exact two-sample KS — expect the dense ECDF as "
+    "a broadcast of the 5-row segment table against the distinct-value "
+    "relation, cumulative windows partitioned by segment, and the "
+    "pair-max as an equi join on the support value feeding one "
+    "hash aggregate; integers end to end",
+    "wf_k_anonymity": "k-anonymity ladder — expect broadcast dim joins "
+    "into the record scan, each ladder rung as partial+final "
+    "HashAggregate on its QI key, and the violating-class re-join as a "
+    "LeftSemi hash join on the same key; records are scanned once",
+    "sample_stratified_neyman": "Neyman allocation — expect the moment "
+    "aggregation with map-side combine, the stratum-weight total as a "
+    "one-row agg broadcast back (no global window), and membership as "
+    "a per-stratum rank window under hashpartitioning(stratum)",
 }
 
 
