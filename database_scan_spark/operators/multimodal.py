@@ -791,3 +791,84 @@ SPECS.append(
         tags=("llm", "multimodal", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_vad_segments — energy-threshold voice-activity segmentation
+# ---------------------------------------------------------------------------
+
+
+def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style audio segmentation: decode the WAV blobs, reduce to
+    per-window energies (the ``mm_audio_energy`` leg, byte-exact),
+    mark a window VOICED when its energy exceeds the doc's mean
+    (integer cross-multiplication ``energy·n_win > Σenergy`` — no
+    division), and collapse contiguous voiced runs to segments via
+    gaps-and-islands — the speech-pipeline primitive that turns raw
+    audio into training utterances.
+
+    Scale: the decode+energy pass is a narrow Arrow map; per-doc
+    totals are one keyed aggregate joined back on doc_id (AQE picks
+    the strategy — the energy relation is windows-per-doc sized);
+    the islands window partitions by doc. Integers end to end."""
+    energy = _media_table(spark, sf_dir).mapInPandas(
+        _audio_energy_batches_fn(),
+        schema="doc_id long, window_idx int, n_samples int, energy long",
+    )
+    tot = energy.groupBy("doc_id").agg(
+        F.sum("energy").alias("tot"), F.count(F.lit(1)).alias("n_win")
+    )
+    voiced = energy.join(tot, "doc_id").filter(
+        F.col("energy") * F.col("n_win") > F.col("tot")
+    )
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    grp = F.col("window_idx") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("window_idx")
+    )
+    return (
+        voiced.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("window_idx").alias("start_idx"),
+            F.max("window_idx").alias("end_idx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .select("doc_id", "start_idx", "end_idx", "n_windows", "seg_energy")
+        .orderBy("doc_id", "start_idx")
+    )
+
+
+MM_VAD_SEGMENTS_ORACLE = f"""
+WITH energy AS ({MM_AUDIO_ENERGY_ORACLE}),
+tot AS (
+    SELECT doc_id, SUM(energy) AS tot, COUNT(*) AS n_win
+    FROM energy GROUP BY doc_id
+),
+voiced AS (
+    SELECT e.doc_id, e.window_idx, e.energy,
+           e.window_idx - row_number() OVER (
+               PARTITION BY e.doc_id ORDER BY e.window_idx) AS grp
+    FROM energy e JOIN tot t ON e.doc_id = t.doc_id
+    WHERE e.energy * t.n_win > t.tot
+)
+SELECT doc_id,
+       CAST(MIN(window_idx) AS INTEGER) AS start_idx,
+       CAST(MAX(window_idx) AS INTEGER) AS end_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM voiced
+GROUP BY doc_id, grp
+ORDER BY doc_id, start_idx
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_vad_segments",
+        mm_vad_segments,
+        MM_VAD_SEGMENTS_ORACLE,
+        doc="VAD segmentation: real WAV energy windows + gaps-and-islands, integer-exact",
+        tags=("llm", "multimodal", "udf"),
+    )
+)

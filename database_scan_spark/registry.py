@@ -235,6 +235,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_hampel",
     "analytic_ks_test",
     "analytic_price_index",
+    "mm_vad_segments",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
