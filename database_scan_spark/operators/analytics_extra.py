@@ -2681,3 +2681,113 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_did — difference-in-differences effect estimate
+# ---------------------------------------------------------------------------
+
+DID_CUT_YEAR = 1998  # pre-period: ship year < cut; post: >= cut
+
+
+def analytic_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the PROMO effect on unit
+    revenue: treatment = PROMO-type parts, control = everything else,
+    periods split at ship-year 1998. Emits the 2×2 cell means and the
+    DiD interaction ``(ȳ_post,T − ȳ_pre,T) − (ȳ_post,C − ȳ_pre,C)``
+    — the workhorse causal-inference primitive over observational
+    warehouse data.
+
+    Exactness: cell sums are DECIMAL cents, counts BIGINT; each mean
+    is ONE double division, and the interaction combines four such
+    doubles with the identical operation order in both engines —
+    rounded 6dp for the report. One broadcast dim join + one 4-cell
+    aggregate: the whole estimator is a single scan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cells = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("p_type").startswith("PROMO").cast("int").alias("treated"),
+            (F.year("l_shipdate") >= DID_CUT_YEAR).cast("int").alias("post"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .withColumn("mean_price", F.col("s").cast("double") / F.col("n") / 100.0)
+    )
+    # four scalar means via conditional aggregation on the 4-row cells
+    m = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col("mean_price"),
+                )
+            ).alias(f"m_{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ]
+    )
+    report = cells.select(
+        "treated",
+        "post",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean_price", 6).alias("mean_price"),
+    )
+    did = m.select(
+        F.lit(2).alias("treated"),
+        F.lit(2).alias("post"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.round(
+            (F.col("m_11") - F.col("m_10")) - (F.col("m_01") - F.col("m_00")), 6
+        ).alias("mean_price"),
+    )
+    return report.unionByName(did).orderBy("treated", "post")
+
+
+ANALYTIC_DID_ORACLE = f"""
+WITH cells AS (
+    SELECT CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+           CASE WHEN year(l_shipdate) >= {DID_CUT_YEAR} THEN 1 ELSE 0 END AS post,
+           COUNT(*) AS n,
+           SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS s
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ALL
+),
+means AS (
+    SELECT treated, post, n, CAST(s AS DOUBLE) / n / 100.0 AS mean_price
+    FROM cells
+),
+did AS (
+    SELECT 2 AS treated, 2 AS post, CAST(0 AS BIGINT) AS n,
+           round(
+             (MAX(CASE WHEN treated=1 AND post=1 THEN mean_price END)
+              - MAX(CASE WHEN treated=1 AND post=0 THEN mean_price END))
+             - (MAX(CASE WHEN treated=0 AND post=1 THEN mean_price END)
+                - MAX(CASE WHEN treated=0 AND post=0 THEN mean_price END)), 6)
+               AS mean_price
+    FROM means
+)
+SELECT treated, post, CAST(n AS BIGINT) AS n,
+       round(mean_price, 6) AS mean_price
+FROM means
+UNION ALL
+SELECT * FROM did
+ORDER BY treated, post
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_did",
+        analytic_did,
+        ANALYTIC_DID_ORACLE,
+        doc="difference-in-differences PROMO effect — DECIMAL cell sums, 2x2 + interaction",
+        tags=("core", "analytics", "causal"),
+    )
+)

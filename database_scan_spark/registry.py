@@ -236,6 +236,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_ks_test",
     "analytic_price_index",
     "mm_vad_segments",
+    "analytic_did",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -133,6 +133,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exact two-sample Kolmogorov-Smirnov segment test": ["analytic_ks_test"],
         "Laspeyres fixed-basket price index (integer ppm)": ["analytic_price_index"],
         "VAD audio segmentation (energy islands over real WAV)": ["mm_vad_segments"],
+        "difference-in-differences effect estimate": ["analytic_did"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
