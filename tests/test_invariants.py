@@ -297,3 +297,112 @@ def test_chunk_dedup_reassembly(spark, specs):
         elif r.kept_text is not None:
             # every kept chunk is a verbatim window of the original
             assert all(w in words for w in r.kept_text.split(" "))
+
+
+def test_phash_banding_recall_is_exact(spark, specs):
+    """The (band_idx, band_byte) blocking must lose NOTHING at the
+    shipped threshold: an all-pairs Hamming recomputation from the
+    raw signatures (no banding) at smoke scale must equal the op's
+    output exactly (pigeonhole: ≤7 differing bits cannot touch all
+    8 bands)."""
+    from database_scan_spark.operators.multimodal import (
+        _PH_HAM_T,
+        _media_table,
+        _phash_batches_fn,
+    )
+
+    sig = (
+        _media_table(spark, SF_SMOKE)
+        .mapInPandas(
+            _phash_batches_fn(),
+            schema="doc_id long, band_idx int, band_byte int",
+        )
+        .collect()
+    )
+    sigs: dict[int, list[int]] = {}
+    for r in sig:
+        sigs.setdefault(r.doc_id, [0] * 8)[r.band_idx] = r.band_byte
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+            )
+            if ham <= _PH_HAM_T:
+                brute[(a, b)] = ham
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in specs["mm_phash_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == brute
+
+
+def test_cusum_closed_form_matches_textbook_recursion(spark, specs):
+    """The prefix-extrema closed form must equal Page's recursion
+    C_t = max(0, C_{t-1} + (x_t − k ∓ slack)) replayed in Python."""
+    rows = specs["win_cusum"].fn(spark, SF_SMOKE).collect()
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        by_prio.setdefault(r.priority, []).append(r)
+    for prio, series in by_prio.items():
+        series.sort(key=lambda r: r.day)
+        xs = [r.x for r in series]
+        n = len(xs)
+        k = sum(xs) // n
+        madm = sum(abs(x - k) for x in xs) // n
+        cp = cn = 0
+        for r, x in zip(series, xs):
+            cp = max(0, cp + (x - k - madm // 2))
+            cn = max(0, cn - (x - k + madm // 2))
+            assert (r.cusum_pos, r.cusum_neg) == (cp, cn), (prio, r.day)
+            assert r.alarm == int(cp > 5 * madm or cn > 5 * madm)
+
+
+def test_mmr_matches_greedy_reference(spark, specs):
+    """The unrolled DataFrame MMR must equal the straightforward
+    greedy algorithm replayed in Python over the same pool."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators.similarity import MMR_K, MMR_POOL
+
+    def round6(x: float) -> float:
+        # Spark/DuckDB round() is HALF_UP; Python round() is half-even
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    q = emb[0]
+    rel = {i: round6(dot(v, q)) for i, v in emb.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    sel = [min(pool, key=lambda i: (-rel[i], i))]
+    scores = {sel[0]: round6(0.7 * rel[sel[0]])}
+    while len(sel) < MMR_K:
+        best, best_key = None, None
+        for c in pool:
+            if c in sel:
+                continue
+            mx = max(round6(dot(emb[c], emb[s])) for s in sel)
+            sc = round6(0.7 * rel[c] - 0.3 * mx)
+            if best_key is None or (-sc, c) < best_key:
+                best, best_key = c, (-sc, c)
+        sel.append(best)
+        scores[best] = round6(0.7 * rel[best] - 0.3 * max(
+            round6(dot(emb[best], emb[s])) for s in sel[:-1]
+        ))
+    got = sorted(
+        (r.sel_order, r.vec_id, r.mmr_score)
+        for r in specs["sim_mmr_rerank"].fn(spark, SF_SMOKE).collect()
+    )
+    want = sorted((o + 1, v, scores[v]) for o, v in enumerate(sel))
+    assert got == want
