@@ -572,3 +572,89 @@ SPECS.append(
         tags=("sampling", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# split_temporal_embargo — leakage-safe time-based split
+# ---------------------------------------------------------------------------
+
+EMBARGO_DAYS = 3  # purge gap between train end and test start
+TEST_DAYS = 7  # most-recent window reserved for evaluation
+
+
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/embargo/test split of the events stream: the
+    last ``TEST_DAYS`` days are evaluation, the ``EMBARGO_DAYS``
+    before them are PURGED (neither side — the leakage guard for
+    label horizons that look forward), everything earlier is
+    training. This is the split a feature store must use when rows
+    are time-ordered: the hash splits (``split_train_test``,
+    ``split_kfold``) would leak future information into training.
+
+    Output is the per-split audit (rows, user reach, day bounds,
+    id checksum) so membership — not just counts — is pinned. One
+    pass: the corpus max day is a one-row agg broadcast back; the
+    split predicate is a narrow map fused into the scan."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("day")
+    )
+    mx = ev.agg(F.max("day").alias("max_day"))
+    tagged = ev.crossJoin(F.broadcast(mx)).withColumn(
+        "split",
+        F.when(
+            F.datediff("max_day", F.col("day")) < TEST_DAYS, F.lit("test")
+        )
+        .when(
+            F.datediff("max_day", F.col("day")) < TEST_DAYS + EMBARGO_DAYS,
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("train")),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_TEMPORAL_EMBARGO_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT max(day) AS max_day FROM ev),
+tagged AS (
+    SELECT event_id, user_id, day,
+           CASE
+               WHEN date_diff('day', day, max_day) < {TEST_DAYS} THEN 'test'
+               WHEN date_diff('day', day, max_day)
+                    < {TEST_DAYS + EMBARGO_DAYS} THEN 'embargo'
+               ELSE 'train'
+           END AS split
+    FROM ev, mx
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       strftime(MIN(day), '%Y-%m-%d') AS first_day,
+       strftime(MAX(day), '%Y-%m-%d') AS last_day,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+SPECS.append(
+    QuerySpec(
+        "split_temporal_embargo",
+        split_temporal_embargo,
+        SPLIT_TEMPORAL_EMBARGO_ORACLE,
+        doc="leakage-safe temporal split with purge gap — membership checksums",
+        tags=("sampling", "llm", "mlops"),
+    )
+)

@@ -237,6 +237,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_price_index",
     "mm_vad_segments",
     "analytic_did",
+    "split_temporal_embargo",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -134,6 +134,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Laspeyres fixed-basket price index (integer ppm)": ["analytic_price_index"],
         "VAD audio segmentation (energy islands over real WAV)": ["mm_vad_segments"],
         "difference-in-differences effect estimate": ["analytic_did"],
+        "leakage-safe temporal split with embargo gap": ["split_temporal_embargo"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
