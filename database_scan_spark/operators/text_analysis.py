@@ -810,3 +810,120 @@ SPECS.append(
         tags=("llm", "text", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_collocations — PMI bigram collocation mining
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 20
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-20 adjacent-token bigrams by
+    pointwise mutual information, ``PMI = log2(c_ab·N / (c_a·c_b))``
+    with a min-count support floor — the classic corpus-linguistics
+    signal for multi-word expressions ("new york") that raw bigram
+    counts (dominated by stopword pairs) miss.
+
+    Determinism: counts are exact BIGINTs; PMI is ONE log2 per
+    output row over an integer ratio, rounded 6dp (the same
+    last-ulp acceptance as the TF-IDF/BM25 oracles — no float is
+    ever summed). Scale: bigram explode is a narrow map; two hash
+    aggregations (bigram counts, unigram counts) with map-side
+    combine; unigram counts join the candidate bigrams — a
+    dimension-vocabulary join, broadcast-eligible; final top-k is
+    TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = docs.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_total = bg_counts.agg(F.sum("c_ab").alias("n_bigrams"))
+    cand = bg_counts.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    scored = (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.round(
+                F.log2(
+                    (F.col("c_ab").cast("double") * F.col("n_bigrams"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(COLLOC_TOP_K)
+
+
+TEXT_COLLOCATIONS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+    )
+),
+unigrams AS (
+    SELECT w, COUNT(*) AS c_w
+    FROM (SELECT unnest(t) AS w FROM toks)
+    GROUP BY w
+),
+bg AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bigrams GROUP BY w1, w2),
+n AS (SELECT SUM(c_ab) AS n_bigrams FROM bg),
+scored AS (
+    SELECT b.w1, b.w2,
+           CAST(b.c_ab AS BIGINT) AS c_ab,
+           CAST(a.c_w AS BIGINT) AS c_a,
+           CAST(c.c_w AS BIGINT) AS c_b,
+           round(log2((CAST(b.c_ab AS DOUBLE) * n.n_bigrams)
+                      / (CAST(a.c_w AS DOUBLE) * c.c_w)), 6) AS pmi
+    FROM bg b
+    JOIN unigrams a ON b.w1 = a.w
+    JOIN unigrams c ON b.w2 = c.w
+    CROSS JOIN n
+    WHERE b.c_ab >= {COLLOC_MIN_COUNT}
+)
+SELECT * FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_collocations",
+        text_collocations,
+        TEXT_COLLOCATIONS_ORACLE,
+        doc="PMI bigram collocations — exact counts, one rounded log2 per row",
+        tags=("llm", "text"),
+    )
+)

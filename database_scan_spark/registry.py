@@ -238,6 +238,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_vad_segments",
     "analytic_did",
     "split_temporal_embargo",
+    "text_collocations",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

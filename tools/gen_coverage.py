@@ -135,6 +135,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "VAD audio segmentation (energy islands over real WAV)": ["mm_vad_segments"],
         "difference-in-differences effect estimate": ["analytic_did"],
         "leakage-safe temporal split with embargo gap": ["split_temporal_embargo"],
+        "PMI bigram collocation mining": ["text_collocations"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
