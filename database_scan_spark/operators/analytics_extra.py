@@ -2791,3 +2791,113 @@ SPECS.append(
         tags=("core", "analytics", "causal"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_bootstrap_ci — deterministic Poisson bootstrap replicas
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF in basis points of 10000: P(X<=k) for k = 0..4; the
+# residual band (9963..9999) draws weight 5. Deterministic: the weight
+# of row r in replica b is a pure function of h32(key:b).
+_POIS_BANDS = (3679, 7358, 9197, 9810, 9963)
+
+
+def _poisson_weight(h_mod: "F.Column") -> "F.Column":
+    w = F.lit(5)
+    for k in reversed(range(len(_POIS_BANDS))):
+        w = F.when(h_mod < _POIS_BANDS[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def _poisson_weight_sql(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {expr} < {band} THEN {k}" for k, band in enumerate(_POIS_BANDS)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+def analytic_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean customer balance: each of the 32
+    replicas re-weights every row by a Poisson(1) draw — the ONLY
+    bootstrap that works at 100 TB scale, because it needs no
+    sampling WITH replacement across partitions (Chamandy et al.,
+    Google 2012): each row's weight is row-local. Here the draw is
+    DETERMINISTIC — the shared cross-engine hash mapped through the
+    Poisson(1) CDF — so the replicas (and the CI they bracket) are
+    bit-reproducible on any engine or partitioning, like every
+    sampling op in this engine.
+
+    Output: one row per replica with its exact effective row count
+    and mean (DECIMAL sum ÷ BIGINT count, rounded 6dp) plus the
+    replica's rank — rank 2 and 31 of 32 bracket a ~87.5% percentile
+    CI, read off by the consumer. Scale: the ×32 replica explode is
+    a narrow map fused into the scan; ONE aggregation by replica id
+    (map-side combine) does all the work; the rank window runs on 32
+    rows."""
+    cust = load(spark, sf_dir, "customer")
+    reps = cust.select(
+        F.col("c_custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("replica"),
+    ).withColumn(
+        "w",
+        _poisson_weight(
+            h32(F.concat_ws(":", F.col("c_custkey"), F.col("replica"))) % 10000
+        ),
+    )
+    agg = reps.groupBy("replica").agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).alias("s"),
+    )
+    return (
+        agg.select(
+            F.col("replica").cast("int").alias("replica"),
+            "n_eff",
+            F.round(F.col("s").cast("double") / F.col("n_eff") / 100.0, 6).alias(
+                "mean_bal"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.asc("mean_bal"), F.asc("replica")))
+            .cast("int"),
+        )
+        .orderBy("rank")
+    )
+
+
+ANALYTIC_BOOTSTRAP_CI_ORACLE = f"""
+WITH reps AS (
+    SELECT c_custkey,
+           CAST(round(c_acctbal * 100) AS DECIMAL(38,0)) AS cents,
+           b.replica,
+           {_poisson_weight_sql("('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(b.replica AS VARCHAR)), 1, 8))::BIGINT % 10000")} AS w
+    FROM customer, (SELECT unnest(range({BOOT_B})) AS replica) b
+),
+agg AS (
+    SELECT replica,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           SUM(w * cents) AS s
+    FROM reps GROUP BY replica
+)
+SELECT CAST(replica AS INTEGER) AS replica, n_eff,
+       round(CAST(s AS DOUBLE) / n_eff / 100.0, 6) AS mean_bal,
+       CAST(row_number() OVER (
+           ORDER BY round(CAST(s AS DOUBLE) / n_eff / 100.0, 6), replica
+       ) AS INTEGER) AS rank
+FROM agg
+ORDER BY rank
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_bootstrap_ci",
+        analytic_bootstrap_ci,
+        ANALYTIC_BOOTSTRAP_CI_ORACLE,
+        doc="deterministic Poisson bootstrap replicas — hash-CDF integer weights",
+        tags=("core", "analytics", "stats", "sampling"),
+    )
+)

@@ -239,6 +239,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_did",
     "split_temporal_embargo",
     "text_collocations",
+    "analytic_bootstrap_ci",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -136,6 +136,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "difference-in-differences effect estimate": ["analytic_did"],
         "leakage-safe temporal split with embargo gap": ["split_temporal_embargo"],
         "PMI bigram collocation mining": ["text_collocations"],
+        "deterministic Poisson bootstrap CI (Chamandy et al.)": ["analytic_bootstrap_ci"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
