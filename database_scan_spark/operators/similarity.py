@@ -1102,3 +1102,151 @@ SPECS.append(
         tags=("llm", "similarity", "rag"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_matryoshka_rerank — prefix-dimension retrieve, full-dimension rerank
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16  # retrieval uses the first 16 of 64 dims
+MRL_SHORTLIST = 10  # prefix-dim shortlist per query, reranked full-dim
+
+
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style adaptive retrieval (Kusupati et al. 2022):
+    retrieve a shortlist with the first ``MRL_PREFIX_DIM`` embedding
+    dimensions (4× cheaper dot products and 4× smaller index), then
+    rerank the shortlist with the FULL vector, reporting for each
+    kept neighbor whether the exact full-dimension top-k would also
+    contain it — the recall audit that tells you whether the cheap
+    prefix index is safe to deploy.
+
+    Determinism: both scoring passes round to 6dp with id
+    tiebreaks. Scale: the query side broadcasts; the corpus is
+    scanned once for the prefix pass (a 16-dim fold, fused into the
+    scan); the full-dim rerank touches only ``MRL_SHORTLIST`` rows
+    per query; the exact audit reuses the brute-force pass — at
+    deploy scale you drop the audit leg and keep the cheap path."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    joined = F.broadcast(queries).join(
+        corpus, F.col("query_id") != F.col("neighbor_id")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        joined.withColumn(
+            "prefix_cosine",
+            F.round(
+                _dot(
+                    F.slice(F.col("qe"), 1, MRL_PREFIX_DIM),
+                    F.slice(F.col("ne"), 1, MRL_PREFIX_DIM),
+                ),
+                6,
+            ),
+        )
+        .withColumn("prerank", F.row_number().over(w_pre))
+        .filter(F.col("prerank") <= MRL_SHORTLIST)
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("full_cosine"), F.asc("neighbor_id")
+    )
+    reranked = (
+        shortlist.withColumn(
+            "full_cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w_full).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "full_cosine", "rank")
+    )
+    exact = (
+        joined.withColumn(
+            "full_cosine", F.round(_dot(F.col("qe"), F.col("ne")), 6)
+        )
+        .withColumn("xrank", F.row_number().over(w_full))
+        .filter(F.col("xrank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("xq"), F.col("neighbor_id").alias("xn")
+        )
+    )
+    return (
+        reranked.join(
+            exact,
+            (reranked["query_id"] == exact["xq"])
+            & (reranked["neighbor_id"] == exact["xn"]),
+            "left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "full_cosine",
+            F.col("xq").isNotNull().cast("int").alias("in_exact_topk"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_MATRYOSHKA_RERANK_ORACLE = f"""
+WITH pts AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+joined AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.embedding AS qe, c.embedding AS ne
+    FROM pts q JOIN pts c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, qe, ne FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(list_dot_product(qe[1:{MRL_PREFIX_DIM}],
+                                            ne[1:{MRL_PREFIX_DIM}]), 6) DESC,
+                     neighbor_id
+        ) AS prerank
+        FROM joined
+    ) WHERE prerank <= {MRL_SHORTLIST}
+),
+reranked AS (
+    SELECT query_id, neighbor_id,
+           round(list_dot_product(qe, ne), 6) AS full_cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qe, ne), 6) DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM shortlist
+),
+exact AS (
+    SELECT query_id AS xq, neighbor_id AS xn FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(list_dot_product(qe, ne), 6) DESC, neighbor_id
+        ) AS xrank
+        FROM joined
+    ) WHERE xrank <= {TOP_K}
+)
+SELECT r.query_id, r.rank, r.neighbor_id, r.full_cosine,
+       CAST(CASE WHEN e.xq IS NULL THEN 0 ELSE 1 END AS INTEGER)
+           AS in_exact_topk
+FROM reranked r
+LEFT JOIN exact e ON r.query_id = e.xq AND r.neighbor_id = e.xn
+WHERE r.rank <= {TOP_K}
+ORDER BY r.query_id, r.rank
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_matryoshka_rerank",
+        sim_matryoshka_rerank,
+        SIM_MATRYOSHKA_RERANK_ORACLE,
+        doc="prefix-dim retrieve + full-dim rerank with exact-top-k agreement audit",
+        tags=("llm", "similarity", "rag"),
+    )
+)

@@ -240,6 +240,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "split_temporal_embargo",
     "text_collocations",
     "analytic_bootstrap_ci",
+    "sim_matryoshka_rerank",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

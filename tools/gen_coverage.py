@@ -137,6 +137,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "leakage-safe temporal split with embargo gap": ["split_temporal_embargo"],
         "PMI bigram collocation mining": ["text_collocations"],
         "deterministic Poisson bootstrap CI (Chamandy et al.)": ["analytic_bootstrap_ci"],
+        "Matryoshka prefix-dim retrieve + full rerank audit": ["sim_matryoshka_rerank"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
