@@ -1026,3 +1026,133 @@ SPECS.append(
         tags=("window", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_interpolate — linear interpolation of missing time-series points
+# ---------------------------------------------------------------------------
+
+
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid: hours with no
+    events for a type get the time-weighted blend of the nearest
+    observed neighbors — the third member of the gap-repair family
+    (``win_gap_fill`` = zero-fill, ``win_forward_fill`` = LOCF, this
+    = interpolate), which is what sensor/metric resampling actually
+    wants. No extrapolation: hours before the first / after the last
+    observation stay NULL.
+
+    Exactness: observed values are integer cents; the blend
+    ``prev + ⌊(next−prev)·dt/DT⌋`` floors a double DIVISION whose
+    operands are exact integers well under 2⁵³ — bit-identical in
+    both engines. Scale: the dense grid is dim-sized (hours ×
+    types, from two one-row aggregates); the neighbor lookups are
+    two frames of ONE window partitioning (type-ordered-by-hour);
+    the only full-table work is the hourly groupBy."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types)).join(
+        agg, ["hour", "event_type"], "left"
+    )
+    epoch = F.unix_timestamp("hour")
+    obs_h = F.when(F.col("cents").isNotNull(), epoch)
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    withnb = (
+        grid.withColumn("h_e", epoch)
+        .withColumn("prev_v", F.last("cents", ignorenulls=True).over(w_prev))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("cents", ignorenulls=True).over(w_next))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(w_next))
+    )
+    interp = F.col("prev_v") + F.floor(
+        (F.col("next_v") - F.col("prev_v"))
+        * (F.col("h_e") - F.col("prev_h"))
+        / (F.col("next_h") - F.col("prev_h"))
+    ).cast("bigint")
+    filled = F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(
+        F.when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
+        )
+    )
+    return withnb.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("cents").isNotNull().cast("int").alias("observed"),
+        filled.cast("bigint").alias("cents_filled"),
+    ).orderBy("event_type", "hour")
+
+
+WIN_INTERPOLATE_ORACLE = """
+WITH agg AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(SUM(round(value * 100)) AS BIGINT) AS cents
+    FROM events GROUP BY ALL
+),
+bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo,
+           date_trunc('hour', max(ts)) AS hi
+    FROM events
+),
+grid AS (
+    SELECT h.hour, t.event_type, a.cents
+    FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM bounds) h
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+),
+nb AS (
+    SELECT event_type, hour, cents,
+           epoch(hour) AS h_e,
+           last_value(cents IGNORE NULLS) OVER w_prev AS prev_v,
+           last_value(CASE WHEN cents IS NOT NULL THEN epoch(hour) END
+                      IGNORE NULLS) OVER w_prev AS prev_h,
+           first_value(cents IGNORE NULLS) OVER w_next AS next_v,
+           first_value(CASE WHEN cents IS NOT NULL THEN epoch(hour) END
+                       IGNORE NULLS) OVER w_next AS next_h
+    FROM grid
+    WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:00') AS hour,
+       CAST(cents IS NOT NULL AS INTEGER) AS observed,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                 THEN prev_v + CAST(floor((next_v - prev_v)
+                                          * (h_e - prev_h)
+                                          / (next_h - prev_h)) AS BIGINT)
+            END AS BIGINT) AS cents_filled
+FROM nb
+ORDER BY event_type, hour
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_interpolate",
+        win_interpolate,
+        WIN_INTERPOLATE_ORACLE,
+        doc="linear interpolation of missing hourly points — exact integer blend, no extrapolation",
+        tags=("window", "temporal"),
+    )
+)

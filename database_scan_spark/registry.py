@@ -241,6 +241,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_collocations",
     "analytic_bootstrap_ci",
     "sim_matryoshka_rerank",
+    "win_interpolate",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -138,6 +138,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "PMI bigram collocation mining": ["text_collocations"],
         "deterministic Poisson bootstrap CI (Chamandy et al.)": ["analytic_bootstrap_ci"],
         "Matryoshka prefix-dim retrieve + full rerank audit": ["sim_matryoshka_rerank"],
+        "linear interpolation of missing time-series points": ["win_interpolate"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
