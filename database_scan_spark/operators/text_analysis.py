@@ -927,3 +927,82 @@ SPECS.append(
         tags=("llm", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading ease / FK grade (syllable proxy)
+# ---------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring: Flesch reading ease and Flesch-Kincaid
+    grade per document, with the classic deterministic syllable
+    proxy (vowel-group count — the standard cheap stand-in when no
+    pronunciation dictionary ships with the engine). Complements
+    ``text_quality``'s length/stopword signals with the
+    sentence-structure axis corpus filters use for education-level
+    binning.
+
+    All counts are exact integers from JVM regexes (whole-stage
+    codegen, no Python); the two formulas combine three integer
+    ratios with IDENTICAL literals and operation order in both
+    engines, rounded 6dp. One narrow projection over the scan —
+    trivially scan-parallel at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0))
+    )
+    n_syll = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syll.cast("int").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
+TEXT_READABILITY_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+            AS INTEGER) AS n_sentences,
+       CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+            AS INTEGER) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / greatest(1, len(regexp_extract_all(text, '[.!?]'))))
+             - 84.6 * (CAST(greatest(1, len(regexp_extract_all(lower(text),
+                                                               '[aeiouy]+')))
+                            AS DOUBLE)
+                       / len(string_split(text, ' '))), 6) AS flesch_ease,
+       round(0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     / greatest(1, len(regexp_extract_all(text, '[.!?]'))))
+             + 11.8 * (CAST(greatest(1, len(regexp_extract_all(lower(text),
+                                                               '[aeiouy]+')))
+                            AS DOUBLE)
+                       / len(string_split(text, ' ')))
+             - 15.59, 6) AS fk_grade
+FROM documents
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_readability",
+        text_readability,
+        TEXT_READABILITY_ORACLE,
+        doc="Flesch ease + FK grade with vowel-group syllable proxy — codegen-only",
+        tags=("llm", "text"),
+    )
+)

@@ -242,6 +242,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_bootstrap_ci",
     "sim_matryoshka_rerank",
     "win_interpolate",
+    "text_readability",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

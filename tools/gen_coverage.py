@@ -139,6 +139,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "deterministic Poisson bootstrap CI (Chamandy et al.)": ["analytic_bootstrap_ci"],
         "Matryoshka prefix-dim retrieve + full rerank audit": ["sim_matryoshka_rerank"],
         "linear interpolation of missing time-series points": ["win_interpolate"],
+        "Flesch/FK readability scoring (syllable proxy)": ["text_readability"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
