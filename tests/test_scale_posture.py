@@ -542,3 +542,70 @@ def test_dynamic_partition_pruning_fires(spark):
 
     plan = _plan(join_dynamic_partition_pruning(spark, SF_SMOKE))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_cusum_windows_partition_by_priority(spark):
+    """win_cusum must never plan a SinglePartition window — every
+    cumulative pass rides hashpartitioning(priority)."""
+    from database_scan_spark.operators.windows import win_cusum
+
+    plan = _plan(win_cusum(spark, SF_SMOKE))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            raise AssertionError(f"SinglePartition exchange in cusum: {line}")
+
+
+def test_semdedup_pair_check_is_hash_join_on_cluster(spark):
+    """The intra-cluster dup check must be an equi join (hash/SMJ) on
+    the cluster id, never a CartesianProduct; the only BNLJ allowed
+    is the bounded one-row centroid-array broadcast."""
+    from database_scan_spark.operators.dedup import dedup_semdedup
+
+    plan = _plan(dedup_semdedup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "cluster" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_phash_signature_is_single_arrow_pass(spark):
+    """mm_phash_pairs must decode/hash in Arrow batches (MapInPandas),
+    never BatchEvalPython, and candidates must come from equi joins."""
+    from database_scan_spark.operators.multimodal import mm_phash_pairs
+
+    plan = _plan(mm_phash_pairs(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neyman_weight_total_is_broadcast_not_window(spark):
+    """The stratum-weight denominator must arrive as a broadcast
+    one-row aggregate, not a global window over the strata."""
+    from database_scan_spark.operators.sampling import sample_stratified_neyman
+
+    plan = _plan(sample_stratified_neyman(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    # the only windows allowed are the per-stratum membership ranks
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line and "rows" not in line:
+            raise AssertionError(f"global exchange in neyman: {line}")
+
+
+def test_bootstrap_replicas_single_aggregation(spark):
+    """The Poisson bootstrap must do all replica work in ONE keyed
+    aggregation over the exploded scan — no join back to the fact,
+    no Python."""
+    from database_scan_spark.operators.analytics_extra import (
+        analytic_bootstrap_ci,
+    )
+
+    plan = _plan(analytic_bootstrap_ci(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    # ONE parquet scan: replicas come from the explode, never a re-read
+    # (the final rank window runs on the 32-row replica relation).
+    # Formatted explain names each scan node twice: tree + details.
+    assert plan.count("Scan parquet") == 2
