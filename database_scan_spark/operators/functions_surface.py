@@ -749,3 +749,60 @@ SPECS.append(
         tags=("core", "fn", "governance"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# udf_scalar_iter — SCALAR_ITER pandas UDF (per-worker setup amortization)
+# ---------------------------------------------------------------------------
+
+
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF — the last cell of the Python API
+    matrix (scalar pandas_udf, GROUPED_AGG, applyInPandas,
+    mapInPandas, mapInArrow, UDTF, and now the iterator form). The
+    iterator variant exists for exactly one reason: one-time
+    per-worker setup (model load, regex compile) amortized across
+    every Arrow batch of the partition — here a compiled
+    token-class regex counts word-shaped tokens per document, and
+    the setup happens ONCE before the batch loop, visibly not per
+    row. The oracle recomputes the counts with DuckDB's regex
+    engine, so the amortized path is still hash-checked."""
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType,
+        pandas_udf as _pudf,
+    )
+
+    # functionType stated explicitly: the iterator type hints cannot be
+    # resolved from inside a closure (get_type_hints looks at module
+    # globals), and the closure form is required by the engine's
+    # by-value pickling rule (see verify SKILL gotchas).
+    @_pudf("int", functionType=PandasUDFType.SCALAR_ITER)
+    def word_shapes(batches):
+        import re  # noqa: PLC0415 - worker-side
+
+        pat = re.compile(r"[a-z]+[0-9]+")  # one-time per-worker setup
+        for s in batches:
+            yield s.map(lambda t: len(pat.findall(t))).astype("int32")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", word_shapes(F.col("text")).alias("n_alnum_tokens")
+    )
+
+
+UDF_SCALAR_ITER_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+[0-9]+')) AS INTEGER)
+           AS n_alnum_tokens
+FROM documents
+"""
+
+SPECS.append(
+    QuerySpec(
+        "udf_scalar_iter",
+        udf_scalar_iter,
+        UDF_SCALAR_ITER_ORACLE,
+        doc="SCALAR_ITER pandas UDF: per-worker regex compile amortized over Arrow batches",
+        tags=("functions", "udf"),
+    )
+)

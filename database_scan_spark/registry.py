@@ -243,6 +243,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_matryoshka_rerank",
     "win_interpolate",
     "text_readability",
+    "udf_scalar_iter",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

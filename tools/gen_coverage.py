@@ -140,6 +140,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Matryoshka prefix-dim retrieve + full rerank audit": ["sim_matryoshka_rerank"],
         "linear interpolation of missing time-series points": ["win_interpolate"],
         "Flesch/FK readability scoring (syllable proxy)": ["text_readability"],
+        "SCALAR_ITER pandas UDF (setup amortization)": ["udf_scalar_iter"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
