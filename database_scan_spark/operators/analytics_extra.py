@@ -2901,3 +2901,97 @@ SPECS.append(
         tags=("core", "analytics", "stats", "sampling"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_trend_mk — Mann-Kendall nonparametric trend test
+# ---------------------------------------------------------------------------
+
+
+def analytic_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per priority on the daily revenue
+    series: S = Σ_{i<j} sign(x_j − x_i) — the standard nonparametric
+    monotone-trend detector (no distribution assumption, robust to
+    outliers), closing the monitoring family: CUSUM finds level
+    SHIFTS, Hampel finds local SPIKES, this finds sustained DRIFT.
+
+    Exactness: x is integer cents, S and the no-ties variance
+    ``var18 = n(n−1)(2n+5)`` (×18 to stay integer) are BIGINT, and
+    the α=0.05 two-sided verdict ``|S| > 1.96·√Var`` is squared into
+    ``S²·10000·18 > 38416·var18`` — integers end to end. Scale: the
+    pair space is the DAY-aggregated series squared — calendar-
+    bounded (≤ ~10⁷ pairs per partition for a 10-year series), an
+    equi self-join on the series key, never on raw rows."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    a = daily.select("priority", F.col("day").alias("d_i"), F.col("x").alias("x_i"))
+    b = daily.select(
+        F.col("priority").alias("p2"),
+        F.col("day").alias("d_j"),
+        F.col("x").alias("x_j"),
+    )
+    pairs = a.join(b, (a["priority"] == b["p2"]) & (a["d_i"] < b["d_j"]))
+    s_tab = pairs.groupBy("priority").agg(
+        F.sum(F.signum(F.col("x_j") - F.col("x_i")).cast("bigint")).alias("s")
+    )
+    n_tab = daily.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
+    var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+    return (
+        s_tab.join(n_tab, "priority")
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("s"),
+            var18.cast("bigint").alias("var18"),
+            (
+                F.col("s") * F.col("s") * F.lit(180000)
+                > F.lit(38416) * var18
+            )
+            .cast("int")
+            .alias("trend_05"),
+        )
+        .orderBy("priority")
+    )
+
+
+ANALYTIC_TREND_MK_ORACLE = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+    FROM orders GROUP BY ALL
+),
+s_tab AS (
+    SELECT a.priority,
+           SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS s
+    FROM daily a JOIN daily b
+      ON a.priority = b.priority AND a.day < b.day
+    GROUP BY a.priority
+),
+n_tab AS (SELECT priority, COUNT(*) AS n FROM daily GROUP BY priority)
+SELECT s_tab.priority,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS s,
+       CAST(n * (n - 1) * (2 * n + 5) AS BIGINT) AS var18,
+       CAST(CASE WHEN s * s * 180000 > 38416 * (n * (n - 1) * (2 * n + 5))
+                 THEN 1 ELSE 0 END AS INTEGER) AS trend_05
+FROM s_tab JOIN n_tab ON s_tab.priority = n_tab.priority
+ORDER BY s_tab.priority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_trend_mk",
+        analytic_trend_mk,
+        ANALYTIC_TREND_MK_ORACLE,
+        doc="Mann-Kendall monotone-trend test — integer S, squared 1.96sigma verdict",
+        tags=("core", "analytics", "stats"),
+    )
+)

@@ -244,6 +244,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_interpolate",
     "text_readability",
     "udf_scalar_iter",
+    "analytic_trend_mk",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
