@@ -806,3 +806,66 @@ SPECS.append(
         tags=("functions", "udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# fn_sql_udf — SQL-defined function (Spark 4 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 SQL UDF: ``CREATE
+    TEMPORARY FUNCTION … RETURNS … RETURN <expr>``) — the
+    user-extension path that, unlike a Python UDF, stays ENTIRELY
+    inside Catalyst: the body is inlined into the plan at resolution
+    time, so it codegen-fuses, pushes down, and costs nothing at the
+    Python boundary. Applied here as a tiered discounted-revenue
+    band over lineitem; the oracle inlines the identical expression
+    (which is exactly what Spark itself does — asserted in the plan
+    audit: no Python eval node appears).
+
+    The function name is sf-scoped and CREATE OR REPLACE'd so
+    repeated driver calls in one session are idempotent (same
+    discipline as param_bind's temp view)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rev_band(p DOUBLE, d DOUBLE) "
+        "RETURNS STRING "
+        "RETURN CASE WHEN p * (1.0 - d) >= 50000 THEN 'high' "
+        "            WHEN p * (1.0 - d) >= 20000 THEN 'mid' "
+        "            ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT rev_band(l_extendedprice, l_discount) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS revenue
+        FROM li_sqludf
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
+FN_SQL_UDF_ORACLE = """
+SELECT CASE WHEN l_extendedprice * (1.0 - l_discount) >= 50000 THEN 'high'
+            WHEN l_extendedprice * (1.0 - l_discount) >= 20000 THEN 'mid'
+            ELSE 'low' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+GROUP BY band
+ORDER BY band
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_sql_udf",
+        fn_sql_udf,
+        FN_SQL_UDF_ORACLE,
+        doc="Spark 4 SQL UDF — Catalyst-inlined scalar function, no Python boundary",
+        tags=("functions", "sql"),
+    )
+)

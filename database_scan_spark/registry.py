@@ -245,6 +245,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_readability",
     "udf_scalar_iter",
     "analytic_trend_mk",
+    "fn_sql_udf",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

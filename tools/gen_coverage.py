@@ -142,6 +142,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Flesch/FK readability scoring (syllable proxy)": ["text_readability"],
         "SCALAR_ITER pandas UDF (setup amortization)": ["udf_scalar_iter"],
         "Mann-Kendall monotone-trend test": ["analytic_trend_mk"],
+        "SQL-defined function (Catalyst-inlined, Spark 4)": ["fn_sql_udf"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
