@@ -742,3 +742,152 @@ SPECS.append(
         tags=("graph", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits — HITS hubs & authorities (Kleinberg 1999), scaled integers
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the nation trade graph — the
+    second classic centrality next to ``graph_pagerank``, separating
+    BUYERS (hubs: customer nations pointing at good suppliers) from
+    SELLERS (authorities: supplier nations pointed at by good
+    buyers), which a single PageRank conflates on a bipartite-ish
+    flow graph.
+
+    Same determinism discipline as pagerank: scores are scaled
+    BIGINTs (SCALE=1e12); each half-round is one weighted aggregate
+    followed by INTEGER L1 renormalization ``v ← v div (Σv div
+    SCALE)`` — every operation integer, so both engines produce
+    identical numbers. Magnitude audit at fixture scale:
+    h·w ≤ 1e12·1e5 ⇒ partial sums < 2.5e18 < 2⁶³ (at 100 TB edge
+    weights, promote the two sums to DECIMAL(38,0) — shape
+    unchanged). Iterations run on the ≤ nations² edge relation; the
+    fact-scale work is the ONE edge-building aggregate."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    nodes = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    hubs = nodes.select("node", F.lit(SCALE).cast("bigint").alias("h"))
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            hubs.join(edges, hubs.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("raw"))
+        )
+        a_nrm = a_raw.agg(
+            F.greatest(F.lit(1), F.expr(f"sum(raw) div {SCALE}")).alias("nrm")
+        )
+        auth = (
+            nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_nrm))
+            .select(
+                "node",
+                F.expr("coalesce(raw, 0) div nrm").cast("bigint").alias("a"),
+            )
+        )
+        h_raw = (
+            auth.join(edges, auth.node == edges.dst)
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("raw"))
+        )
+        h_nrm = h_raw.agg(
+            F.greatest(F.lit(1), F.expr(f"sum(raw) div {SCALE}")).alias("nrm")
+        )
+        hubs = (
+            nodes.join(h_raw, nodes.node == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_nrm))
+            .select(
+                "node",
+                F.expr("coalesce(raw, 0) div nrm").cast("bigint").alias("h"),
+            )
+        )
+    return (
+        hubs.join(auth, "node")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("h").alias("hub_scaled"),
+            F.col("a").alias("authority_scaled"),
+        )
+        .orderBy("node")
+    )
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev_h = "h0"
+    for r in range(1, HITS_ROUNDS + 1):
+        rounds.append(f"""a{r}_raw AS MATERIALIZED (
+    SELECT e.dst, SUM(p.h * e.w) AS raw
+    FROM {prev_h} p JOIN edges e ON p.node = e.src
+    GROUP BY e.dst
+),
+a{r} AS MATERIALIZED (
+    SELECT n.node,
+           CAST(COALESCE(r.raw, 0)
+                // greatest(1, (SELECT SUM(raw) FROM a{r}_raw) // {SCALE})
+                AS BIGINT) AS a
+    FROM nodes n LEFT JOIN a{r}_raw r ON n.node = r.dst
+),
+h{r}_raw AS MATERIALIZED (
+    SELECT e.src, SUM(p.a * e.w) AS raw
+    FROM a{r} p JOIN edges e ON p.node = e.dst
+    GROUP BY e.src
+),
+h{r} AS MATERIALIZED (
+    SELECT n.node,
+           CAST(COALESCE(r.raw, 0)
+                // greatest(1, (SELECT SUM(raw) FROM h{r}_raw) // {SCALE})
+                AS BIGINT) AS h
+    FROM nodes n LEFT JOIN h{r}_raw r ON n.node = r.src
+)""")
+        prev_h = f"h{r}"
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY src, dst
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+h0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS h FROM nodes),
+{",".join(rounds)}
+SELECT CAST(n.node AS BIGINT) AS node,
+       h{HITS_ROUNDS}.h AS hub_scaled,
+       a{HITS_ROUNDS}.a AS authority_scaled
+FROM nodes n
+JOIN h{HITS_ROUNDS} ON n.node = h{HITS_ROUNDS}.node
+JOIN a{HITS_ROUNDS} ON n.node = a{HITS_ROUNDS}.node
+ORDER BY n.node
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_hits",
+        graph_hits,
+        _hits_oracle(),
+        doc="HITS hubs/authorities — scaled-BIGINT half-rounds with integer renormalization",
+        tags=("core", "graph", "iterative"),
+    )
+)

@@ -246,6 +246,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "udf_scalar_iter",
     "analytic_trend_mk",
     "fn_sql_udf",
+    "graph_hits",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -143,6 +143,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "SCALAR_ITER pandas UDF (setup amortization)": ["udf_scalar_iter"],
         "Mann-Kendall monotone-trend test": ["analytic_trend_mk"],
         "SQL-defined function (Catalyst-inlined, Spark 4)": ["fn_sql_udf"],
+        "HITS hubs/authorities (scaled-integer rounds)": ["graph_hits"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
