@@ -105,6 +105,9 @@ def _load_all() -> None:
     from .plans import rag_retrieval  # noqa: PLC0415
 
     _extend(rag_retrieval.SPECS)
+    from .plans import media_curation  # noqa: PLC0415
+
+    _extend(media_curation.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)
@@ -247,6 +250,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_trend_mk",
     "fn_sql_udf",
     "graph_hits",
+    "pipeline_media_curation",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
