@@ -682,3 +682,75 @@ SPECS.append(
         tags=("composite", "approx"),
     )
 )
+
+
+def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full theta-sketch SET ALGEBRA (Spark 4.1 `theta_intersection`
+    / `theta_difference`) over per-event-type user sketches: for
+    every ordered type pair, the overlap |A∩B| and the exclusive
+    remainder |A\\B| are computed ON THE SKETCHES — the audience-
+    overlap query ("clickers who purchased", "viewers who never
+    signed up") that at 100 TB must never re-shuffle raw user ids
+    per pair: 5 sketches are built in ONE pass over the fact table,
+    then the 20 pair combinations are kilobyte-sized sketch ops on
+    the driver-side cross of a 5-row relation.
+
+    Same oracle regime as `agg_theta_distinct_union`: theta sketches
+    are exact below their 2^20 nominal, so every estimate
+    hash-matches exact COUNT(DISTINCT) set algebra at fixture scale
+    and degrades to ~1.6% error at 100 TB instead of blowing up."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id"), F.lit(_THETA_LG_K)).alias("sk")
+    )
+    a = per.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = per.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).cast("bigint").alias("users_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).cast("bigint").alias("users_only_a"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_b"), F.col("sk_a"))
+        ).cast("bigint").alias("users_only_b"),
+    ).orderBy("type_a", "type_b")
+
+
+AGG_THETA_SET_ALGEBRA_ORACLE = """
+WITH s AS (
+    SELECT event_type, user_id FROM events GROUP BY event_type, user_id
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST((SELECT COUNT(*) FROM s x JOIN s y
+             ON x.user_id = y.user_id
+             WHERE x.event_type = a.event_type
+               AND y.event_type = b.event_type) AS BIGINT) AS users_both,
+       CAST((SELECT COUNT(*) FROM s x
+             WHERE x.event_type = a.event_type
+               AND x.user_id NOT IN (SELECT user_id FROM s y
+                                     WHERE y.event_type = b.event_type))
+            AS BIGINT) AS users_only_a,
+       CAST((SELECT COUNT(*) FROM s y
+             WHERE y.event_type = b.event_type
+               AND y.user_id NOT IN (SELECT user_id FROM s x
+                                     WHERE x.event_type = a.event_type))
+            AS BIGINT) AS users_only_b
+FROM types a JOIN types b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_theta_set_algebra",
+        agg_theta_set_algebra,
+        AGG_THETA_SET_ALGEBRA_ORACLE,
+        doc="theta-sketch intersection/difference per type pair — exact below nominal",
+        tags=("composite", "approx", "sketch"),
+    )
+)

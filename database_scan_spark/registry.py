@@ -251,6 +251,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_sql_udf",
     "graph_hits",
     "pipeline_media_curation",
+    "agg_theta_set_algebra",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -145,6 +145,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "SQL-defined function (Catalyst-inlined, Spark 4)": ["fn_sql_udf"],
         "HITS hubs/authorities (scaled-integer rounds)": ["graph_hits"],
         "cross-modality media curation pipeline": ["pipeline_media_curation"],
+        "theta-sketch set algebra (intersection/difference)": ["agg_theta_set_algebra"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
