@@ -76,6 +76,9 @@ HEADLINE = [
     "dedup_semdedup",
     "sim_mmr_rerank",
     "analytic_survival",
+    "mm_phash_pairs",
+    "pipeline_media_curation",
+    "analytic_bootstrap_ci",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).
