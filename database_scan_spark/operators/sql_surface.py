@@ -1117,3 +1117,61 @@ SPECS.append(
         tags=("sql", "set"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# param_execute_immediate — dynamic SQL with session variables (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def param_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic parameterized SQL: a session VARIABLE (``DECLARE``)
+    holds the operating threshold, and ``EXECUTE IMMEDIATE … USING``
+    binds positional parameters into a query STRING at runtime — the
+    Spark 4 completion of the reference's templated-query pattern
+    (`opentargets_client_api.py` string templates) alongside
+    ``param_bind`` (named literal args) and ``param_identifier``
+    (IDENTIFIER clause for table names). Everything stays in
+    Catalyst: the bound plan is indistinguishable from the inline
+    query, so pushdown/pruning survive dynamic construction.
+
+    DECLARE OR REPLACE keeps repeated driver calls idempotent (the
+    same session-global discipline as param_bind's temp view)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_exim")
+    spark.sql("DECLARE OR REPLACE exim_status STRING DEFAULT 'F'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                       AS DOUBLE) / 100.0 AS total
+           FROM ord_exim
+           WHERE o_orderstatus = exim_status AND o_totalprice >= ?
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority'
+        USING 1000.0
+        """
+    )
+
+
+PARAM_EXECUTE_IMMEDIATE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100.0 AS total
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "param_execute_immediate",
+        param_execute_immediate,
+        PARAM_EXECUTE_IMMEDIATE_ORACLE,
+        doc="EXECUTE IMMEDIATE + session variable binding — dynamic SQL stays in Catalyst",
+        tags=("sql", "params"),
+    )
+)

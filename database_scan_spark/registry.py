@@ -252,6 +252,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_hits",
     "pipeline_media_curation",
     "agg_theta_set_algebra",
+    "param_execute_immediate",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
