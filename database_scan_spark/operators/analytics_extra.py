@@ -2995,3 +2995,99 @@ SPECS.append(
         tags=("core", "analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_theil_sen — robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+def analytic_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope per priority on the daily revenue series: the
+    median of all pairwise slopes (x_j−x_i)/(d_j−d_i) — the robust
+    companion to ``analytic_trend_mk`` (MK answers IS there a trend,
+    Theil-Sen answers HOW STEEP, both immune to outliers that wreck
+    OLS). Reported in cents/day.
+
+    Determinism: each slope is ONE double division of exact integers
+    (bit-identical both engines); the median is DISCRETE (lower
+    middle of the sorted slope multiset — no averaging of two
+    middles, so no float addition anywhere). Scale: same
+    calendar-bounded pair space as Mann-Kendall — the self-join runs
+    on the day-aggregated series, never raw rows."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    a = daily.select("priority", F.col("day").alias("d_i"), F.col("x").alias("x_i"))
+    b = daily.select(
+        F.col("priority").alias("p2"),
+        F.col("day").alias("d_j"),
+        F.col("x").alias("x_j"),
+    )
+    slopes = (
+        a.join(b, (a["priority"] == b["p2"]) & (a["d_i"] < b["d_j"]))
+        .select(
+            "priority",
+            (
+                (F.col("x_j") - F.col("x_i"))
+                / F.datediff(F.col("d_j"), F.col("d_i"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    n_tab = slopes.groupBy("priority").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        ranked.join(F.broadcast(n_tab), "priority")
+        .filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select(
+            "priority",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round("slope", 6).alias("sen_slope_cents_per_day"),
+        )
+        .orderBy("priority")
+    )
+
+
+ANALYTIC_THEIL_SEN_ORACLE = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+    FROM orders GROUP BY ALL
+),
+slopes AS (
+    SELECT a.priority,
+           (b.x - a.x) / date_diff('day', a.day, b.day) AS slope
+    FROM daily a JOIN daily b
+      ON a.priority = b.priority AND a.day < b.day
+),
+ranked AS (
+    SELECT priority, slope,
+           row_number() OVER (PARTITION BY priority ORDER BY slope) AS rn,
+           COUNT(*) OVER (PARTITION BY priority) AS n_pairs
+    FROM slopes
+)
+SELECT priority,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(slope, 6) AS sen_slope_cents_per_day
+FROM ranked
+WHERE rn = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
+ORDER BY priority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_theil_sen",
+        analytic_theil_sen,
+        ANALYTIC_THEIL_SEN_ORACLE,
+        doc="Theil-Sen robust slope — discrete median of exact pairwise slopes",
+        tags=("core", "analytics", "stats"),
+    )
+)

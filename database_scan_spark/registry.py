@@ -253,6 +253,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_media_curation",
     "agg_theta_set_algebra",
     "param_execute_immediate",
+    "analytic_theil_sen",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -147,6 +147,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "cross-modality media curation pipeline": ["pipeline_media_curation"],
         "theta-sketch set algebra (intersection/difference)": ["agg_theta_set_algebra"],
         "EXECUTE IMMEDIATE + session variables (dynamic SQL)": ["param_execute_immediate"],
+        "Theil-Sen robust trend slope": ["analytic_theil_sen"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
