@@ -869,3 +869,99 @@ SPECS.append(
         tags=("core", "quality", "profile"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_moments — skewness / kurtosis from exact raw power sums
+# ---------------------------------------------------------------------------
+
+
+def dq_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: population skewness
+    and excess kurtosis computed from EXACT integer power sums
+    (Σv..Σv⁴ in DECIMAL over integer cents) — the two shape moments
+    ``dq_profile_numeric`` doesn't carry. The built-in skewness()/
+    kurtosis() differ between engines in bias correction, so this op
+    derives both from raw moments with the IDENTICAL operation order
+    on both sides (the engine's standard cross-engine float
+    discipline) — making distribution-shape drift alertable under a
+    hash gate. One aggregate with map-side combine; ~kilobyte state
+    per group at any scale."""
+    ev = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    agg = ev.select(F.col("event_type"), c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    d1 = agg["s1"].cast("double") / agg["n"]
+    d2 = agg["s2"].cast("double") / agg["n"]
+    d3 = agg["s3"].cast("double") / agg["n"]
+    d4 = agg["s4"].cast("double") / agg["n"]
+    var = d2 - d1 * d1
+    skew = (d3 - 3 * d1 * d2 + 2 * d1 * d1 * d1) / (
+        F.sqrt(var) * F.sqrt(var) * F.sqrt(var)
+    )
+    kurt = (
+        d4 - 4 * d1 * d3 + 6 * d1 * d1 * d2 - 3 * d1 * d1 * d1 * d1
+    ) / (var * var) - 3.0
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(d1 / 100.0, 6).alias("mean_value"),
+        F.round(F.sqrt(var) / 100.0, 6).alias("stddev_pop"),
+        F.round(skew, 6).alias("skewness_pop"),
+        F.round(kurt, 6).alias("excess_kurtosis_pop"),
+    ).orderBy("event_type")
+
+
+DQ_MOMENTS_ORACLE = """
+WITH agg AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS HUGEINT)) AS s1,
+           SUM(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS s2,
+           SUM(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS s3,
+           SUM(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS s4
+    FROM events GROUP BY event_type
+),
+d AS (
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n AS d1,
+           CAST(s2 AS DOUBLE) / n AS d2,
+           CAST(s3 AS DOUBLE) / n AS d3,
+           CAST(s4 AS DOUBLE) / n AS d4
+    FROM agg
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round(d1 / 100.0, 6) AS mean_value,
+       round(sqrt(d2 - d1 * d1) / 100.0, 6) AS stddev_pop,
+       round((d3 - 3 * d1 * d2 + 2 * d1 * d1 * d1)
+             / (sqrt(d2 - d1 * d1) * sqrt(d2 - d1 * d1)
+                * sqrt(d2 - d1 * d1)), 6) AS skewness_pop,
+       round((d4 - 4 * d1 * d3 + 6 * d1 * d1 * d2
+              - 3 * d1 * d1 * d1 * d1)
+             / ((d2 - d1 * d1) * (d2 - d1 * d1)) - 3.0, 6)
+           AS excess_kurtosis_pop
+FROM d
+ORDER BY event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_moments",
+        dq_moments,
+        DQ_MOMENTS_ORACLE,
+        doc="population skewness/kurtosis from exact integer power sums",
+        tags=("core", "quality", "profile", "stats"),
+    )
+)

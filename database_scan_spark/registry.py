@@ -254,6 +254,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_theta_set_algebra",
     "param_execute_immediate",
     "analytic_theil_sen",
+    "dq_moments",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -148,6 +148,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "theta-sketch set algebra (intersection/difference)": ["agg_theta_set_algebra"],
         "EXECUTE IMMEDIATE + session variables (dynamic SQL)": ["param_execute_immediate"],
         "Theil-Sen robust trend slope": ["analytic_theil_sen"],
+        "skewness/kurtosis from exact power sums": ["dq_moments"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
