@@ -891,3 +891,118 @@ SPECS.append(
         tags=("core", "graph", "iterative"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_random_walk — deterministic hash-driven walks (DeepWalk data prep)
+# ---------------------------------------------------------------------------
+
+WALK_STEPS = 3
+
+
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "random" walks over the nation trade graph — the
+    corpus-generation primitive under DeepWalk/node2vec graph
+    embeddings: one walk per start node, each step moving to the
+    neighbor indexed by ``h32(node:step) mod out_degree``. Hash-
+    seeded instead of RNG-seeded for the same reason as the sampling
+    family: the walk corpus is bit-reproducible across engines,
+    partitionings and reruns — a re-run of the embedding pipeline
+    trains on the SAME sequences.
+
+    Scale: the edge list collapses to the dimension-sized ranked
+    neighbor table (one row_number window per src); each unrolled
+    step is one hash-join against it — walk length joins, never an
+    iterative driver loop, and the fact-scale work remains the one
+    edge-building aggregate.
+
+    Citation: the multi-hop walk generalizes the reference's
+    target→disease→drug traversal (x2.2.py:238-247) from a fixed
+    3-entity schema walk to arbitrary graph steps."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    edges = _trade_edges(spark, sf_dir)
+    ranked = edges.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rk"),
+    )
+    degree = ranked.groupBy("src").agg(F.max("rk").alias("deg"))
+    nbr = ranked.join(degree, "src")
+    walk = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("start")
+    ).withColumn("cur", F.col("start"))
+    hops = []
+    for step in range(1, WALK_STEPS + 1):
+        pick = (
+            h32(F.concat_ws(":", F.col("cur"), F.lit(step))) % F.col("deg") + 1
+        )
+        nxt = (
+            walk.join(nbr, walk["cur"] == nbr["src"])
+            .filter(F.col("rk") == pick)
+            .select(
+                "start",
+                *hops,
+                F.col("dst").cast("bigint").alias(f"hop{step}"),
+            )
+        )
+        hops = [*hops, f"hop{step}"]
+        walk = nxt.withColumn("cur", F.col(f"hop{step}"))
+    return walk.select("start", *hops).orderBy("start")
+
+
+def _walk_oracle() -> str:
+    h = "('0x' || substring(md5(CAST({n} AS VARCHAR) || ':{s}'), 1, 8))::BIGINT"
+    steps = []
+    prev = "w0"
+    for step in range(1, WALK_STEPS + 1):
+        prev_cur = "start" if step == 1 else f"hop{step - 1}"
+        cols = ", ".join(
+            ["p.start"]
+            + [f"p.hop{i}" for i in range(1, step)]
+            + ["n.dst AS hop" + str(step)]
+        )
+        steps.append(f"""w{step} AS MATERIALIZED (
+    SELECT {cols}
+    FROM w{step - 1} p JOIN nbr n
+      ON p.{prev_cur} = n.src
+     AND n.rk = {h.format(n=f"p.{prev_cur}", s=step)} % n.deg + 1
+)""")
+        prev = f"w{step}"
+    hopcols = ", ".join(f"hop{i}" for i in range(1, WALK_STEPS + 1))
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY src, dst
+),
+ranked AS (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+    FROM edges
+),
+degree AS (SELECT src, MAX(rk) AS deg FROM ranked GROUP BY src),
+nbr AS (
+    SELECT r.src, CAST(r.dst AS BIGINT) AS dst, r.rk, d.deg
+    FROM ranked r JOIN degree d ON r.src = d.src
+),
+w0 AS (SELECT CAST(n_nationkey AS BIGINT) AS start FROM nation),
+{",".join(steps)}
+SELECT start, {hopcols} FROM w{WALK_STEPS} ORDER BY start
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_random_walk",
+        graph_random_walk,
+        _walk_oracle(),
+        doc="hash-seeded deterministic walks — DeepWalk corpus generation, 3 unrolled hops",
+        tags=("core", "graph", "llm"),
+    )
+)

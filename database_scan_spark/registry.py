@@ -255,6 +255,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "param_execute_immediate",
     "analytic_theil_sen",
     "dq_moments",
+    "graph_random_walk",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -149,6 +149,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "EXECUTE IMMEDIATE + session variables (dynamic SQL)": ["param_execute_immediate"],
         "Theil-Sen robust trend slope": ["analytic_theil_sen"],
         "skewness/kurtosis from exact power sums": ["dq_moments"],
+        "deterministic random walks (DeepWalk corpus prep)": ["graph_random_walk"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
