@@ -144,3 +144,21 @@ def test_csv_corrupt_recovery_restages_cleanly(spark):
     b = src_csv_corrupt_recovery(spark, SF_SMOKE).toPandas()
     assert a["_corrupt"].notna().sum() == b["_corrupt"].notna().sum() == 8
     assert len(a) == len(b) == 25
+
+
+def test_session_global_state_does_not_bleed(spark):
+    """The three session-global binding mechanisms — param_bind's temp
+    view, fn_sql_udf's SQL UDF, and param_execute_immediate's session
+    variable — must interleave in ONE session without corrupting each
+    other, and each must be idempotent on re-run."""
+    from database_scan_spark.registry import SPECS
+
+    specs = {sp.name: sp for sp in SPECS}
+    first = {}
+    order = ["param_bind", "fn_sql_udf", "param_execute_immediate"]
+    for name in order:
+        first[name] = specs[name].fn(spark, SF_SMOKE).toPandas()
+    # re-run in reverse order: every result identical to its first run
+    for name in reversed(order):
+        again = specs[name].fn(spark, SF_SMOKE).toPandas()
+        assert again.equals(first[name]), name
