@@ -658,3 +658,86 @@ SPECS.append(
         tags=("sampling", "llm", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_target_encoding — leakage-safe out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+
+def wf_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of the customer segment: the
+    canonical leakage-safe categorical encoder — each fold's rows are
+    encoded with the target mean computed from the OTHER folds only
+    (``(Σ_total − Σ_fold) / (n_total − n_fold)``), so a row never
+    sees its own target. Folds come from the same deterministic hash
+    rule as ``split_kfold``, making the encoded features
+    bit-reproducible across engines and reruns.
+
+    Exactness: per-(segment, fold) sums in DECIMAL cents; the OOF
+    mean is ONE double division of exact integers. Scale: one
+    (segment, fold) aggregate (≤ |segments|·K rows) and a tiny
+    same-key grand-total join — the encoder table then broadcasts
+    back onto any training scan for free."""
+    cust = load(spark, sf_dir, "customer")
+    fold = h32(F.concat_ws(":", F.col("c_custkey"), F.lit("fold"))) % 5
+    cells = (
+        cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            fold.cast("int").alias("fold"),
+            F.round(F.col("c_acctbal") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+        .groupBy("segment", "fold")
+        .agg(F.count(F.lit(1)).alias("n_f"), F.sum("cents").alias("s_f"))
+    )
+    totals = cells.groupBy("segment").agg(
+        F.sum("n_f").alias("n_t"), F.sum("s_f").alias("s_t")
+    )
+    return (
+        cells.join(totals, "segment")
+        .select(
+            "segment",
+            "fold",
+            F.col("n_f").cast("bigint").alias("n_fold"),
+            F.round(
+                (F.col("s_t") - F.col("s_f")).cast("double")
+                / (F.col("n_t") - F.col("n_f"))
+                / 100.0,
+                6,
+            ).alias("oof_mean_acctbal"),
+        )
+        .orderBy("segment", "fold")
+    )
+
+
+WF_TARGET_ENCODING_ORACLE = f"""
+WITH cells AS (
+    SELECT c_mktsegment AS segment,
+           CAST({H32_SQL.format(x="CAST(c_custkey AS VARCHAR) || ':fold'")} % 5
+                AS INTEGER) AS fold,
+           COUNT(*) AS n_f,
+           SUM(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))) AS s_f
+    FROM customer GROUP BY ALL
+),
+totals AS (
+    SELECT segment, SUM(n_f) AS n_t, SUM(s_f) AS s_t FROM cells GROUP BY segment
+)
+SELECT c.segment, c.fold,
+       CAST(c.n_f AS BIGINT) AS n_fold,
+       round(CAST(t.s_t - c.s_f AS DOUBLE) / (t.n_t - c.n_f) / 100.0, 6)
+           AS oof_mean_acctbal
+FROM cells c JOIN totals t ON c.segment = t.segment
+ORDER BY c.segment, c.fold
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_target_encoding",
+        wf_target_encoding,
+        WF_TARGET_ENCODING_ORACLE,
+        doc="out-of-fold target encoding — exact DECIMAL sums, hash folds, leakage-safe",
+        tags=("sampling", "llm", "mlops"),
+    )
+)

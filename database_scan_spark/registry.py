@@ -256,6 +256,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_theil_sen",
     "dq_moments",
     "graph_random_walk",
+    "wf_target_encoding",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -150,6 +150,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Theil-Sen robust trend slope": ["analytic_theil_sen"],
         "skewness/kurtosis from exact power sums": ["dq_moments"],
         "deterministic random walks (DeepWalk corpus prep)": ["graph_random_walk"],
+        "out-of-fold target encoding (leakage-safe)": ["wf_target_encoding"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
