@@ -3091,3 +3091,96 @@ SPECS.append(
         tags=("core", "analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_auc — exact ROC-AUC via the Mann-Whitney rank formula
+# ---------------------------------------------------------------------------
+
+
+def analytic_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the event value as a purchase-vs-rest
+    classifier score — the evaluation metric every model gate needs,
+    computed distributed via the Mann-Whitney identity
+    ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` where R⁺ is the positive
+    rows' rank sum. No curve materialization, no thresholds — ONE
+    rank window plus one aggregate.
+
+    Exactness: ranks are tie-AVERAGED as ``(min_rank + max_rank)/2``
+    derived from integer row_number bounds per tied score (cents, so
+    tie groups are well-defined); the average is an exact .0/.5
+    double and the rank sum is exact (sums of halves), making the
+    final division bit-identical cross-engine. Scale: the rank
+    window is a single global sort — at 100 TB use a range-
+    partitioned sort (Spark's default for window-less rank via
+    zipWithIndex-style plans) or bucket the scores; the formula
+    itself never changes."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("s")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    tie_avg = (
+        ranked.groupBy("s")
+        .agg(
+            F.min("rn").alias("lo"),
+            F.max("rn").alias("hi"),
+        )
+        .select("s", ((F.col("lo") + F.col("hi")) / 2.0).alias("avg_rank"))
+    )
+    joined = scored.join(tie_avg, "s")
+    agg = joined.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("y") * F.col("avg_rank")).alias("rank_sum_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("rank_sum_pos")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ANALYTIC_AUC_ORACLE = """
+WITH scored AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           CAST(round(value * 100) AS BIGINT) AS s
+    FROM events
+),
+ranked AS (
+    SELECT y, s, row_number() OVER (ORDER BY s) AS rn FROM scored
+),
+tie_avg AS (
+    SELECT s, (MIN(rn) + MAX(rn)) / 2.0 AS avg_rank
+    FROM ranked GROUP BY s
+),
+agg AS (
+    SELECT CAST(SUM(sc.y) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - sc.y) AS BIGINT) AS n_neg,
+           SUM(sc.y * t.avg_rank) AS rank_sum_pos
+    FROM scored sc JOIN tie_avg t ON sc.s = t.s
+)
+SELECT n_pos, n_neg,
+       round((rank_sum_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+FROM agg
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_auc",
+        analytic_auc,
+        ANALYTIC_AUC_ORACLE,
+        doc="exact ROC-AUC via Mann-Whitney rank sum with tie-averaged ranks",
+        tags=("core", "analytics", "stats", "mlops"),
+    )
+)

@@ -257,6 +257,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_moments",
     "graph_random_walk",
     "wf_target_encoding",
+    "analytic_auc",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
