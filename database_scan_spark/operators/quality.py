@@ -965,3 +965,94 @@ SPECS.append(
         tags=("core", "quality", "profile", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_annotator_agreement — Cohen's kappa between two labeling rules
+# ---------------------------------------------------------------------------
+
+
+def dq_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality
+    "annotators" — the rule-based length band (20..1000 tokens) and
+    the lexical-diversity band (type-token ratio ≥ 0.5) — the
+    agreement statistic every labeling pipeline reports before
+    trusting auto-labels. Emits the 2×2 confusion counts plus
+    observed agreement, chance agreement and kappa.
+
+    Exactness: the confusion matrix is four exact BIGINTs from one
+    aggregate; p_o, p_e and κ are a fixed sequence of double
+    divisions over those integers, written in the identical order in
+    both engines, rounded 6dp. One narrow projection + one 4-cell
+    aggregate: a single scan at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    a = ((F.size(toks) >= 20) & (F.size(toks) <= 1000)).cast("int")
+    b = (
+        F.size(F.array_distinct(toks)) * 2 >= F.size(toks)
+    ).cast("int")  # TTR >= 0.5 without division
+    cells = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return cells.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+DQ_ANNOTATOR_AGREEMENT_ORACLE = """
+WITH lab AS (
+    SELECT CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                THEN 1 ELSE 0 END AS a,
+           CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+                     >= len(string_split(text, ' '))
+                THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+cells AS (
+    SELECT COUNT(*) AS n,
+           SUM(a * b) AS n11,
+           SUM(a * (1 - b)) AS n10,
+           SUM((1 - a) * b) AS n01,
+           SUM((1 - a) * (1 - b)) AS n00
+    FROM lab
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       round((n11 + n00) / CAST(n AS DOUBLE), 6) AS p_observed,
+       round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n), 6) AS p_chance,
+       round(((n11 + n00) / CAST(n AS DOUBLE)
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM cells
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_annotator_agreement",
+        dq_annotator_agreement,
+        DQ_ANNOTATOR_AGREEMENT_ORACLE,
+        doc="Cohen's kappa between two labeling rules — exact 2x2 counts",
+        tags=("core", "quality", "stats"),
+    )
+)

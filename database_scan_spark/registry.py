@@ -258,6 +258,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_random_walk",
     "wf_target_encoding",
     "analytic_auc",
+    "dq_annotator_agreement",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

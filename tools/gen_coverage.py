@@ -152,6 +152,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "deterministic random walks (DeepWalk corpus prep)": ["graph_random_walk"],
         "out-of-fold target encoding (leakage-safe)": ["wf_target_encoding"],
         "exact ROC-AUC (Mann-Whitney rank form)": ["analytic_auc"],
+        "Cohen's kappa annotator agreement": ["dq_annotator_agreement"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
