@@ -3184,3 +3184,100 @@ SPECS.append(
         tags=("core", "analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_gains_table — decile gains/lift table for a ranking score
+# ---------------------------------------------------------------------------
+
+
+def analytic_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table for the event-value score against the
+    purchase label — the campaign-targeting companion of
+    ``analytic_auc``: rank by score, cut into 10 equal buckets,
+    report per-decile and cumulative capture of positives plus lift.
+    This is the table a marketing/quality team reads to pick a
+    cutoff.
+
+    Determinism: the decile cut is ``ntile(10)`` over a TOTAL order
+    (score cents DESC, event_id) — without the id tiebreak, tied
+    scores would land in deciles nondeterministically and the
+    cumulative counts would not be reproducible. Counts are exact
+    BIGINTs; rate and lift are single double divisions. One window
+    sort + one aggregate; at 100 TB the sort is range-partitioned."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("event_id"))
+    dec = scored.withColumn("decile", F.ntile(10).over(w))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_all"), F.sum("n_pos").alias("pos_all")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("pos_all"), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pos_all").cast("double") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+ANALYTIC_GAINS_TABLE_ORACLE = """
+WITH scored AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           CAST(round(value * 100) AS BIGINT) AS s
+    FROM events
+),
+dec AS (
+    SELECT y, ntile(10) OVER (ORDER BY s DESC, event_id) AS decile
+    FROM scored
+),
+per AS (
+    SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos FROM dec GROUP BY decile
+),
+tot AS (SELECT SUM(n) AS n_all, SUM(n_pos) AS pos_all FROM per)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_pos,
+       round(CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / pos_all, 6) AS cum_capture,
+       round((CAST(n_pos AS DOUBLE) / n)
+             / (CAST(pos_all AS DOUBLE) / n_all), 6) AS lift
+FROM per, tot
+ORDER BY decile
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_gains_table",
+        analytic_gains_table,
+        ANALYTIC_GAINS_TABLE_ORACLE,
+        doc="decile gains/lift table — total-order ntile, exact counts",
+        tags=("core", "analytics", "mlops"),
+    )
+)

@@ -259,6 +259,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_target_encoding",
     "analytic_auc",
     "dq_annotator_agreement",
+    "analytic_gains_table",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

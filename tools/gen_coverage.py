@@ -153,6 +153,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "out-of-fold target encoding (leakage-safe)": ["wf_target_encoding"],
         "exact ROC-AUC (Mann-Whitney rank form)": ["analytic_auc"],
         "Cohen's kappa annotator agreement": ["dq_annotator_agreement"],
+        "decile gains/lift table (total-order ntile)": ["analytic_gains_table"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
