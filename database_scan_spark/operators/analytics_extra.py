@@ -3281,3 +3281,118 @@ SPECS.append(
         tags=("core", "analytics", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_calibration — reliability bins + exact Brier score
+# ---------------------------------------------------------------------------
+
+
+def analytic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) table for the normalized
+    event-value score against the purchase label, with the overall
+    Brier score — closing the offline-eval family (ranking quality
+    = ``analytic_auc``, targeting = ``analytic_gains_table``,
+    probability quality = this).
+
+    Exactness: the score is normalized by the global max (one-row
+    broadcast agg); bin ids are pure integer arithmetic
+    ``min(9, 10·s div max)``; per-bin mean prediction derives from
+    exact DECIMAL Σs, and the Brier score expands to
+    ``(Σs²/max² − 2Σ(s·y)/max + Σy)/n`` — three exact integer sums,
+    so no float is ever accumulated. One aggregate + one tiny
+    window-free join."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    mx = scored.agg(F.max("s").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(mx)).withColumn(
+        "bin", F.least(F.lit(9), F.expr("(10 * s) div mx")).cast("int")
+    )
+    per = binned.groupBy("bin", "mx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        ).alias("s2"),
+        F.sum(F.col("s") * F.col("y")).alias("sy"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("n_pos").alias("pos_all"),
+        F.sum("s2").alias("s2_all"),
+        F.sum("sy").alias("sy_all"),
+        F.max("mx").alias("mxx"),
+    )
+    brier = (
+        F.col("s2_all").cast("double")
+        / (F.col("mxx").cast("double") * F.col("mxx"))
+        - 2.0 * F.col("sy_all").cast("double") / F.col("mxx")
+        + F.col("pos_all").cast("double")
+    ) / F.col("n_all")
+    return (
+        per.crossJoin(F.broadcast(tot.select(brier.alias("brier"))))
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round(
+                F.col("s1").cast("double") / F.col("n") / F.col("mx"), 6
+            ).alias("mean_pred"),
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+                "frac_pos"
+            ),
+            F.round(F.col("brier"), 6).alias("brier_overall"),
+        )
+        .orderBy("bin")
+    )
+
+
+ANALYTIC_CALIBRATION_ORACLE = """
+WITH scored AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           CAST(round(value * 100) AS BIGINT) AS s
+    FROM events
+),
+mx AS (SELECT MAX(s) AS mx FROM scored),
+binned AS (
+    SELECT y, s, mx.mx,
+           CAST(least(9, (10 * s) // mx.mx) AS INTEGER) AS bin
+    FROM scored, mx
+),
+per AS (
+    SELECT bin, MAX(mx) AS mx, COUNT(*) AS n, SUM(y) AS n_pos,
+           SUM(CAST(s AS HUGEINT)) AS s1,
+           SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2,
+           SUM(s * y) AS sy
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT SUM(n) AS n_all, SUM(n_pos) AS pos_all,
+           SUM(s2) AS s2_all, SUM(sy) AS sy_all, MAX(mx) AS mxx
+    FROM per
+)
+SELECT bin,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(s1 AS DOUBLE) / n / mx, 6) AS mean_pred,
+       round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+       round((CAST(s2_all AS DOUBLE) / (CAST(mxx AS DOUBLE) * mxx)
+              - 2.0 * CAST(sy_all AS DOUBLE) / mxx
+              + CAST(pos_all AS DOUBLE)) / n_all, 6) AS brier_overall
+FROM per, tot
+ORDER BY bin
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_calibration",
+        analytic_calibration,
+        ANALYTIC_CALIBRATION_ORACLE,
+        doc="reliability bins + exact Brier score from integer power sums",
+        tags=("core", "analytics", "mlops"),
+    )
+)

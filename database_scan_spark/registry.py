@@ -260,6 +260,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_auc",
     "dq_annotator_agreement",
     "analytic_gains_table",
+    "analytic_calibration",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -154,6 +154,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exact ROC-AUC (Mann-Whitney rank form)": ["analytic_auc"],
         "Cohen's kappa annotator agreement": ["dq_annotator_agreement"],
         "decile gains/lift table (total-order ntile)": ["analytic_gains_table"],
+        "calibration bins + exact Brier score": ["analytic_calibration"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
