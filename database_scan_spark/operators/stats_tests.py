@@ -1,0 +1,711 @@
+"""Exact distributed statistical tests — the offline-experimentation
+surface a data platform runs next to its pipelines (χ² independence,
+rank correlation, ranking AP, changepoint localization).
+
+Every statistic here follows the package's determinism discipline
+(see ``quality.dq_correlation`` / ``dq_entropy_profile``): sufficient
+statistics are exact BIGINT/DECIMAL aggregates (order-free), the one
+floating step per statistic is a fixed IEEE op sequence evaluated
+identically by both engines, and any term that must be summed in
+floating point is rounded to 12 dp and summed as DECIMAL instead.
+
+Scale shapes are chosen for 100 TB first: no global sorts for ranks
+(rank statistics are derived from value-domain aggregates + window
+over the tiny distinct-value relation), contingency tables are one
+hash aggregation + broadcast marginals, and series statistics run on
+calendar-bounded daily aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..spec import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+# ---------------------------------------------------------------------------
+# analytic_chi_square — χ² test of independence, segment × region
+# ---------------------------------------------------------------------------
+
+# Upper-tail critical value χ²₀.₉₅ with (5−1)(5−1)=16 dof.
+_CHI2_CRIT_16 = "26.296"
+
+
+def analytic_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test: is customer market segment
+    independent of geographic region? The categorical-association
+    audit a feature platform runs before trusting a segmentation.
+
+    Exactness: observed counts o, row totals r, col totals c and N
+    are BIGINTs; each cell term is the algebraically cleared form
+    ``(N·o − r·c)² / (N·r·c)`` — integer numerator/denominator
+    promoted to double for ONE division, rounded to 12 dp, summed as
+    DECIMAL (order-free). Zero-observed cells still contribute
+    ``r·c/N`` — the full segment×region grid is generated from the
+    two marginal relations, not from observed pairs.
+
+    Scale: one hash aggregation over the fact (map-side combine),
+    marginals derived from the 25-cell table itself; everything after
+    the first groupBy is dimension-sized."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    obs = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("n_regionkey").alias("reg"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("reg").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = rows.crossJoin(F.broadcast(cols)).crossJoin(F.broadcast(tot))
+    cells = grid.join(obs, ["seg", "reg"], "left").select(
+        "n",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        "r",
+        "c",
+    )
+    terms = cells.select(
+        "n",
+        F.round(
+            F.pow(
+                (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double"), 2
+            )
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double"),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("term"),
+    )
+    return terms.groupBy("n").agg(F.sum("term").alias("term_sum")).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lit(16).cast("int").alias("dof"),
+        F.round(F.col("term_sum").cast("double"), 6).alias("chi2"),
+        (F.col("term_sum") > F.lit(_CHI2_CRIT_16).cast("decimal(24,12)")).alias(
+            "reject_independence"
+        ),
+    )
+
+
+ANALYTIC_CHI_SQUARE_ORACLE = f"""
+WITH obs AS (
+    SELECT c_mktsegment AS seg, n_regionkey AS reg, COUNT(*) AS o
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+rows_m AS (SELECT seg, SUM(o) AS r FROM obs GROUP BY seg),
+cols_m AS (SELECT reg, SUM(o) AS c FROM obs GROUP BY reg),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+    SELECT t.n, COALESCE(ob.o, 0) AS o, rm.r, cm.c
+    FROM rows_m rm CROSS JOIN cols_m cm CROSS JOIN tot t
+    LEFT JOIN obs ob ON ob.seg = rm.seg AND ob.reg = cm.reg
+),
+terms AS (
+    SELECT n,
+           CAST(round(
+               pow(CAST(n * o - r * c AS DOUBLE), 2)
+               / CAST(n * r * c AS DOUBLE), 12) AS DECIMAL(24,12)) AS term
+    FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(16 AS INT) AS dof,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+       SUM(term) > CAST({_CHI2_CRIT_16} AS DECIMAL(24,12)) AS reject_independence
+FROM terms GROUP BY n
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_chi_square",
+        analytic_chi_square,
+        ANALYTIC_CHI_SQUARE_ORACLE,
+        doc="Pearson chi-square independence test over the segment x region grid",
+        tags=("analytics", "stats"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic_spearman — rank correlation WITHOUT a global sort
+# ---------------------------------------------------------------------------
+
+
+def analytic_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and
+    discount — the monotone-association check that is robust where
+    ``dq_correlation``'s Pearson is not.
+
+    The textbook formulation ranks every row (a global sort). Both
+    variables here have tiny value domains (≤50 and ≤11 distinct), so
+    tie-averaged ranks are instead derived from per-VALUE counts: for
+    value v, ``avg_rank(v) = (#smaller) + (cnt(v)+1)/2``. Doubling
+    removes the half: ``dr(v) = 2·#smaller + cnt(v) + 1`` is a BIGINT.
+    Spearman ρ is then Pearson on the doubled ranks — the ×2 cancels.
+
+    Distributed shape: ONE hash aggregation over the fact builds the
+    joint (qty, disc) histogram; rank dimensions are windows over the
+    ≤50-row value relations; all Σ moments are exact DECIMAL sums of
+    BIGINT products weighted by the joint counts. The only float step
+    is the final closed-form ρ from six exact scalars — bit-identical
+    cross-engine. At 100 TB this never sorts the fact and shuffles
+    only the ≤550-row joint histogram after map-side combine."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    joint = li.groupBy("q", "d").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def rank_dim(col: str) -> DataFrame:
+        marg = joint.groupBy(col).agg(F.sum("cnt").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return marg.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+            ).alias(f"dr_{col}"),
+        )
+
+    cell = (
+        joint.join(F.broadcast(rank_dim("q")), "q")
+        .join(F.broadcast(rank_dim("d")), "d")
+        .select(
+            F.col("cnt").cast("decimal(38,0)").alias("cnt"),
+            F.col("dr_q").cast("decimal(38,0)").alias("x"),
+            F.col("dr_d").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = cell.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.col("cnt") * F.col("x")).cast("double").alias("sx"),
+        F.sum(F.col("cnt") * F.col("y")).cast("double").alias("sy"),
+        F.sum(F.col("cnt") * F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("cnt") * F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("cnt") * F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+ANALYTIC_SPEARMAN_ORACLE = """
+WITH joint AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100) AS BIGINT) AS d,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2
+),
+rq AS (
+    SELECT q,
+           2 * COALESCE(SUM(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS dr_q
+    FROM (SELECT q, SUM(cnt) AS c FROM joint GROUP BY q)
+),
+rd AS (
+    SELECT d,
+           2 * COALESCE(SUM(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS dr_d
+    FROM (SELECT d, SUM(cnt) AS c FROM joint GROUP BY d)
+),
+cell AS (
+    SELECT CAST(cnt AS DECIMAL(38,0)) AS cnt,
+           CAST(dr_q AS DECIMAL(38,0)) AS x,
+           CAST(dr_d AS DECIMAL(38,0)) AS y
+    FROM joint JOIN rq USING (q) JOIN rd USING (d)
+),
+m AS (
+    SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+           CAST(SUM(cnt * x) AS DOUBLE) AS sx,
+           CAST(SUM(cnt * y) AS DOUBLE) AS sy,
+           CAST(SUM(cnt * x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(cnt * x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(cnt * y * y) AS DOUBLE) AS syy
+    FROM cell
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS spearman_rho
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_spearman",
+        analytic_spearman,
+        ANALYTIC_SPEARMAN_ORACLE,
+        doc="Spearman rank correlation from value-domain aggregates (no global sort)",
+        tags=("analytics", "stats"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic_avg_precision — PR-curve area from threshold aggregates
+# ---------------------------------------------------------------------------
+
+
+def analytic_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of the event value as a purchase classifier — the
+    imbalanced-label companion of ``analytic_auc``.
+
+    Uses the threshold form ``AP = Σ_k (R_k − R_{k−1}) · P_k`` over
+    DISTINCT score levels, so the fact is never row-ranked: one hash
+    aggregation builds the per-score (positives, total) histogram,
+    cumulative TP/cnt come from a window over the distinct-score
+    relation (domain-sized — score is cents, bounded), and each
+    term ``(ΔTP/n_pos)·(TP/cum_cnt)`` is one double expression from
+    exact BIGINTs, rounded to 12 dp and summed as DECIMAL
+    (order-free). Ties share a threshold by construction — the same
+    convention as scikit-learn's ``average_precision_score``."""
+    ev = load(spark, sf_dir, "events")
+    per_score = (
+        ev.select(
+            (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sum("y").alias("pos"), F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "pos",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("cnt").over(w).alias("cum_cnt"),
+    )
+    tot = cum.agg(F.max("tp").alias("n_pos"), F.max("cum_cnt").alias("n_rows"))
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_rows",
+        F.round(
+            (F.col("pos").cast("double") / F.col("n_pos"))
+            * (F.col("tp").cast("double") / F.col("cum_cnt")),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("term"),
+    )
+    return terms.groupBy("n_pos", "n_rows").agg(F.sum("term").alias("ap_sum")).select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n_rows") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.round(F.col("ap_sum").cast("double"), 6).alias("avg_precision"),
+    )
+
+
+ANALYTIC_AVG_PRECISION_ORACLE = """
+WITH per_score AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS s,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT pos,
+           SUM(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           SUM(cnt) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+    FROM per_score
+),
+tot AS (SELECT MAX(tp) AS n_pos, MAX(cum_cnt) AS n_rows FROM cum),
+terms AS (
+    SELECT n_pos, n_rows,
+           CAST(round((CAST(pos AS DOUBLE) / n_pos)
+                      * (CAST(tp AS DOUBLE) / cum_cnt), 12)
+                AS DECIMAL(24,12)) AS term
+    FROM cum CROSS JOIN tot
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_rows - n_pos AS BIGINT) AS n_neg,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS avg_precision
+FROM terms GROUP BY n_pos, n_rows
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_avg_precision",
+        analytic_avg_precision,
+        ANALYTIC_AVG_PRECISION_ORACLE,
+        doc="average precision (PR-AUC) from distinct-threshold aggregates",
+        tags=("analytics", "stats", "mlops"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic_changepoint — exact single-changepoint localization
+# ---------------------------------------------------------------------------
+
+_CP_TOP = 3
+
+
+def analytic_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint localization on the daily purchase-count
+    series: the split maximizing the between-class sum-of-squares
+    gain ``S₁²/n₁ + S₂²/n₂ − S²/n`` (binary-segmentation step, the
+    building block of PELT/BinSeg). Reports the top-3 candidate
+    split days so the margin over runners-up is visible.
+
+    Determinism: prefix sums S₁ and counts are exact BIGINTs from a
+    window over the calendar-bounded daily relation; the gain is one
+    fixed double expression per split — bit-identical cross-engine —
+    and candidates are ordered by (gain DESC, day) so even exact
+    gain ties break deterministically. Scale: the fact collapses to
+    ≤ one row per day in a single hash aggregation before any window
+    touches it."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "day",
+        F.sum("x").over(w).alias("s1"),
+        F.row_number().over(Window.orderBy("day")).alias("n1"),
+    )
+    tot = daily.agg(
+        F.sum("x").alias("s_tot"), F.count(F.lit(1)).alias("n_tot")
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("n_tot"))
+        .select(
+            "day",
+            "n1",
+            (F.col("n_tot") - F.col("n1")).alias("n2"),
+            (
+                F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+                + (F.col("s_tot") - F.col("s1")).cast("double")
+                * (F.col("s_tot") - F.col("s1"))
+                / (F.col("n_tot") - F.col("n1"))
+                - F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
+            ).alias("gain"),
+            (F.col("s1").cast("double") / F.col("n1")).alias("mean_before"),
+            (
+                (F.col("s_tot") - F.col("s1")).cast("double")
+                / (F.col("n_tot") - F.col("n1"))
+            ).alias("mean_after"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("gain").desc(), F.col("day")))
+    ).filter(F.col("rk") <= _CP_TOP)
+    return ranked.select(
+        "rk",
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("n1").cast("bigint").alias("days_before"),
+        F.col("n2").cast("bigint").alias("days_after"),
+        F.round("gain", 6).alias("gain"),
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+    )
+
+
+ANALYTIC_CHANGEPOINT_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+    SELECT day,
+           SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+           row_number() OVER (ORDER BY day) AS n1
+    FROM daily
+),
+tot AS (SELECT SUM(x) AS s_tot, COUNT(*) AS n_tot FROM daily),
+scored AS (
+    SELECT day, n1, n_tot - n1 AS n2,
+           CAST(s1 AS DOUBLE) * s1 / n1
+           + CAST(s_tot - s1 AS DOUBLE) * (s_tot - s1) / (n_tot - n1)
+           - CAST(s_tot AS DOUBLE) * s_tot / n_tot AS gain,
+           CAST(s1 AS DOUBLE) / n1 AS mean_before,
+           CAST(s_tot - s1 AS DOUBLE) / (n_tot - n1) AS mean_after
+    FROM pre CROSS JOIN tot
+    WHERE n1 < n_tot
+),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY gain DESC, day) AS rk, *
+    FROM scored
+)
+SELECT rk, strftime(day, '%Y-%m-%d') AS split_day,
+       CAST(n1 AS BIGINT) AS days_before,
+       CAST(n2 AS BIGINT) AS days_after,
+       round(gain, 6) AS gain,
+       round(mean_before, 6) AS mean_before,
+       round(mean_after, 6) AS mean_after
+FROM ranked WHERE rk <= {_CP_TOP}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_changepoint",
+        analytic_changepoint,
+        ANALYTIC_CHANGEPOINT_ORACLE,
+        doc="binary-segmentation changepoint step with exact integer prefix sums",
+        tags=("analytics", "stats", "timeseries"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — iterative k-core peel on the part–supplier graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 4
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel (k=8) of the bipartite part–supplier fulfilment
+    graph: repeatedly drop nodes with degree < k; what survives is
+    the densely cross-sourced core a supply-chain (or, on a doc-pair
+    graph, a near-dup cluster) audit cares about. Reports one row
+    per peel round — parts/suppliers/edges alive — so convergence is
+    visible in the result itself.
+
+    Bounded SYNCHRONOUS peel (4 unrolled rounds), the package's
+    fixpoint discipline (cf. graph_pagerank): each round is two hash
+    aggregations (per-side degrees) and two broadcast semi-joins on
+    the surviving-node sets; every count is integer-exact. The edge
+    list is dimension-×-dimension bounded (distinct part–supplier
+    pairs), built from the fact with ONE distinct aggregation; at
+    100 TB each round's shuffle carries only the deduplicated edge
+    relation, and a driver-loop fixpoint with persist() per round
+    replaces unrolling (same per-round plan)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    )
+    edges = li.distinct().persist()
+    stats = []
+    cur = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg_p = cur.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+        deg_s = cur.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+        keep_p = deg_p.filter(F.col("dp") >= _KCORE_K).select("p")
+        keep_s = deg_s.filter(F.col("ds") >= _KCORE_K).select("s")
+        cur = (
+            cur.join(F.broadcast(keep_p), "p", "left_semi")
+            .join(F.broadcast(keep_s), "s", "left_semi")
+            .persist()
+        )
+        stats.append(
+            cur.agg(
+                F.lit(rnd).alias("round"),
+                F.countDistinct("p").alias("parts_alive"),
+                F.countDistinct("s").alias("supps_alive"),
+                F.count(F.lit(1)).alias("edges_alive"),
+            )
+        )
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionByName(s_df)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("parts_alive").cast("bigint").alias("parts_alive"),
+        F.col("supps_alive").cast("bigint").alias("supps_alive"),
+        F.col("edges_alive").cast("bigint").alias("edges_alive"),
+    ).orderBy("round")
+
+
+def _kcore_oracle() -> str:
+    k, parts = _KCORE_K, []
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)"
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+    SELECT p, s FROM {prev}
+    WHERE p IN (SELECT p FROM {prev} GROUP BY p HAVING COUNT(*) >= {k})
+      AND s IN (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k})
+)"""
+        )
+        parts.append(
+            f"SELECT CAST({i} AS INT) AS round,"
+            f" CAST(COUNT(DISTINCT p) AS BIGINT) AS parts_alive,"
+            f" CAST(COUNT(DISTINCT s) AS BIGINT) AS supps_alive,"
+            f" CAST(COUNT(*) AS BIGINT) AS edges_alive FROM e{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY round"
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_kcore",
+        graph_kcore,
+        _kcore_oracle(),
+        doc="bounded k-core peel of the part-supplier bipartite graph",
+        tags=("graph", "analytics"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity — exact partition-quality score for communities
+# ---------------------------------------------------------------------------
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted modularity of the REGION partition of the
+    nation trade graph — the standard "are these communities real?"
+    score (Newman 2004) for any clustering the engine produces (LPA,
+    CC, k-core). Per community c:
+    ``Q_c = (m·e_c − in_c·out_c) / m²`` where e_c is intra-community
+    weight, in/out_c the community's weighted degrees, m total weight
+    — the numerator is computed DECIMAL-exact and emitted as BIGINT
+    (|m·e_c| < 2⁶³ holds through ~3·10⁹ total edge weight), so the
+    only float step is one division per row, bit-identical cross-engine.
+
+    Shape: the trade-edge aggregation is the same fact-collapse as
+    graph_pagerank (broadcast dimension hops, one groupBy); community
+    terms are three dimension-sized aggregations joined on the ≤5-row
+    region relation."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("src"),
+                                   F.col("n_regionkey").alias("src_reg"))),
+            "src",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("dst"),
+                                   F.col("n_regionkey").alias("dst_reg"))),
+            "dst",
+        )
+        .persist()
+    )
+    m = edges.agg(F.sum("w").alias("m"))
+    intra = (
+        edges.filter(F.col("src_reg") == F.col("dst_reg"))
+        .groupBy(F.col("src_reg").alias("reg"))
+        .agg(F.sum("w").alias("e_c"))
+    )
+    outdeg = edges.groupBy(F.col("src_reg").alias("reg")).agg(
+        F.sum("w").alias("out_c")
+    )
+    indeg = edges.groupBy(F.col("dst_reg").alias("reg")).agg(F.sum("w").alias("in_c"))
+    reg = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("reg"), F.col("r_name").alias("region")
+    )
+    per = (
+        reg.join(F.broadcast(intra), "reg", "left")
+        .join(F.broadcast(outdeg), "reg", "left")
+        .join(F.broadcast(indeg), "reg", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "region",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("intra_w"),
+            F.coalesce("in_c", F.lit(0)).cast("bigint").alias("in_w"),
+            F.coalesce("out_c", F.lit(0)).cast("bigint").alias("out_w"),
+            F.col("m").cast("bigint").alias("total_w"),
+            (
+                F.col("m").cast("decimal(18,0)")
+                * F.coalesce("e_c", F.lit(0)).cast("decimal(18,0)")
+                - F.coalesce("in_c", F.lit(0)).cast("decimal(18,0)")
+                * F.coalesce("out_c", F.lit(0)).cast("decimal(18,0)")
+            ).cast("bigint").alias("q_num"),
+        )
+        .select(
+            "region",
+            "intra_w",
+            "in_w",
+            "out_w",
+            "total_w",
+            "q_num",
+            F.round(
+                F.col("q_num").cast("double")
+                / (F.col("total_w").cast("double") * F.col("total_w")),
+                9,
+            ).alias("q_term"),
+        )
+    )
+    return per.orderBy("region")
+
+
+GRAPH_MODULARITY_ORACLE = """
+WITH edges AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+tagged AS MATERIALIZED (
+    SELECT e.src, e.dst, e.w, ns.n_regionkey AS src_reg, nd.n_regionkey AS dst_reg
+    FROM edges e
+    JOIN nation ns ON e.src = ns.n_nationkey
+    JOIN nation nd ON e.dst = nd.n_nationkey
+),
+m AS (SELECT SUM(w) AS m FROM tagged),
+intra AS (SELECT src_reg AS reg, SUM(w) AS e_c FROM tagged
+          WHERE src_reg = dst_reg GROUP BY 1),
+outdeg AS (SELECT src_reg AS reg, SUM(w) AS out_c FROM tagged GROUP BY 1),
+indeg AS (SELECT dst_reg AS reg, SUM(w) AS in_c FROM tagged GROUP BY 1),
+per AS (
+    SELECT r.r_name AS region,
+           CAST(COALESCE(i.e_c, 0) AS BIGINT) AS intra_w,
+           CAST(COALESCE(ind.in_c, 0) AS BIGINT) AS in_w,
+           CAST(COALESCE(od.out_c, 0) AS BIGINT) AS out_w,
+           CAST(m.m AS BIGINT) AS total_w,
+           CAST(CAST(m.m AS DECIMAL(18,0)) * CAST(COALESCE(i.e_c, 0) AS DECIMAL(18,0))
+           - CAST(COALESCE(ind.in_c, 0) AS DECIMAL(18,0))
+             * CAST(COALESCE(od.out_c, 0) AS DECIMAL(18,0)) AS BIGINT) AS q_num
+    FROM region r
+    LEFT JOIN intra i ON r.r_regionkey = i.reg
+    LEFT JOIN outdeg od ON r.r_regionkey = od.reg
+    LEFT JOIN indeg ind ON r.r_regionkey = ind.reg
+    CROSS JOIN m
+)
+SELECT region, intra_w, in_w, out_w, total_w, q_num,
+       round(CAST(q_num AS DOUBLE)
+             / (CAST(total_w AS DOUBLE) * total_w), 9) AS q_term
+FROM per ORDER BY region
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_modularity",
+        graph_modularity,
+        GRAPH_MODULARITY_ORACLE,
+        doc="exact directed modularity of the region partition on the trade graph",
+        tags=("graph", "analytics"),
+    )
+)

@@ -90,6 +90,9 @@ def _load_all() -> None:
     from .operators import analytics_extra  # noqa: PLC0415
 
     _extend(analytics_extra.SPECS)
+    from .operators import stats_tests  # noqa: PLC0415
+
+    _extend(stats_tests.SPECS)
     from .plans import pipeline  # noqa: PLC0415
 
     _extend(pipeline.SPECS)
@@ -152,6 +155,12 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 # Fold into the normal rotation once they've been through local parity
 # for a full round.
 _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
+    "analytic_chi_square",
+    "analytic_spearman",
+    "analytic_avg_precision",
+    "analytic_changepoint",
+    "graph_kcore",
+    "graph_modularity",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

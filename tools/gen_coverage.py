@@ -155,6 +155,18 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Cohen's kappa annotator agreement": ["dq_annotator_agreement"],
         "decile gains/lift table (total-order ntile)": ["analytic_gains_table"],
         "calibration bins + exact Brier score": ["analytic_calibration"],
+        "chi-square independence test (exact cell terms)": ["analytic_chi_square"],
+        "Spearman rank correlation (value-domain ranks, no global sort)": [
+            "analytic_spearman"
+        ],
+        "average precision / PR-AUC (threshold aggregates)": [
+            "analytic_avg_precision"
+        ],
+        "changepoint localization (binary-segmentation step)": [
+            "analytic_changepoint"
+        ],
+        "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
+        "exact directed modularity of a community partition": ["graph_modularity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
