@@ -709,3 +709,132 @@ SPECS.append(
         tags=("graph", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_kendall_tau — exact τ-b from the joint histogram
+# ---------------------------------------------------------------------------
+
+
+def analytic_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall τ-b between lineitem quantity and discount — the
+    concordance companion of ``analytic_spearman``. The naive form
+    compares all O(N²) row pairs; here concordant/discordant mass
+    comes from PAIRS OF HISTOGRAM CELLS: with the joint (qty, disc)
+    count table (≤ 550 rows), a pair of cells (i, j) contributes
+    ``cnt_i·cnt_j`` concordant pairs if ``(q_i−q_j)(d_i−d_j) > 0``
+    and discordant if ``< 0``. Tie corrections n₁/n₂ come from the
+    marginals. Everything is integer-exact in DECIMAL (row-pair
+    counts overflow BIGINT at ~4·10⁹ rows); the one float step is
+    the final ``τ_b = (nc−nd)/√((n₀−n₁)(n₀−n₂))``.
+
+    Shape: ONE fact aggregation builds the histogram; the cell-pair
+    product is a broadcast nested-loop over the tiny histogram —
+    bounded by the value-domain product, independent of N."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    joint = li.groupBy("q", "d").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    a = joint.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = joint.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("cnt").alias("cb")
+    )
+    sign = (F.col("qa") - F.col("qb")) * (F.col("da") - F.col("db"))
+    pair_mass = (F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("m")
+    pairs = a.join(F.broadcast(b), sign != 0).select(
+        (sign > 0).alias("conc"), pair_mass
+    )
+    cd = pairs.groupBy().agg(
+        (F.sum(F.when(F.col("conc"), F.col("m")).otherwise(F.lit(0))) / 2).alias(
+            "nc2"
+        ),
+        (F.sum(F.when(~F.col("conc"), F.col("m")).otherwise(F.lit(0))) / 2).alias(
+            "nd2"
+        ),
+    )
+
+    def tie_mass(col: str) -> DataFrame:
+        return (
+            joint.groupBy(col)
+            .agg(F.sum("cnt").alias("t"))
+            .agg(
+                F.sum(
+                    F.col("t").cast("decimal(38,0)") * (F.col("t") - 1) / 2
+                ).alias(f"n_{col}")
+            )
+        )
+
+    n_tot = joint.agg(
+        (
+            F.sum("cnt").cast("decimal(38,0)")
+            * (F.sum("cnt").cast("decimal(38,0)") - 1)
+            / 2
+        ).alias("n0"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    out = (
+        cd.crossJoin(F.broadcast(tie_mass("q")))
+        .crossJoin(F.broadcast(tie_mass("d")))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return out.select(
+        "n_rows",
+        F.col("nc2").cast("double").cast("bigint").alias("concordant"),
+        F.col("nd2").cast("double").cast("bigint").alias("discordant"),
+        F.round(
+            (F.col("nc2").cast("double") - F.col("nd2").cast("double"))
+            / F.sqrt(
+                (F.col("n0").cast("double") - F.col("n_q").cast("double"))
+                * (F.col("n0").cast("double") - F.col("n_d").cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+ANALYTIC_KENDALL_TAU_ORACLE = """
+WITH joint AS MATERIALIZED (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100) AS BIGINT) AS d,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+    SELECT (a.q - b.q) * (a.d - b.d) > 0 AS conc,
+           CAST(a.cnt AS DECIMAL(38,0)) * b.cnt AS m
+    FROM joint a JOIN joint b ON (a.q - b.q) * (a.d - b.d) <> 0
+),
+cd AS (
+    SELECT SUM(CASE WHEN conc THEN m ELSE 0 END) / 2 AS nc2,
+           SUM(CASE WHEN NOT conc THEN m ELSE 0 END) / 2 AS nd2
+    FROM pairs
+),
+tq AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) / 2) AS n_q
+       FROM (SELECT SUM(cnt) AS t FROM joint GROUP BY q)),
+td AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) / 2) AS n_d
+       FROM (SELECT SUM(cnt) AS t FROM joint GROUP BY d)),
+nt AS (SELECT CAST(SUM(cnt) AS DECIMAL(38,0))
+              * (CAST(SUM(cnt) AS DECIMAL(38,0)) - 1) / 2 AS n0,
+              CAST(SUM(cnt) AS BIGINT) AS n_rows
+       FROM joint)
+SELECT n_rows,
+       CAST(CAST(nc2 AS DOUBLE) AS BIGINT) AS concordant,
+       CAST(CAST(nd2 AS DOUBLE) AS BIGINT) AS discordant,
+       round((CAST(nc2 AS DOUBLE) - CAST(nd2 AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(n_q AS DOUBLE))
+                    * (CAST(n0 AS DOUBLE) - CAST(n_d AS DOUBLE))), 6) AS tau_b
+FROM cd CROSS JOIN tq CROSS JOIN td CROSS JOIN nt
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_kendall_tau",
+        analytic_kendall_tau,
+        ANALYTIC_KENDALL_TAU_ORACLE,
+        doc="exact Kendall tau-b from histogram cell pairs (no row-pair join)",
+        tags=("analytics", "stats"),
+    )
+)

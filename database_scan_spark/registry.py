@@ -161,6 +161,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_changepoint",
     "graph_kcore",
     "graph_modularity",
+    "analytic_kendall_tau",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

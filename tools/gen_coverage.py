@@ -165,6 +165,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "changepoint localization (binary-segmentation step)": [
             "analytic_changepoint"
         ],
+        "Kendall tau-b concordance (histogram cell pairs)": ["analytic_kendall_tau"],
         "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
         "exact directed modularity of a community partition": ["graph_modularity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
