@@ -1006,3 +1006,152 @@ SPECS.append(
         tags=("llm", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_rake — RAKE keyword extraction (top phrases per doc)
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 3
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; a word scores
+    ``deg(w)/freq(w)`` over the whole corpus (deg = summed length of
+    phrases it appears in, freq = occurrences); a phrase scores the
+    sum of its word scores; report the top-3 distinct phrases per
+    document — the keyword surface a corpus index/card builds.
+
+    Determinism: word scores are ``round(deg/freq, 12)`` DECIMALs, so
+    phrase scores are exact order-free DECIMAL sums; ranking breaks
+    exact score ties by phrase text. Scale: phrase segmentation is a
+    per-document window (partitioned, no global sort), corpus word
+    stats are two hash aggregations with map-side combine, and the
+    top-k is a per-document rank window — every shuffle is keyed by
+    doc or word, never a single partition."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(F.col("w").isin(STOPWORDS).cast("int")).over(wseg).alias("phrase_id"),
+    ).filter(~F.col("w").isin(STOPWORDS))
+    occ = seg.select("doc_id", "phrase_id", "pos", "w")
+    plen = occ.groupBy("doc_id", "phrase_id").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        occ.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select(
+            "w",
+            F.round(F.col("deg").cast("double") / F.col("freq"), 12)
+            .cast("decimal(24,12)")
+            .alias("wscore"),
+        )
+    )
+    phrases = (
+        occ.join(wstat, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").alias("score"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .groupBy("doc_id", "phrase")
+        .agg(F.max("score").alias("score"), F.max("n_words").alias("n_words"))
+    )
+    ranked = phrases.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("phrase")
+            )
+        ),
+    ).filter(F.col("rk") <= _RAKE_TOP)
+    return ranked.select(
+        "doc_id",
+        F.col("rk").cast("int").alias("rk"),
+        "phrase",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+
+
+def _rake_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+seg AS MATERIALIZED (
+    SELECT doc_id, pos, w,
+           SUM(CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS phrase_id
+    FROM toks WHERE w <> ''
+),
+occ AS MATERIALIZED (
+    SELECT doc_id, phrase_id, pos, w FROM seg WHERE w NOT IN ({stop})
+),
+plen AS (
+    SELECT doc_id, phrase_id, COUNT(*) AS plen
+    FROM occ GROUP BY doc_id, phrase_id
+),
+wstat AS (
+    SELECT w, CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 12)
+                   AS DECIMAL(24,12)) AS wscore
+    FROM occ JOIN plen USING (doc_id, phrase_id)
+    GROUP BY w
+),
+phrases AS (
+    SELECT doc_id, phrase, MAX(score) AS score, MAX(n_words) AS n_words
+    FROM (
+        SELECT o.doc_id, o.phrase_id,
+               string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+               SUM(ws.wscore) AS score,
+               COUNT(*) AS n_words
+        FROM occ o JOIN wstat ws ON o.w = ws.w
+        GROUP BY o.doc_id, o.phrase_id
+    ) GROUP BY doc_id, phrase
+),
+ranked AS (
+    SELECT doc_id, phrase, n_words, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, phrase) AS rk
+    FROM phrases
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, phrase,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(score AS DOUBLE), 6) AS score
+FROM ranked WHERE rk <= {_RAKE_TOP}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_keyword_rake",
+        text_keyword_rake,
+        _rake_oracle(),
+        doc="RAKE keyword extraction: top stopword-delimited phrases per document",
+        tags=("llm", "text"),
+    )
+)

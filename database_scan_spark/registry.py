@@ -162,6 +162,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_kcore",
     "graph_modularity",
     "analytic_kendall_tau",
+    "text_keyword_rake",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

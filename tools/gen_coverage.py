@@ -299,6 +299,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "repetition signals (Gopher rules)": ["text_repetition"],
         "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
         "TF-IDF keyword extraction": ["text_tfidf_topk"],
+        "RAKE keyphrase extraction (stopword-delimited phrases)": [
+            "text_keyword_rake"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
