@@ -1056,3 +1056,84 @@ SPECS.append(
         tags=("core", "quality", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_dp_counts — differentially-private count release (geometric noise)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1  # epsilon; per-count sensitivity is 1
+
+
+def wf_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of per-segment customer
+    counts via the geometric mechanism (Ghosh et al. 2009) — the
+    publication step after ``wf_k_anonymity``'s generalization: add
+    two-sided geometric noise (discrete Laplace, ε=1, sensitivity 1)
+    to each count. Noise is DERIVED, not drawn: each side is
+    ``floor(−ln(1−u)/ε)`` (a Geometric(1−e^{−ε}) variate) with
+    ``u = (h32(salt‖segment)+0.5)/2³²`` — the package's content-hash
+    uniform, so release is reproducible run-to-run and cross-engine
+    (NOTE: a real deployment would use a non-public seed; determinism
+    here is the test-oracle discipline, the mechanism is unchanged).
+
+    Cross-engine exactness: u is an exact dyadic rational; the one
+    libm call per side is rounded to 12 dp before floor() (the
+    package's last-ulp argument, cf. the entropy/TF-IDF oracles).
+    Shape: one hash aggregation over customer, then per-row noise
+    arithmetic on the ≤5-row release — nothing else shuffles."""
+
+    def geom(salt: str) -> F.Column:
+        from ._helpers import h32  # noqa: PLC0415
+
+        u = (h32(F.concat(F.lit(salt), F.col("seg"))) + F.lit(0.5)) / F.lit(
+            2.0**32
+        )
+        return F.floor(F.round(-F.log(F.lit(1.0) - u) / _DP_EPS, 12))
+
+    cust = load(spark, sf_dir, "customer")
+    counts = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    noise = (geom("dp1-") - geom("dp2-")).cast("bigint")
+    return counts.select(
+        "seg",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        noise.alias("noise"),
+        (F.col("true_n") + noise).cast("bigint").alias("released_n"),
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+    ).orderBy("seg")
+
+
+def _dp_geom_sql(salt: str) -> str:
+    u = (
+        f"(('0x' || substring(md5('{salt}' || seg), 1, 8))::BIGINT + 0.5)"
+        f" / 4294967296.0"
+    )
+    return f"floor(round(-ln(1 - {u}) / {_DP_EPS}, 12))"
+
+
+WF_DP_COUNTS_ORACLE = f"""
+WITH counts AS (
+    SELECT c_mktsegment AS seg, COUNT(*) AS true_n FROM customer GROUP BY 1
+),
+noised AS (
+    SELECT seg, true_n,
+           CAST({_dp_geom_sql("dp1-")} - {_dp_geom_sql("dp2-")} AS BIGINT) AS noise
+    FROM counts
+)
+SELECT seg, CAST(true_n AS BIGINT) AS true_n, noise,
+       CAST(true_n + noise AS BIGINT) AS released_n,
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+FROM noised ORDER BY seg
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_dp_counts",
+        wf_dp_counts,
+        WF_DP_COUNTS_ORACLE,
+        doc="geometric-mechanism DP count release with hash-derived noise",
+        tags=("workflow", "quality", "privacy"),
+    )
+)

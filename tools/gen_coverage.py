@@ -125,6 +125,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Kaplan-Meier retention risk table": ["analytic_survival"],
         "MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98)": ["sim_mmr_rerank"],
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
+        "differentially-private count release (geometric mechanism)": [
+            "wf_dp_counts"
+        ],
         "Neyman optimal-allocation stratified sampling": ["sample_stratified_neyman"],
         "Shannon-entropy categorical column profiling": ["dq_entropy_profile"],
         "perceptual-hash image near-dup (aHash, banded)": ["mm_phash_pairs"],
