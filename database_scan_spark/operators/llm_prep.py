@@ -868,3 +868,100 @@ SPECS.append(
         tags=("llm", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF with a TABLE argument + PARTITION BY / ORDER BY (the
+# Spark 4 polymorphic-table-function input path the other two UDTFs
+# don't exercise: whole-partition streaming input with per-key
+# instance lifecycle, aggregation in terminate()).
+# ---------------------------------------------------------------------------
+
+_BURST_GAP_US = 3_600 * 1_000_000  # 1h inactivity splits bursts
+
+
+def _make_burst_udtf():
+    """Factory closure (class shipped by value — cwd-independent)."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(
+        returnType="user_id: bigint, n_events: bigint, n_bursts: bigint,"
+        " max_gap_us: bigint"
+    )
+    class UserBursts:
+        def __init__(self):  # noqa: ANN204
+            self.uid = None
+            self.n = 0
+            self.bursts = 0
+            self.max_gap = 0
+            self.last = None
+
+        def eval(self, row):  # noqa: ANN001
+            uid, ts = row["user_id"], row["ts_us"]
+            if self.uid is None:
+                self.uid, self.bursts = uid, 1
+            else:
+                gap = ts - self.last
+                if gap > self.max_gap:
+                    self.max_gap = gap
+                if gap >= _BURST_GAP_US:
+                    self.bursts += 1
+            self.n += 1
+            self.last = ts
+
+        def terminate(self):  # noqa: ANN204
+            if self.uid is not None:
+                yield self.uid, self.n, self.bursts, self.max_gap
+
+    return UserBursts
+
+
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-burst summary via a Python UDTF consuming a
+    TABLE argument with ``PARTITION BY user_id ORDER BY ts_us`` —
+    Spark instantiates the class once per user partition, streams the
+    ordered rows through ``eval``, and collects the per-key summary
+    from ``terminate``. This is the polymorphic-table-function shape
+    for whole-group custom logic when ``applyInPandas`` would buffer
+    more than needed. Equal timestamps contribute gap 0 under any
+    tie order, so the output is deterministic. Scale: one shuffle on
+    user_id (the PARTITION BY), per-group state is O(1)."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("user_bursts", _make_burst_udtf())
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"events_bursts_{sf_tag}"
+    load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM user_bursts(TABLE(SELECT user_id, ts_us FROM {view})"
+        f" PARTITION BY user_id ORDER BY ts_us)"
+    )
+
+
+UDTF_TABLE_ARG_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+    SELECT user_id,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+    FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 + SUM(CASE WHEN gap >= {_BURST_GAP_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bursts,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+FROM gaps GROUP BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        name="udtf_table_arg",
+        fn=udtf_table_arg,
+        oracle=UDTF_TABLE_ARG_ORACLE,
+        doc="UDTF over TABLE(...) PARTITION BY/ORDER BY: per-user burst summary",
+        tags=("udf", "llm"),
+    )
+)

@@ -164,6 +164,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_kendall_tau",
     "text_keyword_rake",
     "wf_dp_counts",
+    "udtf_table_arg",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

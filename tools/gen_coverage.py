@@ -405,6 +405,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
         "radius-bounded spatial kNN": ["geo_knn_join"],
         "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
+        "UDTF over TABLE(...) PARTITION BY / ORDER BY": ["udtf_table_arg"],
         "ExistenceJoin (projected EXISTS flag)": ["join_existence_project"],
         "FILTER (WHERE) conditioned aggregates": ["agg_filter_clause"],
         "RFC 4180 CSV dialect round trip": ["sink_csv_roundtrip_quoted"],
