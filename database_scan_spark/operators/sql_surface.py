@@ -1175,3 +1175,64 @@ SPECS.append(
         tags=("sql", "params"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# join_hint_matrix — the join-strategy hint surface, result-identical
+# ---------------------------------------------------------------------------
+
+_HINT_STRATEGIES = ("BROADCAST", "SHUFFLE_MERGE", "SHUFFLE_HASH")
+
+
+def join_hint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same orders⋈customer aggregation executed under each join
+    strategy HINT Spark exposes — BROADCAST, SHUFFLE_MERGE (sort-
+    merge), SHUFFLE_HASH — proving the hint surface is plumbed and
+    that physical strategy never changes results: all three rows must
+    carry identical counts and DECIMAL checksums (the oracle enforces
+    it by emitting the same values per strategy). This is the
+    escape hatch when AQE's choice is wrong at 100 TB — e.g. forcing
+    SHUFFLE_HASH when a sorted merge would spill, or un-forcing a
+    broadcast that no longer fits; the plan-shape test asserts each
+    hint actually materializes its physical join node."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = None
+    for strat in _HINT_STRATEGIES:
+        j = orders.join(
+            cust.hint(strat), orders.o_custkey == cust.c_custkey
+        ).filter(F.col("c_mktsegment") == "BUILDING")
+        row = j.agg(
+            F.lit(strat).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("total_cents"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("strategy")
+
+
+def _hint_matrix_oracle() -> str:
+    rows = []
+    for strat in _HINT_STRATEGIES:
+        rows.append(
+            f"""SELECT '{strat}' AS strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+           AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'"""
+        )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY strategy"
+
+
+SPECS.append(
+    QuerySpec(
+        "join_hint_matrix",
+        join_hint_matrix,
+        _hint_matrix_oracle(),
+        doc="BROADCAST/SHUFFLE_MERGE/SHUFFLE_HASH hints, result-identical",
+        tags=("join", "sql"),
+    )
+)

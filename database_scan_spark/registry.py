@@ -165,6 +165,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_keyword_rake",
     "wf_dp_counts",
     "udtf_table_arg",
+    "join_hint_matrix",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -609,3 +609,13 @@ def test_bootstrap_replicas_single_aggregation(spark):
     # (the final rank window runs on the 32-row replica relation).
     # Formatted explain names each scan node twice: tree + details.
     assert plan.count("Scan parquet") == 2
+
+
+def test_join_hint_matrix_materializes_each_strategy(spark):
+    """Each hinted leg must plan its named physical join."""
+    from database_scan_spark.operators.sql_surface import join_hint_matrix
+
+    plan = _plan(join_hint_matrix(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan

@@ -107,6 +107,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "freshness SLA audit (ingest lag vs high-water mark)": ["dq_freshness_sla"],
         "Pareto/ABC concentration analysis": ["analytic_pareto"],
         "dynamic partition pruning join": ["join_dynamic_partition_pruning"],
+        "join-strategy hint surface (BROADCAST/MERGE/SHUFFLE_HASH)": [
+            "join_hint_matrix"
+        ],
         "approx-sketch error eval (verdict-oracled)": ["agg_approx_error_eval"],
         "streaming Python DataSource sink (batch-scoped commit)": ["sink_python_stream_datasource"],
         "real windowed PCM audio energy (byte-exact)": ["mm_audio_energy"],
