@@ -1521,3 +1521,166 @@ SPECS.append(
         tags=("llm", "dedup", "embedding"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fellegi_sunter — probabilistic record-linkage weight table
+# ---------------------------------------------------------------------------
+
+# (m, u-source-field) per comparison field; m is the trained
+# P(agree | match) a production linker fits offline with EM — fixed
+# literals here so both engines score identically.
+_FS_M = {"type": "0.95", "band": "0.90", "tok": "0.90"}
+
+
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969; the
+    Splink/dedupe.io model) over the part catalog: candidate pairs
+    from (brand, size) blocking are compared on three fields — type,
+    price band, first name token — and scored with log-likelihood
+    weights ``agree → log2(m/u)``, ``disagree → log2((1−m)/(1−u))``.
+    u-probabilities (P(agree | random pair)) are EXACT from the
+    field's value histogram: ``u = Σ c_v(c_v−1) / N(N−1)``; m is the
+    fixed trained constant. Output is the 2³ agreement-pattern WEIGHT
+    TABLE (pattern, pair count, total weight) — the artifact a linker
+    thresholds on; listing matched pairs is then a filter.
+
+    Determinism: pair counts are exact integers; each field weight is
+    one ``round(log2(·), 12)`` DECIMAL (the package's last-ulp
+    argument), so pattern weights are exact 3-term DECIMAL sums.
+    Scale: blocking keeps the self-join quadratic only within
+    (brand, size) blocks (≤ tens of rows each — 160k pairs at sf0.1
+    vs 200M unblocked); u-statistics are one histogram aggregation
+    per field. Blocking-key skew would route through the same salting
+    as join_skew_salted."""
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_type",
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("band"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok"),
+    )
+    n_tot = parts.agg(
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * (F.count(F.lit(1)).cast("decimal(38,0)") - 1)
+        ).alias("denom")
+    )
+
+    def u_of(field: str, src: str) -> DataFrame:
+        return (
+            parts.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)
+                ).alias("num")
+            )
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                (F.col("num").cast("double") / F.col("denom").cast("double")).alias(
+                    f"u_{field}"
+                )
+            )
+        )
+
+    us = (
+        u_of("type", "p_type")
+        .crossJoin(F.broadcast(u_of("band", "band")))
+        .crossJoin(F.broadcast(u_of("tok", "tok")))
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        (F.col("a.p_type") == F.col("b.p_type")).alias("agree_type"),
+        (F.col("a.band") == F.col("b.band")).alias("agree_band"),
+        (F.col("a.tok") == F.col("b.tok")).alias("agree_tok"),
+    )
+
+    def w(field: str) -> F.Column:
+        m = F.lit(float(_FS_M[field]))
+        u = F.col(f"u_{field}")
+        return F.when(
+            F.col(f"agree_{field}"), F.round(F.log2(m / u), 12)
+        ).otherwise(
+            F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), 12)
+        ).cast("decimal(24,12)")
+
+    scored = pairs.crossJoin(F.broadcast(us)).select(
+        "agree_type",
+        "agree_band",
+        "agree_tok",
+        (w("type") + w("band") + w("tok")).alias("weight"),
+    )
+    return (
+        scored.groupBy("agree_type", "agree_band", "agree_tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.max("weight").cast("double"), 6).alias("weight"),
+        )
+        .orderBy("agree_type", "agree_band", "agree_tok")
+    )
+
+
+def _fs_oracle() -> str:
+    m = {k: float(v) for k, v in _FS_M.items()}
+    u_ctes = """
+n_tot AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0))
+                 * (CAST(COUNT(*) AS DECIMAL(38,0)) - 1) AS denom FROM p),
+u_type AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+                  / CAST((SELECT denom FROM n_tot) AS DOUBLE) AS u
+           FROM (SELECT COUNT(*) AS c FROM p GROUP BY p_type)),
+u_band AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+                  / CAST((SELECT denom FROM n_tot) AS DOUBLE) AS u
+           FROM (SELECT COUNT(*) AS c FROM p GROUP BY band)),
+u_tok AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+                 / CAST((SELECT denom FROM n_tot) AS DOUBLE) AS u
+          FROM (SELECT COUNT(*) AS c FROM p GROUP BY tok))"""
+    w_terms = []
+    for f in ("type", "band", "tok"):
+        w_terms.append(
+            f"CAST(CASE WHEN agree_{f} THEN round(log2({m[f]} / u_{f}.u), 12)"
+            f" ELSE round(log2({1.0 - m[f]!r} / (1 - u_{f}.u)), 12) END"
+            f" AS DECIMAL(24,12))"
+        )
+    weight = " + ".join(w_terms)
+    return f"""
+WITH p AS MATERIALIZED (
+    SELECT p_partkey, p_brand, p_size, p_type,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS band,
+           string_split(p_name, ' ')[1] AS tok
+    FROM part
+),
+{u_ctes},
+pairs AS (
+    SELECT a.p_type = b.p_type AS agree_type,
+           a.band = b.band AS agree_band,
+           a.tok = b.tok AS agree_tok
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+)
+SELECT agree_type, agree_band, agree_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(MAX({weight}) AS DOUBLE), 6) AS weight
+FROM pairs CROSS JOIN u_type CROSS JOIN u_band CROSS JOIN u_tok
+GROUP BY agree_type, agree_band, agree_tok
+ORDER BY agree_type, agree_band, agree_tok
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_fellegi_sunter",
+        dedup_fellegi_sunter,
+        _fs_oracle(),
+        doc="Fellegi-Sunter linkage weight table: blocked pairs, exact u-probabilities",
+        tags=("llm", "dedup", "stats"),
+    )
+)

@@ -166,6 +166,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_dp_counts",
     "udtf_table_arg",
     "join_hint_matrix",
+    "dedup_fellegi_sunter",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

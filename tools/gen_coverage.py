@@ -271,6 +271,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "dedup_substring_spans"
         ],
         "edit-distance entity resolution": ["dedup_levenshtein", "dedup_levenshtein_passjoin"],
+        "Fellegi-Sunter probabilistic linkage weight table": [
+            "dedup_fellegi_sunter"
+        ],
         "embedding cosine": ["dedup_embedding_cosine"],
         "SemDeDup semantic cluster dedup (Abbas et al. 2023)": ["dedup_semdedup"],
         "eval-set decontamination": ["dedup_decontaminate"],
