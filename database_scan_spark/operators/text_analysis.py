@@ -1155,3 +1155,87 @@ SPECS.append(
         tags=("llm", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_hashing_vectorizer — feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_HV_DIM = 64  # fixed feature dimension (vocabulary-free)
+
+
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al., ICML 2009) of each
+    document into a fixed ``D=64``-dimensional sparse vector:
+    bucket = ``h32(token) mod D``, sign from the next hash bit, value
+    = signed token-count sum — the vocabulary-FREE vectorization step
+    feeding a linear classifier (cf. ``text_quality_logreg``). No
+    dictionary is built or broadcast, which is the point at 100 TB:
+    unbounded vocabulary, bounded feature space, fully map-side until
+    the one (doc, bucket) aggregation. Emits nonzero buckets as
+    sparse rows plus each doc's nonzero count; all values are exact
+    integers via the shared md5-prefix hash kernel."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = h32(F.col("w"))
+    signed = toks.select(
+        "doc_id",
+        (h % _HV_DIM).cast("int").alias("bucket"),
+        (F.when((h % (2 * _HV_DIM)) >= _HV_DIM, -1).otherwise(1)).alias("sgn"),
+    )
+    vec = (
+        signed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    nnz = vec.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nnz"))
+    return (
+        vec.join(nnz, "doc_id")
+        .select(
+            "doc_id",
+            "bucket",
+            F.col("val").cast("bigint").alias("val"),
+            F.col("nnz").cast("bigint").alias("nnz"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+H32_SQL = "('0x' || substring(md5({x}), 1, 8))::BIGINT"  # shared kernel twin
+
+TEXT_HASHING_VECTORIZER_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+signed AS (
+    SELECT doc_id,
+           CAST({H32_SQL.format(x="w")} % {_HV_DIM} AS INT) AS bucket,
+           CASE WHEN {H32_SQL.format(x="w")} % {2 * _HV_DIM} >= {_HV_DIM}
+                THEN -1 ELSE 1 END AS sgn
+    FROM toks WHERE w <> ''
+),
+vec AS (
+    SELECT doc_id, bucket, SUM(sgn) AS val
+    FROM signed GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+),
+nnz AS (SELECT doc_id, COUNT(*) AS nnz FROM vec GROUP BY doc_id)
+SELECT v.doc_id, v.bucket, CAST(v.val AS BIGINT) AS val,
+       CAST(n.nnz AS BIGINT) AS nnz
+FROM vec v JOIN nnz n ON v.doc_id = n.doc_id
+ORDER BY v.doc_id, bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_hashing_vectorizer",
+        text_hashing_vectorizer,
+        TEXT_HASHING_VECTORIZER_ORACLE,
+        doc="vocabulary-free signed feature hashing into D=64 sparse vectors",
+        tags=("llm", "text", "mlops"),
+    )
+)

@@ -311,6 +311,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "RAKE keyphrase extraction (stopword-delimited phrases)": [
             "text_keyword_rake"
         ],
+        "feature hashing vectorizer (vocabulary-free, signed)": [
+            "text_hashing_vectorizer"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
