@@ -406,3 +406,97 @@ def test_mmr_matches_greedy_reference(spark, specs):
     )
     want = sorted((o + 1, v, scores[v]) for o, v in enumerate(sel))
     assert got == want
+
+
+def test_rank_stats_mutually_consistent(spark, specs):
+    """Spearman, Kendall and the chi-square verdict must be mutually
+    consistent on the same fixture: both rank coefficients are in
+    [-1, 1] and share a sign (they measure the same monotone
+    association); AP and AUC are both in [0, 1]; chi2 >= 0."""
+    rho = specs["analytic_spearman"].fn(spark, SF_SMOKE).collect()[0]["spearman_rho"]
+    tau = specs["analytic_kendall_tau"].fn(spark, SF_SMOKE).collect()[0]["tau_b"]
+    assert -1.0 <= rho <= 1.0 and -1.0 <= tau <= 1.0
+    if abs(rho) > 1e-6 and abs(tau) > 1e-6:
+        assert (rho > 0) == (tau > 0)
+    chi = specs["analytic_chi_square"].fn(spark, SF_SMOKE).collect()[0]
+    assert chi["chi2"] >= 0.0 and chi["dof"] == 16
+    ap = specs["analytic_avg_precision"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= ap["avg_precision"] <= 1.0
+
+
+def test_kcore_peel_monotone(spark, specs):
+    """k-core peeling can only shrink: edges/nodes alive are
+    non-increasing across rounds."""
+    rows = sorted(
+        specs["graph_kcore"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["round"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["edges_alive"] <= a["edges_alive"]
+        assert b["parts_alive"] <= a["parts_alive"]
+        assert b["supps_alive"] <= a["supps_alive"]
+
+
+def test_modularity_terms_bounded(spark, specs):
+    """Each community's modularity term is within [-1, 1] and intra
+    weight never exceeds either directed degree."""
+    for r in specs["graph_modularity"].fn(spark, SF_SMOKE).collect():
+        assert -1.0 <= r["q_term"] <= 1.0
+        assert r["intra_w"] <= r["in_w"] and r["intra_w"] <= r["out_w"]
+
+
+def test_changepoint_gain_ordering(spark, specs):
+    """Candidates arrive ranked by gain; gains are non-negative
+    (between-class SS never exceeds total SS reduction of 0)."""
+    rows = sorted(
+        specs["analytic_changepoint"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rk"],
+    )
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g >= 0 for g in gains)
+
+
+def test_fellegi_sunter_pair_accounting(spark, specs):
+    """The weight table partitions the blocked pair space: pattern
+    counts sum to the exact number of blocked pairs, and weight is
+    monotone in agreement count (full-agree >= any partial)."""
+    rows = specs["dedup_fellegi_sunter"].fn(spark, SF_SMOKE).collect()
+    from database_scan_spark.catalog import load
+
+    blocks = (
+        load(spark, SF_SMOKE, "part")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    assert sum(r["n_pairs"] for r in rows) == int(blocks)
+    by_pattern = {
+        (r["agree_type"], r["agree_band"], r["agree_tok"]): r["weight"] for r in rows
+    }
+    full = by_pattern.get((True, True, True))
+    if full is not None:
+        assert all(full >= w for w in by_pattern.values())
+
+
+def test_hashing_vectorizer_mass_conservation(spark, specs):
+    """Σ|val| per doc can never exceed its token count, and nnz <= D."""
+    vec = specs["text_hashing_vectorizer"].fn(spark, SF_SMOKE)
+    agg = vec.groupBy("doc_id").agg(
+        F.sum(F.abs(F.col("val"))).alias("mass"),
+        F.max("nnz").alias("nnz"),
+    )
+    from database_scan_spark.catalog import load
+
+    toks = (
+        load(spark, SF_SMOKE, "documents")
+        .select(
+            F.col("doc_id"),
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n_tok"),
+        )
+    )
+    bad = agg.join(toks, "doc_id").filter(
+        (F.col("mass") > F.col("n_tok")) | (F.col("nnz") > 64)
+    )
+    assert bad.count() == 0
