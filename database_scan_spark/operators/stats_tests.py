@@ -838,3 +838,158 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_mannwhitney — all-pairs two-sample rank test
+# ---------------------------------------------------------------------------
+
+
+def analytic_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U test between the value
+    distributions of every pair of event types — the nonparametric
+    "did the distribution shift?" battery (the test behind
+    ``analytic_auc``'s statistic, here with the normal approximation
+    and a 5% two-sided verdict per pair).
+
+    No global sort: per-(pair, value) counts come from ONE fact
+    aggregation joined to the broadcast 10-row pair relation;
+    doubled rank sums ``2R_a = Σ cnt_a·(2·cum_before + tot + 1)``
+    stay BIGINT-exact under a window over the per-pair value domain;
+    the tie term ``Σ(t³−t)`` is DECIMAL-exact. The z-score is one
+    fixed double expression from those exact scalars; both engines
+    compare |z| against 1.96 on the rounded value."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    counts = ev.groupBy("t", "s").agg(F.count(F.lit(1)).alias("cnt"))
+    types = counts.select("t").distinct()
+    pairs = (
+        types.select(F.col("t").alias("ta"))
+        .join(types.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    pc = counts.join(
+        F.broadcast(pairs), (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb"))
+    )
+    per_s = pc.groupBy("ta", "tb", "s").agg(
+        F.sum(F.when(F.col("t") == F.col("ta"), F.col("cnt")).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum("cnt").alias("tot"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_s.select(
+        "ta",
+        "tb",
+        "ca",
+        "tot",
+        F.coalesce(F.sum("tot").over(w), F.lit(0)).alias("cum_before"),
+    )
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        (F.sum("tot") - F.sum("ca")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_before") + F.col("tot") + 1)
+        )
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(
+            F.col("tot").cast("decimal(38,0)") * F.col("tot") * F.col("tot")
+            - F.col("tot")
+        )
+        .cast("double")
+        .alias("tie_term"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u = (
+        F.col("r2a").cast("double") / 2.0
+        - F.col("n_a").cast("double") * (F.col("n_a") + 1) / 2.0
+    )
+    mu = F.col("n_a").cast("double") * F.col("n_b") / 2.0
+    sigma2 = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
+    )
+    z = (u - mu) / F.sqrt(sigma2)
+    return agg.select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("reject_5pct"),
+    ).orderBy("ta", "tb")
+
+
+ANALYTIC_MANNWHITNEY_ORACLE = """
+WITH ev AS (
+    SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS s FROM events
+),
+counts AS (SELECT t, s, COUNT(*) AS cnt FROM ev GROUP BY t, s),
+types AS (SELECT DISTINCT t FROM counts),
+pairs AS (
+    SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+),
+pc AS (
+    SELECT p.ta, p.tb, c.t, c.s, c.cnt
+    FROM counts c JOIN pairs p ON c.t = p.ta OR c.t = p.tb
+),
+per_s AS (
+    SELECT ta, tb, s,
+           SUM(CASE WHEN t = ta THEN cnt ELSE 0 END) AS ca,
+           SUM(cnt) AS tot
+    FROM pc GROUP BY ta, tb, s
+),
+ranked AS (
+    SELECT ta, tb, ca, tot,
+           COALESCE(SUM(tot) OVER (PARTITION BY ta, tb ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM per_s
+),
+agg AS (
+    SELECT ta, tb,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(tot) - SUM(ca) AS BIGINT) AS n_b,
+           CAST(SUM(ca * (2 * cum_before + tot + 1)) AS BIGINT) AS r2a,
+           CAST(SUM(CAST(tot AS DECIMAL(38,0)) * tot * tot - tot) AS DOUBLE)
+               AS tie_term
+    FROM ranked GROUP BY ta, tb
+)
+SELECT ta, tb, n_a, n_b,
+       round(CAST(r2a AS DOUBLE) / 2.0
+             - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0, 6) AS u_stat,
+       round((CAST(r2a AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0
+              - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                       - tie_term / (CAST(n_a + n_b AS DOUBLE)
+                                     * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6)
+           AS z,
+       abs(round((CAST(r2a AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0
+              - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                       - tie_term / (CAST(n_a + n_b AS DOUBLE)
+                                     * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6))
+           > 1.96 AS reject_5pct
+FROM agg ORDER BY ta, tb
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_mannwhitney",
+        analytic_mannwhitney,
+        ANALYTIC_MANNWHITNEY_ORACLE,
+        doc="tie-corrected Mann-Whitney U across all event-type pairs, no global sort",
+        tags=("analytics", "stats"),
+    )
+)

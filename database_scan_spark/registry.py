@@ -168,6 +168,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_hint_matrix",
     "dedup_fellegi_sunter",
     "text_hashing_vectorizer",
+    "analytic_mannwhitney",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -172,6 +172,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "analytic_changepoint"
         ],
         "Kendall tau-b concordance (histogram cell pairs)": ["analytic_kendall_tau"],
+        "Mann-Whitney U battery across group pairs (tie-corrected)": [
+            "analytic_mannwhitney"
+        ],
         "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
         "exact directed modularity of a community partition": ["graph_modularity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
