@@ -895,3 +895,97 @@ SPECS.append(
         tags=("core", "source", "csv"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sink_jsonl_roundtrip — the LLM-corpus interchange format
+# ---------------------------------------------------------------------------
+
+
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines export → re-ingest round trip for the documents
+    table — JSONL is THE interchange format for LLM training corpora
+    (one JSON object per line, splittable, appendable). The write
+    partitions normally (each task emits one .json part file — at
+    100 TB this is the layout an export actually has); the read back
+    is schema-pinned (no inference scan) and must reproduce every
+    field, including text containing quotes/newlines after JSON
+    escaping. Returned rows are the READ-BACK; the oracle is the
+    source table, so any escaping or type asymmetry breaks the hash."""
+    import shutil  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = workdir(sf_dir, "sink_jsonl")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs.write.mode("overwrite").json(out_dir)
+    return spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out_dir)
+
+
+SINK_JSONL_ROUNDTRIP_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sink_jsonl_roundtrip",
+        sink_jsonl_roundtrip,
+        SINK_JSONL_ROUNDTRIP_ORACLE,
+        doc="JSONL corpus export and schema-pinned re-ingest, field-exact",
+        tags=("sink", "source", "llm"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# src_text_lines — line-oriented raw text ingestion
+# ---------------------------------------------------------------------------
+
+
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented ingestion via ``spark.read.text`` — the
+    entry point for the headerless TSV/one-record-per-line dumps web
+    corpora arrive as. Stage (once): documents exported as
+    ``doc_id\\ttext`` lines; read back as a `value` column and parsed
+    with JVM split — schema-on-read over raw text, no inference. The
+    oracle re-derives every parsed field from the source table, so a
+    line-splitting or tab-escaping bug breaks the hash. Scale: text
+    files split by line boundaries across tasks; the parse is a
+    narrow codegen map."""
+    import shutil  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stage_dir = workdir(sf_dir, "src_text_lines")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        docs.select(
+            F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias("value")
+        ).write.mode("overwrite").text(stage_dir)
+    lines = spark.read.text(stage_dir)
+    tab = F.instr(F.col("value"), "\t")
+    return lines.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        F.length("value").cast("bigint").alias("line_len"),
+    )
+
+
+SRC_TEXT_LINES_ORACLE = """
+SELECT doc_id, text,
+       CAST(length(CAST(doc_id AS VARCHAR) || chr(9) || text) AS BIGINT)
+           AS line_len
+FROM documents
+"""
+
+SPECS.append(
+    QuerySpec(
+        "src_text_lines",
+        src_text_lines,
+        SRC_TEXT_LINES_ORACLE,
+        doc="line-oriented raw text ingestion (read.text) with schema-on-read parse",
+        tags=("source", "llm"),
+    )
+)

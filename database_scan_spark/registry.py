@@ -169,6 +169,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dedup_fellegi_sunter",
     "text_hashing_vectorizer",
     "analytic_mannwhitney",
+    "sink_jsonl_roundtrip",
+    "src_text_lines",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

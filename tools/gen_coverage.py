@@ -25,6 +25,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition) ORC columnar source": ["src_orc"],
         "(engine addition) schema-evolution read (mergeSchema)": ["src_merge_schema"],
         "(engine addition) federated multi-format union": ["src_federated_union"],
+        "(engine addition) JSONL corpus export/re-ingest roundtrip": [
+            "sink_jsonl_roundtrip"
+        ],
+        "(engine addition) line-oriented raw text ingestion": ["src_text_lines"],
         "sink_csv": ["sink_csv"],
         "sink_stdout": ["sink_stdout"],
         "param_bind": ["param_bind", "param_identifier"],
