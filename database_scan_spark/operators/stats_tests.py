@@ -993,3 +993,76 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_power_analysis — A/B sample-size from exact moments
+# ---------------------------------------------------------------------------
+
+_PW_Z_ALPHA = "1.959964"  # two-sided 5%
+_PW_Z_BETA = "0.841621"  # 80% power
+_PW_MDE_PCT = 5  # minimum detectable effect: 5% of baseline mean
+
+
+def analytic_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the per-arm sample size needed to
+    detect a 5% lift in mean purchase value at α=5% (two-sided) with
+    80% power — ``n = 2(z_{α/2}+z_β)²σ²/δ²`` — the planning step
+    before ``analytic_ab_test`` reads results. Variance comes from
+    exact DECIMAL power sums (cents), the z quantiles are shared
+    6-dp literals, and the final expression is one fixed double
+    sequence, so the sizing is bit-identical cross-engine. One
+    map-side aggregate over the fact; output is a single planning
+    row."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    m = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(cents).cast("double").alias("s1"),
+        F.sum(cents * cents).cast("double").alias("s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    delta = mean * _PW_MDE_PCT / 100
+    zsum = F.lit(float(_PW_Z_ALPHA)) + F.lit(float(_PW_Z_BETA))
+    n_arm = F.ceil(F.round(2 * zsum * zsum * var / (delta * delta), 6))
+    return m.select(
+        "n_obs",
+        F.round(mean, 6).alias("mean_cents"),
+        F.round(var, 6).alias("var_cents"),
+        F.round(delta, 6).alias("mde_cents"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+    )
+
+
+ANALYTIC_POWER_ANALYSIS_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(CAST(round(value * 100) AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(round(value * 100) AS DECIMAL(38,0))
+                    * CAST(round(value * 100) AS DECIMAL(38,0))) AS DOUBLE) AS s2
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT n_obs,
+       round(s1 / n_obs, 6) AS mean_cents,
+       round((s2 - s1 * s1 / n_obs) / (n_obs - 1), 6) AS var_cents,
+       round((s1 / n_obs) * {_PW_MDE_PCT} / 100, 6) AS mde_cents,
+       CAST(ceil(round(2 * ({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                         * ({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                         * ((s2 - s1 * s1 / n_obs) / (n_obs - 1))
+                       / (((s1 / n_obs) * {_PW_MDE_PCT} / 100)
+                          * ((s1 / n_obs) * {_PW_MDE_PCT} / 100)), 6))
+            AS BIGINT) AS n_per_arm
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_power_analysis",
+        analytic_power_analysis,
+        ANALYTIC_POWER_ANALYSIS_ORACLE,
+        doc="A/B per-arm sample-size planning from exact DECIMAL moments",
+        tags=("analytics", "stats", "mlops"),
+    )
+)

@@ -171,6 +171,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_mannwhitney",
     "sink_jsonl_roundtrip",
     "src_text_lines",
+    "analytic_power_analysis",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

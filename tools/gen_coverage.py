@@ -179,6 +179,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Mann-Whitney U battery across group pairs (tie-corrected)": [
             "analytic_mannwhitney"
         ],
+        "A/B power analysis / sample sizing (exact moments)": [
+            "analytic_power_analysis"
+        ],
         "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
         "exact directed modularity of a community partition": ["graph_modularity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
