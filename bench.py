@@ -79,6 +79,12 @@ HEADLINE = [
     "mm_phash_pairs",
     "pipeline_media_curation",
     "analytic_bootstrap_ci",
+    # round-2 sixth-session additions
+    "text_keyword_rake",
+    "text_hashing_vectorizer",
+    "dedup_fellegi_sunter",
+    "analytic_mannwhitney",
+    "graph_kcore",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).
