@@ -172,6 +172,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sink_jsonl_roundtrip",
     "src_text_lines",
     "analytic_power_analysis",
+    "stream_update_vs_complete",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -1337,3 +1337,114 @@ SPECS.append(
         tags=("stream", "sink"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_update_vs_complete — output-mode semantics pinned across
+# real micro-batches: the SAME aggregation run in update mode (emits
+# each group's new value per batch that changes it) and complete mode
+# (sink holds the final snapshot), both with exact SQL oracles.
+# ---------------------------------------------------------------------------
+
+_MODE_SPLIT = "2024-01-16 00:00:00"
+
+
+def stream_update_vs_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type running counts under BOTH streaming output
+    modes, over two real micro-batches (pre/post-split arrival files,
+    maxFilesPerTrigger=1): update mode appends one row per (type,
+    batch-that-changed-it) — cumulative count at that batch — while
+    complete mode's memory sink retains only the final snapshot.
+    The union (tagged by mode) pins the semantics difference as DATA:
+    a type active in both halves contributes two update rows (n₁,
+    then n₁+n₂) but exactly one complete row (n₁+n₂). No watermark —
+    unwindowed running aggregation is the state-store path where the
+    modes genuinely diverge. Oracle reconstructs both sets from the
+    split timestamp."""
+    import glob  # noqa: PLC0415
+
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+    nts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast(T.TimestampType())
+    )
+    root = workdir(sf_dir, "stream_mode_split")
+    src_dir = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        split = F.lit(_MODE_SPLIT).cast(T.TimestampType())
+        for i, cond in enumerate([nts < split, nts >= split]):
+            (
+                ev.filter(cond)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+            f = glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet"))[0]
+            dst = os.path.join(src_dir, f"events_{i}.parquet")
+            os.replace(f, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    def agg_of(stream_df: DataFrame) -> DataFrame:
+        return stream_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events")
+        )
+
+    outs = []
+    for mode in ("update", "complete"):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        ev = stream.withColumn("ts", nts).select("event_type", "ts")
+        sink = _run_to_memory(
+            agg_of(ev), spark, sf_dir, f"stream_mode_{mode}", mode
+        )
+        outs.append(
+            sink.select(
+                F.lit(mode).alias("mode"), "event_type", "n_events"
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("mode", "event_type", "n_events")
+
+
+STREAM_UPDATE_VS_COMPLETE_ORACLE = f"""
+WITH h1 AS (
+    SELECT event_type, COUNT(*) AS n1 FROM events
+    WHERE ts < TIMESTAMP '{_MODE_SPLIT}' GROUP BY 1
+),
+tot AS (
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+),
+upd AS (
+    SELECT 'update' AS mode, event_type, CAST(n1 AS BIGINT) AS n_events FROM h1
+    UNION ALL
+    SELECT 'update', t.event_type, CAST(t.n AS BIGINT)
+    FROM tot t
+    WHERE t.n > COALESCE((SELECT n1 FROM h1 WHERE h1.event_type = t.event_type), 0)
+),
+comp AS (
+    SELECT 'complete' AS mode, event_type, CAST(n AS BIGINT) AS n_events FROM tot
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM comp
+ORDER BY mode, event_type, n_events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_update_vs_complete",
+        stream_update_vs_complete,
+        STREAM_UPDATE_VS_COMPLETE_ORACLE,
+        doc="output-mode semantics pinned: update emissions vs complete snapshot",
+        tags=("stream",),
+    )
+)

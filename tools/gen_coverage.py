@@ -419,6 +419,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "URL construction + parse_url extraction": ["fn_url_parse"],
         "stream-static broadcast dim join": ["stream_static_join"],
         "bounded-state streaming dedup (withinWatermark)": ["stream_dedup_within_watermark"],
+        "output-mode semantics (update vs complete, multi-batch)": [
+            "stream_update_vs_complete"
+        ],
         "ANSI try_* error-tolerant expressions": ["fn_try_arithmetic"],
         "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
