@@ -1066,3 +1066,102 @@ SPECS.append(
         tags=("analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_seasonality_strength — weekday ANOVA decomposition
+# ---------------------------------------------------------------------------
+
+_SEAS_F_CRIT = "2.1"  # F(6, large) upper 5% ~ 2.099
+
+
+def analytic_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of daily purchase-volume variance is weekly
+    seasonality? One-way ANOVA of daily counts by weekday:
+    ``η² = SS_between/SS_total`` is the seasonality strength the
+    forecasting literature thresholds on, and the F statistic gives
+    the 5% verdict (critical 2.1 at 6 numerator dof). The companion
+    of ``dq_seasonal_baseline`` (which flags individual days).
+
+    All sufficient statistics are exact BIGINTs on the
+    calendar-bounded daily relation (counts, per-weekday Σx and Σx²);
+    the decomposition is one fixed double sequence from those exact
+    sums. Shape: fact → daily hash aggregation → 7-row weekday
+    aggregation; nothing wider than a day count ever shuffles."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wd = daily.select(F.weekday("day").alias("w"), "x")
+    per_w = wd.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("x").alias("s1_w"),
+        F.sum(F.col("x") * F.col("x")).alias("s2_w"),
+    )
+    agg = per_w.agg(
+        F.sum("n_w").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s1_w").cast("double").alias("s1"),
+        F.sum("s2_w").cast("double").alias("s2"),
+        F.sum(
+            F.col("s1_w").cast("double") * F.col("s1_w") / F.col("n_w")
+        ).alias("sb_raw"),
+    )
+    n = F.col("n_days").cast("double")
+    ss_total = F.col("s2") - F.col("s1") * F.col("s1") / n
+    ss_between = F.col("sb_raw") - F.col("s1") * F.col("s1") / n
+    f_stat = (ss_between / (F.col("k") - 1).cast("double")) / (
+        (ss_total - ss_between) / (n - F.col("k").cast("double"))
+    )
+    return agg.select(
+        "n_days",
+        "k",
+        F.round(ss_total, 6).alias("ss_total"),
+        F.round(ss_between, 6).alias("ss_between"),
+        F.round(ss_between / ss_total, 6).alias("eta2"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (F.round(f_stat, 6) > F.lit(float(_SEAS_F_CRIT))).alias("seasonal_5pct"),
+    )
+
+
+ANALYTIC_SEASONALITY_STRENGTH_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+wd AS (SELECT isodow(day) - 1 AS w, x FROM daily),
+per_w AS (
+    SELECT w, COUNT(*) AS n_w, SUM(x) AS s1_w, SUM(x * x) AS s2_w
+    FROM wd GROUP BY w
+),
+agg AS (
+    SELECT CAST(SUM(n_w) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(s1_w) AS DOUBLE) AS s1,
+           CAST(SUM(s2_w) AS DOUBLE) AS s2,
+           SUM(CAST(s1_w AS DOUBLE) * s1_w / n_w) AS sb_raw
+    FROM per_w
+)
+SELECT n_days, k,
+       round(s2 - s1 * s1 / n_days, 6) AS ss_total,
+       round(sb_raw - s1 * s1 / n_days, 6) AS ss_between,
+       round((sb_raw - s1 * s1 / n_days) / (s2 - s1 * s1 / n_days), 6) AS eta2,
+       round(((sb_raw - s1 * s1 / n_days) / (k - 1))
+             / (((s2 - s1 * s1 / n_days) - (sb_raw - s1 * s1 / n_days))
+                / (CAST(n_days AS DOUBLE) - k)), 6) AS f_stat,
+       round(((sb_raw - s1 * s1 / n_days) / (k - 1))
+             / (((s2 - s1 * s1 / n_days) - (sb_raw - s1 * s1 / n_days))
+                / (CAST(n_days AS DOUBLE) - k)), 6) > {_SEAS_F_CRIT}
+           AS seasonal_5pct
+FROM agg
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_seasonality_strength",
+        analytic_seasonality_strength,
+        ANALYTIC_SEASONALITY_STRENGTH_ORACLE,
+        doc="weekday ANOVA: eta-squared seasonality strength + F verdict",
+        tags=("analytics", "stats", "timeseries"),
+    )
+)

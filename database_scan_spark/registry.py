@@ -173,6 +173,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "src_text_lines",
     "analytic_power_analysis",
     "stream_update_vs_complete",
+    "analytic_seasonality_strength",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

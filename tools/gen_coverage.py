@@ -182,6 +182,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "A/B power analysis / sample sizing (exact moments)": [
             "analytic_power_analysis"
         ],
+        "seasonality strength (weekday ANOVA eta-squared)": [
+            "analytic_seasonality_strength"
+        ],
         "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
         "exact directed modularity of a community partition": ["graph_modularity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
