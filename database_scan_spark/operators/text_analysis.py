@@ -1239,3 +1239,197 @@ SPECS.append(
         tags=("llm", "text", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion — hybrid retrieval via reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_POOL = 20  # per-system candidate pool
+_RRF_TOP = 10
+
+
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 (lexical) and token-Jaccard (set-overlap
+    proxy for the dense leg) rankings for the SAME query, fused with
+    reciprocal rank fusion ``score(d) = Σ_sys 1/(k + rank_sys(d))``
+    (Cormack et al., SIGIR 2009; k=60) — the standard hybrid-RAG
+    merge that needs no score calibration because it only consumes
+    RANKS. Each system contributes its top-20 pool
+    (TakeOrderedAndProject, no global sort); pools full-outer-join on
+    doc_id; each RRF term is an exact ``round(1/(k+rank), 12)``
+    DECIMAL so fused scores sum order-free; final top-10 breaks exact
+    ties by doc_id. At 100 TB each leg is the indexed-retrieval
+    access path (posting-list shuffle for BM25, candidate-pruned for
+    the dense leg) and the fusion itself touches only 2×20 rows."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"), "text"
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    bm25 = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(term_score, 6).cast("decimal(18,6)").alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.sum("ts").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_RRF_POOL)
+        .withColumn(
+            "rank_bm25",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
+        )
+        .select("doc_id", "rank_bm25")
+    )
+    q = F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
+    jac = (
+        docs.select(
+            "doc_id",
+            F.size(F.array_intersect(F.array_distinct(F.split("text", " ")), q)).alias(
+                "inter"
+            ),
+            F.size(F.array_distinct(F.split("text", " "))).alias("nd"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("nd") + F.lit(len(BM25_QUERY_TERMS)) - F.col("inter"))
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_RRF_POOL)
+        .withColumn(
+            "rank_jac",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
+        )
+        .select("doc_id", "rank_jac")
+    )
+
+    def rrf(rank_col: str) -> F.Column:
+        return F.when(
+            F.col(rank_col).isNotNull(),
+            F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col(rank_col)), 12),
+        ).otherwise(F.lit(0)).cast("decimal(14,12)")
+
+    fused = (
+        bm25.join(jac, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_jac",
+            (rrf("rank_bm25") + rrf("rank_jac")).alias("rrf_dec"),
+        )
+        .orderBy(F.desc("rrf_dec"), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    return fused.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_dec"), "doc_id"))
+        .alias("rk"),
+        "doc_id",
+        F.col("rrf_dec").cast("double").alias("rrf_score"),
+        F.col("rank_bm25").cast("int").alias("rank_bm25"),
+        F.col("rank_jac").cast("int").alias("rank_jac"),
+    )
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    nq = len(BM25_QUERY_TERMS)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS dl, text
+    FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM docs)
+    WHERE term IN ({terms})
+    GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm25_scored AS (
+    SELECT tf.doc_id,
+           SUM(CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1)
+                  / (tf.tf + {BM25_K1}
+                     * (1.0 - {BM25_B} + {BM25_B} * tf.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6)
+             AS DECIMAL(18,6))) AS s
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+),
+bm25 AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER)
+           AS rank_bm25
+    FROM bm25_scored ORDER BY s DESC, doc_id LIMIT {_RRF_POOL}
+),
+jac_scored AS (
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   [{terms}])) AS DOUBLE)
+           / (len(list_distinct(string_split(text, ' '))) + {nq}
+              - len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   [{terms}]))) AS s
+    FROM docs
+),
+jac AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER)
+           AS rank_jac
+    FROM jac_scored ORDER BY s DESC, doc_id LIMIT {_RRF_POOL}
+),
+fused AS (
+    SELECT COALESCE(b.doc_id, j.doc_id) AS doc_id, b.rank_bm25, j.rank_jac,
+           (CASE WHEN b.rank_bm25 IS NOT NULL THEN
+                CAST(round(1.0 / ({_RRF_K} + b.rank_bm25), 12) AS DECIMAL(14,12))
+                ELSE CAST(0 AS DECIMAL(14,12)) END
+            + CASE WHEN j.rank_jac IS NOT NULL THEN
+                CAST(round(1.0 / ({_RRF_K} + j.rank_jac), 12) AS DECIMAL(14,12))
+                ELSE CAST(0 AS DECIMAL(14,12)) END) AS rrf_dec
+    FROM bm25 b FULL OUTER JOIN jac j ON b.doc_id = j.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_dec DESC, doc_id) AS INTEGER) AS rk,
+       doc_id, CAST(rrf_dec AS DOUBLE) AS rrf_score,
+       rank_bm25, rank_jac
+FROM fused ORDER BY rrf_dec DESC, doc_id LIMIT {_RRF_TOP}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_rrf_fusion",
+        sim_rrf_fusion,
+        _rrf_oracle(),
+        doc="reciprocal rank fusion of BM25 + set-overlap rankings (hybrid RAG merge)",
+        tags=("llm", "retrieval", "similarity"),
+    )
+)

@@ -131,6 +131,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "per-segment revenue Gini coefficient": ["analytic_gini"],
         "Kaplan-Meier retention risk table": ["analytic_survival"],
         "MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98)": ["sim_mmr_rerank"],
+        "reciprocal rank fusion hybrid merge (Cormack SIGIR'09)": [
+            "sim_rrf_fusion"
+        ],
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
         "differentially-private count release (geometric mechanism)": [
             "wf_dp_counts"
