@@ -1433,3 +1433,195 @@ SPECS.append(
         tags=("llm", "retrieval", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_ndcg — NDCG@10 of the BM25 ranking vs graded relevance
+# ---------------------------------------------------------------------------
+
+_NDCG_AT = 10
+
+
+def analytic_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking under a deterministic graded-
+    relevance rule (grade = how many distinct query terms the doc
+    contains, 0–3) — the retrieval-evaluation companion of
+    ``analytic_auc``/``analytic_avg_precision`` and the metric a RAG
+    stack tracks per release. ``DCG = Σ (2^g − 1)/log2(rank+1)`` over
+    the returned ranking; the IDEAL DCG needs no global sort: grades
+    have a 4-value domain, so the best-possible top-10 is read off
+    the per-grade COUNT histogram (highest grades fill the first
+    ranks). Each DCG term is ``round(·, 12)`` DECIMAL (the last-ulp
+    log2 argument), so both sums are order-free exact; gains 2^g−1
+    are exact integers."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"), "text"
+    )
+    grade = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split("text", " ")),
+            F.array(*[F.lit(t) for t in BM25_QUERY_TERMS]),
+        )
+    )
+    graded = docs.select("doc_id", grade.alias("g"))
+
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    ranking = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(term_score, 6).cast("decimal(18,6)").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_NDCG_AT)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
+        )
+    )
+    dcg_term = F.round(
+        (F.pow(F.lit(2.0), F.col("g")) - 1)
+        / F.log2(F.col("rank").cast("double") + 1),
+        12,
+    ).cast("decimal(24,12)")
+    dcg = (
+        ranking.join(graded, "doc_id")
+        .select(dcg_term.alias("t"))
+        .agg(F.sum("t").alias("dcg"))
+    )
+    # ideal DCG from the grade histogram: ranks 1..10 consume grades
+    # in descending order; rank boundaries come from cumulative counts.
+    gh = graded.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy(F.col("g").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ideal_rows = gh.select(
+        "g",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("before"),
+        F.col("c"),
+    ).select(
+        "g",
+        F.greatest(F.col("before") + 1, F.lit(1)).alias("r_lo"),
+        F.least(F.col("before") + F.col("c"), F.lit(_NDCG_AT)).alias("r_hi"),
+    ).filter(F.col("r_lo") <= F.lit(_NDCG_AT))
+    ideal_terms = ideal_rows.select(
+        "g", F.explode(F.sequence(F.col("r_lo"), F.col("r_hi"))).alias("rank")
+    ).select(
+        F.round(
+            (F.pow(F.lit(2.0), F.col("g")) - 1)
+            / F.log2(F.col("rank").cast("double") + 1),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("t")
+    )
+    idcg = ideal_terms.agg(F.sum("t").alias("idcg"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+        ).alias("ndcg"),
+    )
+
+
+def _ndcg_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS dl, text
+    FROM documents
+),
+graded AS (
+    SELECT doc_id,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+                              [{terms}])) AS g
+    FROM docs
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM docs)
+    WHERE term IN ({terms})
+    GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1)
+                  / (tf.tf + {BM25_K1}
+                     * (1.0 - {BM25_B} + {BM25_B} * tf.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6)
+             AS DECIMAL(18,6))) AS s
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+),
+ranking AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER)
+           AS rank
+    FROM scored ORDER BY s DESC, doc_id LIMIT {_NDCG_AT}
+),
+dcg AS (
+    SELECT SUM(CAST(round((pow(2.0, g.g) - 1) / log2(r.rank + 1.0), 12)
+               AS DECIMAL(24,12))) AS dcg
+    FROM ranking r JOIN graded g USING (doc_id)
+),
+gh AS (SELECT g, COUNT(*) AS c FROM graded GROUP BY g),
+bounds AS (
+    SELECT g,
+           CAST(GREATEST(COALESCE(SUM(c) OVER (ORDER BY g DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1, 1)
+               AS BIGINT) AS r_lo,
+           CAST(LEAST(COALESCE(SUM(c) OVER (ORDER BY g DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c,
+               {_NDCG_AT}) AS BIGINT) AS r_hi
+    FROM gh
+),
+ideal AS (
+    SELECT SUM(CAST(round((pow(2.0, g) - 1) / log2(rank + 1.0), 12)
+               AS DECIMAL(24,12))) AS idcg
+    FROM (SELECT g, unnest(generate_series(r_lo, r_hi)) AS rank
+          FROM bounds WHERE r_lo <= {_NDCG_AT})
+)
+SELECT CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+FROM dcg CROSS JOIN ideal
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "analytic_ndcg",
+        analytic_ndcg,
+        _ndcg_oracle(),
+        doc="NDCG@10 of the BM25 ranking; ideal DCG from the grade histogram",
+        tags=("llm", "retrieval", "stats", "mlops"),
+    )
+)

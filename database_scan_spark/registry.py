@@ -175,6 +175,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_update_vs_complete",
     "analytic_seasonality_strength",
     "sim_rrf_fusion",
+    "analytic_ndcg",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -134,6 +134,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "reciprocal rank fusion hybrid merge (Cormack SIGIR'09)": [
             "sim_rrf_fusion"
         ],
+        "NDCG@10 retrieval evaluation (histogram-derived ideal)": [
+            "analytic_ndcg"
+        ],
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
         "differentially-private count release (geometric mechanism)": [
             "wf_dp_counts"
