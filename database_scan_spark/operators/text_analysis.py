@@ -1625,3 +1625,103 @@ SPECS.append(
         tags=("llm", "retrieval", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_fraction — corpus-frequent shingle share per doc
+# ---------------------------------------------------------------------------
+
+_BP_N = 5  # shingle width
+_BP_DF = 5  # a shingle in >= this many DISTINCT docs is boilerplate
+
+
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate share per document: the fraction of a doc's
+    distinct 5-gram shingles that occur in ≥5 OTHER documents —
+    headers, footers, license blurbs and templates that repeat
+    ACROSS the corpus (the CCNet/RefinedWeb boilerplate signal;
+    complementary to ``text_repetition``'s intra-doc repeats and
+    ``dedup_substring_spans``' pairwise spans). Docs above 50%
+    boilerplate get the drop flag a corpus-prep pass consumes.
+
+    Shape: one shingle explode → distinct (doc, shingle) →
+    document-frequency hash aggregation; scoring joins the exploded
+    shingles back to their df (hash join — the shingle dictionary
+    outgrows broadcast at corpus scale) and reduces per doc. Counts
+    are exact integers; the fraction divides two BIGINTs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    idx = F.when(
+        F.size(toks) >= _BP_N, F.sequence(F.lit(1), F.size(toks) - (_BP_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(_BP_N)]
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    df_ = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        shingles.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= _BP_DF).cast("bigint")).alias("n_boiler"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        F.round(
+            F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
+        (
+            F.col("n_boiler").cast("double") / F.col("n_shingles") > 0.5
+        ).alias("drop_flag"),
+    )
+
+
+TEXT_BOILERPLATE_FRACTION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i : i + {_BP_N - 1}], ' ') AS sh
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - {_BP_N - 1})) AS i
+          FROM toks WHERE len(t) >= {_BP_N})
+),
+dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+scored AS (
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN d.df >= {_BP_DF} THEN 1 ELSE 0 END) AS n_boiler
+    FROM sh s JOIN dfreq d USING (sh)
+    GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_frac,
+       CAST(n_boiler AS DOUBLE) / n_shingles > 0.5 AS drop_flag
+FROM scored
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_boilerplate_fraction",
+        text_boilerplate_fraction,
+        TEXT_BOILERPLATE_FRACTION_ORACLE,
+        doc="cross-corpus boilerplate shingle share per doc with drop flag",
+        tags=("llm", "text", "dedup"),
+    )
+)

@@ -176,6 +176,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_seasonality_strength",
     "sim_rrf_fusion",
     "analytic_ndcg",
+    "text_boilerplate_fraction",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -333,6 +333,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "feature hashing vectorizer (vocabulary-free, signed)": [
             "text_hashing_vectorizer"
         ],
+        "cross-corpus boilerplate shingle fraction": [
+            "text_boilerplate_fraction"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
