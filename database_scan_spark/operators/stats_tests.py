@@ -1165,3 +1165,116 @@ SPECS.append(
         tags=("analytics", "stats", "timeseries"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_cuped — CUPED variance reduction for experiment metrics
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period / experiment-period boundary
+
+
+def analytic_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the
+    technique every experimentation platform applies before reading
+    an A/B test): per-user experiment-period purchase value y is
+    adjusted by the same user's PRE-period value x via
+    ``y' = y − θ(x − x̄)`` with ``θ = cov(x,y)/var(x)``; the variance
+    of y' shrinks by exactly ``cov²/(var_x·var_y)`` (= ρ²). Reports
+    θ and the achieved reduction — the sensitivity win that shortens
+    experiments.
+
+    Shape: ONE per-user aggregation pivots pre/post cents (map-side
+    combine), one moment aggregate over users, closed-form doubles
+    from exact DECIMAL sums (bit-identical cross-engine). At 100 TB:
+    two shuffles total, both keyed (user, then scalar)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.to_date("ts") < split, F.round(F.col("value") * 100)
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.to_date("ts") >= split, F.round(F.col("value") * 100)
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_users").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    var_x = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    var_y = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    theta = cov / var_x
+    var_adj = var_y - cov * cov / var_x
+    return m.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_adjusted"),
+        F.round(
+            (cov * cov / var_x) / var_y * 100,
+            6,
+        ).alias("var_reduction_pct"),
+    )
+
+
+ANALYTIC_CUPED_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_SPLIT}'
+                         THEN round(value * 100) ELSE 0 END)
+                AS DECIMAL(38,0)) AS x,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_SPLIT}'
+                         THEN round(value * 100) ELSE 0 END)
+                AS DECIMAL(38,0)) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM per_user
+)
+SELECT n_users,
+       round((sxy / n_users - (sx / n_users) * (sy / n_users))
+             / (sxx / n_users - (sx / n_users) * (sx / n_users)), 6) AS theta,
+       round(syy / n_users - (sy / n_users) * (sy / n_users), 6) AS var_y,
+       round((syy / n_users - (sy / n_users) * (sy / n_users))
+             - (sxy / n_users - (sx / n_users) * (sy / n_users))
+               * (sxy / n_users - (sx / n_users) * (sy / n_users))
+               / (sxx / n_users - (sx / n_users) * (sx / n_users)), 6)
+           AS var_adjusted,
+       round(((sxy / n_users - (sx / n_users) * (sy / n_users))
+              * (sxy / n_users - (sx / n_users) * (sy / n_users))
+              / (sxx / n_users - (sx / n_users) * (sx / n_users)))
+             / (syy / n_users - (sy / n_users) * (sy / n_users)) * 100, 6)
+           AS var_reduction_pct
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_cuped",
+        analytic_cuped,
+        ANALYTIC_CUPED_ORACLE,
+        doc="CUPED pre-period covariate adjustment: theta and variance reduction",
+        tags=("analytics", "stats", "mlops"),
+    )
+)

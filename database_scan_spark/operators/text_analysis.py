@@ -1725,3 +1725,70 @@ SPECS.append(
         tags=("llm", "text", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_langid_confusion — confusion matrix of the lang-ID heuristic
+# ---------------------------------------------------------------------------
+
+
+def dq_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of ``text_lang_id``'s prediction against the
+    documents table's ground-truth ``lang`` label — the per-class
+    evaluation artifact (cell counts + class recall/precision
+    denominators) a model gate reads before trusting the classifier
+    on new data. Reuses the lang-ID plan and reduces it with one
+    (actual, predicted) hash aggregation plus two broadcast marginal
+    joins; everything but the one rate column is an exact BIGINT."""
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("actual"), F.col("predicted_lang").alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    atot = cells.groupBy("actual").agg(F.sum("n").alias("actual_total"))
+    ptot = cells.groupBy("predicted").agg(F.sum("n").alias("pred_total"))
+    return (
+        cells.join(F.broadcast(atot), "actual")
+        .join(F.broadcast(ptot), "predicted")
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("actual_total").cast("bigint").alias("actual_total"),
+            F.col("pred_total").cast("bigint").alias("pred_total"),
+            F.round(F.col("n").cast("double") / F.col("actual_total"), 6).alias(
+                "row_rate"
+            ),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_id_oracle()}),
+cells AS (
+    SELECT lang AS actual, predicted_lang AS predicted, COUNT(*) AS n
+    FROM pred GROUP BY 1, 2
+),
+atot AS (SELECT actual, SUM(n) AS actual_total FROM cells GROUP BY actual),
+ptot AS (SELECT predicted, SUM(n) AS pred_total FROM cells GROUP BY predicted)
+SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+       CAST(a.actual_total AS BIGINT) AS actual_total,
+       CAST(p.pred_total AS BIGINT) AS pred_total,
+       round(CAST(c.n AS DOUBLE) / a.actual_total, 6) AS row_rate
+FROM cells c JOIN atot a USING (actual) JOIN ptot p USING (predicted)
+ORDER BY actual, predicted
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dq_langid_confusion",
+        dq_langid_confusion,
+        _langid_confusion_oracle(),
+        doc="confusion matrix of the lang-ID heuristic vs ground-truth labels",
+        tags=("quality", "text", "mlops"),
+    )
+)

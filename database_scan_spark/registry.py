@@ -177,6 +177,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_rrf_fusion",
     "analytic_ndcg",
     "text_boilerplate_fraction",
+    "dq_langid_confusion",
+    "analytic_cuped",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

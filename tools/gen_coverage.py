@@ -191,6 +191,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "seasonality strength (weekday ANOVA eta-squared)": [
             "analytic_seasonality_strength"
         ],
+        "CUPED pre-period variance reduction": ["analytic_cuped"],
+        "classifier confusion matrix (lang-ID vs ground truth)": [
+            "dq_langid_confusion"
+        ],
         "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
         "exact directed modularity of a community partition": ["graph_modularity"],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
