@@ -199,6 +199,33 @@ SHOWCASE = {
     "aggregation with map-side combine, the stratum-weight total as a "
     "one-row agg broadcast back (no global window), and membership as "
     "a per-stratum rank window under hashpartitioning(stratum)",
+    "analytic_spearman": "rank correlation without a global sort — expect "
+    "ONE partial+final HashAggregate over the fact building the joint "
+    "histogram, rank dims as windows over the tiny value relations "
+    "joined back by BROADCAST, and a single-row moment aggregate; the "
+    "fact is never sorted",
+    "graph_kcore": "bounded k-core peel — expect the ONE distinct "
+    "aggregation building the edge dictionary, then per-round "
+    "HashAggregate degree counts and BroadcastHashJoin LeftSemi "
+    "survivor filters over the persisted edge relation",
+    "dedup_fellegi_sunter": "blocked linkage scoring — expect the pair "
+    "generator as an equi join on (brand, size) with the key-order "
+    "predicate as a join filter (NO nested-loop over the full table), "
+    "u-statistics as one-row aggregates broadcast into the scoring "
+    "projection, and the 8-row pattern rollup as a tiny final agg",
+    "text_keyword_rake": "RAKE — expect per-document phrase windows under "
+    "hashpartitioning(doc_id) (no single-partition exchange), corpus "
+    "word stats as hash aggregates with map-side combine, and the "
+    "top-3 rank window again partitioned by doc",
+    "sim_rrf_fusion": "hybrid fusion — expect each retrieval leg to end "
+    "in TakeOrderedAndProject (pool of 20, no global sort), rank "
+    "windows over the 20-row pools, and the fusion as a tiny "
+    "full-outer join feeding TakeOrdered",
+    "text_boilerplate_fraction": "boilerplate shingles — expect the "
+    "shingle explode fused into the scan stage, document-frequency as "
+    "partial+final HashAggregate on the shingle key, and the score "
+    "join as a shuffled hash/sort-merge join on shingle (dictionary "
+    "outgrows broadcast at corpus scale), then one per-doc aggregate",
 }
 
 
