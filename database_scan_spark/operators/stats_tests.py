@@ -1278,3 +1278,300 @@ SPECS.append(
         tags=("analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree-degree correlation over edges
+# ---------------------------------------------------------------------------
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part–supplier fulfilment graph
+    (Newman 2002): the Pearson correlation of (part degree, supplier
+    degree) across EDGES — do high-degree parts source from
+    high-degree suppliers? Negative assortativity is the classic
+    bipartite hub-to-leaf signature; the number a graph audit quotes
+    next to ``graph_modularity``.
+
+    Exact moments: degrees are integer counts from two hash
+    aggregations over the distinct-edge dictionary, joined back to
+    edges (broadcast on the smaller supplier dim, hash join on the
+    part side); Σd_p, Σd_s, Σd_p·d_s, Σd_p², Σd_s² are DECIMAL sums,
+    and r is the one closed-form double. At 100 TB the edge relation
+    is dimension×dimension bounded and everything is keyed — no
+    global structure."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    )
+    edges = li.distinct()
+    deg_p = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+    deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    e = (
+        edges.join(deg_p, "p")
+        .join(F.broadcast(deg_s), "s")
+        .select(
+            F.col("dp").cast("decimal(38,0)").alias("x"),
+            F.col("ds").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("n_edges", F.round(r, 6).alias("assortativity"))
+
+
+GRAPH_ASSORTATIVITY_ORACLE = """
+WITH edges AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+dp AS (SELECT p, COUNT(*) AS dp FROM edges GROUP BY p),
+ds AS (SELECT s, COUNT(*) AS ds FROM edges GROUP BY s),
+e AS (
+    SELECT CAST(dp.dp AS DECIMAL(38,0)) AS x, CAST(ds.ds AS DECIMAL(38,0)) AS y
+    FROM edges JOIN dp USING (p) JOIN ds USING (s)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM e
+)
+SELECT n_edges,
+       round((n_edges * sxy - sx * sy)
+             / (sqrt(n_edges * sxx - sx * sx)
+                * sqrt(n_edges * syy - sy * sy)), 6) AS assortativity
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_assortativity",
+        graph_assortativity,
+        GRAPH_ASSORTATIVITY_ORACLE,
+        doc="edge-wise degree assortativity from exact moment sums",
+        tags=("graph", "analytics", "stats"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_corr — rolling correlation of two daily series
+# ---------------------------------------------------------------------------
+
+_RC_WIN = 14  # days
+
+
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily purchase and
+    view counts — the co-movement monitor that flags when engagement
+    decouples from conversion. Both series come from ONE daily
+    aggregation (conditional counts); each day's correlation uses
+    exact integer window sums (Σx, Σy, Σxy, Σx², Σy² over the
+    calendar-bounded frame), so the closed-form r is bit-identical
+    cross-engine. Only full 14-day frames are emitted (partial-frame
+    r is not comparable). One window partition-free over the daily
+    relation — ≤ a few thousand rows regardless of fact size."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("x"),
+        F.sum((F.col("event_type") == "view").cast("bigint")).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).filter(F.col("n") == _RC_WIN)
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return rolled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("sx").cast("bigint").alias("purchases_14d"),
+        F.col("sy").cast("bigint").alias("views_14d"),
+        F.round(r, 6).alias("rolling_corr"),
+    )
+
+
+WIN_ROLLING_CORR_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY 1
+),
+rolled AS (
+    SELECT day,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+           SUM(x * y) OVER w AS sxy,
+           SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_RC_WIN - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sx AS BIGINT) AS purchases_14d,
+       CAST(sy AS BIGINT) AS views_14d,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS rolling_corr
+FROM rolled WHERE n = {_RC_WIN}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_rolling_corr",
+        win_rolling_corr,
+        WIN_ROLLING_CORR_ORACLE,
+        doc="14-day rolling Pearson correlation from exact integer window sums",
+        tags=("window", "analytics", "timeseries"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic_prop_ztest — two-proportion z-tests down the funnel
+# ---------------------------------------------------------------------------
+
+
+def analytic_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between consecutive funnel stages at
+    USER-DAY grain (a user-day that viewed: did it also click? a
+    user-day that clicked: did it also purchase?): is the treatment
+    cohort's stage conversion different from control's? Cohorts are
+    the deterministic hash split an experiment platform actually
+    assigns (``h32('cohort-'‖user) mod 2``). Per transition, the
+    pooled two-proportion z ``(p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂))`` from
+    exact integer numerators/denominators and one fixed double
+    sequence — the funnel-diagnosis companion of
+    ``analytic_ab_test``.
+
+    Shape: one (user, day) flag aggregation (map-side combine), a
+    2×stages count rollup, per-transition scalar math — nothing
+    after the first aggregation exceeds cohort×stage rows."""
+    ev = load(spark, sf_dir, "events")
+    from ._helpers import h32  # noqa: PLC0415
+
+    cohort_flag = (
+        h32(F.concat(F.lit("cohort-"), F.col("user_id"))) % 2
+    ).cast("int")
+    flags = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        F.first(cohort_flag).alias("grp"),
+    )
+    cohort = flags.groupBy("grp").agg(
+        F.sum("v").cast("bigint").alias("n_view"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("n_view_click"),
+        F.sum("c").cast("bigint").alias("n_click"),
+        F.sum(F.col("c") * F.col("p")).cast("bigint").alias("n_click_buy"),
+    )
+    stages = [("view->click", "n_view", "n_view_click"),
+              ("click->purchase", "n_click", "n_click_buy")]
+    out = None
+    a = cohort.filter(F.col("grp") == 1)
+    b = cohort.filter(F.col("grp") == 0)
+    for label, n_col, k_col in stages:
+        pa = a.select(
+            F.lit(label).alias("transition"),
+            F.col(n_col).alias("n1"),
+            F.col(k_col).alias("k1"),
+        )
+        pb = b.select(F.col(n_col).alias("n2"), F.col(k_col).alias("k2"))
+        row = pa.crossJoin(F.broadcast(pb))
+        out = row if out is None else out.unionByName(row)
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return out.select(
+        "transition",
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.round(p1, 6).alias("rate_treat"),
+        F.round(p2, 6).alias("rate_control"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("reject_5pct"),
+    ).orderBy("transition")
+
+
+ANALYTIC_PROP_ZTEST_ORACLE = """
+WITH flags AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+           CAST(('0x' || substring(md5('cohort-' || user_id), 1, 8))::BIGINT % 2
+                AS INTEGER) AS grp
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+cohortp AS (
+    SELECT CAST(SUM(v) AS BIGINT) AS n_view,
+           CAST(SUM(v * c) AS BIGINT) AS n_view_click,
+           CAST(SUM(c) AS BIGINT) AS n_click,
+           CAST(SUM(c * p) AS BIGINT) AS n_click_buy
+    FROM flags WHERE grp = 1
+),
+cohortr AS (
+    SELECT CAST(SUM(v) AS BIGINT) AS n_view,
+           CAST(SUM(v * c) AS BIGINT) AS n_view_click,
+           CAST(SUM(c) AS BIGINT) AS n_click,
+           CAST(SUM(c * p) AS BIGINT) AS n_click_buy
+    FROM flags WHERE grp = 0
+),
+rows_ AS (
+    SELECT 'view->click' AS transition, a.n_view AS n1, a.n_view_click AS k1,
+           b.n_view AS n2, b.n_view_click AS k2
+    FROM cohortp a CROSS JOIN cohortr b
+    UNION ALL
+    SELECT 'click->purchase', a.n_click, a.n_click_buy,
+           b.n_click, b.n_click_buy
+    FROM cohortp a CROSS JOIN cohortr b
+)
+SELECT transition, n1, k1, n2, k2,
+       round(CAST(k1 AS DOUBLE) / n1, 6) AS rate_treat,
+       round(CAST(k2 AS DOUBLE) / n2, 6) AS rate_control,
+       round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+             / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z,
+       abs(round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+             / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6)) > 1.96 AS reject_5pct
+FROM rows_ ORDER BY transition
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_prop_ztest",
+        analytic_prop_ztest,
+        ANALYTIC_PROP_ZTEST_ORACLE,
+        doc="pooled two-proportion z-tests per funnel transition, hash-split cohorts",
+        tags=("analytics", "stats"),
+    )
+)

@@ -179,6 +179,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_boilerplate_fraction",
     "dq_langid_confusion",
     "analytic_cuped",
+    "graph_assortativity",
+    "win_rolling_corr",
+    "analytic_prop_ztest",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -192,6 +192,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "analytic_seasonality_strength"
         ],
         "CUPED pre-period variance reduction": ["analytic_cuped"],
+        "degree assortativity (edge-wise moments)": ["graph_assortativity"],
+        "rolling correlation window (exact integer sums)": ["win_rolling_corr"],
+        "two-proportion z-tests per funnel transition": ["analytic_prop_ztest"],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
