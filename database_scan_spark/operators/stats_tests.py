@@ -1575,3 +1575,183 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_experiment_readout — the experimentation flagship:
+# hash-split cohorts → exact moments → CUPED adjustment → effect + z
+# ---------------------------------------------------------------------------
+
+
+def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row experiment readout composing the engine's A/B
+    primitives end to end: deterministic hash-split cohorts
+    (the assignment mechanism of ``analytic_prop_ztest``), per-user
+    pre/post purchase cents (the CUPED split of ``analytic_cuped``),
+    POOLED θ from combined moments, per-cohort CUPED-adjusted means
+    and variances, and both the raw and adjusted difference-in-means
+    z statistics — the report an experimenter actually reads, where
+    the adjusted |z| ≥ raw |z| whenever the pre-period covariate has
+    signal.
+
+    Everything derives from ONE per-user aggregation and a 2-row
+    cohort-moment relation pivoted to a single row; every double is
+    a fixed expression over exact DECIMAL sums, evaluated with the
+    same lateral-alias structure in both engines."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") < split, F.round(F.col("value") * 100)).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum(
+            F.when(F.to_date("ts") >= split, F.round(F.col("value") * 100)).otherwise(
+                0
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("y"),
+    ).select(
+        (h32(F.concat(F.lit("cohort-"), F.col("user_id"))) % 2)
+        .cast("int")
+        .alias("grp"),
+        "x",
+        "y",
+    )
+    cm = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+
+    def side(g: int, c: str) -> F.Column:
+        return F.max(F.when(F.col("grp") == g, F.col(c)))
+
+    wide = cm.agg(
+        *[side(1, c).alias(f"{c}1") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+        *[side(0, c).alias(f"{c}0") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+    )
+    e = {}
+    e["np"] = F.col("n1") + F.col("n0")
+    e["mxp"] = (F.col("sx1") + F.col("sx0")) / e["np"]
+    e["myp"] = (F.col("sy1") + F.col("sy0")) / e["np"]
+    e["cov_p"] = (F.col("sxy1") + F.col("sxy0")) / e["np"] - e["mxp"] * e["myp"]
+    e["varx_p"] = (F.col("sxx1") + F.col("sxx0")) / e["np"] - e["mxp"] * e["mxp"]
+    e["theta"] = e["cov_p"] / e["varx_p"]
+    for g in (1, 0):
+        e[f"mx{g}"] = F.col(f"sx{g}") / F.col(f"n{g}")
+        e[f"my{g}"] = F.col(f"sy{g}") / F.col(f"n{g}")
+        e[f"vary{g}"] = F.col(f"syy{g}") / F.col(f"n{g}") - e[f"my{g}"] * e[f"my{g}"]
+        e[f"varx{g}"] = F.col(f"sxx{g}") / F.col(f"n{g}") - e[f"mx{g}"] * e[f"mx{g}"]
+        e[f"cov{g}"] = (
+            F.col(f"sxy{g}") / F.col(f"n{g}") - e[f"mx{g}"] * e[f"my{g}"]
+        )
+        e[f"madj{g}"] = e[f"my{g}"] - e["theta"] * (e[f"mx{g}"] - e["mxp"])
+        e[f"vadj{g}"] = (
+            e[f"vary{g}"]
+            - 2 * e["theta"] * e[f"cov{g}"]
+            + e["theta"] * e["theta"] * e[f"varx{g}"]
+        )
+    z_raw = (e["my1"] - e["my0"]) / F.sqrt(
+        e["vary1"] / F.col("n1") + e["vary0"] / F.col("n0")
+    )
+    z_adj = (e["madj1"] - e["madj0"]) / F.sqrt(
+        e["vadj1"] / F.col("n1") + e["vadj0"] / F.col("n0")
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(e["theta"], 6).alias("theta"),
+        F.round(e["my1"] - e["my0"], 6).alias("effect_raw_cents"),
+        F.round(e["madj1"] - e["madj0"], 6).alias("effect_adj_cents"),
+        F.round(z_raw, 6).alias("z_raw"),
+        F.round(z_adj, 6).alias("z_adj"),
+        (F.abs(F.round(z_adj, 6)) > 1.96).alias("reject_5pct"),
+    )
+
+
+PIPELINE_EXPERIMENT_READOUT_ORACLE = f"""
+WITH per_user AS (
+    SELECT CAST(('0x' || substring(md5('cohort-' || user_id), 1, 8))::BIGINT % 2
+                AS INTEGER) AS grp,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_SPLIT}'
+                         THEN round(value * 100) ELSE 0 END)
+                AS DECIMAL(38,0)) AS x,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_SPLIT}'
+                         THEN round(value * 100) ELSE 0 END)
+                AS DECIMAL(38,0)) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+cm AS (
+    SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM per_user GROUP BY grp
+),
+wide AS (
+    SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+           MAX(CASE WHEN grp = 1 THEN sx END) AS sx1,
+           MAX(CASE WHEN grp = 1 THEN sy END) AS sy1,
+           MAX(CASE WHEN grp = 1 THEN sxy END) AS sxy1,
+           MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx1,
+           MAX(CASE WHEN grp = 1 THEN syy END) AS syy1,
+           MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+           MAX(CASE WHEN grp = 0 THEN sx END) AS sx0,
+           MAX(CASE WHEN grp = 0 THEN sy END) AS sy0,
+           MAX(CASE WHEN grp = 0 THEN sxy END) AS sxy0,
+           MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx0,
+           MAX(CASE WHEN grp = 0 THEN syy END) AS syy0
+    FROM cm
+),
+calc AS (
+    SELECT *,
+           n1 + n0 AS np,
+           (sx1 + sx0) / np AS mxp,
+           (sy1 + sy0) / np AS myp,
+           (sxy1 + sxy0) / np - mxp * myp AS cov_p,
+           (sxx1 + sxx0) / np - mxp * mxp AS varx_p,
+           cov_p / varx_p AS theta,
+           sx1 / n1 AS mx1, sy1 / n1 AS my1,
+           syy1 / n1 - my1 * my1 AS vary1,
+           sxx1 / n1 - mx1 * mx1 AS varx1,
+           sxy1 / n1 - mx1 * my1 AS cov1,
+           my1 - theta * (mx1 - mxp) AS madj1,
+           vary1 - 2 * theta * cov1 + theta * theta * varx1 AS vadj1,
+           sx0 / n0 AS mx0, sy0 / n0 AS my0,
+           syy0 / n0 - my0 * my0 AS vary0,
+           sxx0 / n0 - mx0 * mx0 AS varx0,
+           sxy0 / n0 - mx0 * my0 AS cov0,
+           my0 - theta * (mx0 - mxp) AS madj0,
+           vary0 - 2 * theta * cov0 + theta * theta * varx0 AS vadj0
+    FROM wide
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_control,
+       round(theta, 6) AS theta,
+       round(my1 - my0, 6) AS effect_raw_cents,
+       round(madj1 - madj0, 6) AS effect_adj_cents,
+       round((my1 - my0) / sqrt(vary1 / n1 + vary0 / n0), 6) AS z_raw,
+       round((madj1 - madj0) / sqrt(vadj1 / n1 + vadj0 / n0), 6) AS z_adj,
+       abs(round((madj1 - madj0) / sqrt(vadj1 / n1 + vadj0 / n0), 6)) > 1.96
+           AS reject_5pct
+FROM calc
+"""
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_experiment_readout",
+        pipeline_experiment_readout,
+        PIPELINE_EXPERIMENT_READOUT_ORACLE,
+        doc="experiment readout flagship: hash cohorts, CUPED, raw+adjusted z",
+        tags=("analytics", "stats", "mlops", "pipeline"),
+    )
+)

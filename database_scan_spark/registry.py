@@ -182,6 +182,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_assortativity",
     "win_rolling_corr",
     "analytic_prop_ztest",
+    "pipeline_experiment_readout",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

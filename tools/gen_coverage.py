@@ -195,6 +195,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "degree assortativity (edge-wise moments)": ["graph_assortativity"],
         "rolling correlation window (exact integer sums)": ["win_rolling_corr"],
         "two-proportion z-tests per funnel transition": ["analytic_prop_ztest"],
+        "experiment readout flagship (cohorts + CUPED + z)": [
+            "pipeline_experiment_readout"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
