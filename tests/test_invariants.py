@@ -500,3 +500,40 @@ def test_hashing_vectorizer_mass_conservation(spark, specs):
         (F.col("mass") > F.col("n_tok")) | (F.col("nnz") > 64)
     )
     assert bad.count() == 0
+
+
+def test_experiment_readout_theta_matches_cuped(spark, specs):
+    """The readout's pooled theta is computed over ALL users — the
+    same population as analytic_cuped — so the two must agree to the
+    shared 6-dp rounding."""
+    ro = specs["pipeline_experiment_readout"].fn(spark, SF_SMOKE).collect()[0]
+    cu = specs["analytic_cuped"].fn(spark, SF_SMOKE).collect()[0]
+    assert abs(ro["theta"] - cu["theta"]) < 1e-9
+    assert ro["n_treat"] + ro["n_control"] == cu["n_users"]
+
+
+def test_ndcg_bounded_by_ideal(spark, specs):
+    """DCG can never exceed the ideal; NDCG in [0, 1]."""
+    r = specs["analytic_ndcg"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["dcg"] <= r["idcg"] + 1e-9
+    assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+
+
+def test_rrf_scores_decompose_into_rank_terms(spark, specs):
+    """Every fused score must equal the sum of its two rank terms
+    (1/(60+rank), 12-dp), and ranks stay within the pool size."""
+    for r in specs["sim_rrf_fusion"].fn(spark, SF_SMOKE).collect():
+        expect = 0.0
+        for rank in (r["rank_bm25"], r["rank_jac"]):
+            if rank is not None:
+                assert 1 <= rank <= 20
+                expect += round(1.0 / (60 + rank), 12)
+        assert abs(r["rrf_score"] - expect) < 1e-9
+
+
+def test_prop_ztest_rates_and_counts_consistent(spark, specs):
+    """k <= n per cohort and reported rates equal k/n at 6 dp."""
+    for r in specs["analytic_prop_ztest"].fn(spark, SF_SMOKE).collect():
+        assert r["k1"] <= r["n1"] and r["k2"] <= r["n2"]
+        assert abs(r["rate_treat"] - round(r["k1"] / r["n1"], 6)) < 1e-9
+        assert abs(r["rate_control"] - round(r["k2"] / r["n2"], 6)) < 1e-9
