@@ -1755,3 +1755,110 @@ SPECS.append(
         tags=("analytics", "stats", "mlops", "pipeline"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_forecast_backtest — rolling-origin evaluation of the
+# weekday-mean forecaster
+# ---------------------------------------------------------------------------
+
+_BT_MIN_HISTORY = 2  # need >= 2 prior same-weekday observations
+
+
+def analytic_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the same-weekday-mean forecaster
+    over the daily purchase series: each day is predicted from the
+    mean of its OWN weekday's strictly-prior days (the leakage-safe
+    expanding-window protocol), and the errors roll up to MAPE,
+    sMAPE and bias — the scorecard that decides whether
+    ``dq_seasonal_baseline``'s model is good enough to page on.
+
+    Exactness: the prior-mean is a ratio of exact integer prefix
+    sums from ONE cumulative window per weekday partition; each
+    day's error term is one double expression rounded to 12 dp and
+    summed as DECIMAL (order-free). Only days with ≥2 prior
+    same-weekday observations score. Shape: fact → daily hash agg →
+    7-partition cumulative windows → one summary row."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = (
+        Window.partitionBy(F.weekday("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "day",
+        "x",
+        F.coalesce(F.sum("x").over(w), F.lit(0)).alias("prior_sum"),
+        F.count("x").over(w).alias("prior_n"),
+    ).filter(F.col("prior_n") >= _BT_MIN_HISTORY)
+    f = F.col("prior_sum").cast("double") / F.col("prior_n")
+    ape = F.round(F.abs(F.col("x") - f) / F.col("x"), 12).cast("decimal(24,12)")
+    sape = F.round(
+        2 * F.abs(F.col("x") - f) / (F.col("x") + f), 12
+    ).cast("decimal(24,12)")
+    err = F.round(f - F.col("x"), 12).cast("decimal(24,12)")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(ape).alias("ape_sum"),
+        F.sum(sape).alias("sape_sum"),
+        F.sum(err).alias("err_sum"),
+    )
+    return agg.select(
+        "n_scored",
+        F.round(F.col("ape_sum").cast("double") / F.col("n_scored") * 100, 6).alias(
+            "mape_pct"
+        ),
+        F.round(
+            F.col("sape_sum").cast("double") / F.col("n_scored") * 100, 6
+        ).alias("smape_pct"),
+        F.round(F.col("err_sum").cast("double") / F.col("n_scored"), 6).alias(
+            "mean_bias"
+        ),
+    )
+
+
+ANALYTIC_FORECAST_BACKTEST_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+scored AS (
+    SELECT day, x,
+           COALESCE(SUM(x) OVER w, 0) AS prior_sum,
+           COUNT(x) OVER w AS prior_n
+    FROM daily
+    WINDOW w AS (PARTITION BY isodow(day) ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+    SELECT x,
+           CAST(prior_sum AS DOUBLE) / prior_n AS f
+    FROM scored WHERE prior_n >= {_BT_MIN_HISTORY}
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           SUM(CAST(round(abs(x - f) / x, 12) AS DECIMAL(24,12))) AS ape_sum,
+           SUM(CAST(round(2 * abs(x - f) / (x + f), 12) AS DECIMAL(24,12)))
+               AS sape_sum,
+           SUM(CAST(round(f - x, 12) AS DECIMAL(24,12))) AS err_sum
+    FROM terms
+)
+SELECT n_scored,
+       round(CAST(ape_sum AS DOUBLE) / n_scored * 100, 6) AS mape_pct,
+       round(CAST(sape_sum AS DOUBLE) / n_scored * 100, 6) AS smape_pct,
+       round(CAST(err_sum AS DOUBLE) / n_scored, 6) AS mean_bias
+FROM agg
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_forecast_backtest",
+        analytic_forecast_backtest,
+        ANALYTIC_FORECAST_BACKTEST_ORACLE,
+        doc="rolling-origin MAPE/sMAPE/bias of the weekday-mean forecaster",
+        tags=("analytics", "stats", "timeseries", "mlops"),
+    )
+)

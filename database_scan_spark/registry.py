@@ -183,6 +183,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_rolling_corr",
     "analytic_prop_ztest",
     "pipeline_experiment_readout",
+    "analytic_forecast_backtest",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

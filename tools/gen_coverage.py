@@ -198,6 +198,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "experiment readout flagship (cohorts + CUPED + z)": [
             "pipeline_experiment_readout"
         ],
+        "rolling-origin forecast backtest (MAPE/sMAPE/bias)": [
+            "analytic_forecast_backtest"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
