@@ -1862,3 +1862,89 @@ SPECS.append(
         tags=("analytics", "stats", "timeseries", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_fdr_bh — Benjamini-Hochberg FDR over the test battery
+# ---------------------------------------------------------------------------
+
+# z-scale thresholds for two-sided p <= 0.05*i/10, i = 1..10
+# (Phi^-1(1 - p/2), standard normal quantiles as shared literals).
+_BH_Z = [
+    "2.807034", "2.575829", "2.432379", "2.326348", "2.241403",
+    "2.170090", "2.108358", "2.053749", "2.004654", "1.959964",
+]
+
+
+def analytic_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) over the
+    ``analytic_mannwhitney`` battery: 10 simultaneous pairwise tests
+    need multiple-testing correction before anyone acts on them.
+    BH runs on the z SCALE — sort |z| descending, compare the i-th
+    against the shared literal threshold for two-sided
+    ``p = α·i/m`` (α=0.05, m=10), and reject ranks up to the LAST
+    qualifying index (step-up) — so no normal CDF is evaluated at
+    runtime and both engines compare the same rounded z against the
+    same literals. The battery is a 10-row relation; everything here
+    is dimension-sized."""
+    mw = analytic_mannwhitney(spark, sf_dir).select(
+        "ta", "tb", "z", F.abs(F.col("z")).alias("absz")
+    )
+    w = Window.orderBy(F.col("absz").desc(), "ta", "tb")
+    ranked = mw.withColumn("rk", F.row_number().over(w))
+    thr = spark.createDataFrame(
+        [(i + 1, float(z)) for i, z in enumerate(_BH_Z)], "rk int, thr double"
+    )
+    j = ranked.join(F.broadcast(thr), "rk")
+    cutoff = j.agg(
+        F.max(F.when(F.col("absz") >= F.col("thr"), F.col("rk")).otherwise(0)).alias(
+            "cut"
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(cutoff))
+        .select(
+            "ta",
+            "tb",
+            "z",
+            F.col("rk").cast("int").alias("rank"),
+            F.col("thr").alias("z_threshold"),
+            (F.col("rk") <= F.col("cut")).alias("reject_fdr_5pct"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _bh_oracle() -> str:
+    vals = ", ".join(f"({i + 1}, {z})" for i, z in enumerate(_BH_Z))
+    return f"""
+WITH mw AS ({ANALYTIC_MANNWHITNEY_ORACLE.replace("ORDER BY ta, tb", "")}),
+ranked AS (
+    SELECT ta, tb, z, abs(z) AS absz,
+           row_number() OVER (ORDER BY abs(z) DESC, ta, tb) AS rk
+    FROM mw
+),
+thr(rk, thr) AS (VALUES {vals}),
+j AS (
+    SELECT r.ta, r.tb, r.z, r.absz, r.rk, t.thr
+    FROM ranked r JOIN thr t ON r.rk = t.rk
+),
+cutoff AS (
+    SELECT MAX(CASE WHEN absz >= thr THEN rk ELSE 0 END) AS cut FROM j
+)
+SELECT ta, tb, z, CAST(rk AS INT) AS rank, thr AS z_threshold,
+       rk <= cut AS reject_fdr_5pct
+FROM j CROSS JOIN cutoff
+ORDER BY rank
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "analytic_fdr_bh",
+        analytic_fdr_bh,
+        _bh_oracle(),
+        doc="Benjamini-Hochberg step-up FDR over the Mann-Whitney battery (z scale)",
+        tags=("analytics", "stats", "mlops"),
+    )
+)

@@ -184,6 +184,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_prop_ztest",
     "pipeline_experiment_readout",
     "analytic_forecast_backtest",
+    "analytic_fdr_bh",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

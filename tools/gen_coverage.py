@@ -201,6 +201,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "rolling-origin forecast backtest (MAPE/sMAPE/bias)": [
             "analytic_forecast_backtest"
         ],
+        "Benjamini-Hochberg FDR correction (z-scale step-up)": [
+            "analytic_fdr_bh"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
