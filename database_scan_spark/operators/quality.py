@@ -1137,3 +1137,121 @@ SPECS.append(
         tags=("workflow", "quality", "privacy"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_key_discovery — PK uniqueness + FK inclusion profiling
+# ---------------------------------------------------------------------------
+
+_PK_CANDIDATES = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("nation", "n_nationkey"),
+    ("lineitem", "l_orderkey"),  # deliberately NOT unique — negative case
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+]
+_FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-constraint DISCOVERY over the star schema — the
+    metadata profiling a catalog crawler runs on unlabeled data:
+    (a) primary-key candidates (distinct count == row count, no
+    nulls), including a deliberate negative (lineitem.l_orderkey);
+    (b) foreign-key inclusion coefficients (share of child DISTINCT
+    values present in the parent key) for the candidate edges.
+    All counts are exact; inclusion is computed on the deduplicated
+    key dictionaries (dimension-sized), with the probe side
+    broadcast where the parent is a dim — never a row-level join.
+
+    One audit row per check, so the whole result is a data-contract
+    report the engine can diff between snapshots."""
+    out = None
+    for tbl, col in _PK_CANDIDATES:
+        t = load(spark, sf_dir, tbl)
+        row = t.agg(
+            F.lit("pk").alias("kind"),
+            F.lit(f"{tbl}.{col}").alias("subject"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col(col).isNull().cast("bigint")).cast("bigint").alias("n_null"),
+        ).select(
+            "kind",
+            "subject",
+            "n_total",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_total"), 6).alias(
+                "ratio"
+            ),
+            (
+                (F.col("n_distinct") == F.col("n_total")) & (F.col("n_null") == 0)
+            ).alias("ok"),
+        )
+        out = row if out is None else out.unionByName(row)
+    for ctbl, ccol, ptbl, pcol in _FK_CANDIDATES:
+        child = load(spark, sf_dir, ctbl).select(F.col(ccol).alias("k")).distinct()
+        parent = load(spark, sf_dir, ptbl).select(F.col(pcol).alias("k")).distinct()
+        matched = child.join(parent, "k", "left_semi")
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(F.broadcast(matched.agg(F.count(F.lit(1)).alias("n_match"))))
+            .select(
+                F.lit("fk").alias("kind"),
+                F.lit(f"{ctbl}.{ccol}->{ptbl}.{pcol}").alias("subject"),
+                F.col("n_child").cast("bigint").alias("n_total"),
+                F.col("n_match").cast("bigint").alias("n_distinct"),
+                F.round(
+                    F.col("n_match").cast("double") / F.col("n_child"), 6
+                ).alias("ratio"),
+                (F.col("n_match") == F.col("n_child")).alias("ok"),
+            )
+        )
+        out = out.unionByName(row)
+    return out.orderBy("kind", "subject")
+
+
+def _key_discovery_oracle() -> str:
+    parts = []
+    for tbl, col in _PK_CANDIDATES:
+        parts.append(f"""
+SELECT 'pk' AS kind, '{tbl}.{col}' AS subject,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       round(CAST(COUNT(DISTINCT {col}) AS DOUBLE) / COUNT(*), 6) AS ratio,
+       COUNT(DISTINCT {col}) = COUNT(*)
+       AND SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+FROM {tbl}""")
+    for ctbl, ccol, ptbl, pcol in _FK_CANDIDATES:
+        parts.append(f"""
+SELECT 'fk' AS kind, '{ctbl}.{ccol}->{ptbl}.{pcol}' AS subject,
+       CAST((SELECT COUNT(DISTINCT {ccol}) FROM {ctbl}) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {ccol} AS k FROM {ctbl})
+             WHERE k IN (SELECT {pcol} FROM {ptbl})) AS BIGINT) AS n_distinct,
+       round(CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {ccol} AS k FROM {ctbl})
+                   WHERE k IN (SELECT {pcol} FROM {ptbl})) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT {ccol}) FROM {ctbl}), 6) AS ratio,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {ccol} AS k FROM {ctbl})
+        WHERE k IN (SELECT {pcol} FROM {ptbl}))
+       = (SELECT COUNT(DISTINCT {ccol}) FROM {ctbl}) AS ok""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY kind, subject"
+
+
+SPECS.append(
+    QuerySpec(
+        "dq_key_discovery",
+        dq_key_discovery,
+        _key_discovery_oracle(),
+        doc="PK uniqueness + FK inclusion discovery across the star schema",
+        tags=("quality", "catalog"),
+    )
+)

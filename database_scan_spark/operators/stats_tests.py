@@ -1948,3 +1948,94 @@ SPECS.append(
         tags=("analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_var_cvar — empirical VaR / CVaR of daily revenue changes
+# ---------------------------------------------------------------------------
+
+_VAR_ALPHA_PCT = 5  # tail level
+
+
+def analytic_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical 5% Value-at-Risk and CVaR (expected shortfall) of
+    day-over-day purchase-revenue changes — the risk-tail scorecard.
+    VaR is the lower empirical quantile under the standard
+    order-statistic definition (k = ⌈α·n⌉-th smallest delta), CVaR
+    the mean of deltas ≤ VaR; both are exact integers (cents) except
+    the final CVaR division.
+
+    No value-sort of the fact: deltas live on the calendar-bounded
+    daily relation; the order statistic comes from a rank window over
+    those ≤ thousands of rows, and the tail mean is one conditional
+    aggregate. Day-over-day deltas use a lag window on the same
+    relation — two windows, one tiny relation, one summary row."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("rev")
+    )
+    lagw = Window.orderBy("day")
+    deltas = daily.select(
+        (F.col("rev") - F.lag("rev").over(lagw)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    n = deltas.agg(F.count(F.lit(1)).alias("n"))
+    ranked = deltas.withColumn(
+        "rk", F.row_number().over(Window.orderBy("d"))
+    ).crossJoin(F.broadcast(n))
+    k = F.ceil(F.col("n") * _VAR_ALPHA_PCT / 100.0)
+    var_row = ranked.filter(F.col("rk") == k).select(
+        F.col("d").alias("var_cents"), "n"
+    )
+    tail = (
+        deltas.crossJoin(F.broadcast(var_row))
+        .filter(F.col("d") <= F.col("var_cents"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.max("var_cents").cast("bigint").alias("var_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            F.round(
+                F.sum("d").cast("double") / F.count(F.lit(1)), 6
+            ).alias("cvar_cents"),
+        )
+    )
+    return tail
+
+
+ANALYTIC_VAR_CVAR_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(round(value * 100)) AS BIGINT) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+deltas AS (
+    SELECT d FROM (
+        SELECT rev - lag(rev) OVER (ORDER BY day) AS d FROM daily
+    ) WHERE d IS NOT NULL
+),
+n AS (SELECT COUNT(*) AS n FROM deltas),
+ranked AS (
+    SELECT d, row_number() OVER (ORDER BY d) AS rk FROM deltas
+),
+var_row AS (
+    SELECT r.d AS var_cents, n.n
+    FROM ranked r CROSS JOIN n
+    WHERE r.rk = CAST(ceil(n.n * {_VAR_ALPHA_PCT} / 100.0) AS BIGINT)
+)
+SELECT CAST(v.n AS BIGINT) AS n_days,
+       CAST(v.var_cents AS BIGINT) AS var_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       round(CAST(SUM(d.d) AS DOUBLE) / COUNT(*), 6) AS cvar_cents
+FROM deltas d CROSS JOIN var_row v
+WHERE d.d <= v.var_cents
+GROUP BY v.n, v.var_cents
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_var_cvar",
+        analytic_var_cvar,
+        ANALYTIC_VAR_CVAR_ORACLE,
+        doc="empirical VaR and CVaR of daily revenue deltas, exact order statistic",
+        tags=("analytics", "stats", "timeseries"),
+    )
+)

@@ -185,6 +185,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_experiment_readout",
     "analytic_forecast_backtest",
     "analytic_fdr_bh",
+    "analytic_var_cvar",
+    "dq_key_discovery",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

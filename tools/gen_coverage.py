@@ -204,6 +204,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Benjamini-Hochberg FDR correction (z-scale step-up)": [
             "analytic_fdr_bh"
         ],
+        "empirical VaR/CVaR tail risk (exact order statistic)": [
+            "analytic_var_cvar"
+        ],
+        "PK/FK constraint discovery (uniqueness + inclusion)": [
+            "dq_key_discovery"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
