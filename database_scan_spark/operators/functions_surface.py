@@ -869,3 +869,68 @@ SPECS.append(
         tags=("functions", "sql"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# udf_window_pandas — GROUPED_AGG pandas UDF applied OVER a window
+# (WindowInPandas: the one Python execution node the matrix lacked)
+# ---------------------------------------------------------------------------
+
+_WP_FRAME = 6  # current row + 6 preceding = 7-day rolling frame
+
+
+def udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDF reused OVER A WINDOW — Spark plans
+    this as ``WindowInPandas``, the last Python execution node in the
+    API matrix (aggregation usage is ``udf_grouped_agg_median``):
+    a 7-day rolling exact median of daily purchase revenue. The
+    Arrow transfer ships each frame to Python; the median kernel is
+    the same closure, so aggregate and window usages can't drift.
+    Like all opaque Python aggregates there is no partial
+    aggregation — the window partition must co-locate, which the
+    calendar-bounded daily relation trivially does; on a fact-sized
+    partition you'd window on a bounded key instead."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    med = _median_cents_agg_fn()
+    w = Window.orderBy("day").rowsBetween(-_WP_FRAME, Window.currentRow)
+    rolled = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents"),
+        (med(F.col("cents")).over(w) / 100.0).alias("rolling_median"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+    return rolled.filter(F.col("frame_n") == _WP_FRAME + 1).drop("frame_n")
+
+
+UDF_WINDOW_PANDAS_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(round(value * 100)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+rolled AS (
+    SELECT day, cents,
+           median(cents) OVER w / 100.0 AS rolling_median,
+           COUNT(*) OVER w AS frame_n
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_WP_FRAME} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, cents, rolling_median
+FROM rolled WHERE frame_n = {_WP_FRAME + 1}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "udf_window_pandas",
+        udf_window_pandas,
+        UDF_WINDOW_PANDAS_ORACLE,
+        doc="GROUPED_AGG pandas UDF over a rolling window (WindowInPandas node)",
+        tags=("functions", "udf", "window"),
+    )
+)

@@ -1236,3 +1236,48 @@ SPECS.append(
         tags=("join", "sql"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sql_group_by_all — GROUP BY ALL / ORDER BY ALL sugar
+# ---------------------------------------------------------------------------
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (Spark 4 ≡ DuckDB sugar):
+    every non-aggregate select item becomes a grouping key, the whole
+    select list the sort key — the ergonomic form analysts actually
+    write. The oracle is DuckDB's own GROUP BY ALL, so the check
+    pins that both engines infer the SAME grouping keys from the
+    projection (a regression here silently changes grain)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT c_mktsegment, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+           AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ALL
+ORDER BY ALL
+""")
+
+
+SQL_GROUP_BY_ALL_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+           AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sql_group_by_all",
+        sql_group_by_all,
+        SQL_GROUP_BY_ALL_ORACLE,
+        doc="GROUP BY ALL / ORDER BY ALL inferred-grain aggregation",
+        tags=("sql",),
+    )
+)

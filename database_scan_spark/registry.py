@@ -187,6 +187,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_fdr_bh",
     "analytic_var_cvar",
     "dq_key_discovery",
+    "udf_window_pandas",
+    "sql_group_by_all",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

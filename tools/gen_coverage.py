@@ -462,6 +462,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "radius-bounded spatial kNN": ["geo_knn_join"],
         "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
         "UDTF over TABLE(...) PARTITION BY / ORDER BY": ["udtf_table_arg"],
+        "pandas UDF over a window (WindowInPandas node)": ["udf_window_pandas"],
+        "GROUP BY ALL / ORDER BY ALL inferred grain": ["sql_group_by_all"],
         "ExistenceJoin (projected EXISTS flag)": ["join_existence_project"],
         "FILTER (WHERE) conditioned aggregates": ["agg_filter_clause"],
         "RFC 4180 CSV dialect round trip": ["sink_csv_roundtrip_quoted"],
