@@ -934,3 +934,71 @@ SPECS.append(
         tags=("functions", "udf", "window"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# udf_arrow_python — Arrow-optimized plain Python UDF (useArrow=True)
+# ---------------------------------------------------------------------------
+
+
+def _slug_udf():
+    """Closure factory (by-value pickling) for an Arrow-optimized
+    PLAIN Python UDF — row-signature Python but Arrow batch
+    transfer, the migration path for legacy @udf code that can't be
+    vectorized. Kernel: URL-slug normalization of part names."""
+    from pyspark.sql.functions import udf  # noqa: PLC0415
+
+    @udf("string", useArrow=True)
+    def slugify(name: str) -> str:
+        if name is None:
+            return None
+        out = []
+        prev_dash = False
+        for ch in name.lower():
+            if ch.isalnum():
+                out.append(ch)
+                prev_dash = False
+            elif not prev_dash:
+                out.append("-")
+                prev_dash = True
+        return "".join(out).strip("-")
+
+    return slugify
+
+
+def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized plain Python UDF (``@udf(useArrow=True)``,
+    Spark 3.5+): per-row function signature, Arrow batch transfer —
+    the drop-in accelerator for legacy row UDFs and the last
+    remaining cell of the Python-API matrix (vectorized pandas_udf,
+    SCALAR_ITER, GROUPED_AGG, window, applyInPandas, mapInPandas,
+    mapInArrow, UDTFs and the stateful streaming UDFs are all
+    exercised elsewhere). Plans as ``ArrowEvalPython`` — NOT the
+    banned row-pickling ``BatchEvalPython`` — which the engine-wide
+    plan audit verifies over this query like every other. The oracle
+    reimplements the slug kernel in SQL (lower → non-alnum runs →
+    '-' → trim), so the Python and SQL normalizations must agree on
+    every name."""
+    slug = _slug_udf()
+    parts = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return parts.select(
+        "p_partkey",
+        slug(F.col("p_name")).alias("slug"),
+    )
+
+
+UDF_ARROW_PYTHON_ORACLE = """
+SELECT p_partkey,
+       trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+FROM part
+"""
+
+SPECS.append(
+    QuerySpec(
+        "udf_arrow_python",
+        udf_arrow_python,
+        UDF_ARROW_PYTHON_ORACLE,
+        doc="Arrow-optimized plain Python UDF (useArrow) with SQL-twin kernel",
+        tags=("functions", "udf"),
+    )
+)

@@ -189,6 +189,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_key_discovery",
     "udf_window_pandas",
     "sql_group_by_all",
+    "udf_arrow_python",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

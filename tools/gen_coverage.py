@@ -463,6 +463,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
         "UDTF over TABLE(...) PARTITION BY / ORDER BY": ["udtf_table_arg"],
         "pandas UDF over a window (WindowInPandas node)": ["udf_window_pandas"],
+        "Arrow-optimized plain Python UDF (useArrow)": ["udf_arrow_python"],
         "GROUP BY ALL / ORDER BY ALL inferred grain": ["sql_group_by_all"],
         "ExistenceJoin (projected EXISTS flag)": ["join_existence_project"],
         "FILTER (WHERE) conditioned aggregates": ["agg_filter_clause"],
