@@ -2039,3 +2039,137 @@ SPECS.append(
         tags=("analytics", "stats", "timeseries"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_psm — propensity stratification matching (observational ATT)
+# ---------------------------------------------------------------------------
+
+# Fixed, public propensity weights (offline-fit logistic shape — the
+# same discipline as text_quality_logreg's classifier constants).
+_PSM_W0 = "-2.0"
+_PSM_W_EVENTS = "0.04"
+_PSM_W_SIGNUP = "0.5"
+
+
+def analytic_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational treatment-effect estimate via propensity-score
+    STRATIFICATION MATCHING (Rosenbaum & Rubin 1983): exposure =
+    "user hit an error event", outcome = purchase cents, confounders
+    = activity volume and signup presence. A fixed-weight linear
+    propensity score buckets users into 2-dp strata; within each
+    stratum, treated and control users pair by deterministic rank
+    (ordered by user_id), and the ATT is the mean matched-pair
+    outcome difference — against the naive unadjusted difference for
+    contrast. Determinism: the score is a fixed double sequence,
+    bucketing is round(·, 2), pairing is integer ranks; outcomes are
+    exact cents. Shape: one per-user aggregation, per-stratum rank
+    windows (stratum-keyed partitions), one equi join on
+    (stratum, rank), scalar rollups — nothing global."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("treated"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("signup"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.round(F.col("value") * 100)
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    score = (
+        F.lit(float(_PSM_W0))
+        + F.lit(float(_PSM_W_EVENTS)) * F.col("n_events")
+        + F.lit(float(_PSM_W_SIGNUP)) * F.col("signup")
+    )
+    scored = per_user.select(
+        "user_id", "treated", "y", F.round(score, 2).alias("stratum")
+    )
+    w = Window.partitionBy("stratum", "treated").orderBy("user_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    t = ranked.filter(F.col("treated") == 1).select(
+        "stratum", "rn", F.col("y").alias("y_t")
+    )
+    c = ranked.filter(F.col("treated") == 0).select(
+        "stratum", "rn", F.col("y").alias("y_c")
+    )
+    pairs = t.join(c, ["stratum", "rn"])
+    matched = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(F.col("y_t") - F.col("y_c")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("att_cents"),
+    )
+    naive = scored.agg(
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        (F.count(F.lit(1)) - F.sum("treated")).cast("bigint").alias("n_control"),
+        F.round(
+            F.sum(F.when(F.col("treated") == 1, F.col("y"))).cast("double")
+            / F.sum("treated")
+            - F.sum(F.when(F.col("treated") == 0, F.col("y"))).cast("double")
+            / (F.count(F.lit(1)) - F.sum("treated")),
+            6,
+        ).alias("naive_diff_cents"),
+    )
+    return naive.crossJoin(F.broadcast(matched)).select(
+        "n_treated", "n_control", "n_matched", "naive_diff_cents", "att_cents"
+    )
+
+
+ANALYTIC_PSM_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, COUNT(*) AS n_events,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS treated,
+           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN round(value * 100) ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+scored AS (
+    SELECT user_id, treated, y,
+           round({_PSM_W0} + {_PSM_W_EVENTS} * n_events
+                 + {_PSM_W_SIGNUP} * signup, 2) AS stratum
+    FROM per_user
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY stratum, treated
+                                 ORDER BY user_id) AS rn
+    FROM scored
+),
+pairs AS (
+    SELECT t.y AS y_t, c.y AS y_c
+    FROM (SELECT stratum, rn, y FROM ranked WHERE treated = 1) t
+    JOIN (SELECT stratum, rn, y FROM ranked WHERE treated = 0) c
+      USING (stratum, rn)
+),
+matched AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           round(CAST(SUM(y_t - y_c) AS DOUBLE) / COUNT(*), 6) AS att_cents
+    FROM pairs
+),
+naive AS (
+    SELECT CAST(SUM(treated) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_control,
+           round(CAST(SUM(CASE WHEN treated = 1 THEN y END) AS DOUBLE)
+                 / SUM(treated)
+                 - CAST(SUM(CASE WHEN treated = 0 THEN y END) AS DOUBLE)
+                 / (COUNT(*) - SUM(treated)), 6) AS naive_diff_cents
+    FROM scored
+)
+SELECT n_treated, n_control, n_matched, naive_diff_cents, att_cents
+FROM naive CROSS JOIN matched
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_psm",
+        analytic_psm,
+        ANALYTIC_PSM_ORACLE,
+        doc="propensity stratification matching: deterministic pairing, ATT vs naive",
+        tags=("analytics", "stats", "mlops"),
+    )
+)

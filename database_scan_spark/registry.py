@@ -190,6 +190,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "udf_window_pandas",
     "sql_group_by_all",
     "udf_arrow_python",
+    "analytic_psm",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

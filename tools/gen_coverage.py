@@ -210,6 +210,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "PK/FK constraint discovery (uniqueness + inclusion)": [
             "dq_key_discovery"
         ],
+        "propensity stratification matching (ATT vs naive)": ["analytic_psm"],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
