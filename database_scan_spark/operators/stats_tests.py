@@ -2173,3 +2173,114 @@ SPECS.append(
         tags=("analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_bipartite_projection — co-sourcing projection of the
+# part-supplier graph
+# ---------------------------------------------------------------------------
+
+_BP_LIFT = 2  # keep pairs with shared >= LIFT x expected co-occurrence
+
+
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the part–supplier bipartite graph onto
+    suppliers: an edge between two suppliers weighted by the number
+    of parts both can fulfil, kept only when that count is ≥2× the
+    independence expectation ``deg1·deg2/|parts|`` (a lift filter, so
+    the projection stays sparse at EVERY scale — a fixed absolute
+    threshold densifies as degrees grow) —
+    the co-occurrence step that turns transactional bipartite data
+    into the similarity graph community detection / link prediction
+    consume (cf. graph_label_propagation, graph_link_prediction).
+
+    Shape: the distinct-edge dictionary self-joins ON THE PART KEY —
+    pair generation is quadratic only in per-part supplier degree
+    (bounded by the supplier dimension, ~30 at sf0.1), then one hash
+    aggregation on the supplier pair. The classic scale dial when a
+    part's degree skews is dropping top-degree hub parts first (the
+    projection literature's standard cut). The lift test is an exact
+    integer cross-multiplication (shared·|parts| ≥ 2·deg1·deg2 — no
+    division), applied AFTER aggregation so weights stay exact.
+    Output keeps each edge once (s1 < s2) with the Jaccard
+    normalization for downstream thresholding. On the uniform
+    fixture the filter correctly passes NOTHING below sf0.1 (no pair
+    co-occurs at twice independence) and only the significant tail
+    at sf0.1 — empty small-scale output is the lift test working,
+    and the oracle pins it."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    )
+    edges = li.distinct()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a = edges.select("p", F.col("s").alias("s1"))
+    b = edges.select("p", F.col("s").alias("s2"))
+    n_parts = edges.select("p").distinct().agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("deg").alias("deg2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .crossJoin(F.broadcast(n_parts))
+        .filter(
+            F.col("shared").cast("decimal(38,0)") * F.col("n_parts")
+            >= _BP_LIFT * F.col("deg1").cast("decimal(38,0)") * F.col("deg2")
+        )
+        .select(
+            "s1",
+            "s2",
+            F.col("shared").cast("bigint").alias("shared_parts"),
+            F.col("deg1").cast("bigint").alias("deg1"),
+            F.col("deg2").cast("bigint").alias("deg2"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+GRAPH_BIPARTITE_PROJECTION_ORACLE = f"""
+WITH edges AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+np AS (SELECT COUNT(DISTINCT p) AS n_parts FROM edges),
+pairs AS (
+    SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+    FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+)
+SELECT s1, s2,
+       CAST(shared AS BIGINT) AS shared_parts,
+       CAST(d1.deg AS BIGINT) AS deg1,
+       CAST(d2.deg AS BIGINT) AS deg2,
+       round(CAST(shared AS DOUBLE) / (d1.deg + d2.deg - shared), 6) AS jaccard
+FROM pairs
+JOIN deg d1 ON pairs.s1 = d1.s
+JOIN deg d2 ON pairs.s2 = d2.s
+CROSS JOIN np
+WHERE CAST(shared AS DECIMAL(38,0)) * n_parts
+      >= {_BP_LIFT} * CAST(d1.deg AS DECIMAL(38,0)) * d2.deg
+ORDER BY s1, s2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_bipartite_projection",
+        graph_bipartite_projection,
+        GRAPH_BIPARTITE_PROJECTION_ORACLE,
+        doc="one-mode co-sourcing projection with exact shared counts and Jaccard",
+        tags=("graph", "analytics"),
+    )
+)
