@@ -191,6 +191,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sql_group_by_all",
     "udf_arrow_python",
     "analytic_psm",
+    "graph_bipartite_projection",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -216,6 +216,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "k-core peel of the part-supplier graph (bounded fixpoint)": ["graph_kcore"],
         "exact directed modularity of a community partition": ["graph_modularity"],
+        "bipartite one-mode projection (lift-filtered)": [
+            "graph_bipartite_projection"
+        ],
         "(engine addition: arg-max/arg-min/deterministic mode)": ["fn_minmax_by"],
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
