@@ -453,13 +453,14 @@ SPECS = [
 _AE_WIN = 256  # samples per analysis window
 
 
-def _audio_energy_batches_fn():
+def _audio_energy_batches_fn(win: int = _AE_WIN):
     """Arrow batch fn: construct the REAL WAV container for each odd
     doc (same codec path as mm_decode_real), parse the PCM16 data
     chunk back out of the binary, and emit per-window ENERGY (sum of
     squared samples — exact integers, the DSP primitive under VAD /
     silence trimming / loudness normalization). Codec fns captured by
-    value; numpy only worker-side."""
+    value; numpy only worker-side. ``win`` is the analysis window in
+    samples (fingerprinting uses a finer grid than the default)."""
     enc, _ = _media_codec_fns()
 
     def run(batches):
@@ -483,12 +484,12 @@ def _audio_energy_batches_fn():
                         break
                     pos += 8 + csz + (csz % 2)
                 samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
-                for w in range(0, len(samples), _AE_WIN):
-                    win = samples[w : w + _AE_WIN]
+                for w in range(0, len(samples), win):
+                    wseg = samples[w : w + win]
                     out["doc_id"].append(did)
-                    out["window_idx"].append(w // _AE_WIN)
-                    out["n_samples"].append(len(win))
-                    out["energy"].append(int((win * win).sum()))
+                    out["window_idx"].append(w // win)
+                    out["n_samples"].append(len(wseg))
+                    out["energy"].append(int((wseg * wseg).sum()))
             yield _pd.DataFrame(out)
 
     return run
@@ -870,5 +871,160 @@ SPECS.append(
         MM_VAD_SEGMENTS_ORACLE,
         doc="VAD segmentation: real WAV energy windows + gaps-and-islands, integer-exact",
         tags=("llm", "multimodal", "udf"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_fingerprint — landmark-pair audio matching over real WAVs
+# ---------------------------------------------------------------------------
+
+_FP_WIN = 32  # fine analysis grid (samples) for landmark detection
+_FP_MAX_DELTA = 8  # landmark pairing horizon (windows)
+_FP_MIN_SHARED = 2  # doc pairs sharing >= this many landmark hashes
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style landmark fingerprinting over the REAL PCM
+    windows of the WAV data chunk (the ``mm_audio_energy`` kernel on
+    a finer 32-sample grid): local energy PEAKS (window
+    louder than both neighbors) become landmarks; consecutive peaks
+    within 8 windows pair into a hash of (log-energy bucket a,
+    bucket b, gap); documents sharing ≥2 landmark hashes are audio
+    near-dup candidates — the audio leg of the dedup family
+    (cf. ``mm_phash_pairs`` for images).
+
+    Exactness: energies are exact integers (inherited), log-energy
+    buckets come from integer bit-length (``length(bin(e))``), the
+    landmark hash is the shared md5-prefix kernel over a canonical
+    string, and candidate counts are exact. Shape: peak detection is
+    a per-doc lag/lead window; the candidate join is an equi join ON
+    THE HASH (bucket join, no doc×doc pair space); one aggregation
+    per doc pair."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from ._helpers import h32  # noqa: PLC0415
+
+    energy = _media_table(spark, sf_dir).mapInPandas(
+        _audio_energy_batches_fn(win=_FP_WIN),
+        schema="doc_id long, window_idx int, n_samples int, energy long",
+    )
+    w = W.partitionBy("doc_id").orderBy("window_idx")
+    peaks = (
+        energy.select(
+            "doc_id",
+            "window_idx",
+            "energy",
+            F.lag("energy").over(w).alias("prev_e"),
+            F.lead("energy").over(w).alias("next_e"),
+        )
+        .filter(
+            F.col("prev_e").isNotNull()
+            & F.col("next_e").isNotNull()
+            & (F.col("energy") > F.col("prev_e"))
+            & (F.col("energy") > F.col("next_e"))
+        )
+        .select("doc_id", "window_idx", "energy")
+    )
+    wp = W.partitionBy("doc_id").orderBy("window_idx")
+    paired = peaks.select(
+        "doc_id",
+        "window_idx",
+        "energy",
+        F.lead("window_idx").over(wp).alias("w2"),
+        F.lead("energy").over(wp).alias("e2"),
+    ).filter(
+        F.col("w2").isNotNull() & (F.col("w2") - F.col("window_idx") <= _FP_MAX_DELTA)
+    )
+    # Top-6-bit mantissa bucket: e div 2^(bitlen-6) — a coarse but
+    # shift-invariant log-energy quantization, integer-exact in both
+    # engines (pow(2, n) is double-exact for n < 53).
+    def mant(c: str) -> F.Column:
+        return F.expr(f"{c} div CAST(power(2, length(bin({c})) - 6) AS BIGINT)")
+
+    fp = paired.select(
+        "doc_id",
+        h32(
+            F.concat_ws(
+                "|",
+                mant("energy"),
+                mant("e2"),
+                F.col("w2") - F.col("window_idx"),
+            )
+        ).alias("fh"),
+    ).distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_landmarks"))
+        .filter(F.col("shared_landmarks") >= _FP_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MM_AUDIO_FINGERPRINT_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           (octet_length(encode(text)) % 1000 + 1)
+             * (octet_length(encode(text)) % 2 + 1) AS n_samp
+    FROM documents WHERE doc_id % 2 = 1
+),
+samp AS (
+    SELECT doc_id, k,
+           ord(text[(2 * k) % L + 1]) + 256 * ord(text[(2 * k + 1) % L + 1])
+             AS s
+    FROM (SELECT doc_id, text, L, unnest(range(n_samp)) AS k FROM meta)
+),
+energy AS (
+    SELECT doc_id, CAST(k // {_FP_WIN} AS INTEGER) AS window_idx,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM samp GROUP BY doc_id, k // {_FP_WIN}
+),
+ctx AS (
+    SELECT doc_id, window_idx, energy,
+           lag(energy) OVER (PARTITION BY doc_id ORDER BY window_idx) AS prev_e,
+           lead(energy) OVER (PARTITION BY doc_id ORDER BY window_idx) AS next_e
+    FROM energy
+),
+peaks AS (
+    SELECT doc_id, window_idx, energy FROM ctx
+    WHERE prev_e IS NOT NULL AND next_e IS NOT NULL
+      AND energy > prev_e AND energy > next_e
+),
+paired AS (
+    SELECT doc_id, window_idx, energy,
+           lead(window_idx) OVER (PARTITION BY doc_id ORDER BY window_idx) AS w2,
+           lead(energy) OVER (PARTITION BY doc_id ORDER BY window_idx) AS e2
+    FROM peaks
+),
+fp AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substring(md5(
+               (energy // CAST(power(2, length(bin(energy)) - 6) AS BIGINT))
+               || '|' ||
+               (e2 // CAST(power(2, length(bin(e2)) - 6) AS BIGINT))
+               || '|' || (w2 - window_idx)), 1, 8))::BIGINT AS fh
+    FROM paired
+    WHERE w2 IS NOT NULL AND w2 - window_idx <= {_FP_MAX_DELTA}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_landmarks
+FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_FP_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_audio_fingerprint",
+        mm_audio_fingerprint,
+        MM_AUDIO_FINGERPRINT_ORACLE,
+        doc="landmark-pair audio fingerprint matching over real WAV energy peaks",
+        tags=("llm", "multimodal", "dedup"),
     )
 )

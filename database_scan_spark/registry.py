@@ -192,6 +192,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "udf_arrow_python",
     "analytic_psm",
     "graph_bipartite_projection",
+    "mm_audio_fingerprint",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -362,6 +362,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "cross-corpus boilerplate shingle fraction": [
             "text_boilerplate_fraction"
         ],
+        "audio landmark fingerprint matching (real WAV peaks)": [
+            "mm_audio_fingerprint"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
