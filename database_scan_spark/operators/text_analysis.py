@@ -1792,3 +1792,102 @@ SPECS.append(
         tags=("quality", "text", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — rank-frequency power-law fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ``log2(freq)`` on ``log2(rank)`` — the corpus-statistics
+    scorecard (natural text sits near slope −1; a synthetic or
+    template-heavy corpus deviates, so the slope is a cheap
+    distribution fingerprint next to ``dq_entropy_profile``).
+
+    Ranks are deterministic integers (frequency desc, token asc);
+    each log term is ``round(log2(·), 12)`` DECIMAL, the OLS moments
+    are exact DECIMAL sums of those rounded terms, and the slope/
+    intercept/r² are one fixed double sequence — the same recipe as
+    ``agg_linreg``. Shape: one token hash aggregation, one
+    vocabulary-sized rank window, one moment reduce."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "w"))
+    )
+    terms = ranked.select(
+        F.round(F.log2("rank"), 12).cast("decimal(24,12)").alias("x"),
+        F.round(F.log2("freq"), 12).cast("decimal(24,12)").alias("y"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = (r_num * r_num) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("log2_c"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+TEXT_ZIPF_FIT_ORACLE = """
+WITH vocab AS (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+),
+ranked AS (
+    SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM vocab
+),
+terms AS (
+    SELECT CAST(round(log2(rank), 12) AS DECIMAL(24,12)) AS x,
+           CAST(round(log2(freq), 12) AS DECIMAL(24,12)) AS y
+    FROM ranked
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM terms
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS log2_c,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_zipf_fit",
+        text_zipf_fit,
+        TEXT_ZIPF_FIT_ORACLE,
+        doc="Zipf rank-frequency power-law fit (slope, intercept, r2)",
+        tags=("llm", "text", "stats"),
+    )
+)

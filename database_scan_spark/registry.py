@@ -193,6 +193,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_psm",
     "graph_bipartite_projection",
     "mm_audio_fingerprint",
+    "text_zipf_fit",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

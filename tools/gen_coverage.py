@@ -365,6 +365,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
+        "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
