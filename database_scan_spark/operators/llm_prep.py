@@ -965,3 +965,137 @@ SPECS.append(
         tags=("udf", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_fair_share_budget — max-min fair token allocation across sources
+# ---------------------------------------------------------------------------
+
+_FS_BUDGET_PCT = 50  # allocate 50% of total corpus tokens
+
+
+def wf_fair_share_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min FAIR-SHARE allocation of a token budget across corpus
+    sources (progressive filling / water-filling): every source gets
+    ``min(demand, L)`` where the water level L is chosen so the
+    grants sum to the budget — small sources are satisfied in full,
+    large ones capped at a common level. This is the budgeting rule
+    behind `wf_data_mixture`-style corpus blending when a target
+    token count must be split without starving small domains.
+
+    L has a CLOSED FORM — no iteration: sort demands ascending with
+    cumulative sums; the fill level lands after the last source
+    whose full grant fits (``cum_k + d_k·(n−k) ≤ budget``), and the
+    remaining budget divides integrally among the uncapped sources
+    (div + remainder to the first ones by name, so grants sum
+    EXACTLY to the budget in pure integers). Shape: one token
+    aggregation per source (dimension-sized), windows over the
+    source relation, broadcast scalars."""
+    docs = load(spark, sf_dir, "documents")
+    demand = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("demand")
+    )
+    tot = demand.agg(
+        F.expr(f"(sum(demand) * {_FS_BUDGET_PCT}) div 100").alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w = Window.orderBy("demand", "source")
+    cum = demand.select(
+        "source",
+        "demand",
+        F.sum("demand").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("k"),
+    ).crossJoin(F.broadcast(tot))
+    # a source is FULLY satisfiable iff granting it (and every smaller
+    # source) in full still leaves >= demand for each larger source
+    sat = cum.withColumn(
+        "fits", F.col("cum") + F.col("demand") * (F.col("n_src") - F.col("k")) <= F.col("budget")
+    )
+    cut = sat.agg(
+        F.max(F.when(F.col("fits"), F.col("k")).otherwise(0)).alias("k_sat"),
+        F.max(F.when(F.col("fits"), F.col("cum")).otherwise(0)).alias("cum_sat"),
+    )
+    alloc = (
+        sat.crossJoin(F.broadcast(cut))
+        .withColumn("n_uncapped", F.col("n_src") - F.col("k_sat"))
+        .withColumn(
+            "level",
+            F.when(
+                F.col("n_uncapped") > 0,
+                F.expr("(budget - cum_sat) div n_uncapped"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "rem",
+            F.when(
+                F.col("n_uncapped") > 0,
+                (F.col("budget") - F.col("cum_sat")) % F.col("n_uncapped"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "granted",
+            F.when(F.col("fits"), F.col("demand")).otherwise(
+                F.col("level")
+                + (F.col("k") - F.col("k_sat") <= F.col("rem")).cast("bigint")
+            ),
+        )
+    )
+    return alloc.select(
+        "source",
+        F.col("demand").cast("bigint").alias("demand_tokens"),
+        F.col("granted").cast("bigint").alias("granted_tokens"),
+        F.col("fits").alias("fully_satisfied"),
+        F.col("budget").cast("bigint").alias("budget_tokens"),
+    ).orderBy("source")
+
+
+WF_FAIR_SHARE_BUDGET_ORACLE = f"""
+WITH demand AS (
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS demand
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST((SUM(demand) * {_FS_BUDGET_PCT}) // 100 AS BIGINT) AS budget,
+           COUNT(*) AS n_src
+    FROM demand
+),
+cum AS (
+    SELECT source, demand,
+           SUM(demand) OVER (ORDER BY demand, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           row_number() OVER (ORDER BY demand, source) AS k
+    FROM demand
+),
+sat AS (
+    SELECT c.*, t.budget, t.n_src,
+           c.cum + c.demand * (t.n_src - c.k) <= t.budget AS fits
+    FROM cum c CROSS JOIN tot t
+),
+cut AS (
+    SELECT MAX(CASE WHEN fits THEN k ELSE 0 END) AS k_sat,
+           MAX(CASE WHEN fits THEN cum ELSE 0 END) AS cum_sat
+    FROM sat
+)
+SELECT source,
+       CAST(demand AS BIGINT) AS demand_tokens,
+       CAST(CASE WHEN fits THEN demand
+                 ELSE (budget - cum_sat) // (n_src - k_sat)
+                      + CASE WHEN k - k_sat
+                                  <= (budget - cum_sat) % (n_src - k_sat)
+                             THEN 1 ELSE 0 END
+            END AS BIGINT) AS granted_tokens,
+       fits AS fully_satisfied,
+       CAST(budget AS BIGINT) AS budget_tokens
+FROM sat CROSS JOIN cut
+ORDER BY source
+"""
+
+SPECS.append(
+    QuerySpec(
+        name="wf_fair_share_budget",
+        fn=wf_fair_share_budget,
+        oracle=WF_FAIR_SHARE_BUDGET_ORACLE,
+        doc="closed-form max-min fair token-budget allocation across sources",
+        tags=("workflow", "llm"),
+    )
+)

@@ -194,6 +194,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_bipartite_projection",
     "mm_audio_fingerprint",
     "text_zipf_fit",
+    "wf_fair_share_budget",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

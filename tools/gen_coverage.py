@@ -366,6 +366,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "mm_audio_fingerprint"
         ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
+        "max-min fair token-budget allocation (closed-form waterfill)": [
+            "wf_fair_share_budget"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
