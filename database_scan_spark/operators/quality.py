@@ -1255,3 +1255,111 @@ SPECS.append(
         tags=("quality", "catalog"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_wasserstein — exact earth-mover drift between periods
+# ---------------------------------------------------------------------------
+
+_WD_SPLIT = "2024-01-16"
+
+
+def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the purchase-
+    value distributions before and after the split date — the drift
+    monitor that, unlike ``dq_drift_psi``'s binned ratio, is
+    bin-free and metric-aware (it reports HOW FAR probability mass
+    moved in cents, not just that bins changed).
+
+    Exact on the discrete value domain: with integer per-value
+    counts, ``W₁ = Σ_v gap(v)·|cum₁(v)·N₂ − cum₂(v)·N₁| / (N₁·N₂)``
+    where the sum runs over distinct cents values and gap is the
+    step to the next value — all BIGINT/DECIMAL until one final
+    division. Shape: one hash aggregation per (value, period), a
+    value-domain window for the two cumulative counts, one reduce.
+    The fact is never sorted — only its value dictionary is."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    split = F.lit(_WD_SPLIT).cast("date")
+    per_v = ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum((F.to_date("ts") < split).cast("bigint")).alias("c1"),
+        F.sum((F.to_date("ts") >= split).cast("bigint")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        (F.lead("v").over(Window.orderBy("v")) - F.col("v")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    tot = per_v.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        (
+            F.col("gap").cast("decimal(38,0)")
+            * F.abs(
+                F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+            )
+        ).alias("t"),
+    )
+    return terms.groupBy("n1", "n2").agg(F.sum("t").alias("mass")).select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("mass").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2")),
+            6,
+        ).alias("wasserstein_cents"),
+    )
+
+
+DQ_DRIFT_WASSERSTEIN_ORACLE = f"""
+WITH per_v AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v,
+           SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_WD_SPLIT}'
+                    THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_WD_SPLIT}'
+                    THEN 1 ELSE 0 END) AS c2
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+           SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+           lead(v) OVER (ORDER BY v) - v AS gap
+    FROM per_v
+),
+tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM per_v
+),
+terms AS (
+    SELECT n1, n2,
+           CAST(gap AS DECIMAL(38,0))
+           * abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                 - CAST(cum2 AS DECIMAL(38,0)) * n1) AS t
+    FROM cum CROSS JOIN tot
+    WHERE gap IS NOT NULL
+)
+SELECT n1, n2,
+       round(CAST(SUM(t) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2), 6) AS wasserstein_cents
+FROM terms GROUP BY n1, n2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_drift_wasserstein",
+        dq_drift_wasserstein,
+        DQ_DRIFT_WASSERSTEIN_ORACLE,
+        doc="exact 1-Wasserstein drift between periods over the value dictionary",
+        tags=("quality", "stats"),
+    )
+)

@@ -195,6 +195,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_audio_fingerprint",
     "text_zipf_fit",
     "wf_fair_share_budget",
+    "dq_drift_wasserstein",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -369,6 +369,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "max-min fair token-budget allocation (closed-form waterfill)": [
             "wf_fair_share_budget"
         ],
+        "exact 1-Wasserstein distribution drift": ["dq_drift_wasserstein"],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
