@@ -196,6 +196,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_zipf_fit",
     "wf_fair_share_budget",
     "dq_drift_wasserstein",
+    "stream_watermark_late_drop",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -1448,3 +1448,126 @@ SPECS.append(
         tags=("stream",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_watermark_late_drop — append-mode lateness semantics pinned
+# ---------------------------------------------------------------------------
+
+_WMD_WIN_S = 299  # odd window length: no boundary ever aligns with a max ts
+
+
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark lateness pinned as DATA, with the
+    engine's ACTUAL (measured) drop timing: events replay in THREE
+    micro-batches split by HASH (not time), so later batches carry
+    genuinely late rows. Measured contract on this engine (Spark 4,
+    delay 0, availableNow file replay): the late-row filter engages
+    one batch BEHIND the watermark — batch k drops rows whose window
+    closed under the watermark of batch k−1 (= max event time of
+    batches 0..k−2), while eviction/emission uses the current
+    watermark. So batch-1 rows all merge (previous watermark is the
+    epoch), and batch-2 rows are dropped exactly when their window
+    end ≤ max event time of batch 0. This one-sided guarantee
+    ("too-late data MAY be dropped") is precisely what the Spark
+    docs promise; the oracle freezes the measured behavior so any
+    engine-version change in lateness timing fails the hash.
+    Emission: windows of surviving rows whose end ≤ final watermark
+    (the trailing no-data batch closes them)."""
+    import glob  # noqa: PLC0415
+
+    from ..operators._helpers import h32  # noqa: PLC0415
+
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+    nts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast(T.TimestampType())
+    )
+    root = workdir(sf_dir, "stream_wm_drop3")
+    src_dir = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        third = h32(F.concat(F.lit("wm-"), F.col("event_id"))) % 3
+        for i in range(3):
+            (
+                ev.filter(third == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+            f = glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet"))[0]
+            dst = os.path.join(src_dir, f"events_{i}.parquet")
+            os.replace(f, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ev = (
+        stream.withColumn("ts", nts)
+        .withWatermark("ts", "0 seconds")
+        .select("ts")
+    )
+    agg = (
+        ev.groupBy(F.window("ts", f"{_WMD_WIN_S} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_kept",
+        )
+    )
+    sink = _run_to_memory(agg, spark, sf_dir, "stream_wm_drop3", "append")
+    return sink.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    ).orderBy("w_start")
+
+
+STREAM_WATERMARK_LATE_DROP_ORACLE = f"""
+WITH tagged AS (
+    SELECT ts,
+           ('0x' || substring(md5('wm-' || event_id), 1, 8))::BIGINT % 3 AS h,
+           to_timestamp(CAST(floor(epoch(ts) / {_WMD_WIN_S}) AS BIGINT)
+                        * {_WMD_WIN_S}) AS w_start
+    FROM events
+),
+wm AS (
+    SELECT (SELECT max(ts) FROM tagged WHERE h = 0) AS wm_b0,
+           (SELECT max(ts) FROM tagged) AS wm_final
+),
+kept AS (
+    SELECT w_start,
+           w_start + INTERVAL {_WMD_WIN_S} SECOND AS w_end,
+           COUNT(*) AS n_kept
+    FROM tagged CROSS JOIN wm
+    WHERE h IN (0, 1)
+       OR w_start + INTERVAL {_WMD_WIN_S} SECOND > wm.wm_b0
+    GROUP BY w_start
+)
+SELECT strftime(k.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(k.w_end, '%Y-%m-%d %H:%M:%S') AS w_end,
+       CAST(k.n_kept AS BIGINT) AS n_kept
+FROM kept k CROSS JOIN wm
+WHERE k.w_end <= wm.wm_final
+ORDER BY k.w_start
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_watermark_late_drop",
+        stream_watermark_late_drop,
+        STREAM_WATERMARK_LATE_DROP_ORACLE,
+        doc="append-mode lateness timing pinned: 3-batch hash replay, exact drop set",
+        tags=("stream",),
+    )
+)

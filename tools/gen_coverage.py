@@ -468,6 +468,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "output-mode semantics (update vs complete, multi-batch)": [
             "stream_update_vs_complete"
         ],
+        "watermark lateness timing (measured drop contract)": [
+            "stream_watermark_late_drop"
+        ],
         "ANSI try_* error-tolerant expressions": ["fn_try_arithmetic"],
         "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
