@@ -1002,3 +1002,67 @@ SPECS.append(
         tags=("functions", "udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# fn_uuid_deterministic — content-derived stable UUIDs (v5-style)
+# ---------------------------------------------------------------------------
+
+_UUID_NS = "database-scan-spark:doc:"  # namespace prefix (UUIDv5 analog)
+
+
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived UUIDs — the stable-ID minting
+    every pipeline needs when upstream keys can't be trusted across
+    reloads (UUIDv5 shape: name hashed under a namespace, version
+    and variant bits patched in). Built from md5 hex with pure
+    string surgery, so re-running on re-partitioned or re-ingested
+    data mints the SAME ids — unlike ``uuid()``, which is
+    nondeterministic by design and banned from hash-matched
+    surfaces. The oracle performs the identical surgery in DuckDB;
+    a drifting namespace, bit patch, or layout breaks every row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.concat(F.lit(_UUID_NS), F.col("text")))
+    uuid5 = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(
+            F.lit("a"),  # variant nibble pinned (10xx family)
+            F.substring(h, 18, 3),
+        ),
+        F.substring(h, 21, 12),
+    )
+    return docs.select(
+        "doc_id",
+        uuid5.alias("content_uuid"),
+        (F.length(uuid5) == 36).alias("well_formed"),
+    )
+
+
+FN_UUID_DETERMINISTIC_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, md5('{_UUID_NS}' || text) AS x FROM documents
+)
+SELECT doc_id,
+       substring(x, 1, 8) || '-' || substring(x, 9, 4) || '-' ||
+       '5' || substring(x, 14, 3) || '-' ||
+       'a' || substring(x, 18, 3) || '-' || substring(x, 21, 12)
+           AS content_uuid,
+       length(substring(x, 1, 8) || '-' || substring(x, 9, 4) || '-' ||
+              '5' || substring(x, 14, 3) || '-' ||
+              'a' || substring(x, 18, 3) || '-' || substring(x, 21, 12)) = 36
+           AS well_formed
+FROM h
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_uuid_deterministic",
+        fn_uuid_deterministic,
+        FN_UUID_DETERMINISTIC_ORACLE,
+        doc="UUIDv5-style deterministic content IDs, reload-stable",
+        tags=("functions",),
+    )
+)

@@ -197,6 +197,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_fair_share_budget",
     "dq_drift_wasserstein",
     "stream_watermark_late_drop",
+    "fn_uuid_deterministic",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

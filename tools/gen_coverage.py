@@ -479,6 +479,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "UDTF over TABLE(...) PARTITION BY / ORDER BY": ["udtf_table_arg"],
         "pandas UDF over a window (WindowInPandas node)": ["udf_window_pandas"],
         "Arrow-optimized plain Python UDF (useArrow)": ["udf_arrow_python"],
+        "deterministic content UUIDs (v5-style minting)": [
+            "fn_uuid_deterministic"
+        ],
         "GROUP BY ALL / ORDER BY ALL inferred grain": ["sql_group_by_all"],
         "ExistenceJoin (projected EXISTS flag)": ["join_existence_project"],
         "FILTER (WHERE) conditioned aggregates": ["agg_filter_clause"],
