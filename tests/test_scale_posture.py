@@ -619,3 +619,59 @@ def test_join_hint_matrix_materializes_each_strategy(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_rrf_legs_end_in_take_ordered(spark):
+    """Each retrieval leg pools via TakeOrderedAndProject — never a
+    global sort of the scored corpus."""
+    from database_scan_spark.operators.text_analysis import sim_rrf_fusion
+
+    plan = _plan(sim_rrf_fusion(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_score_join_is_equi_hash_family(spark):
+    """The shingle-df join must be an equi hash-family join (the tiny
+    smoke fixture legitimately broadcasts; at corpus scale the same
+    equi key plans a shuffled join) — never a nested loop."""
+    from database_scan_spark.operators.text_analysis import (
+        text_boilerplate_fraction,
+    )
+
+    plan = _plan(text_boilerplate_fraction(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_fellegi_sunter_blocked_join_is_hash_based(spark):
+    """Pair generation must run as an equi join on the blocking key —
+    no nested-loop over the full part table."""
+    from database_scan_spark.operators.dedup import dedup_fellegi_sunter
+
+    plan = _plan(dedup_fellegi_sunter(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the PAIR generator is an equi hash-family join on the blocking
+    # key; the remaining BroadcastNestedLoopJoins in the plan are the
+    # one-row u-statistic scalar broadcasts (bounded by construction)
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_kcore_survivor_filters_are_broadcast_semi(spark):
+    """Each peel round filters edges via broadcast left-semi joins on
+    the surviving-node sets."""
+    from database_scan_spark.operators.stats_tests import graph_kcore
+
+    plan = _plan(graph_kcore(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_spearman_joint_histogram_has_partial_agg(spark):
+    """The fact collapses through a partial+final hash aggregation
+    (map-side combine) before any window touches it."""
+    from database_scan_spark.operators.stats_tests import analytic_spearman
+
+    plan = _plan(analytic_spearman(spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan  # rank dims join back broadcast
