@@ -85,6 +85,11 @@ HEADLINE = [
     "dedup_fellegi_sunter",
     "analytic_mannwhitney",
     "graph_kcore",
+    "sim_rrf_fusion",
+    "analytic_ndcg",
+    "text_boilerplate_fraction",
+    "pipeline_experiment_readout",
+    "mm_audio_fingerprint",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

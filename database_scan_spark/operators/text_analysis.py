@@ -1649,24 +1649,31 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles back to their df (hash join — the shingle dictionary
     outgrows broadcast at corpus scale) and reduces per doc. Counts
     are exact integers; the fraction divides two BIGINTs."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
+    # Materialize the token array ONCE per row (a lambda over an
+    # inline split() re-evaluates the split per element), then build
+    # the distinct shingle relation a single time for both the
+    # document-frequency pass and the scoring join.
+    toked = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     idx = F.when(
-        F.size(toks) >= _BP_N, F.sequence(F.lit(1), F.size(toks) - (_BP_N - 1))
+        F.size("toks") >= _BP_N,
+        F.sequence(F.lit(1), F.size("toks") - (_BP_N - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    shingles = docs.select(
+    shingles = toked.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     idx,
                     lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, i + j) for j in range(_BP_N)]
+                        " ",
+                        *[F.element_at(F.col("toks"), i + j) for j in range(_BP_N)],
                     ),
                 )
             )
         ).alias("sh"),
-    )
+    ).persist()
     df_ = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         shingles.join(df_, "sh")
