@@ -272,8 +272,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     two hash aggregations — partial map-side combine on both, so at
     100 TB the shuffle carries (doc, token, partial-count) not raw
     tokens. Final assembly is a 1:1 equi-join on doc_id."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Token array materialized ONCE per row: a lambda over an inline
+    # split() re-evaluates the split per element (measured 8.8x on
+    # the boilerplate op; same access pattern here).
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
 
     def grams(n: int) -> Column:
         # NON-distinct n-grams: repetition is exactly what we count.
