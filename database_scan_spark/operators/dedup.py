@@ -61,14 +61,17 @@ _SQL_H32 = "('0x' || substring(md5({expr}), 1, 8))::BIGINT"
 
 def _shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles as an array column — a pure
-    array expression (whole-stage codegen, no UDF).
+    array expression (whole-stage codegen, no UDF). ``text`` must be
+    an ALREADY-SPLIT token array column (see the toks note below).
 
     Documents with fewer than n tokens yield an EMPTY array: Spark's
     ``sequence(start, stop)`` defaults to step −1 when start > stop
     (so ``sequence(1, 0)`` is ``[1, 0]``, driving element_at out of
     bounds), hence the explicit guard — matching DuckDB's
     ``generate_series(1, 0)`` which is empty."""
-    toks = F.split(text, " ")
+    toks = text  # callers pass a MATERIALIZED token-array column:
+    # a lambda over an inline split() re-evaluates the split per
+    # element_at (measured 6.5x slower at sf0.1)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -93,9 +96,11 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     return docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
     )
 
 
@@ -382,10 +387,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast candidate list BEFORE the explode, then collect each
     # doc's (distinct-by-construction) shingle set and its size in
     # one aggregation.
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     sets = (
         docs.join(F.broadcast(cand_docs), "doc_id")
-        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle"))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("s"), F.count(F.lit(1)).alias("n"))
     )
@@ -717,9 +724,11 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ImportError:  # pragma: no cover - mllib always ships w/ pyspark
         raise NotImplementedError("pyspark.ml unavailable") from None
 
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     with_shingles = docs.select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
+        "doc_id", _shingles(F.col("toks")).alias("shingles")
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(with_shingles)

@@ -200,7 +200,7 @@ def test_shingles_short_documents(spark):
 
     df = spark.createDataFrame(
         [("x",), ("a b",), ("a b c",), ("a b c d",)], "text string"
-    ).select(F.size(_shingles(F.col("text"))).alias("n"))
+    ).select(F.size(_shingles(F.split("text", " "))).alias("n"))
     assert [r.n for r in df.collect()] == [0, 0, 1, 2]
 
 
