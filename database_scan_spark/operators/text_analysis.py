@@ -840,8 +840,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine; unigram counts join the candidate bigrams — a
     dimension-vocabulary join, broadcast-eligible; final top-k is
     TakeOrderedAndProject."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array materialized once per row (inline split in a
+    # lambda re-evaluates per element — see the shingle kernel note)
+    docs = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
     ).otherwise(F.array().cast("array<int>"))
