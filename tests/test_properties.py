@@ -246,3 +246,125 @@ def test_bpe_merge_replace_matches_reference(spark, words, pair):
     got = [r[0] for r in sdf.select(merged).collect()]
     want = [reference_merge(list(w) + ["_"], lhs, rhs) for w in words]
     assert got == want, (pair, words, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Pure-algebra identities behind the sixth-session statistics (no
+# Spark needed: these validate the formulas the operators encode,
+# against brute-force reference implementations).
+# ---------------------------------------------------------------------------
+
+PAIRS = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=2, max_size=60
+)
+
+
+@given(PAIRS)
+@settings(max_examples=200, deadline=None)
+def test_kendall_histogram_pair_identity(xy):
+    """The histogram CELL-pair concordance count used by
+    analytic_kendall_tau equals the brute-force row-pair count."""
+    from collections import Counter
+
+    nc = nd = 0
+    for i in range(len(xy)):
+        for j in range(i + 1, len(xy)):
+            s = (xy[i][0] - xy[j][0]) * (xy[i][1] - xy[j][1])
+            nc += s > 0
+            nd += s < 0
+    hist = Counter(xy)
+    cells = list(hist.items())
+    nc2 = nd2 = 0
+    for (qa, da), ca in cells:
+        for (qb, db), cb in cells:
+            s = (qa - qb) * (da - db)
+            if s > 0:
+                nc2 += ca * cb
+            elif s < 0:
+                nd2 += ca * cb
+    assert nc2 % 2 == 0 and nd2 % 2 == 0
+    assert (nc, nd) == (nc2 // 2, nd2 // 2)
+
+
+@given(st.lists(st.floats(0, 5, allow_nan=False), min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_bh_stepup_equals_naive(absz):
+    """The single-cutoff BH implementation (reject rank <= last
+    qualifying index) equals the textbook step-up procedure."""
+    thr = [2.807034, 2.575829, 2.432379, 2.326348, 2.241403,
+           2.170090, 2.108358, 2.053749, 2.004654, 1.959964]
+    zs = sorted(absz, reverse=True)
+    m = len(zs)
+    # textbook: find the LARGEST i with z_(i) >= thr_i; reject 1..i
+    k = 0
+    for i in range(m):
+        if zs[i] >= thr[i]:
+            k = i + 1
+    naive = [i < k for i in range(m)]
+    # operator form: cut = max(rank where z >= thr), reject rank <= cut
+    cut = max((i + 1 for i in range(m) if zs[i] >= thr[i]), default=0)
+    ours = [(i + 1) <= cut for i in range(m)]
+    assert ours == naive
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=30),
+    st.integers(0, 100),
+)
+@settings(max_examples=200, deadline=None)
+def test_waterfill_closed_form_equals_progressive(demands, pct):
+    """The closed-form water level of wf_fair_share_budget equals
+    iterative progressive filling, and grants always sum to the
+    budget."""
+    budget = sum(demands) * pct // 100
+    # progressive filling (reference): raise the level until spent
+    remaining = budget
+    alloc = [0] * len(demands)
+    active = [i for i in range(len(demands)) if demands[i] > 0]
+    while remaining > 0 and active:
+        share = remaining // len(active)
+        if share == 0:
+            # hand out the last units deterministically (by demand
+            # order then index, mirroring the operator's k-order)
+            order = sorted(active, key=lambda i: (demands[i], i))
+            for i in order[:remaining]:
+                alloc[i] += 1
+            remaining = 0
+            break
+        progressed = False
+        for i in list(active):
+            take = min(share, demands[i] - alloc[i])
+            alloc[i] += take
+            remaining -= take
+            if alloc[i] == demands[i]:
+                active.remove(i)
+                progressed = True
+        if not progressed and all(
+            alloc[i] == demands[i] for i in range(len(demands))
+        ):
+            break
+        if not active:
+            break
+    # closed form (operator's math)
+    order = sorted(range(len(demands)), key=lambda i: (demands[i], i))
+    n = len(demands)
+    cum = 0
+    k_sat, cum_sat = 0, 0
+    for rank, i in enumerate(order, start=1):
+        cum += demands[i]
+        if cum + demands[i] * (n - rank) <= budget:
+            k_sat, cum_sat = rank, cum
+    closed = [0] * n
+    n_uncapped = n - k_sat
+    level = (budget - cum_sat) // n_uncapped if n_uncapped else 0
+    rem = (budget - cum_sat) % n_uncapped if n_uncapped else 0
+    for rank, i in enumerate(order, start=1):
+        if rank <= k_sat:
+            closed[i] = demands[i]
+        else:
+            closed[i] = min(
+                demands[i], level + (1 if rank - k_sat <= rem else 0)
+            )
+    assert sum(closed) == budget
+    assert all(c <= d for c, d in zip(closed, demands))
+    assert sum(alloc) == budget
