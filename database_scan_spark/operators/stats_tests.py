@@ -2284,3 +2284,130 @@ SPECS.append(
         tags=("graph", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_effect_size — Cohen's d / Hedges' g for the A/B readout
+# ---------------------------------------------------------------------------
+
+
+def analytic_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size between the hash-split cohorts'
+    per-user purchase values: Cohen's d (pooled-SD difference),
+    Hedges' g (small-sample corrected, J = 1 − 3/(4·df − 1)), and
+    the normal-approximation 95% CI of d — the practical-significance
+    companion the z-tests (`analytic_prop_ztest`,
+    `pipeline_experiment_readout`) don't report: a tiny p-value on a
+    negligible effect is still a no-ship.
+
+    All moments are exact DECIMAL sums from ONE per-user aggregation;
+    d, g and the CI are fixed double sequences over those scalars —
+    bit-identical cross-engine."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("decimal(38,0)").alias("y")
+    ).select(
+        (h32(F.concat(F.lit("cohort-"), F.col("user_id"))) % 2)
+        .cast("int")
+        .alias("grp"),
+        "y",
+    )
+    cm = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("s2"),
+    )
+    wide = cm.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("a0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("q0"),
+    )
+    m1 = F.col("a1") / F.col("n1")
+    m0 = F.col("a0") / F.col("n0")
+    ss1 = F.col("q1") - F.col("a1") * F.col("a1") / F.col("n1")
+    ss0 = F.col("q0") - F.col("a0") * F.col("a0") / F.col("n0")
+    df_ = F.col("n1") + F.col("n0") - 2
+    sp = F.sqrt((ss1 + ss0) / df_)
+    d = (m1 - m0) / sp
+    j = 1 - 3 / (4 * df_ - 1)
+    se = F.sqrt(
+        (F.col("n1") + F.col("n0")) / (F.col("n1") * F.col("n0"))
+        + d * d / (2 * df_)
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(j * d, 6).alias("hedges_g"),
+        F.round(d - 1.959964 * se, 6).alias("d_ci_lo"),
+        F.round(d + 1.959964 * se, 6).alias("d_ci_hi"),
+    )
+
+
+ANALYTIC_EFFECT_SIZE_ORACLE = """
+WITH per_user AS (
+    SELECT CAST(('0x' || substring(md5('cohort-' || user_id), 1, 8))::BIGINT % 2
+                AS INTEGER) AS grp,
+           CAST(SUM(round(value * 100)) AS DECIMAL(38,0)) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+cm AS (
+    SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(y) AS DOUBLE) AS s1,
+           CAST(SUM(y * y) AS DOUBLE) AS s2
+    FROM per_user GROUP BY grp
+),
+wide AS (
+    SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+           MAX(CASE WHEN grp = 1 THEN s1 END) AS a1,
+           MAX(CASE WHEN grp = 1 THEN s2 END) AS q1,
+           MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+           MAX(CASE WHEN grp = 0 THEN s1 END) AS a0,
+           MAX(CASE WHEN grp = 0 THEN s2 END) AS q0
+    FROM cm
+),
+calc AS (
+    SELECT *,
+           a1 / n1 AS m1, a0 / n0 AS m0,
+           q1 - a1 * a1 / n1 AS ss1,
+           q0 - a0 * a0 / n0 AS ss0,
+           n1 + n0 - 2 AS df_,
+           sqrt(((q1 - a1 * a1 / n1) + (q0 - a0 * a0 / n0)) / (n1 + n0 - 2))
+               AS sp,
+           (a1 / n1 - a0 / n0)
+             / sqrt(((q1 - a1 * a1 / n1) + (q0 - a0 * a0 / n0))
+                    / (n1 + n0 - 2)) AS d,
+           1 - 3 / (4 * (n1 + n0 - 2) - 1) AS j,
+           sqrt((n1 + n0) / (n1 * n0)
+                + ((a1 / n1 - a0 / n0)
+                   / sqrt(((q1 - a1 * a1 / n1) + (q0 - a0 * a0 / n0))
+                          / (n1 + n0 - 2)))
+                  * ((a1 / n1 - a0 / n0)
+                     / sqrt(((q1 - a1 * a1 / n1) + (q0 - a0 * a0 / n0))
+                            / (n1 + n0 - 2)))
+                  / (2 * (n1 + n0 - 2))) AS se
+    FROM wide
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_control,
+       round(d, 6) AS cohens_d,
+       round(j * d, 6) AS hedges_g,
+       round(d - 1.959964 * se, 6) AS d_ci_lo,
+       round(d + 1.959964 * se, 6) AS d_ci_hi
+FROM calc
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_effect_size",
+        analytic_effect_size,
+        ANALYTIC_EFFECT_SIZE_ORACLE,
+        doc="Cohen's d / Hedges' g with 95% CI from exact cohort moments",
+        tags=("analytics", "stats", "mlops"),
+    )
+)

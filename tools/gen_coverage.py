@@ -211,6 +211,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "dq_key_discovery"
         ],
         "propensity stratification matching (ATT vs naive)": ["analytic_psm"],
+        "standardized effect size (Cohen's d / Hedges' g + CI)": [
+            "analytic_effect_size"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
