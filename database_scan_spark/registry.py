@@ -199,6 +199,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_watermark_late_drop",
     "fn_uuid_deterministic",
     "analytic_effect_size",
+    "storage_vacuum_retention",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

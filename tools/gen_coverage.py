@@ -373,6 +373,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "wf_fair_share_budget"
         ],
         "exact 1-Wasserstein distribution drift": ["dq_drift_wasserstein"],
+        "MOR vacuum / retention (soft-retire superseded files)": [
+            "storage_vacuum_retention"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
