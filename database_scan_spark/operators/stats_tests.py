@@ -2411,3 +2411,94 @@ SPECS.append(
         tags=("analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_qte — quantile treatment effects across the distribution
+# ---------------------------------------------------------------------------
+
+_QTE_QS = [10, 25, 50, 75, 90]
+
+
+def analytic_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the treatment-control difference
+    at the 10/25/50/75/90th percentiles of per-user purchase value —
+    the distributional view a mean effect (`analytic_effect_size`)
+    hides: a lift concentrated in whales shows at q90 and not q50.
+    Percentiles are exact interpolating percentiles over integer
+    cents (Spark `percentile` ≡ DuckDB `percentile_cont`, shared
+    linear-interpolation definition — the `agg_percentile_exact`
+    discipline), so every quantile and difference hash-matches. One
+    per-user aggregation, one 2-group exact-percentile aggregate, a
+    1×1 broadcast join."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("y")
+    ).select(
+        (h32(F.concat(F.lit("cohort-"), F.col("user_id"))) % 2)
+        .cast("int")
+        .alias("grp"),
+        "y",
+    )
+    qcols = [
+        F.expr(f"percentile(y, {q / 100.0})").alias(f"q{q}") for q in _QTE_QS
+    ]
+    qs = per_user.groupBy("grp").agg(*qcols)
+    t = qs.filter(F.col("grp") == 1).select(
+        *[F.col(f"q{q}").alias(f"t{q}") for q in _QTE_QS]
+    )
+    c = qs.filter(F.col("grp") == 0).select(
+        *[F.col(f"q{q}").alias(f"c{q}") for q in _QTE_QS]
+    )
+    wide = t.crossJoin(F.broadcast(c))
+    out = None
+    for q in _QTE_QS:
+        row = wide.select(
+            F.lit(q).cast("int").alias("pct"),
+            F.round(F.col(f"t{q}"), 6).alias("treat_cents"),
+            F.round(F.col(f"c{q}"), 6).alias("control_cents"),
+            F.round(F.col(f"t{q}") - F.col(f"c{q}"), 6).alias("qte_cents"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pct")
+
+
+def _qte_oracle() -> str:
+    tcols = ", ".join(
+        f"percentile_cont({q / 100.0}) WITHIN GROUP (ORDER BY y) AS q{q}"
+        for q in _QTE_QS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS INT) AS pct,
+       round(t.q{q}, 6) AS treat_cents,
+       round(c.q{q}, 6) AS control_cents,
+       round(t.q{q} - c.q{q}, 6) AS qte_cents
+FROM t CROSS JOIN c"""
+        for q in _QTE_QS
+    )
+    return f"""
+WITH per_user AS (
+    SELECT CAST(('0x' || substring(md5('cohort-' || user_id), 1, 8))::BIGINT % 2
+                AS INTEGER) AS grp,
+           CAST(SUM(round(value * 100)) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+qs AS (SELECT grp, {tcols} FROM per_user GROUP BY grp),
+t AS (SELECT * FROM qs WHERE grp = 1),
+c AS (SELECT * FROM qs WHERE grp = 0)
+{rows}
+ORDER BY pct
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "analytic_qte",
+        analytic_qte,
+        _qte_oracle(),
+        doc="quantile treatment effects at 5 percentiles, exact interpolation",
+        tags=("analytics", "stats", "mlops"),
+    )
+)

@@ -200,6 +200,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_uuid_deterministic",
     "analytic_effect_size",
     "storage_vacuum_retention",
+    "analytic_qte",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

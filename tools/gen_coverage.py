@@ -214,6 +214,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "standardized effect size (Cohen's d / Hedges' g + CI)": [
             "analytic_effect_size"
         ],
+        "quantile treatment effects (distributional lift)": ["analytic_qte"],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
