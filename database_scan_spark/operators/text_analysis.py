@@ -1907,3 +1907,95 @@ SPECS.append(
         tags=("llm", "text", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — how much of each doc is new vs the archive?
+# ---------------------------------------------------------------------------
+
+_NV_N = 3
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive novelty: the fraction of a document's distinct
+    3-gram shingles whose FIRST occurrence (by ingest order =
+    doc_id) is this document — the incremental-corpus value signal
+    (a doc that only repeats earlier shingles adds little training
+    signal; cf. `text_boilerplate_fraction`, which scores repetition
+    regardless of direction). First occurrence is one min-aggregate
+    over the (shingle → doc) relation — NO per-pair comparison and
+    no window; the novelty join is shingle-keyed (the dictionary
+    outgrows broadcast at corpus scale). Counts exact; one ratio."""
+    toked = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    idx = F.when(
+        F.size("toks") >= _NV_N,
+        F.sequence(F.lit(1), F.size("toks") - (_NV_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("toks"), i + j) for j in range(_NV_N)],
+                    ),
+                )
+            )
+        ).alias("sh"),
+    ).persist()
+    first = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        shingles.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+            "novelty"
+        ),
+    )
+
+
+TEXT_NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i : i + {_NV_N - 1}], ' ') AS sh
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - {_NV_N - 1})) AS i
+          FROM toks WHERE len(t) >= {_NV_N})
+),
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh s JOIN first f USING (sh)
+GROUP BY s.doc_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_ngram_novelty",
+        text_ngram_novelty,
+        TEXT_NGRAM_NOVELTY_ORACLE,
+        doc="first-occurrence shingle novelty per doc vs the ingest archive",
+        tags=("llm", "text", "dedup"),
+    )
+)

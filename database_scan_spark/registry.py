@@ -201,6 +201,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_effect_size",
     "storage_vacuum_retention",
     "analytic_qte",
+    "text_ngram_novelty",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -366,6 +366,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "cross-corpus boilerplate shingle fraction": [
             "text_boilerplate_fraction"
         ],
+        "first-occurrence shingle novelty vs the archive": [
+            "text_ngram_novelty"
+        ],
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
