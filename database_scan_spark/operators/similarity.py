@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
-from ._helpers import spread
+from ._helpers import h32 as _h32, spread
 
 DIM = 64
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -1248,5 +1248,118 @@ SPECS.append(
         SIM_MATRYOSHKA_RERANK_ORACLE,
         doc="prefix-dim retrieve + full-dim rerank with exact-top-k agreement audit",
         tags=("llm", "similarity", "rag"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_centroid_drift — embedding-distribution drift per class
+# ---------------------------------------------------------------------------
+
+_CD_THRESH = "0.05"  # displacement alarm threshold (embedding units)
+
+
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two
+    deterministic hash halves (reference vs current — the
+    snapshot-vs-serving comparison an embedding pipeline runs after
+    a model or upstream-data change) and measure each class
+    centroid's DISPLACEMENT ‖μ_cur − μ_ref‖₂. The centroid means
+    are exact DECIMAL component sums per half (the
+    `sim_label_centroids` discipline); each squared component
+    difference is rounded to 12 dp and summed as DECIMAL
+    (order-free), so the final sqrt is bit-identical cross-engine.
+    Shape: one posexplode → (label, pos, half) hash aggregation with
+    map-side combine; everything downstream is (labels × dims)
+    rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    half = (
+        _h32(F.concat(F.lit("drift-"), F.col("vec_id"))) % 2
+    ).alias("half")
+    flat = (
+        emb.select("label", half, F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", "half", F.col("pos0").alias("pos"))
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(30,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "half",
+            "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("m"),
+            "n",
+        )
+    )
+    ref = flat.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("m0"), F.col("n").alias("n0")
+    )
+    cur = flat.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("m1"), F.col("n").alias("n1")
+    )
+    terms = ref.join(cur, ["label", "pos"]).select(
+        "label",
+        "n0",
+        "n1",
+        F.round((F.col("m1") - F.col("m0")) * (F.col("m1") - F.col("m0")), 12)
+        .cast("decimal(24,12)")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.max("n0").cast("bigint").alias("n_ref"),
+            F.max("n1").cast("bigint").alias("n_cur"),
+            F.sum("t").alias("ss"),
+        )
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(F.sqrt(F.col("ss").cast("double")), 6).alias("displacement"),
+            (
+                F.round(F.sqrt(F.col("ss").cast("double")), 6)
+                > F.lit(float(_CD_THRESH))
+            ).alias("drift_alarm"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_CENTROID_DRIFT_ORACLE = f"""
+WITH flat AS (
+    SELECT e.label,
+           ('0x' || substring(md5('drift-' || e.vec_id), 1, 8))::BIGINT % 2
+               AS half,
+           u.pos - 1 AS pos,
+           SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(30,12))) AS s,
+           COUNT(*) AS n
+    FROM embeddings e,
+         LATERAL (SELECT unnest(e.embedding) AS val,
+                         generate_subscripts(e.embedding, 1) AS pos) u
+    GROUP BY 1, 2, 3
+),
+m AS (SELECT label, half, pos, CAST(s AS DOUBLE) / n AS m, n FROM flat),
+terms AS (
+    SELECT r.label, r.n AS n0, c.n AS n1,
+           CAST(round((c.m - r.m) * (c.m - r.m), 12) AS DECIMAL(24,12)) AS t
+    FROM (SELECT * FROM m WHERE half = 0) r
+    JOIN (SELECT * FROM m WHERE half = 1) c USING (label, pos)
+)
+SELECT label,
+       CAST(MAX(n0) AS BIGINT) AS n_ref,
+       CAST(MAX(n1) AS BIGINT) AS n_cur,
+       round(sqrt(CAST(SUM(t) AS DOUBLE)), 6) AS displacement,
+       round(sqrt(CAST(SUM(t) AS DOUBLE)), 6) > {_CD_THRESH} AS drift_alarm
+FROM terms GROUP BY label ORDER BY label
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_centroid_drift",
+        sim_centroid_drift,
+        SIM_CENTROID_DRIFT_ORACLE,
+        doc="per-class embedding centroid displacement between hash halves",
+        tags=("similarity", "mlops", "quality"),
     )
 )

@@ -202,6 +202,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_vacuum_retention",
     "analytic_qte",
     "text_ngram_novelty",
+    "sim_centroid_drift",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

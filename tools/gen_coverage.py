@@ -137,6 +137,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "NDCG@10 retrieval evaluation (histogram-derived ideal)": [
             "analytic_ndcg"
         ],
+        "embedding centroid drift monitor (per-class displacement)": [
+            "sim_centroid_drift"
+        ],
         "k-anonymity generalization/suppression ladder": ["wf_k_anonymity"],
         "differentially-private count release (geometric mechanism)": [
             "wf_dp_counts"
