@@ -1571,3 +1571,117 @@ SPECS.append(
         tags=("stream",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_checkpoint_resume — exactly-once offset recovery pinned
+# ---------------------------------------------------------------------------
+
+
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint contract that makes streaming restarts safe:
+    run 1 processes the initially-visible arrival file and stops;
+    a second file then lands; run 2 restarts from the SAME
+    checkpoint and must process ONLY the new file — zero
+    reprocessing, zero loss. Both runs execute inside this one
+    invocation against a fresh checkpoint (wiped at entry), so the
+    op is idempotent and the two per-run audit rows are exact: row
+    counts and a DECIMAL value checksum per run equal the hash-half
+    populations the oracle recomputes. A source that replays run-1
+    offsets (double counting) or skips run-2 data breaks the hash."""
+    import glob  # noqa: PLC0415
+
+    from ..operators._helpers import h32  # noqa: PLC0415
+
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+    root = workdir(sf_dir, "stream_ckpt_resume")
+    stage = os.path.join(root, "stage")  # both halves, pre-built once
+    if not os.path.exists(os.path.join(stage, "_SPLIT_OK")):
+        shutil.rmtree(stage, ignore_errors=True)
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        half = h32(F.concat(F.lit("ck-"), F.col("event_id"))) % 2
+        for i, cond in enumerate([half == 0, half == 1]):
+            (
+                ev.filter(cond)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, f"part{i}"))
+            )
+            f = glob.glob(os.path.join(stage, f"part{i}", "*.parquet"))[0]
+            os.replace(f, os.path.join(stage, f"events_{i}.parquet"))
+            shutil.rmtree(os.path.join(stage, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(stage, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src_dir)
+    shutil.copy(
+        os.path.join(stage, "events_0.parquet"),
+        os.path.join(src_dir, "events_0.parquet"),
+    )
+    out_dir = os.path.join(root, "out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for run in (1, 2):
+        if run == 2:  # the new file lands between runs
+            shutil.copy(
+                os.path.join(stage, "events_1.parquet"),
+                os.path.join(src_dir, "events_1.parquet"),
+            )
+        stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+        # the memory sink can't recover a checkpoint; the FILE sink is
+        # the fault-tolerant one — rows self-tag with their run so the
+        # audit can prove which run wrote them
+        rows = stream.select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("decimal(18,0)").alias("cents"),
+            F.lit(run).cast("int").alias("run"),
+        )
+        q = (
+            rows.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("run")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("double").alias("cents_sum"),
+        )
+        .orderBy("run")
+    )
+
+
+STREAM_CHECKPOINT_RESUME_ORACLE = """
+WITH tagged AS (
+    SELECT ('0x' || substring(md5('ck-' || event_id), 1, 8))::BIGINT % 2 AS h,
+           CAST(round(value * 100) AS DECIMAL(18,0)) AS cents
+    FROM events
+)
+SELECT CAST(1 AS INT) AS run,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS DOUBLE) AS cents_sum
+FROM tagged WHERE h = 0
+UNION ALL
+SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS DOUBLE)
+FROM tagged WHERE h = 1
+ORDER BY run
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_checkpoint_resume",
+        stream_checkpoint_resume,
+        STREAM_CHECKPOINT_RESUME_ORACLE,
+        doc="exactly-once checkpoint recovery: run 2 processes only the new file",
+        tags=("stream", "workflow"),
+    )
+)

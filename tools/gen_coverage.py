@@ -484,6 +484,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "watermark lateness timing (measured drop contract)": [
             "stream_watermark_late_drop"
         ],
+        "exactly-once checkpoint recovery (file sink)": [
+            "stream_checkpoint_resume"
+        ],
         "ANSI try_* error-tolerant expressions": ["fn_try_arithmetic"],
         "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
