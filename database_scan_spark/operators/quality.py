@@ -1363,3 +1363,109 @@ SPECS.append(
         tags=("quality", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_outlier_ensemble — three detectors vote per daily point
+# ---------------------------------------------------------------------------
+
+
+def dq_outlier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble outlier vote over daily purchase revenue: the IQR
+    fence (Tukey 1.5×), the MAD modified z (Iglewicz-Hoaglin 3.5),
+    and the 3σ rule each flag days independently; a day is reported
+    when ANY detector fires, with all three votes — the triage view
+    that tells an on-call whether a spike is robust-confirmed or a
+    single-detector artifact (each detector's standalone op:
+    `filter_outlier_iqr`, `dq_anomaly_mad`, `win_rolling_zscore`).
+
+    Exactness: daily cents are BIGINT; IQR fences and the median/MAD
+    are shared interpolating percentiles; the 3σ test uses the
+    CLEARED integer form ``(n·x − S)² > 9·(n·Q − S²)`` (DECIMAL
+    products, no division); MAD/IQR comparisons are doubles over
+    exact inputs — all branch-deterministic cross-engine. One daily
+    aggregation, two tiny percentile aggregates, broadcast scalars."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("x")
+    )
+    stats = daily.agg(
+        F.expr("percentile(x, 0.25)").alias("q1"),
+        F.expr("percentile(x, 0.75)").alias("q3"),
+        F.expr("percentile(x, 0.5)").alias("med"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    mad = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(F.abs(F.col("x") - F.col("med")).alias("ad"))
+        .agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    )
+    j = daily.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(mad))
+    iqr = F.col("q3") - F.col("q1")
+    iqr_flag = (F.col("x") < F.col("q1") - 1.5 * iqr) | (
+        F.col("x") > F.col("q3") + 1.5 * iqr
+    )
+    mad_flag = (
+        0.6745 * F.abs(F.col("x") - F.col("med")) > 3.5 * F.col("mad")
+    )
+    lhs = (F.col("n") * F.col("x") - F.col("s"))
+    z_flag = lhs * lhs > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    flagged = j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        iqr_flag.alias("iqr_flag"),
+        mad_flag.alias("mad_flag"),
+        z_flag.alias("z_flag"),
+        (
+            iqr_flag.cast("int") + mad_flag.cast("int") + z_flag.cast("int")
+        ).alias("votes"),
+    ).filter(F.col("votes") > 0)
+    return flagged.orderBy("day")
+
+
+DQ_OUTLIER_ENSEMBLE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(round(value * 100)) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+stats AS (
+    SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS q1,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY x) AS q3,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med,
+           CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+           CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+           SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+    FROM daily
+),
+madt AS (
+    SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(x - med)) AS mad
+    FROM daily CROSS JOIN stats
+),
+j AS (SELECT * FROM daily CROSS JOIN stats CROSS JOIN madt),
+flagged AS (
+    SELECT strftime(day, '%Y-%m-%d') AS day, x,
+           (x < q1 - 1.5 * (q3 - q1) OR x > q3 + 1.5 * (q3 - q1)) AS iqr_flag,
+           0.6745 * abs(x - med) > 3.5 * mad AS mad_flag,
+           (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS z_flag
+    FROM j
+)
+SELECT day, x, iqr_flag, mad_flag, z_flag,
+       CAST(iqr_flag AS INT) + CAST(mad_flag AS INT) + CAST(z_flag AS INT)
+           AS votes
+FROM flagged
+WHERE CAST(iqr_flag AS INT) + CAST(mad_flag AS INT) + CAST(z_flag AS INT) > 0
+ORDER BY day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_outlier_ensemble",
+        dq_outlier_ensemble,
+        DQ_OUTLIER_ENSEMBLE_ORACLE,
+        doc="IQR + MAD + 3-sigma ensemble votes per daily point",
+        tags=("quality", "stats", "timeseries"),
+    )
+)

@@ -204,6 +204,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_ngram_novelty",
     "sim_centroid_drift",
     "stream_checkpoint_resume",
+    "dq_outlier_ensemble",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

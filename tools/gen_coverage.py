@@ -380,6 +380,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "wf_fair_share_budget"
         ],
         "exact 1-Wasserstein distribution drift": ["dq_drift_wasserstein"],
+        "ensemble outlier votes (IQR + MAD + 3-sigma)": ["dq_outlier_ensemble"],
         "MOR vacuum / retention (soft-retire superseded files)": [
             "storage_vacuum_retention"
         ],
