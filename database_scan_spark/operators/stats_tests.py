@@ -2502,3 +2502,71 @@ SPECS.append(
         tags=("analytics", "stats", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_frequency_moments — F0/F1/F2 and the self-join size they imply
+# ---------------------------------------------------------------------------
+
+_FM_COLS = [("lineitem", "l_partkey"), ("orders", "o_custkey"),
+            ("events", "user_id")]
+
+
+def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency moments F₀ (distinct), F₁ (count) and EXACT
+    F₂ = Σc² per join key — the Alon-Matias-Szegedy quantities a
+    cost-based optimizer actually needs: F₂ IS the self-join size,
+    and the skew factor ``F₂·F₀/F₁²`` (≥1, =1 iff uniform) predicts
+    whether a key needs salting before `join_skew_salted` is even
+    tried. One hash aggregation per key (map-side combine) plus a
+    3-number reduce; F₂ sums are DECIMAL-exact."""
+    out = None
+    for tbl, col in _FM_COLS:
+        t = load(spark, sf_dir, tbl)
+        counts = t.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = counts.agg(
+            F.lit(f"{tbl}.{col}").alias("key"),
+            F.count(F.lit(1)).cast("bigint").alias("f0"),
+            F.sum("c").cast("bigint").alias("f1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("double")
+            .alias("f2"),
+        ).select(
+            "key",
+            "f0",
+            "f1",
+            "f2",
+            F.round(
+                F.col("f2") * F.col("f0") / (F.col("f1").cast("double") * F.col("f1")),
+                6,
+            ).alias("skew_factor"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key")
+
+
+def _freq_moments_oracle() -> str:
+    parts = []
+    for tbl, col in _FM_COLS:
+        parts.append(f"""
+SELECT '{tbl}.{col}' AS key,
+       CAST(COUNT(*) AS BIGINT) AS f0,
+       CAST(SUM(c) AS BIGINT) AS f1,
+       CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS f2,
+       round(CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) * COUNT(*)
+             / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS skew_factor
+FROM (SELECT COUNT(*) AS c FROM {tbl} GROUP BY {col})""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY key"
+
+
+SPECS.append(
+    QuerySpec(
+        "agg_frequency_moments",
+        agg_frequency_moments,
+        _freq_moments_oracle(),
+        doc="exact AMS frequency moments per join key; skew factor = F2*F0/F1^2",
+        tags=("agg", "stats", "scale"),
+    )
+)

@@ -205,6 +205,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_centroid_drift",
     "stream_checkpoint_resume",
     "dq_outlier_ensemble",
+    "agg_frequency_moments",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

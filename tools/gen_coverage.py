@@ -230,6 +230,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: exact distinct via mergeable bitmaps)": [
             "agg_bitmap_distinct"
         ],
+        "exact AMS frequency moments / self-join size per key": [
+            "agg_frequency_moments"
+        ],
     },
     "§2.8 Sort / top-k / windows": {
         "sort_remote_score_desc": ["sort_remote_score_desc"],
