@@ -1999,3 +1999,154 @@ SPECS.append(
         tags=("llm", "text", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_corpus_dashboard — one corpus-health artifact
+# ---------------------------------------------------------------------------
+
+
+def pipeline_corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health DASHBOARD: one (metric, value, n) row per
+    headline signal, each computed by the engine's own registered
+    leg — rule-based quality pass rate, exact-duplicate rate,
+    boilerplate drop rate (`text_boilerplate_fraction`), mean
+    archive novelty (`text_ngram_novelty`), and lang-ID agreement
+    (`text_lang_id`) — the one-page artifact a data lead reads
+    before approving a training run (the numeric companion of
+    `dq_corpus_report`). Composing the REGISTERED operators (not
+    re-deriving) means the dashboard can never drift from the
+    operators it summarizes; the oracle composes the same legs'
+    oracle SQL. Ratios divide exact integers; rounding 6 dp."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.sum(
+            (
+                (F.size(toks) >= 20)
+                & (F.size(toks) <= 1000)
+                & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks))
+            ).cast("bigint")
+        ).alias("n_quality"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
+
+    def metric(name: str, value: F.Column, n: F.Column) -> DataFrame:
+        return base_j.select(
+            F.lit(name).alias("metric"),
+            F.round(value, 6).alias("value"),
+            n.cast("bigint").alias("n"),
+        )
+
+    base_j = base
+    rows = [
+        metric(
+            "quality_pass_rate",
+            F.col("n_quality").cast("double") / F.col("n_docs"),
+            F.col("n_docs"),
+        ),
+        metric(
+            "exact_dup_rate",
+            1 - F.col("n_unique").cast("double") / F.col("n_docs"),
+            F.col("n_docs"),
+        ),
+        metric(
+            "tokens_total", F.col("n_tokens").cast("double"), F.col("n_docs")
+        ),
+    ]
+    bp = text_boilerplate_fraction(spark, sf_dir).agg(
+        F.sum(F.col("drop_flag").cast("bigint")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows.append(
+        bp.select(
+            F.lit("boilerplate_drop_rate").alias("metric"),
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias("value"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    nv = text_ngram_novelty(spark, sf_dir).agg(
+        F.sum("n_novel").alias("k"),
+        F.sum("n_shingles").alias("n"),
+    )
+    rows.append(
+        nv.select(
+            F.lit("novel_shingle_rate").alias("metric"),
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias("value"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    li = text_lang_id(spark, sf_dir).agg(
+        F.sum(F.col("lang_match").cast("bigint")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows.append(
+        li.select(
+            F.lit("lang_match_rate").alias("metric"),
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias("value"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")
+
+
+def _corpus_dashboard_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS n_tokens,
+           SUM(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                     AND len(list_distinct(string_split(text, ' '))) * 2
+                         >= len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END) AS n_quality,
+           COUNT(DISTINCT md5(text)) AS n_unique
+    FROM documents
+),
+bp AS (
+    SELECT SUM(CAST(drop_flag AS BIGINT)) AS k, COUNT(*) AS n
+    FROM ({TEXT_BOILERPLATE_FRACTION_ORACLE})
+),
+nv AS (
+    SELECT SUM(n_novel) AS k, SUM(n_shingles) AS n
+    FROM ({TEXT_NGRAM_NOVELTY_ORACLE})
+),
+li AS (
+    SELECT SUM(CAST(lang_match AS BIGINT)) AS k, COUNT(*) AS n
+    FROM ({_lang_id_oracle()})
+)
+SELECT 'boilerplate_drop_rate' AS metric,
+       round(CAST(k AS DOUBLE) / n, 6) AS value, CAST(n AS BIGINT) AS n
+FROM bp
+UNION ALL
+SELECT 'exact_dup_rate', round(1 - CAST(n_unique AS DOUBLE) / n_docs, 6),
+       CAST(n_docs AS BIGINT) FROM base
+UNION ALL
+SELECT 'lang_match_rate', round(CAST(k AS DOUBLE) / n, 6), CAST(n AS BIGINT)
+FROM li
+UNION ALL
+SELECT 'novel_shingle_rate', round(CAST(k AS DOUBLE) / n, 6), CAST(n AS BIGINT)
+FROM nv
+UNION ALL
+SELECT 'quality_pass_rate', round(CAST(n_quality AS DOUBLE) / n_docs, 6),
+       CAST(n_docs AS BIGINT) FROM base
+UNION ALL
+SELECT 'tokens_total', round(CAST(n_tokens AS DOUBLE), 6),
+       CAST(n_docs AS BIGINT) FROM base
+ORDER BY metric
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_corpus_dashboard",
+        pipeline_corpus_dashboard,
+        _corpus_dashboard_oracle(),
+        doc="corpus-health dashboard composing five registered legs, drift-proof",
+        tags=("llm", "text", "pipeline", "quality"),
+    )
+)

@@ -206,6 +206,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_checkpoint_resume",
     "dq_outlier_ensemble",
     "agg_frequency_moments",
+    "pipeline_corpus_dashboard",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

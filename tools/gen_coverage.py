@@ -375,6 +375,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "first-occurrence shingle novelty vs the archive": [
             "text_ngram_novelty"
         ],
+        "corpus-health dashboard (five composed legs)": [
+            "pipeline_corpus_dashboard"
+        ],
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
