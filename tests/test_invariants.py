@@ -583,3 +583,76 @@ def test_wasserstein_nonnegative_and_bounded(spark, specs):
     """W1 is nonnegative and bounded by the value-domain span."""
     r = specs["dq_drift_wasserstein"].fn(spark, SF_SMOKE).collect()[0]
     assert r["wasserstein_cents"] >= 0.0
+
+
+def test_qte_quantiles_monotone(spark, specs):
+    """Per-arm quantiles must be non-decreasing in the percentile."""
+    rows = sorted(
+        specs["analytic_qte"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["pct"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["treat_cents"] <= b["treat_cents"] + 1e-9
+        assert a["control_cents"] <= b["control_cents"] + 1e-9
+
+
+def test_frequency_moments_inequalities(spark, specs):
+    """F1 >= F0 (counts dominate distincts) and the skew factor is
+    >= 1 (Cauchy-Schwarz; =1 iff uniform)."""
+    for r in specs["agg_frequency_moments"].fn(spark, SF_SMOKE).collect():
+        assert r["f1"] >= r["f0"]
+        assert r["skew_factor"] >= 1.0 - 1e-9
+
+
+def test_novelty_sums_to_distinct_shingles(spark, specs):
+    """Every distinct shingle is novel in exactly ONE document, so
+    Σ n_novel == |distinct shingles| — an exact cross-aggregate
+    identity."""
+    import pyspark.sql.functions as SF
+
+    nv = specs["text_ngram_novelty"].fn(spark, SF_SMOKE)
+    agg = nv.agg(
+        SF.sum("n_novel").alias("novel"),
+    ).collect()[0]
+    from database_scan_spark.catalog import load
+
+    toked = load(spark, SF_SMOKE, "documents").select(
+        SF.split("text", " ").alias("t")
+    )
+    idx = SF.when(
+        SF.size("t") >= 3, SF.sequence(SF.lit(1), SF.size("t") - 2)
+    ).otherwise(SF.array().cast("array<int>"))
+    distinct_sh = (
+        toked.select(
+            SF.explode(
+                SF.transform(
+                    idx,
+                    lambda i: SF.concat_ws(
+                        " ", *[SF.element_at(SF.col("t"), i + j) for j in range(3)]
+                    ),
+                )
+            ).alias("sh")
+        )
+        .agg(SF.count_distinct("sh").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert agg["novel"] == distinct_sh
+
+
+def test_corpus_dashboard_rates_bounded(spark, specs):
+    """Six metrics; every *_rate lies in [0, 1]."""
+    rows = specs["pipeline_corpus_dashboard"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    for r in rows:
+        if r["metric"].endswith("_rate"):
+            assert 0.0 <= r["value"] <= 1.0
+
+
+def test_checkpoint_resume_partitions_events(spark, specs):
+    """The two runs partition the event population exactly."""
+    rows = specs["stream_checkpoint_resume"].fn(spark, SF_SMOKE).collect()
+    from database_scan_spark.catalog import load
+
+    total = load(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert len(rows) == 2
