@@ -2570,3 +2570,96 @@ SPECS.append(
         tags=("agg", "stats", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_contribution — who moved the metric? (root-cause drill)
+# ---------------------------------------------------------------------------
+
+_CT_SPLIT = "2024-01-16"
+
+
+def analytic_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (the Adtributor shape, MSR 2014): the
+    purchase-revenue delta between the reference and current period
+    decomposed by event-type segment — each segment's share of the
+    total move, plus its surprise (JS-style mix shift: current share
+    of total vs reference share of total) — the first drill an
+    on-call runs when a topline metric moves.
+
+    Exactness: per-segment period sums are BIGINT cents from ONE
+    conditional aggregation; deltas and shares are fixed double
+    expressions; ordering by |delta| breaks ties by segment. At any
+    scale this is one fact pass plus segment-sized math."""
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_CT_SPLIT).cast("date")
+    seg = ev.groupBy(F.col("event_type").alias("segment")).agg(
+        F.sum(
+            F.when(F.to_date("ts") < split, F.round(F.col("value") * 100)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ref_cents"),
+        F.sum(
+            F.when(F.to_date("ts") >= split, F.round(F.col("value") * 100)).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("cur_cents"),
+    )
+    tot = seg.agg(
+        F.sum("ref_cents").cast("bigint").alias("ref_tot"),
+        F.sum("cur_cents").cast("bigint").alias("cur_tot"),
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    delta = (F.col("cur_cents") - F.col("ref_cents")).cast("double")
+    tot_delta = (F.col("cur_tot") - F.col("ref_tot")).cast("double")
+    mix_shift = (
+        F.col("cur_cents").cast("double") / F.col("cur_tot")
+        - F.col("ref_cents").cast("double") / F.col("ref_tot")
+    )
+    return j.select(
+        "segment",
+        "ref_cents",
+        "cur_cents",
+        F.round(delta, 6).alias("delta_cents"),
+        F.round(delta / tot_delta, 6).alias("delta_share"),
+        F.round(mix_shift, 6).alias("mix_shift"),
+    ).orderBy(F.abs(F.col("delta_cents")).desc(), "segment")
+
+
+ANALYTIC_CONTRIBUTION_ORACLE = f"""
+WITH seg AS (
+    SELECT event_type AS segment,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_CT_SPLIT}'
+                         THEN round(value * 100) ELSE 0 END) AS BIGINT)
+               AS ref_cents,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_CT_SPLIT}'
+                         THEN round(value * 100) ELSE 0 END) AS BIGINT)
+               AS cur_cents
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(ref_cents) AS BIGINT) AS ref_tot,
+           CAST(SUM(cur_cents) AS BIGINT) AS cur_tot
+    FROM seg
+)
+SELECT segment, ref_cents, cur_cents,
+       round(CAST(cur_cents - ref_cents AS DOUBLE), 6) AS delta_cents,
+       round(CAST(cur_cents - ref_cents AS DOUBLE)
+             / CAST(cur_tot - ref_tot AS DOUBLE), 6) AS delta_share,
+       round(CAST(cur_cents AS DOUBLE) / cur_tot
+             - CAST(ref_cents AS DOUBLE) / ref_tot, 6) AS mix_shift
+FROM seg CROSS JOIN tot
+ORDER BY abs(CAST(cur_cents - ref_cents AS DOUBLE)) DESC, segment
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_contribution",
+        analytic_contribution,
+        ANALYTIC_CONTRIBUTION_ORACLE,
+        doc="Adtributor-style segment contribution to a metric delta",
+        tags=("analytics", "stats"),
+    )
+)

@@ -207,6 +207,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_outlier_ensemble",
     "agg_frequency_moments",
     "pipeline_corpus_dashboard",
+    "analytic_contribution",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -218,6 +218,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "analytic_effect_size"
         ],
         "quantile treatment effects (distributional lift)": ["analytic_qte"],
+        "segment contribution / root-cause drill (Adtributor shape)": [
+            "analytic_contribution"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
