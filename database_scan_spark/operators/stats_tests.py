@@ -2663,3 +2663,94 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_seasonal_decompose — additive trend/seasonal/residual split
+# ---------------------------------------------------------------------------
+
+
+def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily purchase counts
+    (STL-lite): trend = centered 7-day moving average, seasonal =
+    per-weekday mean of the detrended series, residual = the rest —
+    the decomposition `analytic_seasonality_strength` scores and
+    `dq_seasonal_baseline` monitors, materialized per day.
+
+    Determinism: the naive seasonal mean sums DOUBLES (order-
+    dependent); here it is algebraically cleared to exact BIGINTs —
+    ``seasonal_w = (7·Σx − ΣS₇) / (7·n_w)`` with S₇ the integer
+    7-day window sums — so every output is a fixed double expression
+    over exact integers. Full-frame days only. One daily
+    aggregation, one 7-row weekday aggregation, calendar-bounded
+    windows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    framed = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    wk = framed.groupBy(F.weekday("day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("x").alias("sx"),
+        F.sum("s7").alias("ss7"),
+    ).select(
+        "w",
+        (
+            (7 * F.col("sx") - F.col("ss7")).cast("double")
+            / (7 * F.col("n_w")).cast("double")
+        ).alias("seasonal"),
+    )
+    j = framed.join(F.broadcast(wk), F.weekday("day") == F.col("w"))
+    trend = F.col("s7").cast("double") / 7
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("bigint").alias("x"),
+        F.round(trend, 6).alias("trend"),
+        F.round(F.col("seasonal"), 6).alias("seasonal"),
+        F.round(F.col("x") - trend - F.col("seasonal"), 6).alias("residual"),
+    ).orderBy("day")
+
+
+WIN_SEASONAL_DECOMPOSE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+framed AS (
+    SELECT day, x,
+           SUM(x) OVER w AS s7,
+           COUNT(*) OVER w AS n7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_frames AS (SELECT * FROM framed WHERE n7 = 7),
+wk AS (
+    SELECT isodow(day) - 1 AS w,
+           CAST(7 * SUM(x) - SUM(s7) AS DOUBLE)
+             / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+    FROM full_frames GROUP BY 1
+)
+SELECT strftime(f.day, '%Y-%m-%d') AS day,
+       CAST(f.x AS BIGINT) AS x,
+       round(CAST(f.s7 AS DOUBLE) / 7, 6) AS trend,
+       round(wk.seasonal, 6) AS seasonal,
+       round(f.x - CAST(f.s7 AS DOUBLE) / 7 - wk.seasonal, 6) AS residual
+FROM full_frames f JOIN wk ON isodow(f.day) - 1 = wk.w
+ORDER BY f.day
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_seasonal_decompose",
+        win_seasonal_decompose,
+        WIN_SEASONAL_DECOMPOSE_ORACLE,
+        doc="STL-lite additive decomposition with integer-cleared seasonal means",
+        tags=("window", "analytics", "timeseries"),
+    )
+)

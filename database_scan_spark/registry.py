@@ -208,6 +208,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "agg_frequency_moments",
     "pipeline_corpus_dashboard",
     "analytic_contribution",
+    "win_seasonal_decompose",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -194,6 +194,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "seasonality strength (weekday ANOVA eta-squared)": [
             "analytic_seasonality_strength"
         ],
+        "STL-lite additive decomposition (trend/seasonal/residual)": [
+            "win_seasonal_decompose"
+        ],
         "CUPED pre-period variance reduction": ["analytic_cuped"],
         "degree assortativity (edge-wise moments)": ["graph_assortativity"],
         "rolling correlation window (exact integer sums)": ["win_rolling_corr"],
