@@ -2150,3 +2150,113 @@ SPECS.append(
         tags=("llm", "text", "pipeline", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_stylometry_distance — function-word profiles per source
+# ---------------------------------------------------------------------------
+
+
+def text_stylometry_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric distance between corpus sources: each source's
+    FUNCTION-WORD frequency profile (the stopword list — topic-free
+    style markers, the Mosteller-Wallace/Burrows tradition) compared
+    pairwise with a chi-square distance
+    ``Σ_w (p₁(w) − p₂(w))² / (p₁(w) + p₂(w))`` — the
+    authorship/provenance signal that flags a source whose "style"
+    suddenly shifts (scraper drift, machine-generated injection).
+
+    Exactness: profiles are exact integer counts over the fixed
+    8-word marker set; each pair term is one double expression from
+    four integers rounded 12 dp and summed as DECIMAL (order-free).
+    Shape: ONE token aggregation (map-side combine) to a
+    sources×8 relation; the pair space is sources² — dimension-
+    sized — via broadcast self-join."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    prof = (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            *[
+                F.sum((F.col("w") == sw).cast("bigint")).alias(f"c_{i}")
+                for i, sw in enumerate(STOPWORDS)
+            ],
+        )
+    )
+    a = prof.select(
+        F.col("source").alias("src_a"),
+        F.col("n_tok").alias("na"),
+        *[F.col(f"c_{i}").alias(f"a_{i}") for i in range(len(STOPWORDS))],
+    )
+    b = prof.select(
+        F.col("source").alias("src_b"),
+        F.col("n_tok").alias("nb"),
+        *[F.col(f"c_{i}").alias(f"b_{i}") for i in range(len(STOPWORDS))],
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    term_cols = []
+    for i in range(len(STOPWORDS)):
+        p1 = F.col(f"a_{i}").cast("double") / F.col("na")
+        p2 = F.col(f"b_{i}").cast("double") / F.col("nb")
+        term_cols.append(
+            F.round(
+                F.when(p1 + p2 > 0, (p1 - p2) * (p1 - p2) / (p1 + p2)).otherwise(
+                    0.0
+                ),
+                12,
+            ).cast("decimal(24,12)")
+        )
+    dist = term_cols[0]
+    for t in term_cols[1:]:
+        dist = dist + t
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.round(dist.cast("double"), 6).alias("chi2_distance"),
+    ).orderBy("src_a", "src_b")
+
+
+def _stylometry_oracle() -> str:
+    c_exprs = ", ".join(
+        f"SUM(CASE WHEN w = '{sw}' THEN 1 ELSE 0 END) AS c_{i}"
+        for i, sw in enumerate(STOPWORDS)
+    )
+    terms = " + ".join(
+        f"""CAST(round(CASE WHEN CAST(a.c_{i} AS DOUBLE) / a.n_tok
+                          + CAST(b.c_{i} AS DOUBLE) / b.n_tok > 0
+            THEN (CAST(a.c_{i} AS DOUBLE) / a.n_tok
+                  - CAST(b.c_{i} AS DOUBLE) / b.n_tok)
+                 * (CAST(a.c_{i} AS DOUBLE) / a.n_tok
+                    - CAST(b.c_{i} AS DOUBLE) / b.n_tok)
+                 / (CAST(a.c_{i} AS DOUBLE) / a.n_tok
+                    + CAST(b.c_{i} AS DOUBLE) / b.n_tok)
+            ELSE 0.0 END, 12) AS DECIMAL(24,12))"""
+        for i in range(len(STOPWORDS))
+    )
+    return f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+prof AS (
+    SELECT source, COUNT(*) AS n_tok, {c_exprs}
+    FROM toks GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       round(CAST({terms} AS DOUBLE), 6) AS chi2_distance
+FROM prof a JOIN prof b ON a.source < b.source
+ORDER BY src_a, src_b
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_stylometry_distance",
+        text_stylometry_distance,
+        _stylometry_oracle(),
+        doc="pairwise chi-square function-word style distance between sources",
+        tags=("llm", "text", "stats", "quality"),
+    )
+)

@@ -209,6 +209,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_corpus_dashboard",
     "analytic_contribution",
     "win_seasonal_decompose",
+    "text_stylometry_distance",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

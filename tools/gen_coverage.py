@@ -388,6 +388,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "mm_audio_fingerprint"
         ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
+        "stylometric source distance (function-word chi-square)": [
+            "text_stylometry_distance"
+        ],
         "max-min fair token-budget allocation (closed-form waterfill)": [
             "wf_fair_share_budget"
         ],
