@@ -1685,3 +1685,81 @@ SPECS.append(
         tags=("stream", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_chained_aggregations — two stateful operators in ONE query
+# ---------------------------------------------------------------------------
+
+
+def stream_chained_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful windowed aggregations in a single
+    streaming query — the Spark 4 multi-stateful-operator capability
+    (blocked pre-3.4): 5-minute tumbling counts per event type roll
+    up into the HOURLY MAX of those counts, both watermarked, in one
+    plan with two state stores. The classic two-tier monitoring
+    rollup (fine-grain counts, coarse-grain peaks) without a second
+    query or an intermediate sink. `window_time()` re-derives the
+    event-time column from the first window for the second
+    aggregation. Emitted rows are hourly windows closed by the final
+    watermark; the oracle computes the same two-level rollup with
+    the same closure rule."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    five = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n5"))
+    )
+    hourly = (
+        five.groupBy(
+            F.window(F.window_time("w5"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(F.max("n5").alias("peak_5min"), F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            F.col("wh.start").alias("h_start"),
+            F.col("wh.end").alias("h_end"),
+            "event_type",
+            "peak_5min",
+            "n_buckets",
+        )
+    )
+    sink = _run_to_memory(hourly, spark, sf_dir, "stream_chained_agg", "append")
+    return sink.select(
+        F.date_format("h_start", "yyyy-MM-dd HH:mm:ss").alias("h_start"),
+        "event_type",
+        F.col("peak_5min").cast("bigint").alias("peak_5min"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+    ).orderBy("h_start", "event_type")
+
+
+STREAM_CHAINED_AGGREGATIONS_ORACLE = """
+WITH wm AS (SELECT max(ts) AS wmf FROM events),
+five AS (
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w5_start,
+           event_type, COUNT(*) AS n5
+    FROM events GROUP BY 1, 2
+),
+hourly AS (
+    SELECT time_bucket(INTERVAL '1 hour', w5_start) AS h_start,
+           event_type,
+           MAX(n5) AS peak_5min,
+           COUNT(*) AS n_buckets
+    FROM five GROUP BY 1, 2
+)
+SELECT strftime(h.h_start, '%Y-%m-%d %H:%M:%S') AS h_start,
+       h.event_type,
+       CAST(h.peak_5min AS BIGINT) AS peak_5min,
+       CAST(h.n_buckets AS BIGINT) AS n_buckets
+FROM hourly h CROSS JOIN wm
+WHERE h.h_start + INTERVAL '1 hour' <= wm.wmf
+ORDER BY h_start, event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_chained_aggregations",
+        stream_chained_aggregations,
+        STREAM_CHAINED_AGGREGATIONS_ORACLE,
+        doc="two chained stateful windowed aggs in one query (window_time rollup)",
+        tags=("stream",),
+    )
+)

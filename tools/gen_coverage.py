@@ -503,6 +503,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exactly-once checkpoint recovery (file sink)": [
             "stream_checkpoint_resume"
         ],
+        "chained stateful aggregations in one query (window_time)": [
+            "stream_chained_aggregations"
+        ],
         "ANSI try_* error-tolerant expressions": ["fn_try_arithmetic"],
         "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
