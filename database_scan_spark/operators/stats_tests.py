@@ -2754,3 +2754,85 @@ SPECS.append(
         tags=("window", "analytics", "timeseries"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_reciprocity — weighted reciprocity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity of the directed nation trade graph:
+    ``r = Σ_ij min(w_ij, w_ji) / Σ_ij w_ij`` (Squartini et al. 2013)
+    — how much trade flows BOTH ways between nation pairs. The
+    directed-graph health metric next to `graph_modularity` /
+    `graph_assortativity`; r→1 is symmetric exchange, r→0 pure
+    one-way flow. Self-loops (domestic trade) are excluded from
+    both sums.
+
+    The edge build is the shared fact-collapse (broadcast dimension
+    hops, one groupBy); reciprocity is then one self-join of the
+    dimension-sized edge list on the REVERSED key pair and a
+    two-number exact-integer reduce — one final division."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w").alias("w_rev")
+    )
+    j = edges.join(F.broadcast(rev), ["src", "dst"], "left")
+    agg = j.agg(
+        F.sum("w").cast("bigint").alias("total_w"),
+        F.sum(F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0))))
+        .cast("bigint")
+        .alias("recip_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+    )
+    return agg.select(
+        "n_edges",
+        "total_w",
+        "recip_w",
+        F.round(
+            F.col("recip_w").cast("double") / F.col("total_w"), 6
+        ).alias("reciprocity"),
+    )
+
+
+GRAPH_RECIPROCITY_ORACLE = """
+WITH edges AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(a.w) AS BIGINT) AS total_w,
+       CAST(SUM(LEAST(a.w, COALESCE(b.w, 0))) AS BIGINT) AS recip_w,
+       round(CAST(SUM(LEAST(a.w, COALESCE(b.w, 0))) AS DOUBLE)
+             / SUM(a.w), 6) AS reciprocity
+FROM edges a LEFT JOIN edges b ON a.src = b.dst AND a.dst = b.src
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_reciprocity",
+        graph_reciprocity,
+        GRAPH_RECIPROCITY_ORACLE,
+        doc="weighted directed reciprocity: min(w_ij, w_ji) mass over total",
+        tags=("graph", "analytics"),
+    )
+)

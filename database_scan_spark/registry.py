@@ -211,6 +211,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_seasonal_decompose",
     "text_stylometry_distance",
     "stream_chained_aggregations",
+    "graph_reciprocity",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

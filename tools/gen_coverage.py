@@ -199,6 +199,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "CUPED pre-period variance reduction": ["analytic_cuped"],
         "degree assortativity (edge-wise moments)": ["graph_assortativity"],
+        "weighted directed reciprocity": ["graph_reciprocity"],
         "rolling correlation window (exact integer sums)": ["win_rolling_corr"],
         "two-proportion z-tests per funnel transition": ["analytic_prop_ztest"],
         "experiment readout flagship (cohorts + CUPED + z)": [
