@@ -2836,3 +2836,73 @@ SPECS.append(
         tags=("graph", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_markov_transition — first-order event transition matrix
+# ---------------------------------------------------------------------------
+
+
+def analytic_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    consecutive event-type pairs in (ts, event_id) order per user,
+    with exact counts and row-normalized transition probabilities —
+    the sequence model under next-action prediction and journey
+    simulation (the matrix form of `analytic_user_paths`' prefix
+    table). One shuffle keyed on user (lag window), one pair
+    aggregation, broadcast row totals; counts exact, each
+    probability one division rounded 6 dp."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("to_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("row_total").cast("bigint").alias("row_total"),
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ANALYTIC_MARKOV_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type AS to_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(t.row_total AS BIGINT) AS row_total,
+       round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_markov_transition",
+        analytic_markov_transition,
+        ANALYTIC_MARKOV_TRANSITION_ORACLE,
+        doc="first-order event-type transition matrix with exact row-normalized p",
+        tags=("analytics", "stats"),
+    )
+)

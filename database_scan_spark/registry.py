@@ -212,6 +212,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_stylometry_distance",
     "stream_chained_aggregations",
     "graph_reciprocity",
+    "analytic_markov_transition",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

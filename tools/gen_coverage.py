@@ -225,6 +225,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "segment contribution / root-cause drill (Adtributor shape)": [
             "analytic_contribution"
         ],
+        "first-order Markov transition matrix": ["analytic_markov_transition"],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
