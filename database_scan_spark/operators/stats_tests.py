@@ -2906,3 +2906,141 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_growth_accounting — new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+
+
+def analytic_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the product-analytics ledger every
+    active-user chart decomposes into: per week, actives split into
+    NEW (first week ever), RETAINED (active previous week),
+    RESURRECTED (active before, but not previous week), plus the
+    week's CHURNED (active previous week, absent now); retention and
+    quick ratio follow. (`cohort_retention` tracks one cohort
+    forward; this is the all-cohorts weekly ledger.)
+
+    Shape: events collapse to the distinct (user, week) relation;
+    classification is a lag window per user over that relation (weeks
+    are integers, so 'previous week' is an exact lag comparison);
+    churn re-joins the relation shifted one week. All counts exact;
+    two ratios divide them. Dimension of everything after the first
+    distinct: users × active-weeks."""
+    ev = load(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    tagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+    ).select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    counts = (
+        tagged.groupBy("wk")
+        .agg(
+            F.sum((F.col("cls") == "new").cast("bigint")).alias("new_users"),
+            F.sum((F.col("cls") == "retained").cast("bigint")).alias("retained"),
+            F.sum((F.col("cls") == "resurrected").cast("bigint")).alias(
+                "resurrected"
+            ),
+            F.count(F.lit(1)).alias("active"),
+        )
+    )
+    prev = uw.select("user_id", (F.col("wk") + 1).alias("wk"))
+    churned = (
+        prev.join(uw, ["user_id", "wk"], "left_anti")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        counts.join(F.broadcast(churned), "wk", "left")
+        .select(
+            F.col("wk").cast("int").alias("week"),
+            F.col("active").cast("bigint").alias("active"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.col("retained").cast("bigint").alias("retained"),
+            F.col("resurrected").cast("bigint").alias("resurrected"),
+            F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
+            F.when(
+                F.col("retained") + F.coalesce(F.col("churned"), F.lit(0)) > 0,
+                F.round(
+                    F.col("retained").cast("double")
+                    / (F.col("retained") + F.coalesce(F.col("churned"), F.lit(0))),
+                    6,
+                ),
+            ).alias("crr"),
+        )
+        .orderBy("week")
+    )
+
+
+ANALYTIC_GROWTH_ACCOUNTING_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                AS INTEGER) AS wk
+    FROM events
+),
+tagged AS (
+    SELECT wk,
+           CASE WHEN prev_wk IS NULL THEN 'new'
+                WHEN prev_wk = wk - 1 THEN 'retained'
+                ELSE 'resurrected' END AS cls
+    FROM (SELECT user_id, wk,
+                 lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+          FROM uw)
+),
+counts AS (
+    SELECT wk,
+           SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS new_users,
+           SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS retained,
+           SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS resurrected,
+           COUNT(*) AS active
+    FROM tagged GROUP BY wk
+),
+churn AS (
+    SELECT p.wk, COUNT(*) AS churned
+    FROM (SELECT user_id, wk + 1 AS wk FROM uw) p
+    LEFT JOIN uw c ON p.user_id = c.user_id AND p.wk = c.wk
+    WHERE c.user_id IS NULL
+    GROUP BY p.wk
+)
+SELECT CAST(co.wk AS INT) AS week,
+       CAST(co.active AS BIGINT) AS active,
+       CAST(co.new_users AS BIGINT) AS new_users,
+       CAST(co.retained AS BIGINT) AS retained,
+       CAST(co.resurrected AS BIGINT) AS resurrected,
+       CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned,
+       CASE WHEN co.retained + COALESCE(ch.churned, 0) > 0
+            THEN round(CAST(co.retained AS DOUBLE)
+                       / (co.retained + COALESCE(ch.churned, 0)), 6)
+            END AS crr
+FROM counts co LEFT JOIN churn ch ON co.wk = ch.wk
+ORDER BY week
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_growth_accounting",
+        analytic_growth_accounting,
+        ANALYTIC_GROWTH_ACCOUNTING_ORACLE,
+        doc="weekly growth accounting ledger: new/retained/resurrected/churned",
+        tags=("analytics", "stats"),
+    )
+)

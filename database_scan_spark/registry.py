@@ -213,6 +213,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_chained_aggregations",
     "graph_reciprocity",
     "analytic_markov_transition",
+    "analytic_growth_accounting",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -226,6 +226,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "analytic_contribution"
         ],
         "first-order Markov transition matrix": ["analytic_markov_transition"],
+        "weekly growth accounting (new/retained/resurrected/churned)": [
+            "analytic_growth_accounting"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
