@@ -1028,3 +1028,110 @@ SPECS.append(
         tags=("llm", "multimodal", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_snr — voiced-to-unvoiced energy ratio per clip
+# ---------------------------------------------------------------------------
+
+
+def mm_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip SNR estimate over the real WAV energy windows:
+    voiced windows (energy above the clip mean, the `mm_vad_segments`
+    rule) are "signal", the rest "noise";
+    ``snr_db = 10·log₁₀(mean voiced energy / mean unvoiced energy)``
+    — the audio-quality gate a speech-data pipeline filters on
+    (cf. the text side's `text_quality`). Only clips with BOTH
+    classes score. Energy sums and counts are exact integers; the
+    single log₁₀ per clip runs on an exact integer ratio and is
+    rounded 6 dp (the last-ulp acceptance used by every log-based
+    oracle here). Shape: the Arrow decode pass, one per-clip
+    aggregate, a broadcast-eligible join back, one conditional
+    aggregate."""
+    energy = _media_table(spark, sf_dir).mapInPandas(
+        _audio_energy_batches_fn(),
+        schema="doc_id long, window_idx int, n_samples int, energy long",
+    )
+    tot = energy.groupBy("doc_id").agg(
+        F.sum("energy").alias("tot"), F.count(F.lit(1)).alias("n_win")
+    )
+    tagged = energy.join(tot, "doc_id").select(
+        "doc_id",
+        "energy",
+        (F.col("energy") * F.col("n_win") > F.col("tot")).alias("voiced"),
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("voiced"), F.col("energy")).otherwise(0))
+        .cast("bigint")
+        .alias("sig_e"),
+        F.sum(F.when(F.col("voiced"), 1).otherwise(0)).cast("bigint").alias("sig_n"),
+        F.sum(F.when(~F.col("voiced"), F.col("energy")).otherwise(0))
+        .cast("bigint")
+        .alias("noi_e"),
+        F.sum(F.when(~F.col("voiced"), 1).otherwise(0)).cast("bigint").alias("noi_n"),
+    ).filter((F.col("sig_n") > 0) & (F.col("noi_n") > 0) & (F.col("noi_e") > 0))
+    snr = 10 * F.log10(
+        (F.col("sig_e").cast("double") / F.col("sig_n"))
+        / (F.col("noi_e").cast("double") / F.col("noi_n"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "sig_n",
+        "noi_n",
+        F.round(snr, 6).alias("snr_db"),
+    ).orderBy("doc_id")
+
+
+MM_AUDIO_SNR_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           (octet_length(encode(text)) % 1000 + 1)
+             * (octet_length(encode(text)) % 2 + 1) AS n_samp
+    FROM documents WHERE doc_id % 2 = 1
+),
+samp AS (
+    SELECT doc_id, k,
+           ord(text[(2 * k) % L + 1]) + 256 * ord(text[(2 * k + 1) % L + 1])
+             AS s
+    FROM (SELECT doc_id, text, L, unnest(range(n_samp)) AS k FROM meta)
+),
+energy AS (
+    SELECT doc_id, CAST(k // {_AE_WIN} AS INTEGER) AS window_idx,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM samp GROUP BY doc_id, k // {_AE_WIN}
+),
+tot AS (
+    SELECT doc_id, SUM(energy) AS tot, COUNT(*) AS n_win
+    FROM energy GROUP BY doc_id
+),
+tagged AS (
+    SELECT e.doc_id, e.energy, e.energy * t.n_win > t.tot AS voiced
+    FROM energy e JOIN tot t USING (doc_id)
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN voiced THEN energy ELSE 0 END) AS BIGINT) AS sig_e,
+           CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS sig_n,
+           CAST(SUM(CASE WHEN NOT voiced THEN energy ELSE 0 END) AS BIGINT)
+               AS noi_e,
+           CAST(SUM(CASE WHEN NOT voiced THEN 1 ELSE 0 END) AS BIGINT) AS noi_n
+    FROM tagged GROUP BY doc_id
+)
+SELECT doc_id, sig_n, noi_n,
+       round(10 * log10((CAST(sig_e AS DOUBLE) / sig_n)
+                        / (CAST(noi_e AS DOUBLE) / noi_n)), 6) AS snr_db
+FROM per_doc
+WHERE sig_n > 0 AND noi_n > 0 AND noi_e > 0
+ORDER BY doc_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_audio_snr",
+        mm_audio_snr,
+        MM_AUDIO_SNR_ORACLE,
+        doc="per-clip SNR from real WAV energy windows (voiced vs unvoiced)",
+        tags=("llm", "multimodal", "quality"),
+    )
+)

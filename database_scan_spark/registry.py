@@ -214,6 +214,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_reciprocity",
     "analytic_markov_transition",
     "analytic_growth_accounting",
+    "mm_audio_snr",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

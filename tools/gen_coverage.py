@@ -392,6 +392,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
+        "per-clip audio SNR quality gate": ["mm_audio_snr"],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
