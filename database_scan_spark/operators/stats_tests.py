@@ -3044,3 +3044,215 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_skewness — rolling third-moment asymmetry monitor
+# ---------------------------------------------------------------------------
+
+_RS_WIN = 14
+
+
+def win_rolling_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling skewness of daily purchase counts — the
+    asymmetry monitor that catches a regime where spikes replace
+    steady volume before the mean moves (companion of
+    `win_rolling_corr`; population-skewness definition of
+    `dq_moments`). All window moments Σx, Σx², Σx³ are exact BIGINT
+    sums over the calendar-bounded daily relation; the closed form
+    ``g₁ = (Σx³/n − 3μσ² − μ³) / σ³`` is one fixed double sequence
+    per day. Full frames only."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RS_WIN - 1), Window.currentRow)
+    x = F.col("x")
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("s1"),
+        F.sum(x * x).over(w).alias("s2"),
+        F.sum(x * x * x).over(w).alias("s3"),
+    ).filter(F.col("n") == _RS_WIN)
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    return rolled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("s1").cast("bigint").alias("sum_14d"),
+        F.round(m3 / (var * F.sqrt(var)), 6).alias("skewness"),
+    )
+
+
+WIN_ROLLING_SKEWNESS_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+rolled AS (
+    SELECT day,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS s1,
+           SUM(x * x) OVER w AS s2,
+           SUM(x * x * x) OVER w AS s3
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_RS_WIN - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(s1 AS BIGINT) AS sum_14d,
+       round((CAST(s3 AS DOUBLE) / n
+              - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * sqrt(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))), 6) AS skewness
+FROM rolled WHERE n = {_RS_WIN}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_rolling_skewness",
+        win_rolling_skewness,
+        WIN_ROLLING_SKEWNESS_ORACLE,
+        doc="rolling 14-day skewness from exact integer window moments",
+        tags=("window", "analytics", "timeseries"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — local/global transitivity
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the MEDIAN-THRESHOLDED
+    trade graph (edges at or above the median pair weight — the full
+    trade graph is near-complete, so thresholding exposes actual
+    structure): per node, ``C_v = 2·T_v / (d_v(d_v−1))`` with T_v
+    the node's triangle count — the transitivity companion of
+    `graph_triangle_count` (which counts on the unthresholded
+    graph). Triangles enumerate once via the a<b<c double self-join
+    of the dimension-sized canonical edge list (both joins
+    broadcast); degrees are one aggregation; C_v is exact-integer
+    in, one division out (d_v < 2 → null)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    wpairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    med = wpairs.agg(F.expr("percentile(w, 0.5)").alias("m"))
+    edges = (
+        wpairs.crossJoin(F.broadcast(med))
+        .filter(F.col("w") >= F.col("m"))
+        .select("a", "b")
+        .persist()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = (
+        e1.join(F.broadcast(e2), "y")
+        .join(F.broadcast(e3), ["x", "z"], "left_semi")
+        .select("x", "y", "z")
+    )
+    tri_nodes = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(F.broadcast(tri_nodes), "node", "left")
+        .select(
+            F.col("node").cast("int").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2 * F.coalesce("t", F.lit(0)).cast("double")
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            ).alias("local_coeff"),
+        )
+        .orderBy("node")
+    )
+
+
+GRAPH_CLUSTERING_COEFFICIENT_ORACLE = """
+WITH wpairs AS MATERIALIZED (
+    SELECT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+           GREATEST(c.c_nationkey, s.s_nationkey) AS b,
+           COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+),
+med AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY w) AS m FROM wpairs),
+edges AS MATERIALIZED (
+    SELECT a, b FROM wpairs CROSS JOIN med WHERE w >= m
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_nodes AS (
+    SELECT node, COUNT(*) AS t
+    FROM (SELECT unnest([x, y, z]) AS node FROM tris)
+    GROUP BY node
+),
+deg AS (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY node
+)
+SELECT CAST(deg.node AS INT) AS node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2 * CAST(COALESCE(tn.t, 0) AS DOUBLE)
+                       / (deg.d * (deg.d - 1)), 6)
+       END AS local_coeff
+FROM deg LEFT JOIN tri_nodes tn USING (node)
+ORDER BY node
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_clustering_coefficient",
+        graph_clustering_coefficient,
+        GRAPH_CLUSTERING_COEFFICIENT_ORACLE,
+        doc="local clustering coefficients on the median-thresholded trade graph",
+        tags=("graph", "analytics"),
+    )
+)

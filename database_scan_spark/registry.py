@@ -215,6 +215,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_markov_transition",
     "analytic_growth_accounting",
     "mm_audio_snr",
+    "win_rolling_skewness",
+    "graph_clustering_coefficient",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

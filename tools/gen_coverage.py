@@ -200,6 +200,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "CUPED pre-period variance reduction": ["analytic_cuped"],
         "degree assortativity (edge-wise moments)": ["graph_assortativity"],
         "weighted directed reciprocity": ["graph_reciprocity"],
+        "local clustering coefficients (thresholded graph)": [
+            "graph_clustering_coefficient"
+        ],
+        "rolling skewness window (exact third moments)": [
+            "win_rolling_skewness"
+        ],
         "rolling correlation window (exact integer sums)": ["win_rolling_corr"],
         "two-proportion z-tests per funnel transition": ["analytic_prop_ztest"],
         "experiment readout flagship (cohorts + CUPED + z)": [
