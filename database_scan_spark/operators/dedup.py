@@ -1693,3 +1693,69 @@ SPECS.append(
         tags=("llm", "dedup", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_token_sort — order-insensitive exact duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort duplicate detection (the fuzzywuzzy token_sort
+    idea, exact form): documents whose SORTED token multisets are
+    identical are duplicates regardless of word order — the gap
+    between `dedup_exact` (order-sensitive bytes) and the Jaccard
+    family (order-insensitive but approximate-threshold). Canonical
+    key = md5 of the sorted token array; output is every group of
+    ≥2 docs with its size and surviving min doc_id — directly
+    consumable as a dedup keep-list.
+
+    Shape: one narrow map (split → array_sort → hash — codegen,
+    per-row cost only) and ONE group-by on the 16-byte key; at
+    100 TB this is exactly the `dedup_exact` plan with a different
+    canonicalization. Sorting happens inside each row's array, never
+    across rows."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " ")))).alias("key"),
+    )
+    groups = (
+        docs.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return groups.select(
+        "key",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("keep_doc").cast("bigint").alias("keep_doc"),
+        F.col("max_doc").cast("bigint").alias("max_doc"),
+    ).orderBy("key")
+
+
+DEDUP_TOKEN_SORT_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS key
+    FROM documents
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM keyed GROUP BY key HAVING COUNT(*) >= 2
+ORDER BY key
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_token_sort",
+        dedup_token_sort,
+        DEDUP_TOKEN_SORT_ORACLE,
+        doc="order-insensitive exact dup groups via sorted-token canonical key",
+        tags=("llm", "dedup"),
+    )
+)

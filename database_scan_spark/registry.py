@@ -217,6 +217,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_audio_snr",
     "win_rolling_skewness",
     "graph_clustering_coefficient",
+    "dedup_token_sort",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

@@ -346,6 +346,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Fellegi-Sunter probabilistic linkage weight table": [
             "dedup_fellegi_sunter"
         ],
+        "order-insensitive exact dedup (token-sort key)": ["dedup_token_sort"],
         "embedding cosine": ["dedup_embedding_cosine"],
         "SemDeDup semantic cluster dedup (Abbas et al. 2023)": ["dedup_semdedup"],
         "eval-set decontamination": ["dedup_decontaminate"],
