@@ -3256,3 +3256,141 @@ SPECS.append(
         tags=("graph", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_retention_fit — exponential decay fit + half-life
+# ---------------------------------------------------------------------------
+
+
+def analytic_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-curve fit: pooled weekly retention by offset
+    (actives k weeks after their signup week over the ELIGIBLE
+    cohort mass — cohorts young enough to be observed at offset k),
+    fitted as exponential decay ``ln r_k = a + b·k`` by OLS, with
+    the implied half-life ``−ln2/b`` (null when the fit shows no
+    decay, e.g. a fully-retained fixture) — the single number a growth
+    team quotes from the `analytic_growth_accounting` /
+    `cohort_retention` machinery.
+
+    Exactness: numerators/denominators are exact user counts from
+    the distinct (user, week) relation; each log term is
+    ``round(ln r_k, 12)`` DECIMAL; OLS moments are exact DECIMAL
+    sums (the `text_zipf_fit` recipe); half-life is one fixed double
+    expression. Everything after the first distinct is offsets-sized."""
+    ev = load(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+        .persist()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    maxwk = uw.agg(F.max("wk").alias("max_wk"))
+    offs = (
+        uw.join(cohort, "user_id")
+        .select((F.col("wk") - F.col("c0")).alias("k"), "c0")
+        .filter(F.col("k") >= 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("num"))
+    )
+    elig = (
+        cohort.groupBy("c0")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .crossJoin(F.broadcast(maxwk))
+    )
+    # eligible mass at offset k = sum of cohort sizes with c0 + k <= max_wk
+    ks = offs.select("k")
+    den = (
+        ks.join(F.broadcast(elig), F.col("c0") + F.col("k") <= F.col("max_wk"))
+        .groupBy("k")
+        .agg(F.sum("size").alias("den"))
+    )
+    rk = (
+        offs.join(den, "k")
+        .filter(F.col("num") > 0)
+        .select(
+            F.col("k").cast("double").alias("x"),
+            F.round(
+                F.log(F.col("num").cast("double") / F.col("den")), 12
+            )
+            .cast("decimal(24,12)")
+            .alias("y"),
+        )
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("double")).alias("sy"),
+        F.sum(F.col("x") * F.col("y").cast("double")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_offsets"),
+        F.round(b, 6).alias("decay_b"),
+        F.when(b < 0, F.round(-F.log(F.lit(2.0)) / b, 6)).alias(
+            "halflife_weeks"
+        ),
+    )
+
+
+ANALYTIC_RETENTION_FIT_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                AS INTEGER) AS wk
+    FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS c0 FROM uw GROUP BY user_id),
+maxwk AS (SELECT MAX(wk) AS max_wk FROM uw),
+offs AS (
+    SELECT u.wk - c.c0 AS k, COUNT(*) AS num
+    FROM uw u JOIN cohort c USING (user_id)
+    WHERE u.wk - c.c0 >= 1
+    GROUP BY 1
+),
+sizes AS (SELECT c0, COUNT(*) AS size_ FROM cohort GROUP BY c0),
+den AS (
+    SELECT o.k, SUM(s.size_) AS den
+    FROM (SELECT k FROM offs) o
+    JOIN sizes s ON s.c0 + o.k <= (SELECT max_wk FROM maxwk)
+    GROUP BY o.k
+),
+rk AS (
+    SELECT CAST(o.k AS DOUBLE) AS x,
+           CAST(round(ln(CAST(o.num AS DOUBLE) / d.den), 12)
+                AS DECIMAL(24,12)) AS y
+    FROM offs o JOIN den d USING (k)
+    WHERE o.num > 0
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(x) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+           SUM(x * CAST(y AS DOUBLE)) AS sxy, SUM(x * x) AS sxx
+    FROM rk
+)
+SELECT CAST(n AS BIGINT) AS n_offsets,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS decay_b,
+       CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0
+            THEN round(-ln(2.0)
+                       / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+       END AS halflife_weeks
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_retention_fit",
+        analytic_retention_fit,
+        ANALYTIC_RETENTION_FIT_ORACLE,
+        doc="pooled retention decay fit: OLS on log retention, implied half-life",
+        tags=("analytics", "stats"),
+    )
+)

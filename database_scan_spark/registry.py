@@ -218,6 +218,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_rolling_skewness",
     "graph_clustering_coefficient",
     "dedup_token_sort",
+    "analytic_retention_fit",
     "dedup_cluster_cc_twostar",
     "text_chunk_dedup",
     "stream_tws_inactivity_flush",

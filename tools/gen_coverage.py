@@ -235,6 +235,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "weekly growth accounting (new/retained/resurrected/churned)": [
             "analytic_growth_accounting"
         ],
+        "retention decay fit + half-life (log-linear OLS)": [
+            "analytic_retention_fit"
+        ],
         "classifier confusion matrix (lang-ID vs ground truth)": [
             "dq_langid_confusion"
         ],
