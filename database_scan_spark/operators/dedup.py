@@ -1759,3 +1759,102 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level overlap matrix (source × source MinHash)
+# ---------------------------------------------------------------------------
+
+
+def sim_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus overlap between SOURCES, estimated from one
+    MinHash signature per source — the corpus-level twin of the
+    per-document MinHash dedup above, and the standard way to answer
+    "how much does crawl A overlap crawl B?" before mixing corpora
+    into a training run (the reference's per-entity `dedup_by_id`
+    has no corpus-level analog; this extends SURVEY §2.4 upward).
+
+    Scale posture: each source's signature is 64 MINs over its
+    shingle hashes — a map-side-combining groupBy("source"), one
+    narrow shuffle of 64 longs per source regardless of corpus size.
+    The pair matrix joins only the tiny signature table (S rows →
+    S² /2 pairs of 64-long arrays, broadcast), never the documents.
+    Signatures are mergeable (min is associative), so per-shard
+    signatures union incrementally as new crawl shards land.
+
+    Estimator: est_jaccard = |matching slots| / K (Broder's
+    collision probability). Same hash family as ``_minhash_oracle``
+    so even the internals hash-match the DuckDB twin.
+    """
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    sh = docs.select(
+        "source", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).select("source", (_h32(F.col("shingle")) % F.lit(P31)).alias("h"))
+    mins = sh.groupBy("source").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(P31)
+            ).alias(f"m{i}")
+            for i in range(_K)
+        ]
+    )
+    sig = mins.select(
+        "source", F.array(*[f"m{i}" for i in range(_K)]).alias("sig")
+    )
+    a = sig.select(F.col("source").alias("source_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("source").alias("source_b"), F.col("sig").alias("sig_b"))
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", n_match.alias("n_match"))
+        .withColumn("est_jaccard", F.round(F.col("n_match") / F.lit(_K), 6))
+    )
+
+
+def _corpus_overlap_oracle() -> str:
+    min_exprs = ",\n           ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P31}) AS m{i}"
+        for i in range(_K)
+    )
+    match_terms = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    return f"""
+WITH sh AS (
+    SELECT source,
+           unnest(list_distinct([
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN generate_series(1, greatest(len(t) - 2, 0))
+           ])) AS shingle
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+),
+hashed AS (
+    SELECT source, {_SQL_H32.format(expr="shingle")} % {P31} AS h FROM sh
+),
+mins AS (
+    SELECT source, {min_exprs}
+    FROM hashed GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST({match_terms} AS INTEGER) AS n_match,
+       round(({match_terms}) / {_K}.0, 6) AS est_jaccard
+FROM mins a JOIN mins b ON a.source < b.source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_corpus_overlap",
+        sim_corpus_overlap,
+        _corpus_overlap_oracle(),
+        doc="source-pair corpus overlap from mergeable per-source MinHash",
+        tags=("llm", "dedup", "similarity"),
+    )
+)

@@ -1462,3 +1462,89 @@ SPECS.append(
         tags=("storage", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Partition-scheme evolution (coarse -> fine without rewriting history)
+# ---------------------------------------------------------------------------
+
+
+def storage_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scheme evolution: the table starts day-partitioned
+    (v1: ``d=``), then the ingest switches to day+type partitioning
+    (v2: ``d=/event_type=``) mid-stream — and history is NOT
+    rewritten. At 100 TB a re-partition of years of data is the
+    single most expensive operation a table owner can trigger; the
+    scalable move is to leave old segments in the old scheme and
+    union the layouts behind one view, which is exactly what table
+    formats (Iceberg partition-spec evolution) do under the hood.
+
+    Both scans keep partition pruning in THEIR OWN scheme: the d
+    range prunes v1 to 6 day-directories and v2 to 9, and the
+    event_type predicate additionally prunes v2's subdirectories
+    while remaining a (pushed-down) data filter on v1. The unified
+    result is oracle-checked against the raw events table, proving
+    the seam loses nothing.
+    """
+    base = workdir(sf_dir, "partition_evolution")
+    v1 = os.path.join(base, "v1_by_day")
+    v2 = os.path.join(base, "v2_by_day_type")
+    stamp = os.path.join(base, "_DONE")
+    if not os.path.exists(stamp):
+        ev = load(spark, sf_dir, "events").withColumn(
+            "d", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.filter(F.col("d") < "2024-01-16").write.mode("overwrite").partitionBy(
+            "d"
+        ).parquet(v1)
+        ev.filter(F.col("d") >= "2024-01-16").write.mode("overwrite").partitionBy(
+            "d", "event_type"
+        ).parquet(v2)
+        with open(stamp, "w") as fh:
+            fh.write("ok")
+    cols = ["d", "event_type", "value"]
+    unified = (
+        spark.read.parquet(v1)
+        .select(*[F.col(c).cast("string" if c != "value" else "double") for c in cols])
+        .unionByName(
+            spark.read.parquet(v2).select(
+                *[F.col(c).cast("string" if c != "value" else "double") for c in cols]
+            )
+        )
+    )
+    return (
+        unified.filter(
+            F.col("d").between("2024-01-10", "2024-01-24")
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("d", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_checksum"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+STORAGE_PARTITION_EVOLUTION_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_checksum
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-24'
+  AND event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_partition_evolution",
+        storage_partition_evolution,
+        STORAGE_PARTITION_EVOLUTION_ORACLE,
+        doc="coarse->fine partition-spec evolution, unified pruned read over both layouts",
+        tags=("storage", "scale"),
+    )
+)

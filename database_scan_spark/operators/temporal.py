@@ -598,3 +598,107 @@ SPECS.append(
         tags=("join", "temporal"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time multi-feature join (feature-store shape)
+# ---------------------------------------------------------------------------
+
+
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: every 'purchase' event (the
+    label spine) is enriched with the LATEST strictly-earlier 'click'
+    value, the latest strictly-earlier 'view' value, and the count of
+    strictly-earlier 'error' events for the same user — the
+    feature-store backfill shape (N feature streams, leakage-free).
+
+    Scale posture: the naive plan is N as-of joins = N shuffles of
+    the spine. Here ALL feature streams and the spine union into one
+    stream tagged by kind, and a single window pass per user carries
+    every feature forward — ONE shuffle total regardless of how many
+    feature columns ride along (the generalization of ``join_asof``'s
+    union+window trick to N features at once). Strictness (no
+    same-timestamp leakage) is encoded in the sort key: spine rows
+    sort BEFORE feature rows at equal ts (kind 0 < 1), so the
+    running window cannot see a feature that arrives at the label's
+    own timestamp.
+    """
+    ev = load(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("double").alias("f_click"),
+        F.lit(None).cast("double").alias("f_view"),
+        F.lit(0).alias("is_err"),
+    )
+    feats = ev.filter(
+        F.col("event_type").isin("click", "view", "error")
+    ).select(
+        "event_id",
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("f_click"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("f_view"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    w = Window.partitionBy("key").orderBy("t", "kind", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = spine.unionByName(feats).select(
+        "event_id",
+        "key",
+        "t",
+        "kind",
+        F.last("f_click", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last("f_view", ignorenulls=True).over(w).alias("last_view_value"),
+        F.sum("is_err").over(w).cast("bigint").alias("n_errors_before"),
+    )
+    return merged.filter(F.col("kind") == 0).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.col("t").alias("ts"),
+        "last_click_value",
+        "last_view_value",
+        "n_errors_before",
+    )
+
+
+JOIN_PIT_FEATURES_ORACLE = """
+WITH tagged AS (
+    SELECT event_id, user_id AS key, ts AS t, 0 AS kind,
+           NULL::DOUBLE AS f_click, NULL::DOUBLE AS f_view, 0 AS is_err
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, ts, 1,
+           CASE WHEN event_type = 'click' THEN value END,
+           CASE WHEN event_type = 'view' THEN value END,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+    FROM events WHERE event_type IN ('click', 'view', 'error')
+),
+win AS (
+    SELECT event_id, key, t, kind,
+           last_value(f_click IGNORE NULLS) OVER w AS last_click_value,
+           last_value(f_view IGNORE NULLS) OVER w AS last_view_value,
+           SUM(is_err) OVER w AS n_err
+    FROM tagged
+    WINDOW w AS (PARTITION BY key ORDER BY t, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, key AS user_id, t AS ts,
+       last_click_value, last_view_value,
+       CAST(n_err AS BIGINT) AS n_errors_before
+FROM win WHERE kind = 0
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_pit_features",
+        join_pit_features,
+        JOIN_PIT_FEATURES_ORACLE,
+        doc="leakage-free point-in-time N-feature join in one window pass",
+        tags=("join", "temporal", "llm"),
+    )
+)

@@ -328,6 +328,10 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_annotator_agreement",
     "analytic_gains_table",
     "analytic_calibration",
+    # round-2 session additions (window already frozen for CORRECTNESS_r02)
+    "sim_corpus_overlap",
+    "join_pit_features",
+    "storage_partition_evolution",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
