@@ -1006,3 +1006,122 @@ SPECS.append(
         tags=("core", "graph", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed trade graph)
+# ---------------------------------------------------------------------------
+
+_SCC_TOPK = 3  # per-src out-degree cap that sparsifies the trade graph
+_SCC_MAX_ITERS = 30
+
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the SPARSIFIED directed trade
+    graph: each exporting nation keeps only its top-K trade partners
+    (by edge weight, dst tiebreak), which breaks the near-complete
+    nation graph into genuine sources/sinks/cycles. SCC id = the
+    smallest node mutually reachable with you.
+
+    Implementation: semi-naive transitive closure to a FIXPOINT — the
+    frontier (newly discovered (u,v) pairs) joins the edge list each
+    round, anti-joins what's known, and the loop exits when the
+    frontier is empty (count() per round is a legitimate convergence
+    action, the ``dedup_cluster_cc`` precedent). Mutuality is then a
+    self-equi-join of the closure on the reversed pair.
+
+    Scale posture: the nodes here are NATIONS — the closure is over
+    an entity graph that stays small-by-construction while the 100 TB
+    fact table is touched exactly once, in the edge-building
+    aggregation (this file's standing posture). For million-node
+    graphs you'd switch to forward-backward reach decomposition; the
+    fixture's graph diameter keeps semi-naive optimal.
+    """
+    edges_w = _trade_edges(spark, sf_dir)
+    w_rk = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    edges = (
+        edges_w.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _SCC_TOPK)
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+    nodes = (
+        load(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("u"))
+    )
+    closure = nodes.select("u", F.col("u").alias("v")).localCheckpoint()
+    frontier = closure
+    e = F.broadcast(edges)
+    for _ in range(_SCC_MAX_ITERS):
+        new = (
+            frontier.join(e, frontier.v == edges.src)
+            .select("u", F.col("dst").alias("v"))
+            .distinct()
+            .join(closure, ["u", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        if new.count() == 0:
+            break
+        closure = closure.unionByName(new).localCheckpoint()
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"transitive closure did not converge in {_SCC_MAX_ITERS} rounds"
+        )
+    rev = closure.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = closure.join(rev, ["u", "v"])  # u ~ v both ways
+    sccs = mutual.groupBy("u").agg(F.min("v").alias("scc_id"))
+    return (
+        sccs.groupBy("scc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list(F.col("u"))), ",").alias(
+                "members"
+            ),
+        )
+        .orderBy("scc_id")
+    )
+
+
+GRAPH_SCC_ORACLE = f"""
+WITH RECURSIVE edges_w AS MATERIALIZED (
+    SELECT CAST(c_nationkey AS BIGINT) AS src,
+           CAST(s_nationkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY src, dst
+),
+edges AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rk
+        FROM edges_w
+    ) WHERE rk <= {_SCC_TOPK}
+),
+reach(u, v) AS (
+    SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation
+    UNION
+    SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+),
+mutual AS MATERIALIZED (
+    SELECT a.u, a.v FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+),
+sccs AS (SELECT u, MIN(v) AS scc_id FROM mutual GROUP BY u)
+SELECT scc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       array_to_string(list_sort(list(u)), ',') AS members
+FROM sccs GROUP BY scc_id ORDER BY scc_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "graph_scc",
+        graph_scc,
+        GRAPH_SCC_ORACLE,
+        doc="SCC via semi-naive closure to fixpoint on the sparsified trade graph",
+        tags=("graph",),
+    )
+)

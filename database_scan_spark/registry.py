@@ -332,6 +332,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_corpus_overlap",
     "join_pit_features",
     "storage_partition_evolution",
+    "graph_scc",
 })
 
 # Unverified queries sort by family, north-star first; ties keep
