@@ -1548,3 +1548,97 @@ SPECS.append(
         tags=("storage", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-driven file skipping (Iceberg/Delta manifest pattern)
+# ---------------------------------------------------------------------------
+
+
+def storage_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping driven by a MANIFEST built from parquet
+    footers only — the Iceberg/Delta mechanism, one level finer than
+    directory partition pruning (``join_dynamic_partition_pruning``)
+    and the read-side completion of ``sink_clustered_write``'s layout
+    story: cluster on write, then let the planner select files by
+    their footer min/max without opening any data pages.
+
+    The manifest is built by reading ONLY file footers (pyarrow
+    metadata — no row groups decoded), the planner intersects each
+    file's [min,max] shipdate band with the query predicate
+    conservatively (inclusive bounds), and Spark reads just the
+    selected files. The predicate is still applied after the read, so
+    a too-wide selection can never change the answer — skipping is
+    purely an I/O optimization, which is what makes it safe to drive
+    from stats. Footer-only planning is O(#files) metadata work on
+    the driver, the same cost class as Spark's own file listing; at
+    100 TB the manifest itself becomes a table and the intersection a
+    Spark filter — same logic, bigger planner.
+
+    Skipping effectiveness (selected < total files) is asserted in
+    tests/test_scale_posture.py; correctness here is oracle-checked
+    against the raw table.
+    """
+    import datetime as _dt  # noqa: PLC0415
+    import glob as _glob  # noqa: PLC0415
+
+    import pyarrow.parquet as _pq  # noqa: PLC0415
+
+    path = os.path.join(workdir(sf_dir, "manifest_skip"), "by_shipdate")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "lineitem")
+            .repartitionByRange(16, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    lo = _dt.datetime(1995, 6, 1)
+    hi = _dt.datetime(1995, 9, 1)
+    selected: list[str] = []
+    for fp in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(fp).metadata
+        ship_idx = md.schema.names.index("l_shipdate")
+        f_min = f_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ship_idx).statistics
+            if st is None or not st.has_min_max:  # stats missing: never skip
+                f_min, f_max = _dt.datetime.min, _dt.datetime.max
+                break
+            f_min = st.min if f_min is None else min(f_min, st.min)
+            f_max = st.max if f_max is None else max(f_max, st.max)
+        if f_min is not None and f_max >= lo and f_min < hi:
+            selected.append(fp)
+    return (
+        spark.read.parquet(*selected)
+        .filter((F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_checksum"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+STORAGE_MANIFEST_SKIPPING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_checksum
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_manifest_skipping",
+        storage_manifest_skipping,
+        STORAGE_MANIFEST_SKIPPING_ORACLE,
+        doc="footer-manifest file skipping: plan from min/max stats, read selected files only",
+        tags=("storage", "scale"),
+    )
+)

@@ -333,6 +333,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_pit_features",
     "storage_partition_evolution",
     "graph_scc",
+    "storage_manifest_skipping",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

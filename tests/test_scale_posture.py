@@ -675,3 +675,40 @@ def test_spearman_joint_histogram_has_partial_agg(spark):
     plan = _plan(analytic_spearman(spark, SF_SMOKE))
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan  # rank dims join back broadcast
+
+
+def test_manifest_skipping_reads_fewer_files(spark):
+    """The footer-manifest planner must select a strict subset of the
+    clustered files for the 3-month predicate — file skipping is the
+    whole point of the manifest; reading everything means the stats
+    intersection is broken."""
+    import glob
+    import os
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.storage import storage_manifest_skipping
+
+    df = storage_manifest_skipping(spark, SF_SMOKE)
+    assert df.count() > 0
+    path = os.path.join(workdir(SF_SMOKE, "manifest_skip"), "by_shipdate")
+    n_total = len(glob.glob(os.path.join(path, "*.parquet")))
+    plan = _plan(df)
+    import re
+
+    m = re.search(r"number of files read: (\d+)", plan)
+    if m:  # formatted explain carries scan stats in some builds
+        assert int(m.group(1)) < n_total
+    # independent check: re-run the planner loop and count selections
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    lo, hi = dt.datetime(1995, 6, 1), dt.datetime(1995, 9, 1)
+    sel = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        sel += 1 if (fmax >= lo and fmin < hi) else 0
+    assert 0 < sel < n_total, (sel, n_total)
