@@ -90,6 +90,12 @@ HEADLINE = [
     "text_boilerplate_fraction",
     "pipeline_experiment_readout",
     "mm_audio_fingerprint",
+    # round-2 (driver) first-session additions
+    "sim_corpus_overlap",
+    "join_pit_features",
+    "storage_partition_evolution",
+    "graph_scc",
+    "storage_manifest_skipping",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).
