@@ -1363,3 +1363,247 @@ SPECS.append(
         tags=("similarity", "mlops", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ-encoded residuals (the production index)
+# ---------------------------------------------------------------------------
+
+IVFPQ_TOP_K = 5
+
+
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — ``sim_ivf_flat``'s inverted lists combined with
+    ``sim_pq_adc``'s product quantization, but over RESIDUALS
+    (vector − assigned centroid), which is how FAISS's production
+    ``IVFx,PQy`` indexes store billion-vector corpora: the coarse
+    quantizer absorbs the bulk of each vector's energy, the PQ codes
+    only have to describe the (much smaller) residual, and the
+    stored index is M bytes + a centroid id per vector.
+
+    Search decomposes the inner product exactly: q·x = q·c + q·r,
+    approximated as round(q·c) (exact, tiny centroid table) plus
+    Σ_m LUT[m, code_m] (ADC over the residual codebook). Only the
+    nprobe nearest inverted lists are scanned per query.
+
+    Determinism: every dot product is rounded to 6dp and summed as
+    DECIMAL(18,6) (exact associativity under Spark's unordered
+    partial aggregation), id tiebreaks everywhere — so the DuckDB
+    twin of the same pipeline hash-matches end to end.
+
+    Scale posture: centroid table and residual codebook broadcast
+    (8 + 64 rows); corpus is touched twice, both narrow (assignment,
+    encoding); the search-side join keys candidates on centroid_id
+    then (m, code) — no cross join anywhere.
+    """
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    cents = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", F.round(_dot(F.col("ne"), F.col("ce")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "neighbor_id",
+            "centroid_id",
+            F.zip_with(
+                "ne", "ce", lambda x, y: x.cast("double") - y.cast("double")
+            ).alias("r"),
+        )
+    )
+
+    def res_sub(df: DataFrame, id_col: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+        return df.select(F.col(id_col), F.explode(arr).alias("x")).select(
+            id_col, F.col("x.m").alias("m"), F.col("x.sub").alias("sub")
+        )
+
+    cb = res_sub(assigned.filter(F.col("neighbor_id") < PQ_K), "neighbor_id").select(
+        F.col("neighbor_id").alias("code_id"), "m", F.col("sub").alias("cw")
+    )
+    corpus_sub = res_sub(assigned, "neighbor_id")
+    l2 = F.round(
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("cw"))
+        + _dot(F.col("cw"), F.col("cw")),
+        6,
+    )
+    w_enc = Window.partitionBy("neighbor_id", "m").orderBy(F.asc("l2"), F.asc("code_id"))
+    codes = (
+        corpus_sub.join(F.broadcast(cb), "m")
+        .withColumn("l2", l2)
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "m", F.col("code_id").alias("code"))
+    )
+
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc_sim"), F.asc("centroid_id"))
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qc_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "centroid_id", F.col("qc_sim").cast("decimal(18,6)").alias("qc_sim"))
+    )
+    q_sub = queries.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(
+                            F.transform("qe", lambda x: x.cast("double")),
+                            m * PQ_SUB + 1,
+                            PQ_SUB,
+                        ).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", F.col("x.m").alias("m"), F.col("x.sub").alias("sub"))
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("code_id").alias("code"),
+        F.round(_dot(F.col("sub"), F.col("cw")), 6).cast("decimal(18,6)").alias("val"),
+    )
+
+    cand = probed.join(assigned.select("neighbor_id", "centroid_id"), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id", "centroid_id", "qc_sim")
+        .agg(F.sum("val").alias("pq_sum"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "centroid_id",
+            (F.col("qc_sim") + F.col("pq_sum")).cast("double").alias("approx_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= IVFPQ_TOP_K)
+    )
+
+
+SIM_IVFPQ_ORACLE = f"""
+WITH cents AS MATERIALIZED (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ne FROM embeddings),
+assigned AS MATERIALIZED (
+    SELECT neighbor_id, centroid_id,
+           [ne[i] - ce[i] FOR i IN generate_series(1, {DIM})] AS r
+    FROM (
+        SELECT c.neighbor_id, k.centroid_id, c.ne, k.ce,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.neighbor_id
+                   ORDER BY round(list_dot_product(c.ne, k.ce), 6) DESC,
+                            k.centroid_id ASC) AS rn
+        FROM corpus c CROSS JOIN cents k
+    ) WHERE rn = 1
+),
+sub_m(m) AS (SELECT unnest(range({PQ_M}))),
+cb AS MATERIALIZED (
+    SELECT neighbor_id AS code_id, m,
+           r[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cw
+    FROM assigned, sub_m WHERE neighbor_id < {PQ_K}
+),
+corpus_sub AS (
+    SELECT neighbor_id, m, r[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+    FROM assigned, sub_m
+),
+codes AS MATERIALIZED (
+    SELECT neighbor_id, m, code_id AS code FROM (
+        SELECT s.neighbor_id, s.m, c.code_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.neighbor_id, s.m
+                   ORDER BY round(list_dot_product(s.sub, s.sub)
+                                  - 2 * list_dot_product(s.sub, c.cw)
+                                  + list_dot_product(c.cw, c.cw), 6) ASC,
+                            c.code_id ASC) AS rn
+        FROM corpus_sub s JOIN cb c ON s.m = c.m
+    ) WHERE rn = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probed AS MATERIALIZED (
+    SELECT query_id, centroid_id, CAST(qc_sim AS DECIMAL(18,6)) AS qc_sim FROM (
+        SELECT q.query_id, k.centroid_id,
+               round(list_dot_product(q.qe, k.ce), 6) AS qc_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qe, k.ce), 6) DESC,
+                            k.centroid_id ASC) AS rn
+        FROM queries q CROSS JOIN cents k
+    ) WHERE rn <= {N_PROBE}
+),
+q_sub AS (
+    SELECT query_id, m, qe[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+    FROM queries, sub_m
+),
+lut AS MATERIALIZED (
+    SELECT q.query_id, q.m, c.code_id AS code,
+           CAST(round(list_dot_product(q.sub, c.cw), 6) AS DECIMAL(18,6)) AS val
+    FROM q_sub q JOIN cb c ON q.m = c.m
+),
+cand AS (
+    SELECT p.query_id, a.neighbor_id, p.centroid_id, p.qc_sim
+    FROM probed p JOIN assigned a USING (centroid_id)
+    WHERE p.query_id <> a.neighbor_id
+),
+summed AS (
+    SELECT c.query_id, c.neighbor_id, c.centroid_id,
+           CAST(c.qc_sim + SUM(l.val) AS DOUBLE) AS approx_sim
+    FROM cand c
+    JOIN codes co ON co.neighbor_id = c.neighbor_id
+    JOIN lut l ON l.query_id = c.query_id AND l.m = co.m AND l.code = co.code
+    GROUP BY c.query_id, c.neighbor_id, c.centroid_id, c.qc_sim
+)
+SELECT query_id, neighbor_id, centroid_id, approx_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+    FROM summed
+) WHERE rank <= {IVFPQ_TOP_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_ivfpq",
+        sim_ivfpq,
+        SIM_IVFPQ_ORACLE,
+        doc="IVF-PQ: coarse quantizer + PQ residual codes + exact q·c + ADC search",
+        tags=("llm", "similarity"),
+    )
+)

@@ -334,6 +334,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_partition_evolution",
     "graph_scc",
     "storage_manifest_skipping",
+    "sim_ivfpq",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -68,6 +68,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: weighted PageRank over the trade graph)": ["graph_pagerank"],
         "(engine addition: per-node triangle counts)": ["graph_triangle_count"],
         "(engine addition: BFS shortest path, recursive-CTE oracle)": ["graph_shortest_path"],
+        "(engine addition: SCC via semi-naive closure to fixpoint)": ["graph_scc"],
+        "(engine addition: point-in-time N-feature join, one window pass)": [
+            "join_pit_features"
+        ],
     },
     "§2.6 Set operations": {
         "set_difference": ["set_difference", "candidate_parts"],
@@ -354,6 +358,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "SemDeDup semantic cluster dedup (Abbas et al. 2023)": ["dedup_semdedup"],
         "eval-set decontamination": ["dedup_decontaminate"],
         "one-sided containment (subset/superset pairs)": ["dedup_containment"],
+        "source-pair corpus overlap (mergeable MinHash matrix)": [
+            "sim_corpus_overlap"
+        ],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
@@ -366,6 +373,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "K-means clustering (unrolled Lloyd iterations)": ["sim_kmeans"],
         "product-quantization ANN (PQ codes + ADC lookup)": ["sim_pq_adc"],
         "two-stage retrieval (PQ candidates, exact rerank)": ["sim_pq_rerank"],
+        "IVF-PQ residual quantization (coarse lists + residual ADC)": ["sim_ivfpq"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": [
@@ -414,6 +422,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "ensemble outlier votes (IQR + MAD + 3-sigma)": ["dq_outlier_ensemble"],
         "MOR vacuum / retention (soft-retire superseded files)": [
             "storage_vacuum_retention"
+        ],
+        "partition-spec evolution (coarse->fine, unified pruned read)": [
+            "storage_partition_evolution"
+        ],
+        "footer-manifest file skipping (min/max stats planning)": [
+            "storage_manifest_skipping"
         ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
