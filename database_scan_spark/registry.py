@@ -335,6 +335,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "graph_scc",
     "storage_manifest_skipping",
     "sim_ivfpq",
+    "stream_pit_enrich",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

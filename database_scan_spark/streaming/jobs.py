@@ -1763,3 +1763,166 @@ SPECS.append(
         tags=("stream",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming point-in-time feature enrichment (online feature store)
+# ---------------------------------------------------------------------------
+
+_PIT_OUT_SCHEMA = (
+    "event_id long, user_id long, last_click_value double, "
+    "last_view_value double, n_errors_before long"
+)
+_PIT_STATE_SCHEMA = "lc double, lv double, ne long"
+
+
+def _pit_enrich_fn():
+    """Per-user feature state carried across micro-batches: latest
+    click value, latest view value, running error count. Each
+    'purchase' row is emitted ENRICHED with the state as of strictly
+    before its timestamp — the online feature-store serve path, and
+    the streaming twin of the batch ``join_pit_features`` operator
+    (same sort key (ts, kind, event_id); spine rows sort before
+    same-ts feature rows, so no same-timestamp leakage). Closure-
+    wrapped so cloudpickle ships it by value."""
+
+    def enrich(key: tuple, batches: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+        lc, lv, ne = state.get if state.exists else (None, None, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["kind"] = (pdf["event_type"] != "purchase").astype("int64")
+            pdf = pdf.sort_values(["ts", "kind", "event_id"])
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                if row.event_type == "purchase":
+                    out_rows.append((int(row.event_id), int(key[0]), lc, lv, int(ne)))
+                elif row.event_type == "click":
+                    lc = float(row.value)
+                elif row.event_type == "view":
+                    lv = float(row.value)
+                elif row.event_type == "error":
+                    ne += 1
+            if out_rows:
+                yield _pd.DataFrame(
+                    {
+                        "event_id": _pd.array([r[0] for r in out_rows], dtype="Int64"),
+                        "user_id": _pd.array([r[1] for r in out_rows], dtype="Int64"),
+                        "last_click_value": _pd.array(
+                            [r[2] for r in out_rows], dtype="Float64"
+                        ),
+                        "last_view_value": _pd.array(
+                            [r[3] for r in out_rows], dtype="Float64"
+                        ),
+                        "n_errors_before": _pd.array(
+                            [r[4] for r in out_rows], dtype="Int64"
+                        ),
+                    }
+                )
+        state.update((lc, lv, ne))
+
+    return enrich
+
+
+def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time feature enrichment over THREE real
+    time-ordered micro-batches: events split once into disjoint
+    day-range files (mtimes set ascending so FileStreamSource's
+    modification-time ordering replays them in event-time order,
+    maxFilesPerTrigger=1), and ``applyInPandasWithState`` carries
+    per-user feature state across batches. Because the range split is
+    strict on a day boundary, no feature can arrive in a later batch
+    than a purchase it should precede — so the emitted rows equal the
+    batch ``join_pit_features`` result exactly, and the job shares
+    its full DuckDB oracle (batch/stream parity, the Kappa
+    architecture claim, checked by hash).
+
+    Scale posture: state is 3 scalars per user; each batch shuffles
+    once on user_id; the per-group Python loop is the price of
+    arbitrary stateful logic and runs over Arrow batches.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    import glob  # noqa: PLC0415
+
+    root = workdir(sf_dir, "stream_pit_enrich")
+    src_dir = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        ts_day = (
+            F.date_format("ts", "yyyy-MM-dd")
+            if str(ev.schema["ts"].dataType) != "LongType()"
+            else F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd")
+        )
+        bounds = [("0000-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"), ("2024-01-20", "9999-01-01")]
+        for i, (lo, hi) in enumerate(bounds):
+            (
+                ev.filter((ts_day >= lo) & (ts_day < hi))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+        for i in range(3):
+            f = sorted(glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet")))[0]
+            dst = os.path.join(src_dir, f"events_{i}.parquet")
+            os.replace(f, dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    stream = (
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _pit_enrich_fn(),
+        outputStructType=_PIT_OUT_SCHEMA,
+        stateStructType=_PIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, spark, sf_dir, "stream_pit_enrich", "append")
+
+
+STREAM_PIT_ENRICH_ORACLE = """
+WITH tagged AS (
+    SELECT event_id, user_id AS key, ts AS t, 0 AS kind,
+           NULL::DOUBLE AS f_click, NULL::DOUBLE AS f_view, 0 AS is_err
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, ts, 1,
+           CASE WHEN event_type = 'click' THEN value END,
+           CASE WHEN event_type = 'view' THEN value END,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+    FROM events WHERE event_type IN ('click', 'view', 'error')
+),
+win AS (
+    SELECT event_id, key, kind,
+           last_value(f_click IGNORE NULLS) OVER w AS last_click_value,
+           last_value(f_view IGNORE NULLS) OVER w AS last_view_value,
+           SUM(is_err) OVER w AS n_err
+    FROM tagged
+    WINDOW w AS (PARTITION BY key ORDER BY t, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, key AS user_id,
+       last_click_value, last_view_value,
+       CAST(n_err AS BIGINT) AS n_errors_before
+FROM win WHERE kind = 0
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_pit_enrich",
+        stream_pit_enrich,
+        STREAM_PIT_ENRICH_ORACLE,
+        doc="stateful streaming PIT enrichment == batch join_pit_features (Kappa parity)",
+        tags=("stream", "llm"),
+    )
+)

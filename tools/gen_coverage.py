@@ -70,7 +70,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: BFS shortest path, recursive-CTE oracle)": ["graph_shortest_path"],
         "(engine addition: SCC via semi-naive closure to fixpoint)": ["graph_scc"],
         "(engine addition: point-in-time N-feature join, one window pass)": [
-            "join_pit_features"
+            "join_pit_features", "stream_pit_enrich"
         ],
     },
     "§2.6 Set operations": {
