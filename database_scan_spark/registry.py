@@ -336,6 +336,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_manifest_skipping",
     "sim_ivfpq",
     "stream_pit_enrich",
+    "mm_png_roundtrip",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -411,6 +411,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "mm_audio_fingerprint"
         ],
         "per-clip audio SNR quality gate": ["mm_audio_snr"],
+        "real PNG codec roundtrip (zlib DEFLATE, CRC chunks, filter inverse)": [
+            "mm_png_roundtrip"
+        ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
