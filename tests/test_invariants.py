@@ -656,3 +656,102 @@ def test_checkpoint_resume_partitions_events(spark, specs):
     total = load(spark, SF_SMOKE, "events").count()
     assert sum(r["n_rows"] for r in rows) == total
     assert len(rows) == 2
+
+
+def test_scc_is_a_partition_of_nations(spark, specs):
+    """SCC output must partition the nation set: every nation in
+    exactly one members list, scc_id = min(members), n_nations =
+    list length."""
+    rows = specs["graph_scc"].fn(spark, SF_SMOKE).collect()
+    seen = []
+    for r in rows:
+        members = [int(x) for x in r.members.split(",")]
+        assert r.scc_id == min(members)
+        assert r.n_nations == len(members)
+        seen.extend(members)
+    n_nations = specs["graph_scc"].fn(spark, SF_SMOKE).agg(F.sum("n_nations")).collect()[0][0]
+    assert len(seen) == len(set(seen)) == n_nations
+
+
+def test_corpus_overlap_matrix_shape_and_bounds(spark, specs):
+    """One row per unordered source pair; est = n_match/K in [0,1]."""
+    rows = specs["sim_corpus_overlap"].fn(spark, SF_SMOKE).collect()
+    n_sources = (
+        specs["sim_corpus_overlap"]
+        .fn(spark, SF_SMOKE)
+        .select(F.explode(F.array("source_a", "source_b")).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0 <= r.n_match <= 64
+        assert abs(r.est_jaccard - r.n_match / 64) < 1e-9
+        assert r.source_a < r.source_b
+
+
+def test_pit_features_never_leak_future_values(spark, specs):
+    """Every non-null last_click_value on an enriched purchase must
+    exist as a click by the same user STRICTLY before the purchase —
+    the leakage-freedom the operator promises."""
+    from database_scan_spark.catalog import load
+
+    pit = specs["join_pit_features"].fn(spark, SF_SMOKE).filter(
+        F.col("last_click_value").isNotNull()
+    )
+    ev = load(spark, SF_SMOKE, "events").filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("value").alias("cv")
+    )
+    n = pit.count()
+    witnessed = (
+        pit.join(
+            ev,
+            (pit.user_id == ev.u)
+            & (pit.last_click_value == ev.cv)
+            & (ev.cts < pit.ts),
+            "left_semi",
+        ).count()
+    )
+    assert witnessed == n, (witnessed, n)
+
+
+def test_stream_pit_enrich_equals_batch(spark, specs):
+    """Kappa parity engine-vs-engine (not just oracle-vs-oracle):
+    the streaming enrichment emits exactly the batch PIT rows."""
+    batch = {
+        (r.event_id, r.user_id, r.last_click_value, r.last_view_value, r.n_errors_before)
+        for r in specs["join_pit_features"].fn(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r.event_id, r.user_id, r.last_click_value, r.last_view_value, r.n_errors_before)
+        for r in specs["stream_pit_enrich"].fn(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream
+
+
+def test_ivfpq_agrees_with_ivf_flat_assignment(spark, specs):
+    """IVF-PQ and IVF-flat share the coarse quantizer, so any
+    (query, neighbor) pair present in BOTH outputs must carry the
+    same centroid_id; and ranks are a clean 1..K per query."""
+    pq = specs["sim_ivfpq"].fn(spark, SF_SMOKE).collect()
+    flat = {
+        (r.query_id, r.neighbor_id): r.centroid_id
+        for r in specs["sim_ivf_flat"].fn(spark, SF_SMOKE).collect()
+    }
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        key = (r.query_id, r.neighbor_id)
+        if key in flat:
+            assert r.centroid_id == flat[key], key
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_png_channel_sums_add_up(spark, specs):
+    """pixel_sum must equal r+g+b exactly, and every sum is bounded
+    by 255 * width * height."""
+    for r in specs["mm_png_roundtrip"].fn(spark, SF_SMOKE).collect():
+        assert r.pixel_sum == r.r_sum + r.g_sum + r.b_sum
+        cap = 255 * r.width * r.height
+        assert 0 <= r.r_sum <= cap and 0 <= r.g_sum <= cap and 0 <= r.b_sum <= cap
