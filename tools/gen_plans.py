@@ -226,6 +226,30 @@ SHOWCASE = {
     "partial+final HashAggregate on the shingle key, and the score "
     "join as a shuffled hash/sort-merge join on shingle (dictionary "
     "outgrows broadcast at corpus scale), then one per-doc aggregate",
+    "sim_corpus_overlap": "corpus overlap matrix — expect the 64-min "
+    "signature as ONE partial+final HashAggregate on source (map-side "
+    "combine does the heavy lifting), then a broadcast self-join of the "
+    "tiny signature table; the documents scan is touched exactly once",
+    "join_pit_features": "point-in-time N-feature join — expect ONE "
+    "exchange (the user window), a single window sort carrying all three "
+    "feature columns, and NO join operator at all: the union+window "
+    "generalization of join_asof to N features",
+    "sim_ivfpq": "IVF-PQ — expect centroid table and residual codebook on "
+    "BroadcastExchanges, the corpus touched twice (assign, encode) with "
+    "narrow stages, candidate generation keyed on centroid_id then "
+    "(m, code); no cross join outside the 8-row broadcast centroid rank",
+    "graph_scc": "SCC closure — expect per-iteration broadcast joins on "
+    "the sparsified edge list (the fact-table edge aggregation is the "
+    "only heavy stage), localCheckpoints truncating lineage so the "
+    "fixpoint loop's plans stay constant-size",
+    "storage_partition_evolution": "partition-spec evolution — expect "
+    "BOTH scans to carry PartitionFilters in their own scheme (d on v1; "
+    "d AND event_type on v2) with the residual event_type predicate "
+    "pushed as a data filter on v1 only",
+    "storage_manifest_skipping": "footer-manifest skipping — expect the "
+    "scan's file list to be the PRE-SELECTED subset (planner reads "
+    "footers only), the shipdate predicate still pushed to the scan as "
+    "defense in depth, one exchange for the final group-by",
 }
 
 
