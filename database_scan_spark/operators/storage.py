@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1640,5 +1640,93 @@ SPECS.append(
         STORAGE_MANIFEST_SKIPPING_ORACLE,
         doc="footer-manifest file skipping: plan from min/max stats, read selected files only",
         tags=("storage", "scale"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing planner (which partitions merge into which file)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_ROWS = 3_000  # stand-in for the 128MB-file byte target
+
+
+def wf_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNER — the scheduling half that
+    ``sink_compact_small_files`` (the executor half) presupposes: given
+    a manifest of small logical partitions (here orders bucketed per
+    priority × day, the daily-ingest grain), assign contiguous runs of
+    partitions to target-sized output bins with the concatenate-and-cut
+    rule: lay each scope's partitions end to end in day order and open
+    a new bin whenever the running total crosses the target —
+    bin_id = floor(start_offset / target), the next-fit
+    approximation every table-maintenance service (OPTIMIZE /
+    rewrite_data_files) uses, computed as a window cumsum.
+
+    Scale posture: the manifest is one partial+final count aggregate
+    over the fact; the planning window is partitioned per scope
+    (priority), so packing is embarrassingly parallel across scopes
+    and the per-scope sort is manifest-sized (days, not rows). The
+    planner never touches data files — same discipline as
+    ``storage_manifest_skipping``'s footer-only read path.
+    """
+    manifest = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("scope"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("part_rows"))
+    )
+    w = Window.partitionBy("scope").orderBy("d")
+    planned = manifest.withColumn(
+        "start_off", F.sum("part_rows").over(w) - F.col("part_rows")
+    ).withColumn(
+        "bin_id",
+        F.floor(F.col("start_off") / F.lit(_COMPACT_TARGET_ROWS)).cast("int"),
+    )
+    return (
+        planned.groupBy("scope", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("part_rows").cast("bigint").alias("bin_rows"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+        )
+        .orderBy("scope", "bin_id")
+    )
+
+
+WF_COMPACTION_PLAN_ORACLE = f"""
+WITH manifest AS (
+    SELECT o_orderpriority AS scope,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           COUNT(*) AS part_rows
+    FROM orders GROUP BY 1, 2
+),
+planned AS (
+    SELECT scope, d, part_rows,
+           SUM(part_rows) OVER (PARTITION BY scope ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - part_rows AS start_off
+    FROM manifest
+)
+SELECT scope, CAST(FLOOR(start_off / {_COMPACT_TARGET_ROWS}) AS INTEGER) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(part_rows) AS BIGINT) AS bin_rows,
+       MIN(d) AS first_day,
+       MAX(d) AS last_day
+FROM planned
+GROUP BY 1, 2
+ORDER BY scope, bin_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_compaction_plan",
+        wf_compaction_plan,
+        WF_COMPACTION_PLAN_ORACLE,
+        doc="next-fit compaction bin assignment from a partition manifest (planner half)",
+        tags=("storage", "scale", "workflow"),
     )
 )

@@ -337,6 +337,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_ivfpq",
     "stream_pit_enrich",
     "mm_png_roundtrip",
+    "wf_compaction_plan",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

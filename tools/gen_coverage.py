@@ -432,6 +432,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "footer-manifest file skipping (min/max stats planning)": [
             "storage_manifest_skipping"
         ],
+        "compaction bin-packing planner (next-fit from a manifest)": [
+            "wf_compaction_plan"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
