@@ -1066,3 +1066,86 @@ SPECS.append(
         tags=("functions",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# udf_cogrouped_merge — cogrouped applyInPandas (the last Python-UDF cell)
+# ---------------------------------------------------------------------------
+
+
+def _cogrouped_merge_fn():
+    """Cogrouped-map body (closure-wrapped for by-value pickling):
+    both sides of one key arrive as SEPARATE pandas frames — the
+    shape for custom merge logic no SQL join expresses (interleaved
+    validation, per-side imputation, custom conflict rules). Sums run
+    over INTEGER CENTS so the result is row-order-independent."""
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+        if left.empty:  # orders for a custkey outside the dim: drop
+            return _pd.DataFrame(
+                columns=["c_custkey", "c_mktsegment", "n_orders", "total_cents"]
+            )
+        cents = (
+            int((right["o_totalprice"] * 100).round().astype("int64").sum())
+            if len(right)
+            else 0
+        )
+        return _pd.DataFrame(
+            {
+                "c_custkey": [int(left["c_custkey"].iloc[0])],
+                "c_mktsegment": [left["c_mktsegment"].iloc[0]],
+                "n_orders": [len(right)],
+                "total_cents": [cents],
+            }
+        )
+
+    return merge
+
+
+def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the one Python-UDF API cell the
+    matrix (scalar pandas_udf, GROUPED_AGG, applyInPandas, mapInPandas,
+    mapInArrow, UDTF, applyInPandasWithState, transformWithStateInPandas)
+    did not yet exercise: ``dfA.groupBy(k).cogroup(dfB.groupBy(k))``
+    hands BOTH sides of each key to one Python function as separate
+    frames. Semantics here (per-customer order rollup, dimension row
+    required) are deliberately join-expressible so DuckDB can
+    hash-check the cogroup machinery itself.
+
+    Plan/scale: one FlatMapCoGroupsInPandas with BOTH inputs shuffled
+    on the key — strictly heavier than the equivalent broadcast join +
+    agg (no partial aggregation through opaque Python), which is the
+    trade this op documents: use cogroup for merge logic SQL can't
+    express, never for expressible rollups."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            _cogrouped_merge_fn(),
+            schema="c_custkey long, c_mktsegment string, n_orders long, total_cents long",
+        )
+    )
+
+
+UDF_COGROUPED_MERGE_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100), 0) AS BIGINT)
+           AS total_cents
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+SPECS.append(
+    QuerySpec(
+        "udf_cogrouped_merge",
+        udf_cogrouped_merge,
+        UDF_COGROUPED_MERGE_ORACLE,
+        doc="cogrouped applyInPandas: both sides of a key in one Python merge fn",
+        tags=("udf", "functions"),
+    )
+)

@@ -1607,3 +1607,118 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension int8 codes + asymmetric search
+# ---------------------------------------------------------------------------
+
+
+def sim_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of the embedding corpus to one byte per
+    dimension (FAISS SQ8): per-dimension [min, max] over the corpus →
+    code_i = floor((x_i − min_i)/(max_i − min_i)·255), reconstructed
+    at search time as the cell midpoint. Queries stay full-precision
+    (asymmetric distance), and the op reports, per approx-top-k pair,
+    the approximate similarity, the exact cosine, and the absolute
+    error — the quantization-quality readout you run before switching
+    a 100 TB vector store from 4-byte floats to 1-byte codes (4×
+    smaller index; here the eval itself is the brute-force baseline
+    shape, broadcast queries over one corpus scan).
+
+    The per-dimension stats are ONE partial+final aggregate (128
+    values total, broadcast back), mergeable across corpus shards
+    exactly like the MinHash signatures in ``sim_corpus_overlap``.
+    Every expression is closed-form double arithmetic identical in
+    DuckDB, so even the quantization cells hash-match.
+    """
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    val = lambda i: F.element_at(F.col("ne"), i).cast("double")  # noqa: E731
+    stats = corpus.agg(
+        F.array(*[F.min(val(i + 1)) for i in range(DIM)]).alias("mn"),
+        F.array(*[F.max(val(i + 1)) for i in range(DIM)]).alias("mx"),
+    )
+    rng_i = lambda i: F.element_at(F.col("mx"), i) - F.element_at(F.col("mn"), i)  # noqa: E731
+    xh = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: F.when(rng_i(i) == 0, F.element_at(F.col("mn"), i)).otherwise(
+            F.element_at(F.col("mn"), i)
+            + (
+                F.floor(
+                    (F.element_at(F.col("ne"), i).cast("double") - F.element_at(F.col("mn"), i))
+                    / rng_i(i)
+                    * 255
+                )
+                + 0.5
+            )
+            * rng_i(i)
+            / 256
+        ),
+    )
+    recon = corpus.crossJoin(F.broadcast(stats)).select("neighbor_id", "ne", xh.alias("xh"))
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(recon, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_sim", F.round(_dot(F.col("qe"), F.col("xh")), 6))
+        .withColumn("exact_sim", F.round(_dot(F.col("qe"), F.col("ne")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_sim",
+            "exact_sim",
+            F.round(F.abs(F.col("approx_sim") - F.col("exact_sim")), 6).alias("abs_err"),
+            "rank",
+        )
+    )
+
+
+SIM_SQ8_ERROR_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, {DIM} + 1)) AS d),
+stats AS MATERIALIZED (
+    SELECT d, MIN(emb[d]) AS mn, MAX(emb[d]) AS mx
+    FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings), dims
+    GROUP BY d
+),
+recon AS MATERIALIZED (
+    SELECT e.vec_id AS neighbor_id, e.emb AS ne,
+           list(CASE WHEN s.mx = s.mn THEN s.mn
+                     ELSE s.mn + (floor((e.emb[s.d] - s.mn) / (s.mx - s.mn) * 255) + 0.5)
+                                 * (s.mx - s.mn) / 256 END
+                ORDER BY s.d) AS xh
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+    CROSS JOIN stats s
+    GROUP BY e.vec_id, e.emb
+),
+scored AS (
+    SELECT q.vec_id AS query_id, r.neighbor_id,
+           round(list_dot_product(q.embedding::DOUBLE[], r.xh), 6) AS approx_sim,
+           round(list_dot_product(q.embedding::DOUBLE[], r.ne), 6) AS exact_sim
+    FROM embeddings q JOIN recon r ON q.vec_id <> r.neighbor_id
+    WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, approx_sim, exact_sim,
+       round(abs(approx_sim - exact_sim), 6) AS abs_err,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "sim_sq8_error",
+        sim_sq8_error,
+        SIM_SQ8_ERROR_ORACLE,
+        doc="SQ8 scalar quantization: midpoint reconstruction, asymmetric search, error readout",
+        tags=("llm", "similarity"),
+    )
+)

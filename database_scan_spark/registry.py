@@ -338,6 +338,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_pit_enrich",
     "mm_png_roundtrip",
     "wf_compaction_plan",
+    "sim_sq8_error",
+    "udf_cogrouped_merge",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

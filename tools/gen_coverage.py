@@ -374,6 +374,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "product-quantization ANN (PQ codes + ADC lookup)": ["sim_pq_adc"],
         "two-stage retrieval (PQ candidates, exact rerank)": ["sim_pq_rerank"],
         "IVF-PQ residual quantization (coarse lists + residual ADC)": ["sim_ivfpq"],
+        "SQ8 scalar quantization error readout (asymmetric search)": ["sim_sq8_error"],
     },
     "North-star: multimodal": {
         "decode / feature-extract": [
@@ -413,6 +414,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "per-clip audio SNR quality gate": ["mm_audio_snr"],
         "real PNG codec roundtrip (zlib DEFLATE, CRC chunks, filter inverse)": [
             "mm_png_roundtrip"
+        ],
+        "cogrouped applyInPandas merge (both key sides in one Python fn)": [
+            "udf_cogrouped_merge"
         ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
