@@ -3394,3 +3394,154 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_msprt — always-valid sequential A/B test (mixture SPRT)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 0.01  # N(0, tau^2) mixture prior on the mean difference
+_MSPRT_ALPHA = 0.05
+
+
+def analytic_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B test (mixture SPRT — Robbins 1970;
+    Johari et al. KDD 2017): the fixed-horizon Welch test
+    (``analytic_ab_test``) is valid only at one pre-registered n, and
+    peeking at it daily inflates false positives. The mSPRT's mixture
+    likelihood ratio Λ_n is a nonnegative martingale under H₀, so
+    p_n = min(1, 1/max_{k≤n} Λ_k) is a valid p-value at EVERY day
+    simultaneously — the number an experimentation platform can put
+    on a live dashboard.
+
+    Build: users hash-split exactly as ``analytic_ab_test``; per-day
+    arm sufficient statistics are exact DECIMAL counts/sums/squares;
+    cumulative stats come from a window over the tiny daily relation
+    (calendar-bounded — the global window can never bottleneck, the
+    ``wf_backfill_plan`` argument); per day with both arms at n ≥ 2,
+    V = σ̂²_pooled·(1/N₀+1/N₁) and
+    log Λ = ½·ln(V/(V+τ²)) + x̄²·τ²/(2·V·(V+τ²)), rounded 6dp
+    BEFORE the running max in both engines; the always-valid p is
+    exp(−running-max log Λ) capped at 1. One fact scan, one (day)
+    aggregate, two calendar-sized windows."""
+    ev = load(spark, sf_dir, "events")
+    from ..operators._helpers import h32  # noqa: PLC0415
+
+    v = h32(F.col("user_id").cast("string")) % 2
+    x = F.col("value").cast("decimal(18,2)")
+    daily = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), v.alias("v"), x.alias("x"))
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.col("v") == 0, 1)).alias("dn0"),
+            F.sum(F.when(F.col("v") == 0, F.col("x"))).alias("ds0"),
+            F.sum(F.when(F.col("v") == 0, F.col("x") * F.col("x"))).alias("dss0"),
+            F.count(F.when(F.col("v") == 1, 1)).alias("dn1"),
+            F.sum(F.when(F.col("v") == 1, F.col("x"))).alias("ds1"),
+            F.sum(F.when(F.col("v") == 1, F.col("x") * F.col("x"))).alias("dss1"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum("dn0").over(w).alias("n0"),
+        F.sum("ds0").over(w).cast("double").alias("s0"),
+        F.sum("dss0").over(w).cast("double").alias("ss0"),
+        F.sum("dn1").over(w).alias("n1"),
+        F.sum("ds1").over(w).cast("double").alias("s1"),
+        F.sum("dss1").over(w).cast("double").alias("ss1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    mean_diff = F.col("s1") / n1d - F.col("s0") / n0d
+    var_pool = (
+        (F.col("ss0") - F.col("s0") * F.col("s0") / n0d)
+        + (F.col("ss1") - F.col("s1") * F.col("s1") / n1d)
+    ) / (n0d + n1d - 2)
+    vv = var_pool * (1 / n0d + 1 / n1d)
+    tau2 = F.lit(_MSPRT_TAU2)
+    log_lam = F.round(
+        0.5 * F.log(vv / (vv + tau2))
+        + (mean_diff * mean_diff * tau2) / (2 * vv * (vv + tau2)),
+        6,
+    )
+    stats = (
+        cum.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+        .select(
+            "d",
+            F.col("n0").cast("bigint").alias("n0"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.round(mean_diff, 6).alias("mean_diff"),
+            log_lam.alias("log_lambda"),
+            var_pool.alias("_vp"),
+        )
+        .filter(F.col("_vp") > 0)
+        .drop("_vp")
+    )
+    w2 = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = F.round(F.least(F.lit(1.0), F.exp(-F.max("log_lambda").over(w2))), 6)
+    return stats.select(
+        "d", "n0", "n1", "mean_diff", "log_lambda",
+        p.alias("always_valid_p"),
+        (p < F.lit(_MSPRT_ALPHA)).alias("reject_h0"),
+    ).orderBy("d")
+
+
+ANALYTIC_MSPRT_ORACLE = f"""
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS v,
+           CAST(value AS DECIMAL(18,2)) AS x
+    FROM events
+),
+agg AS (
+    SELECT d,
+           COUNT(*) FILTER (v = 0) AS dn0,
+           SUM(x) FILTER (v = 0) AS ds0,
+           SUM(x * x) FILTER (v = 0) AS dss0,
+           COUNT(*) FILTER (v = 1) AS dn1,
+           SUM(x) FILTER (v = 1) AS ds1,
+           SUM(x * x) FILTER (v = 1) AS dss1
+    FROM daily GROUP BY d
+),
+cum AS (
+    SELECT d,
+           CAST(SUM(dn0) OVER w AS BIGINT) AS n0,
+           CAST(SUM(ds0) OVER w AS DOUBLE) AS s0,
+           CAST(SUM(dss0) OVER w AS DOUBLE) AS ss0,
+           CAST(SUM(dn1) OVER w AS BIGINT) AS n1,
+           CAST(SUM(ds1) OVER w AS DOUBLE) AS s1,
+           CAST(SUM(dss1) OVER w AS DOUBLE) AS ss1
+    FROM agg
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stats AS (
+    SELECT d, n0, n1,
+           round(s1 / n1 - s0 / n0, 6) AS mean_diff,
+           round(0.5 * ln(vv / (vv + {_MSPRT_TAU2}))
+                 + ((s1 / n1 - s0 / n0) * (s1 / n1 - s0 / n0) * {_MSPRT_TAU2})
+                   / (2 * vv * (vv + {_MSPRT_TAU2})), 6) AS log_lambda
+    FROM (
+        SELECT *,
+               (((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1)) / (n0 + n1 - 2)) AS vp,
+               (((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1)) / (n0 + n1 - 2))
+                 * (1.0 / n0 + 1.0 / n1) AS vv
+        FROM cum WHERE n0 > 1 AND n1 > 1
+    ) WHERE vp > 0
+)
+SELECT d, n0, n1, mean_diff, log_lambda,
+       round(least(1.0, exp(-MAX(log_lambda) OVER w2)), 6) AS always_valid_p,
+       round(least(1.0, exp(-MAX(log_lambda) OVER w2)), 6) < {_MSPRT_ALPHA} AS reject_h0
+FROM stats
+WINDOW w2 AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY d
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_msprt",
+        analytic_msprt,
+        ANALYTIC_MSPRT_ORACLE,
+        doc="mSPRT always-valid sequential p-value per day (peeking-safe A/B)",
+        tags=("analytics", "stats"),
+    )
+)

@@ -340,6 +340,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_compaction_plan",
     "sim_sq8_error",
     "udf_cogrouped_merge",
+    "analytic_msprt",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -418,6 +418,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "cogrouped applyInPandas merge (both key sides in one Python fn)": [
             "udf_cogrouped_merge"
         ],
+        "mSPRT always-valid sequential A/B p-values (peeking-safe)": [
+            "analytic_msprt"
+        ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
