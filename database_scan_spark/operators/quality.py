@@ -1469,3 +1469,126 @@ SPECS.append(
         tags=("quality", "stats", "timeseries"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_schema_contract — declared catalog schema vs physical parquet schema
+# ---------------------------------------------------------------------------
+
+# Cross-engine type vocabulary: Spark simpleString / DuckDB data_type
+# both normalize into the declared catalog vocabulary.
+_TYPE_NORM: dict[str, str] = {
+    "varchar": "string",
+    "integer": "int",
+    "timestamp_ns": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "float[]": "array<float>",
+}
+
+
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema data contract: the catalog's DECLARED StructTypes
+    (catalog.TABLES — the engine's publish contract) audited against
+    the PHYSICAL parquet schemas on disk, column by column: presence
+    both ways (full outer join), type equality under a shared
+    cross-engine normalization, ordinal position. This is the check a
+    lakehouse runs before promoting a new fixture generation — the
+    events.ts TIMESTAMP(NANOS)→(MICROS) migration this repo already
+    lived through is exactly the class of drift it catches.
+
+    Both sides are METADATA (footer reads, no data pages); the
+    result is a ~60-row audit relation. The nanosAsLong reader shim
+    surfaces nanos-generation timestamps as bigint in Spark's raw
+    schema — reported as 'timestamp' here because the shim is a
+    reader compatibility detail, not a physical type change (the
+    parquet logical type IS timestamp)."""
+    from ..catalog import TABLES, table_path  # noqa: PLC0415
+
+    decl_rows = [
+        (t, f.name, i + 1, f.dataType.simpleString().lower())
+        for t, st in sorted(TABLES.items())
+        for i, f in enumerate(st.fields)
+    ]
+    decl = spark.createDataFrame(decl_rows, "tbl string, col string, pos int, declared string")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    act_rows = []
+    for t in sorted(TABLES):
+        sch = spark.read.parquet(table_path(sf_dir, t)).schema
+        for i, f in enumerate(sch.fields):
+            a = f.dataType.simpleString().lower()
+            if t == "events" and f.name == "ts" and a == "bigint":
+                a = "timestamp"  # nanosAsLong shim, see docstring
+            act_rows.append((t, f.name, i + 1, a))
+    act = spark.createDataFrame(act_rows, "tbl string, col string, apos int, actual string")
+
+    def norm(c):
+        e = F.lower(F.col(c))
+        expr = None
+        for k, v in _TYPE_NORM.items():
+            w = (e == k)
+            expr = F.when(w, v) if expr is None else expr.when(w, v)
+        return expr.otherwise(e)
+
+    j = decl.join(act, ["tbl", "col"], "full_outer")
+    dt, at = norm("declared"), norm("actual")
+    return j.select(
+        "tbl",
+        "col",
+        "pos",
+        dt.alias("declared_type"),
+        at.alias("actual_type"),
+        F.coalesce(
+            (dt == at) & (F.col("pos") == F.col("apos")), F.lit(False)
+        ).alias("is_match"),
+    ).orderBy("tbl", "col")
+
+
+def _schema_contract_oracle() -> str:
+    from ..catalog import TABLES  # noqa: PLC0415
+
+    decl_values = ",\n    ".join(
+        f"('{t}', '{f.name}', {i + 1}, '{f.dataType.simpleString().lower()}')"
+        for t, st in sorted(TABLES.items())
+        for i, f in enumerate(st.fields)
+    )
+    tbl_list = ", ".join(f"'{t}'" for t in sorted(TABLES))
+    case_arms = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _TYPE_NORM.items()
+    )
+    return f"""
+WITH decl(tbl, col, pos, declared) AS (VALUES
+    {decl_values}
+),
+act AS (
+    SELECT table_name AS tbl, column_name AS col,
+           CAST(ordinal_position AS INTEGER) AS apos,
+           CASE lower(data_type) {case_arms} ELSE lower(data_type) END AS actual
+    FROM information_schema.columns
+    WHERE table_name IN ({tbl_list})
+),
+normed AS (
+    SELECT COALESCE(d.tbl, a.tbl) AS tbl, COALESCE(d.col, a.col) AS col,
+           d.pos,
+           CASE lower(d.declared) {case_arms} ELSE lower(d.declared) END
+               AS declared_type,
+           a.actual AS actual_type,
+           a.apos
+    FROM decl d FULL OUTER JOIN act a ON d.tbl = a.tbl AND d.col = a.col
+)
+SELECT tbl, col, pos, declared_type, actual_type,
+       COALESCE(declared_type = actual_type AND pos = apos, FALSE) AS is_match
+FROM normed
+ORDER BY tbl, col
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dq_schema_contract",
+        dq_schema_contract,
+        _schema_contract_oracle(),
+        doc="declared-vs-physical schema audit: presence, type (normalized), ordinal",
+        tags=("quality", "catalog"),
+    )
+)

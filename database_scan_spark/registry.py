@@ -341,6 +341,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_sq8_error",
     "udf_cogrouped_merge",
     "analytic_msprt",
+    "stream_dlq_split",
+    "dq_schema_contract",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1926,3 +1926,93 @@ SPECS.append(
         tags=("stream", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dead-letter split (dual-sink quarantine)
+# ---------------------------------------------------------------------------
+
+
+def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate with a DEAD-LETTER QUEUE: every
+    micro-batch splits into accepted rows (parseable props, value in
+    the sane range) and quarantined rows, each written to its OWN
+    idempotent batchId-keyed parquet sink inside one ``foreachBatch``
+    — the dual-sink recipe ingest pipelines use so bad records are
+    preserved with a reject reason instead of dropped. The query
+    returns the re-read of BOTH sinks tagged by route, so the oracle
+    checks the complete partition of the input: nothing lost, nothing
+    duplicated, every quarantine carries its reason.
+
+    Scale: the split predicate is row-local (no shuffle); each batch
+    writes two sequential parquet jobs — the cost of durable
+    quarantine, amortized per micro-batch."""
+    import glob  # noqa: PLC0415
+
+    root = workdir(sf_dir, "stream_dlq")
+    ok_root = os.path.join(root, "accepted")
+    dlq_root = os.path.join(root, "quarantine")
+    shutil.rmtree(ok_root, ignore_errors=True)
+    shutil.rmtree(dlq_root, ignore_errors=True)
+
+    reason = (
+        F.when(F.col("value") < 0, F.lit("negative_value"))
+        .when(F.col("value") > 500, F.lit("value_out_of_range"))
+        .when(F.get_json_object("props", "$.k").isNull(), F.lit("unparseable_props"))
+    )
+
+    def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("reject_reason", reason)
+        tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ok_root, f"batch_id={batch_id}"))
+        tagged.filter(F.col("reject_reason").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dlq_root, f"batch_id={batch_id}"))
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value", "props")
+    ckpt = os.path.join(root, "checkpoint")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        ev.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ok = spark.read.option("basePath", ok_root).parquet(
+        *sorted(glob.glob(os.path.join(ok_root, "batch_id=*")))
+    )
+    dlq = spark.read.option("basePath", dlq_root).parquet(
+        *sorted(glob.glob(os.path.join(dlq_root, "batch_id=*")))
+    )
+    return ok.select(
+        "event_id",
+        F.lit("accepted").alias("route"),
+        F.lit(None).cast("string").alias("reject_reason"),
+    ).unionByName(dlq.select("event_id", F.lit("quarantine").alias("route"), "reject_reason"))
+
+
+STREAM_DLQ_SPLIT_ORACLE = """
+SELECT event_id,
+       CASE WHEN reason IS NULL THEN 'accepted' ELSE 'quarantine' END AS route,
+       reason AS reject_reason
+FROM (
+    SELECT event_id,
+           CASE WHEN value < 0 THEN 'negative_value'
+                WHEN value > 500 THEN 'value_out_of_range'
+                WHEN json_extract_string(props, '$.k') IS NULL THEN 'unparseable_props'
+           END AS reason
+    FROM events
+)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_dlq_split",
+        stream_dlq_split,
+        STREAM_DLQ_SPLIT_ORACLE,
+        doc="dual-sink dead-letter split per micro-batch, complete-partition oracle",
+        tags=("stream", "quality"),
+    )
+)

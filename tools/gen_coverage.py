@@ -421,6 +421,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "mSPRT always-valid sequential A/B p-values (peeking-safe)": [
             "analytic_msprt"
         ],
+        "streaming dead-letter split (dual idempotent sinks + reasons)": [
+            "stream_dlq_split"
+        ],
+        "declared-vs-physical schema contract audit": ["dq_schema_contract"],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
