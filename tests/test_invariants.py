@@ -755,3 +755,45 @@ def test_png_channel_sums_add_up(spark, specs):
         assert r.pixel_sum == r.r_sum + r.g_sum + r.b_sum
         cap = 255 * r.width * r.height
         assert 0 <= r.r_sum <= cap and 0 <= r.g_sum <= cap and 0 <= r.b_sum <= cap
+
+
+def test_corpus_overlap_signatures_are_mergeable(spark, specs):
+    """The scale claim of sim_corpus_overlap is that per-shard
+    signatures merge: min over slot of (shard A, shard B) == min over
+    the union. Recompute the per-source signature over two hash-split
+    halves of the documents and slot-wise min them — must equal the
+    full-corpus signature exactly."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, P31, _K, _h32, _shingles,
+    )
+    from database_scan_spark.operators._helpers import spread
+
+    docs = spread(load(spark, SF_SMOKE, "documents")).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    sh = docs.select(
+        "doc_id", "source", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).select("doc_id", "source", (_h32(F.col("shingle")) % F.lit(P31)).alias("h"))
+
+    def sig(df):
+        rows = df.groupBy("source").agg(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P31)
+                ).alias(f"m{i}")
+                for i in range(_K)
+            ]
+        ).collect()
+        return {r["source"]: [r[f"m{i}"] for i in range(_K)] for r in rows}
+
+    full = sig(sh)
+    half_a = sig(sh.filter(F.col("doc_id") % 2 == 0))
+    half_b = sig(sh.filter(F.col("doc_id") % 2 == 1))
+    for src, fsig in full.items():
+        a = half_a.get(src, [None] * 64)
+        b = half_b.get(src, [None] * 64)
+        merged = [
+            min(x for x in (a[i], b[i]) if x is not None) for i in range(64)
+        ]
+        assert merged == fsig, src
