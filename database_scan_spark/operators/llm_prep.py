@@ -1099,3 +1099,111 @@ SPECS.append(
         tags=("workflow", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_mixture_temperature — temperature-based corpus mixing (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3  # the mT5 / multilingual-LM default
+_MIX_BUDGET = 10_000  # documents to allocate across sources
+
+
+def wf_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture allocation: source i receives budget
+    ∝ n_i^α (α=0.3 — the mT5 multilingual mixing rule that upweights
+    small sources relative to proportional sampling), with the
+    fractional allocations resolved to an EXACT integer partition of
+    the budget by the largest-remainder method. Complements
+    ``wf_data_mixture`` (per-doc hash sampling at given rates) by
+    computing the rates themselves.
+
+    Determinism: the only float op is pow(n, α), immediately rounded
+    and scaled to integer micro-units; everything after — weight sum,
+    floor allocation (bigint `div`), remainder ranking, leftover
+    distribution — is exact integer arithmetic, so Σ alloc == budget
+    is an identity, not a rounding hope. One count aggregate over the
+    corpus; every window runs on the sources relation (≤ thousands of
+    rows at any corpus size)."""
+    src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_mu = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)) * 1_000_000).cast(
+        "long"
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = src.select(
+        "source",
+        "n_docs",
+        w_mu.alias("w_mu"),
+        F.sum(w_mu).over(w_all).alias("w_total"),
+    ).select(
+        "source",
+        "n_docs",
+        "w_mu",
+        F.expr(f"(w_mu * {_MIX_BUDGET}) div w_total").alias("alloc_base"),
+        (F.col("w_mu") * _MIX_BUDGET - F.expr(f"(w_mu * {_MIX_BUDGET}) div w_total") * F.col("w_total")).alias("rem"),
+        F.col("w_total"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    w_left = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "w_mu",
+        "alloc_base",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(_MIX_BUDGET) - F.sum("alloc_base").over(w_left)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "w_mu",
+        F.col("alloc_base").cast("bigint").alias("alloc_base"),
+        (F.col("rk") <= F.col("leftover")).cast("int").alias("extra"),
+        (F.col("alloc_base") + (F.col("rk") <= F.col("leftover")).cast("int"))
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("source")
+
+
+WF_MIXTURE_TEMPERATURE_ORACLE = f"""
+WITH src AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT source, n_docs,
+           CAST(round(pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) * 1000000) AS BIGINT) AS w_mu
+    FROM src
+),
+based AS (
+    SELECT source, n_docs, w_mu,
+           (w_mu * {_MIX_BUDGET}) // SUM(w_mu) OVER () AS alloc_base,
+           w_mu * {_MIX_BUDGET}
+             - ((w_mu * {_MIX_BUDGET}) // SUM(w_mu) OVER ()) * SUM(w_mu) OVER () AS rem
+    FROM weighted
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+           {_MIX_BUDGET} - SUM(alloc_base) OVER () AS leftover
+    FROM based
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_mu,
+       CAST(alloc_base AS BIGINT) AS alloc_base,
+       CAST(rk <= leftover AS INTEGER) AS extra,
+       CAST(alloc_base + CAST(rk <= leftover AS INTEGER) AS BIGINT) AS alloc
+FROM ranked
+ORDER BY source
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_mixture_temperature",
+        wf_mixture_temperature,
+        WF_MIXTURE_TEMPERATURE_ORACLE,
+        doc="n^alpha temperature mixing with exact largest-remainder integer budget",
+        tags=("llm", "workflow"),
+    )
+)

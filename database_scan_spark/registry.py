@@ -343,6 +343,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_msprt",
     "stream_dlq_split",
     "dq_schema_contract",
+    "wf_mixture_temperature",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -425,6 +425,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "stream_dlq_split"
         ],
         "declared-vs-physical schema contract audit": ["dq_schema_contract"],
+        "temperature (n^alpha) corpus mixing with exact integer budget": [
+            "wf_mixture_temperature"
+        ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
