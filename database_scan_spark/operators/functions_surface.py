@@ -1149,3 +1149,69 @@ SPECS.append(
         tags=("udf", "functions"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# proj_withfield — nested-struct surgery (withField / dropFields)
+# ---------------------------------------------------------------------------
+
+
+def proj_withfield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct column surgery: build a customer profile struct,
+    then modify it IN PLACE with ``withField`` (recompute a nested
+    score, add a tier field) and ``dropFields`` (redact the balance)
+    — the Column API every deeply-nested schema (protobuf/Avro
+    ingests) needs, distinct from the lambda surface (fn_lambda_ops)
+    and flatten/explode (proj_flatten). All JVM struct expressions in
+    one codegen span; the oracle rebuilds the same struct shape with
+    DuckDB struct_pack/struct_insert semantics expressed as plain
+    columns after the final flatten."""
+    cust = load(spark, sf_dir, "customer")
+    profile = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    surgered = (
+        cust.select("c_custkey", profile.alias("p"))
+        .withColumn(
+            "p",
+            F.col("p").withField(
+                "tier",
+                F.when(F.col("p.balance") >= 5000, "gold")
+                .when(F.col("p.balance") >= 0, "standard")
+                .otherwise("delinquent"),
+            ),
+        )
+        .withColumn(
+            "p", F.col("p").withField("balance_sign", F.signum(F.col("p.balance")).cast("int"))
+        )
+        .withColumn("p", F.col("p").dropFields("balance"))
+    )
+    return surgered.select(
+        "c_custkey",
+        F.col("p.name").alias("name"),
+        F.col("p.segment").alias("segment"),
+        F.col("p.tier").alias("tier"),
+        F.col("p.balance_sign").alias("balance_sign"),
+    )
+
+
+PROJ_WITHFIELD_ORACLE = """
+SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+       CASE WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 0 THEN 'standard'
+            ELSE 'delinquent' END AS tier,
+       CAST(sign(c_acctbal) AS INTEGER) AS balance_sign
+FROM customer
+"""
+
+SPECS.append(
+    QuerySpec(
+        "proj_withfield",
+        proj_withfield,
+        PROJ_WITHFIELD_ORACLE,
+        doc="withField/dropFields nested-struct surgery, flattened audit",
+        tags=("projection", "functions"),
+    )
+)

@@ -741,3 +741,64 @@ SPECS.append(
         tags=("sampling", "llm", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# split_group_holdout — cluster-randomized split (whole groups together)
+# ---------------------------------------------------------------------------
+
+
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level holdout: the split is keyed on the SOURCE hash, so
+    every document of a source lands in the same fold — the
+    cluster-randomized discipline that prevents near-duplicate
+    leakage across train/test when duplication correlates with origin
+    (per-doc splits like ``split_train_test`` scatter a crawl's
+    near-identical pages across folds and inflate eval scores).
+    Audit proves the property structurally: per split, the doc count
+    AND the distinct-source count, plus per-source fold assignment
+    uniqueness is an algebraic consequence of hashing the group key.
+    Same one narrow pass at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    h = h32(F.concat_ws(":", F.lit("grp"), F.col("source")))
+    split = (
+        F.when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_GROUP_HOLDOUT_ORACLE = """
+WITH assigned AS (
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           source
+    FROM (
+        SELECT source,
+               ('0x' || substring(md5('grp' || ':' || source), 1, 8))::BIGINT AS h
+        FROM documents
+    )
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+SPECS.append(
+    QuerySpec(
+        "split_group_holdout",
+        split_group_holdout,
+        SPLIT_GROUP_HOLDOUT_ORACLE,
+        doc="cluster-randomized split on the group key: whole sources share a fold",
+        tags=("llm", "sampling"),
+    )
+)

@@ -344,6 +344,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_dlq_split",
     "dq_schema_contract",
     "wf_mixture_temperature",
+    "split_group_holdout",
+    "proj_withfield",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -428,6 +428,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "temperature (n^alpha) corpus mixing with exact integer budget": [
             "wf_mixture_temperature"
         ],
+        "group-level holdout split (whole sources share a fold)": [
+            "split_group_holdout"
+        ],
+        "withField/dropFields nested-struct surgery": ["proj_withfield"],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
