@@ -1156,3 +1156,146 @@ SPECS.append(
         tags=("window", "temporal"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_sax_symbolize — SAX time-series symbolization (PAA + breakpoints)
+# ---------------------------------------------------------------------------
+
+_SAX_SEG_DAYS = 5
+_SAX_BP = 0.6745  # N(0,1) quartile breakpoints -> 4-symbol alphabet
+
+
+def win_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003): each
+    user's daily mean-value series is z-normalized, averaged into
+    5-day PAA segments, and each segment mapped to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints — the symbolic
+    fingerprint that makes time-series motif/novelty mining a string
+    problem (and a GROUP BY / join problem at 100 TB, instead of a
+    per-pair DTW).
+
+    Determinism: daily means and per-user moments are exact DECIMAL
+    sums collapsed once to doubles; PAA averages are DECIMAL(18,6)
+    sums of 6dp-rounded z-scores divided by exact day counts; the
+    breakpoint comparison sees bit-identical doubles in both engines.
+    Shapes: one (user, day) aggregate, windows over the per-user
+    daily relation (≤ calendar size), one final per-user
+    string-assembly aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("user_id"),
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.col("value").cast("decimal(18,2)").alias("x"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.round((F.sum("x") / F.count(F.lit(1))).cast("double"), 6).alias("m")
+        )
+    )
+    w_u = Window.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "d",
+        "m",
+        F.sum(F.col("m").cast("decimal(18,6)")).over(w_u).cast("double").alias("s"),
+        F.sum((F.col("m").cast("decimal(18,6)") * F.col("m").cast("decimal(18,6)")))
+        .over(w_u)
+        .cast("double")
+        .alias("ss"),
+        F.count(F.lit(1)).over(w_u).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        F.round((F.col("m") - mean) / F.sqrt(var), 6)
+    )
+    seg = F.floor(
+        F.datediff(F.col("d").cast("date"), F.lit("2024-01-01").cast("date"))
+        / _SAX_SEG_DAYS
+    ).cast("int")
+    zed = stats.select("user_id", "n", seg.alias("seg"), z.alias("z"))
+    paa = (
+        zed.groupBy("user_id", "n", "seg")
+        .agg(
+            F.round(
+                (F.sum(F.col("z").cast("decimal(18,6)")) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("paa")
+        )
+        .withColumn(
+            "sym",
+            F.when(F.col("paa") < -_SAX_BP, "a")
+            .when(F.col("paa") < 0, "b")
+            .when(F.col("paa") < _SAX_BP, "c")
+            .otherwise("d"),
+        )
+    )
+    return (
+        paa.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax"),
+        )
+        .orderBy("user_id")
+    )
+
+
+WIN_SAX_SYMBOLIZE_ORACLE = f"""
+WITH daily AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE), 6) AS m
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT user_id, d, m,
+           CAST(SUM(CAST(m AS DECIMAL(18,6))) OVER wu AS DOUBLE) AS s,
+           CAST(SUM(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6))) OVER wu AS DOUBLE) AS ss,
+           COUNT(*) OVER wu AS n
+    FROM daily
+    WINDOW wu AS (PARTITION BY user_id)
+),
+zed AS (
+    SELECT user_id, n,
+           CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(d AS DATE))
+                      / {_SAX_SEG_DAYS}) AS INTEGER) AS seg,
+           CASE WHEN (ss - s * s / n) / n <= 0 THEN 0.0
+                ELSE round((m - s / n) / sqrt((ss - s * s / n) / n), 6) END AS z
+    FROM stats
+),
+paa AS (
+    SELECT user_id, n, seg,
+           round(CAST(SUM(CAST(z AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE), 6) AS paa
+    FROM zed GROUP BY 1, 2, 3
+),
+sym AS (
+    SELECT user_id, n, seg,
+           CASE WHEN paa < -{_SAX_BP} THEN 'a'
+                WHEN paa < 0 THEN 'b'
+                WHEN paa < {_SAX_BP} THEN 'c'
+                ELSE 'd' END AS sym
+    FROM paa
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_days,
+       string_agg(sym, '' ORDER BY seg) AS sax
+FROM sym GROUP BY user_id ORDER BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_sax_symbolize",
+        win_sax_symbolize,
+        WIN_SAX_SYMBOLIZE_ORACLE,
+        doc="SAX: z-normalized PAA segments to a 4-letter symbol string per user",
+        tags=("window", "analytics"),
+    )
+)

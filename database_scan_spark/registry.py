@@ -346,6 +346,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_mixture_temperature",
     "split_group_holdout",
     "proj_withfield",
+    "win_sax_symbolize",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

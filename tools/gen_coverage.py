@@ -432,6 +432,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "split_group_holdout"
         ],
         "withField/dropFields nested-struct surgery": ["proj_withfield"],
+        "SAX symbolization (z-normalized PAA to symbol strings)": [
+            "win_sax_symbolize"
+        ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
             "text_stylometry_distance"
