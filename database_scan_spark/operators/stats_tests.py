@@ -3545,3 +3545,102 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_srm — sample-ratio-mismatch guardrail (per-day chi-square)
+# ---------------------------------------------------------------------------
+
+_SRM_CHI2_CRIT_1 = 3.841  # chi^2 upper 5% with 1 dof
+
+
+def analytic_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch guardrail: before any experiment metric
+    is read, the UNIT counts per arm must match the designed 50/50
+    allocation — a skewed ratio means broken bucketing or differential
+    logging loss, and invalidates every downstream test (the single
+    most common silent failure in A/B platforms). Per day, distinct
+    USERS per arm (not events — the unit of randomization is the
+    user) are compared with a 1-dof chi-square against the expected
+    even split, cumulatively over the experiment so far.
+
+    Shapes: one (day, arm, user) distinct aggregate, then windows on
+    the daily relation. The arm hash is the same h32 split every
+    experiment op in this engine uses, so this guards exactly the
+    cohorts ``analytic_ab_test`` / ``analytic_msprt`` read."""
+    from ..operators._helpers import h32  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    daily_users = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            (h32(F.col("user_id").cast("string")) % 2).alias("v"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.col("v") == 0, 1)).alias("du0"),
+            F.count(F.when(F.col("v") == 1, 1)).alias("du1"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily_users.select(
+        "d",
+        F.sum("du0").over(w).alias("u0"),
+        F.sum("du1").over(w).alias("u1"),
+    )
+    n = (F.col("u0") + F.col("u1")).cast("double")
+    exp_half = n / 2
+    chi2 = F.round(
+        (F.col("u0") - exp_half) * (F.col("u0") - exp_half) / exp_half
+        + (F.col("u1") - exp_half) * (F.col("u1") - exp_half) / exp_half,
+        6,
+    )
+    return cum.select(
+        "d",
+        F.col("u0").cast("bigint").alias("users_a"),
+        F.col("u1").cast("bigint").alias("users_b"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(_SRM_CHI2_CRIT_1)).alias("srm_alarm"),
+    ).orderBy("d")
+
+
+ANALYTIC_SRM_ORACLE = f"""
+WITH daily_users AS (
+    SELECT d,
+           COUNT(*) FILTER (v = 0) AS du0,
+           COUNT(*) FILTER (v = 1) AS du1
+    FROM (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS v,
+               user_id
+        FROM events
+    ) GROUP BY d
+),
+cum AS (
+    SELECT d,
+           CAST(SUM(du0) OVER w AS BIGINT) AS u0,
+           CAST(SUM(du1) OVER w AS BIGINT) AS u1
+    FROM daily_users
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT d, u0 AS users_a, u1 AS users_b,
+       round((u0 - (u0 + u1) / 2.0) * (u0 - (u0 + u1) / 2.0) / ((u0 + u1) / 2.0)
+           + (u1 - (u0 + u1) / 2.0) * (u1 - (u0 + u1) / 2.0) / ((u0 + u1) / 2.0), 6)
+           AS chi2,
+       round((u0 - (u0 + u1) / 2.0) * (u0 - (u0 + u1) / 2.0) / ((u0 + u1) / 2.0)
+           + (u1 - (u0 + u1) / 2.0) * (u1 - (u0 + u1) / 2.0) / ((u0 + u1) / 2.0), 6)
+           > {_SRM_CHI2_CRIT_1} AS srm_alarm
+FROM cum ORDER BY d
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_srm",
+        analytic_srm,
+        ANALYTIC_SRM_ORACLE,
+        doc="sample-ratio-mismatch chi-square per day over distinct units (A/B guardrail)",
+        tags=("analytics", "stats"),
+    )
+)

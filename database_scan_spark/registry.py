@@ -347,6 +347,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "split_group_holdout",
     "proj_withfield",
     "win_sax_symbolize",
+    "analytic_srm",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

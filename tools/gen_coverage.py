@@ -421,6 +421,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "mSPRT always-valid sequential A/B p-values (peeking-safe)": [
             "analytic_msprt"
         ],
+        "sample-ratio-mismatch guardrail (per-day unit chi-square)": [
+            "analytic_srm"
+        ],
         "streaming dead-letter split (dual idempotent sinks + reasons)": [
             "stream_dlq_split"
         ],
