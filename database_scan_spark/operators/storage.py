@@ -1730,3 +1730,82 @@ SPECS.append(
         tags=("storage", "scale", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — position-based row-level deletes without rewrite
+# ---------------------------------------------------------------------------
+
+
+def storage_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based DELETION VECTORS (the Iceberg-v2 position-delete
+    / Delta DV mechanism) — the third row-level-change shape next to
+    COW (`storage_time_travel`) and key-based MOR
+    (`storage_merge_on_read`): a delete marks (file_id, row_position)
+    pairs in a tiny sidecar, the base files are NEVER rewritten, and
+    the reader anti-joins the vector by position. Against key-based
+    tombstones, position deletes win when the table has no natural
+    key or the delete came from a row-level predicate evaluated once
+    (GDPR scrubs, compaction-time dedup): the vector is just
+    integers, mergeable, and independent of key width.
+
+    Positions here are derivable (file_id = o_orderkey % 4, pos =
+    rank within file) so the DuckDB oracle can reproduce them without
+    reading Spark's files; the read-path semantics — anti-join on
+    (file_id, pos), never on the business predicate — are exactly
+    production's. A posture check in tests asserts the base files'
+    mtimes survive the delete untouched.
+    """
+    root = workdir(sf_dir, "deletion_vectors")
+    base_dir = os.path.join(root, "base")
+    dv_dir = os.path.join(root, "dv")
+    stamp = os.path.join(root, "_DONE")
+    if not os.path.exists(stamp):
+        orders = load(spark, sf_dir, "orders")
+        w = Window.partitionBy("file_id").orderBy("o_orderkey")
+        base = (
+            orders.withColumn("file_id", (F.col("o_orderkey") % 4).cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+        )
+        base.write.mode("overwrite").partitionBy("file_id").parquet(base_dir)
+        # the "delete": a predicate evaluated ONCE, persisted as positions
+        dv = base.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 < 3)
+        ).select("file_id", "pos")
+        dv.write.mode("overwrite").parquet(dv_dir)
+        with open(stamp, "w") as fh:
+            fh.write("ok")
+    base = spark.read.parquet(base_dir)
+    dv = spark.read.parquet(dv_dir)
+    live = base.join(dv, ["file_id", "pos"], "left_anti")
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+STORAGE_DELETION_VECTORS_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_checksum
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_deletion_vectors",
+        storage_deletion_vectors,
+        STORAGE_DELETION_VECTORS_ORACLE,
+        doc="position-delete sidecar + anti-join read path; base files never rewritten",
+        tags=("storage", "scale"),
+    )
+)

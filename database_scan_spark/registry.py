@@ -348,6 +348,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "proj_withfield",
     "win_sax_symbolize",
     "analytic_srm",
+    "storage_deletion_vectors",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -712,3 +712,24 @@ def test_manifest_skipping_reads_fewer_files(spark):
         fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
         sel += 1 if (fmax >= lo and fmin < hi) else 0
     assert 0 < sel < n_total, (sel, n_total)
+
+
+def test_deletion_vectors_never_rewrite_base(spark):
+    """The whole point of position deletes: applying the delete and
+    reading the live view must leave base parquet files byte-for-byte
+    untouched (same mtimes) — only the sidecar exists alongside."""
+    import glob
+    import os
+
+    from database_scan_spark.operators._helpers import workdir
+    from database_scan_spark.operators.storage import storage_deletion_vectors
+
+    storage_deletion_vectors(spark, SF_SMOKE).collect()
+    base_glob = os.path.join(
+        workdir(SF_SMOKE, "deletion_vectors"), "base", "**", "*.parquet"
+    )
+    before = {f: os.path.getmtime(f) for f in glob.glob(base_glob, recursive=True)}
+    assert before, "base files must exist"
+    storage_deletion_vectors(spark, SF_SMOKE).collect()  # re-run the read path
+    after = {f: os.path.getmtime(f) for f in glob.glob(base_glob, recursive=True)}
+    assert before == after

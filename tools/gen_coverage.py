@@ -459,6 +459,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "compaction bin-packing planner (next-fit from a manifest)": [
             "wf_compaction_plan"
         ],
+        "position-delete deletion vectors (no base rewrite)": [
+            "storage_deletion_vectors"
+        ],
         "inverted index (term → postings)": ["text_inverted_index"],
         "BM25 ranked retrieval": ["text_bm25_search"],
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
