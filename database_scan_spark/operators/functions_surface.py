@@ -1215,3 +1215,58 @@ SPECS.append(
         tags=("projection", "functions"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# fn_timezone_ops — IANA timezone conversion surface
+# ---------------------------------------------------------------------------
+
+
+def fn_timezone_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface over the event stream: the naive
+    UTC instants render as New York and Tokyo wall-clock strings
+    (IANA zones — DST-correct shifts from the JVM tzdb, hash-checked
+    against DuckDB's ICU implementation of the same zones), plus the
+    local business hour and an off-hours flag per region — the
+    normalize-to-local step every geo-distributed activity pipeline
+    runs before per-market aggregation. All JVM datetime expressions,
+    session-timezone-independent by construction (pure instant
+    shifts, never a cast through the session zone)."""
+    ev = load(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_local"),
+        F.date_format(tokyo, "yyyy-MM-dd HH:mm:ss").alias("tokyo_local"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        ((F.hour(ny) < 9) | (F.hour(ny) >= 17)).alias("ny_off_hours"),
+        F.hour(tokyo).cast("int").alias("tokyo_hour"),
+    )
+
+
+FN_TIMEZONE_OPS_ORACLE = """
+SELECT event_id,
+       strftime(timezone('America/New_York', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS ny_local,
+       strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_local,
+       CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS INTEGER)
+           AS ny_hour,
+       hour(timezone('America/New_York', timezone('UTC', ts))) < 9
+           OR hour(timezone('America/New_York', timezone('UTC', ts))) >= 17
+           AS ny_off_hours,
+       CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts))) AS INTEGER)
+           AS tokyo_hour
+FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_timezone_ops",
+        fn_timezone_ops,
+        FN_TIMEZONE_OPS_ORACLE,
+        doc="IANA tz conversions (JVM tzdb vs DuckDB ICU hash-checked), local-hour flags",
+        tags=("functions",),
+    )
+)

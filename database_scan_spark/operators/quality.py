@@ -1592,3 +1592,92 @@ SPECS.append(
         tags=("quality", "catalog"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_dlq_replay — quarantine → fix → re-ingest lifecycle
+# ---------------------------------------------------------------------------
+
+
+def wf_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the dead-letter story
+    (``stream_dlq_split`` quarantines): REPLAY. Quarantined rows are
+    repaired with rule-per-reason transforms — error events zero
+    their value, below-floor values clamp up to the floor, above-cap
+    values clamp down to the cap — and re-ingested alongside the
+    originally-accepted rows. The audit
+    proves conservation: per final route, row counts and an exact
+    value checksum, with total rows == the original input (nothing
+    lost in the round trip, every repair attributable to its rule).
+
+    Row-local predicates and transforms throughout — at 100 TB the
+    replay is a narrow scan of the (small) quarantine, never of the
+    accepted corpus."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    reason = (
+        F.when(F.col("event_type") == "error", F.lit("error_event"))
+        .when(F.col("value") < 5, F.lit("below_value_floor"))
+        .when(F.col("value") > 450, F.lit("above_value_cap"))
+        .when(F.get_json_object("props", "$.k").isNull(), F.lit("unparseable_props"))
+    )
+    tagged = ev.withColumn("reason", reason)
+    accepted = tagged.filter(F.col("reason").isNull()).select(
+        "event_id", F.col("value").alias("v"), F.lit("accepted_first_pass").alias("route")
+    )
+    repaired = tagged.filter(F.col("reason").isNotNull()).select(
+        "event_id",
+        F.when(F.col("reason") == "error_event", F.lit(0.0))
+        .when(F.col("reason") == "below_value_floor", F.lit(5.0))
+        .when(F.col("reason") == "above_value_cap", F.lit(450.0))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.concat(F.lit("replayed_"), F.col("reason")).alias("route"),
+    )
+    return (
+        accepted.unionByName(repaired)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("value_checksum"),
+        )
+        .orderBy("route")
+    )
+
+
+WF_DLQ_REPLAY_ORACLE = """
+WITH tagged AS (
+    SELECT event_id, value,
+           CASE WHEN event_type = 'error' THEN 'error_event'
+                WHEN value < 5 THEN 'below_value_floor'
+                WHEN value > 450 THEN 'above_value_cap'
+                WHEN json_extract_string(props, '$.k') IS NULL THEN 'unparseable_props'
+           END AS reason
+    FROM events
+),
+routed AS (
+    SELECT event_id, value AS v, 'accepted_first_pass' AS route
+    FROM tagged WHERE reason IS NULL
+    UNION ALL
+    SELECT event_id,
+           CASE reason WHEN 'error_event' THEN 0.0
+                       WHEN 'below_value_floor' THEN 5.0
+                       WHEN 'above_value_cap' THEN 450.0
+                       ELSE value END,
+           'replayed_' || reason
+    FROM tagged WHERE reason IS NOT NULL
+)
+SELECT route,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS value_checksum
+FROM routed GROUP BY route ORDER BY route
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_dlq_replay",
+        wf_dlq_replay,
+        WF_DLQ_REPLAY_ORACLE,
+        doc="dead-letter replay: rule-per-reason repair + re-ingest, conservation audit",
+        tags=("quality", "workflow"),
+    )
+)

@@ -349,6 +349,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_sax_symbolize",
     "analytic_srm",
     "storage_deletion_vectors",
+    "wf_dlq_replay",
+    "fn_timezone_ops",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1956,8 +1956,9 @@ def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(dlq_root, ignore_errors=True)
 
     reason = (
-        F.when(F.col("value") < 0, F.lit("negative_value"))
-        .when(F.col("value") > 500, F.lit("value_out_of_range"))
+        F.when(F.col("event_type") == "error", F.lit("error_event"))
+        .when(F.col("value") < 5, F.lit("below_value_floor"))
+        .when(F.col("value") > 450, F.lit("above_value_cap"))
         .when(F.get_json_object("props", "$.k").isNull(), F.lit("unparseable_props"))
     )
 
@@ -1999,8 +2000,9 @@ SELECT event_id,
        reason AS reject_reason
 FROM (
     SELECT event_id,
-           CASE WHEN value < 0 THEN 'negative_value'
-                WHEN value > 500 THEN 'value_out_of_range'
+           CASE WHEN event_type = 'error' THEN 'error_event'
+                WHEN value < 5 THEN 'below_value_floor'
+                WHEN value > 450 THEN 'above_value_cap'
                 WHEN json_extract_string(props, '$.k') IS NULL THEN 'unparseable_props'
            END AS reason
     FROM events

@@ -427,6 +427,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "streaming dead-letter split (dual idempotent sinks + reasons)": [
             "stream_dlq_split"
         ],
+        "dead-letter replay (repair rules + conservation audit)": [
+            "wf_dlq_replay"
+        ],
+        "IANA timezone conversion surface (tzdb-vs-ICU hash-checked)": [
+            "fn_timezone_ops"
+        ],
         "declared-vs-physical schema contract audit": ["dq_schema_contract"],
         "temperature (n^alpha) corpus mixing with exact integer budget": [
             "wf_mixture_temperature"
