@@ -27,6 +27,7 @@ Scale posture:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1856,5 +1857,125 @@ SPECS.append(
         _corpus_overlap_oracle(),
         doc="source-pair corpus overlap from mergeable per-source MinHash",
         tags=("llm", "dedup", "similarity"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler linkage scores (cross-implementation hash check)
+# ---------------------------------------------------------------------------
+
+
+def _jaro_winkler_udf():
+    """Vectorized Jaro-Winkler pandas UDF (closure-wrapped for
+    by-value pickling): textbook Jaro (half-window matching,
+    half-transpositions) + Winkler prefix boost (scale 0.1, prefix
+    cap 4, boost only when jaro > 0.7) — the SAME definition DuckDB's
+    ``jaro_winkler_similarity`` implements, so the oracle is a true
+    cross-IMPLEMENTATION check: an independent C++ codebase must
+    reproduce this Python's every rounded score."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def jw(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            return 0.0
+        win = max(la, lb) // 2 - 1
+        ma = [False] * la
+        mb = [False] * lb
+        m = 0
+        for i in range(la):
+            lo, hi = max(0, i - win), min(lb, i + win + 1)
+            for j in range(lo, hi):
+                if not mb[j] and a[i] == b[j]:
+                    ma[i] = mb[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        j = 0
+        for i in range(la):
+            if ma[i]:
+                while not mb[j]:
+                    j += 1
+                if a[i] != b[j]:
+                    t += 1
+                j += 1
+        jaro = (m / la + m / lb + (m - t / 2) / m) / 3
+        if jaro > 0.7:
+            p = 0
+            for i in range(min(4, la, lb)):
+                if a[i] == b[i]:
+                    p += 1
+                else:
+                    break
+            jaro += p * 0.1 * (1 - jaro)
+        return jaro
+
+    @pandas_udf("double")
+    def jw_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([round(jw(x, y), 6) for x, y in zip(a, b)])
+
+    return jw_vec
+
+
+def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler linkage scoring over the part-name dictionary —
+    the record-linkage similarity (Census/Fellegi-Sunter lineage)
+    complementing the Levenshtein family: tolerant of transpositions,
+    prefix-weighted, length-normalized. Blocking: shared first token
+    + |len| ≤ 3 band turned into an equi-join (dictionary-sized, like
+    ``dedup_levenshtein``); every blocked pair is scored by an
+    Arrow-batched pandas UDF and EVERY rounded score must hash-match
+    DuckDB's independent C++ implementation — a stronger check than a
+    threshold filter (224 full-precision agreements, not 2)."""
+    import pandas as _pd  # noqa: F401, PLC0415
+
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select(
+            "p_name",
+            F.split("p_name", " ").getItem(0).alias("tok1"),
+            F.length("p_name").alias("l"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        "tok1",
+        F.explode(F.sequence(F.col("l") - 3, F.col("l") + 3)).alias("lb"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), "tok1", F.col("l").alias("lb"))
+    jw = _jaro_winkler_udf()
+    return (
+        a.join(b, ["tok1", "lb"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", jw(F.col("name_a"), F.col("name_b")).alias("jw"))
+    )
+
+
+DEDUP_JARO_WINKLER_ORACLE = """
+WITH names AS (
+    SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS tok1,
+           length(p_name) AS l
+    FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM names a JOIN names b
+  ON a.tok1 = b.tok1 AND a.p_name < b.p_name AND abs(a.l - b.l) <= 3
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_jaro_winkler",
+        dedup_jaro_winkler,
+        DEDUP_JARO_WINKLER_ORACLE,
+        doc="Jaro-Winkler linkage scores, blocked equi-join, cross-implementation oracle",
+        tags=("llm", "dedup"),
     )
 )

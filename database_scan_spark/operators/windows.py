@@ -1299,3 +1299,66 @@ SPECS.append(
         tags=("window", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_decay_score — exponentially time-decayed engagement score
+# ---------------------------------------------------------------------------
+
+_DECAY_LAMBDA = 0.1  # per-day decay rate (half-life ~6.9 days)
+_DECAY_ASOF = "2024-01-31"  # scoring instant (fixture horizon end)
+
+
+def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user:
+    Σ value·e^(−λ·age_days) at a fixed scoring instant — the
+    recency-weighted feature every ranking/CRM system maintains
+    (λ=0.1/day ≈ 6.9-day half-life). Age is computed in exact
+    microseconds from the fixed as-of instant; each term's decay
+    factor is rounded to 6dp and the weighted contributions are
+    summed as DECIMAL(18,6) (exact, associative) so Spark's unordered
+    partial aggregation cannot perturb the float total — the same
+    discipline as every money sum in the package. One scan, one
+    aggregate; at 100 TB the incremental-maintenance trick (multiply
+    the standing score by the day's decay factor, add the new day) is
+    algebraically available because the decay is multiplicative."""
+    ev = load(spark, sf_dir, "events")
+    age_days = (
+        F.lit(_DECAY_ASOF).cast("timestamp").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    term = F.round(
+        F.col("value").cast("decimal(18,2)").cast("double")
+        * F.exp(-F.lit(_DECAY_LAMBDA) * age_days),
+        6,
+    )
+    return (
+        ev.select("user_id", term.cast("decimal(18,6)").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("t").cast("double").alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+WIN_DECAY_SCORE_ORACLE = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+                 * exp(-{_DECAY_LAMBDA} * (epoch(TIMESTAMP '{_DECAY_ASOF}') - epoch(ts)) / 86400.0), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS decay_score
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_decay_score",
+        win_decay_score,
+        WIN_DECAY_SCORE_ORACLE,
+        doc="recency-weighted score: sum(value * exp(-lambda*age)), exact decimal summation",
+        tags=("window", "analytics"),
+    )
+)

@@ -351,6 +351,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_deletion_vectors",
     "wf_dlq_replay",
     "fn_timezone_ops",
+    "win_decay_score",
+    "dedup_jaro_winkler",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

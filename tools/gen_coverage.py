@@ -361,6 +361,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "source-pair corpus overlap (mergeable MinHash matrix)": [
             "sim_corpus_overlap"
         ],
+        "Jaro-Winkler linkage scores (cross-implementation oracle)": [
+            "dedup_jaro_winkler"
+        ],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
@@ -443,6 +446,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "withField/dropFields nested-struct surgery": ["proj_withfield"],
         "SAX symbolization (z-normalized PAA to symbol strings)": [
             "win_sax_symbolize"
+        ],
+        "exponential time-decay engagement score (exact summation)": [
+            "win_decay_score"
         ],
         "Zipf rank-frequency fit (corpus fingerprint)": ["text_zipf_fit"],
         "stylometric source distance (function-word chi-square)": [
