@@ -96,6 +96,16 @@ HEADLINE = [
     "storage_partition_evolution",
     "graph_scc",
     "storage_manifest_skipping",
+    "sim_ivfpq",
+    "sim_sq8_error",
+    "mm_png_roundtrip",
+    "analytic_msprt",
+    "wf_compaction_plan",
+    "win_sax_symbolize",
+    "dedup_jaro_winkler",
+    "storage_deletion_vectors",
+    "win_decay_score",
+    "wf_mixture_temperature",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).
