@@ -1866,22 +1866,22 @@ SPECS.append(
 # ---------------------------------------------------------------------------
 
 
-def _jaro_winkler_udf():
-    """Vectorized Jaro-Winkler pandas UDF (closure-wrapped for
-    by-value pickling): textbook Jaro (half-window matching,
+def _jw_scalar():
+    """The scalar Jaro-Winkler (closure-wrapped for by-value
+    pickling): textbook Jaro (half-window matching,
     half-transpositions) + Winkler prefix boost (scale 0.1, prefix
     cap 4, boost only when jaro > 0.7) — the SAME definition DuckDB's
     ``jaro_winkler_similarity`` implements, so the oracle is a true
     cross-IMPLEMENTATION check: an independent C++ codebase must
-    reproduce this Python's every rounded score."""
-    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+    reproduce this Python's every rounded score (fuzz-extended over
+    arbitrary strings in tests/test_properties.py)."""
 
     def jw(a: str, b: str) -> float:
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:  # DuckDB: empty vs anything (incl. empty) is 0
+            return 0.0
         if a == b:
             return 1.0
-        la, lb = len(a), len(b)
-        if la == 0 or lb == 0:
-            return 0.0
         win = max(la, lb) // 2 - 1
         ma = [False] * la
         mb = [False] * lb
@@ -1914,6 +1914,15 @@ def _jaro_winkler_udf():
                     break
             jaro += p * 0.1 * (1 - jaro)
         return jaro
+
+    return jw
+
+
+def _jaro_winkler_udf():
+    """Arrow-vectorized wrapper over ``_jw_scalar``."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    jw = _jw_scalar()
 
     @pandas_udf("double")
     def jw_vec(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -368,3 +368,24 @@ def test_waterfill_closed_form_equals_progressive(demands, pct):
     assert sum(closed) == budget
     assert all(c <= d for c, d in zip(closed, demands))
     assert sum(alloc) == budget
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24),
+    b=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24),
+)
+def test_jaro_winkler_matches_duckdb_on_arbitrary_strings(a, b):
+    """The vendored Python Jaro-Winkler must agree with DuckDB's
+    independent C++ implementation on ARBITRARY printable strings —
+    the fuzz extension of dedup_jaro_winkler's 224-pair oracle
+    (match-window edges, empty strings, transposition counting,
+    boost-threshold boundary)."""
+    from database_scan_spark.operators.dedup import _jw_scalar
+
+    jw = _jw_scalar()
+    con = duckdb.connect()
+    expected = con.execute(
+        "SELECT round(jaro_winkler_similarity(?, ?), 6)", [a, b]
+    ).fetchone()[0]
+    assert round(jw(a, b), 6) == expected, (a, b)
