@@ -250,6 +250,19 @@ SHOWCASE = {
     "scan's file list to be the PRE-SELECTED subset (planner reads "
     "footers only), the shipdate predicate still pushed to the scan as "
     "defense in depth, one exchange for the final group-by",
+    "sim_sq8_error": "SQ8 quantization eval — expect the per-dim min/max "
+    "as ONE partial+final aggregate broadcast back onto the corpus, the "
+    "reconstruction as a pure codegen transform, and the scoring join as "
+    "broadcast(queries) over one corpus scan (the exact-baseline shape)",
+    "storage_deletion_vectors": "deletion vectors — expect the live view "
+    "as a LeftAnti hash join on (file_id, pos) between the partitioned "
+    "base scan and the tiny vector sidecar; no rewrite anywhere",
+    "win_decay_score": "decay score — expect the exp() term fused into "
+    "the scan stage and ONE partial+final DECIMAL-sum aggregate (the "
+    "rounding-then-decimal discipline keeps partial aggregation exact)",
+    "dedup_jaro_winkler": "JW linkage — expect the dictionary-sized "
+    "blocked equi-join on (tok1, length-band) and ArrowEvalPython (never "
+    "BatchEvalPython) for the scoring UDF over candidate pairs only",
 }
 
 
