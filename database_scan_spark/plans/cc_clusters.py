@@ -20,10 +20,11 @@ iterative job needs checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import JACCARD_THRESHOLD, dedup_ngram_jaccard
+from ..operators.text_analysis import text_quality as text_quality_fn
 from ..spec import QuerySpec
 
 MAX_ITERS = 20  # safety bound; diameter of near-dup clusters is tiny
@@ -250,3 +251,79 @@ SPECS = [
         tags=("llm", "dedup", "iterative"),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — canonical-document election per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production end step of near-dup dedup: per cluster, KEEP
+    the highest-QUALITY copy, not the lowest id (Gopher/C4-style
+    pipelines elect the best representative so dedup doesn't throw
+    away the cleanest crawl of a page). Composes two already-oracled
+    legs — the verified-pair connected components and the text
+    quality scores — and elects argmax(quality_score) per cluster
+    with doc_id as the deterministic tiebreak.
+
+    Output: one row per clustered doc with its cluster, quality, the
+    elected keeper, and a drop flag (non-keepers are what a budget
+    pass deletes). Scale: the cluster relation is candidate-sized
+    (docs in verified pairs only, a vanishing corpus fraction), the
+    quality join hits only those docs, and the election is one window
+    over clusters."""
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    quality = text_quality_fn(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("keep_doc", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            "keep_doc",
+            (F.col("doc_id") != F.col("keep_doc")).alias("drop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from ..operators.text_analysis import TEXT_QUALITY_ORACLE  # noqa: PLC0415
+
+    return f"""
+WITH clusters AS MATERIALIZED ({DEDUP_CLUSTER_CC_ORACLE}),
+quality AS MATERIALIZED ({TEXT_QUALITY_ORACLE}),
+joined AS (
+    SELECT c.doc_id, c.cluster_id, q.quality_score
+    FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, quality_score,
+       first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS keep_doc,
+       doc_id <> first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS "drop"
+FROM joined
+ORDER BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_keep_best",
+        dedup_keep_best,
+        _keep_best_oracle(),
+        doc="per-cluster canonical election: keep argmax quality, drop the rest",
+        tags=("llm", "dedup", "pipeline"),
+    )
+)

@@ -353,6 +353,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_timezone_ops",
     "win_decay_score",
     "dedup_jaro_winkler",
+    "dedup_keep_best",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -364,6 +364,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "Jaro-Winkler linkage scores (cross-implementation oracle)": [
             "dedup_jaro_winkler"
         ],
+        "per-cluster canonical election (keep argmax quality)": [
+            "dedup_keep_best"
+        ],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
