@@ -106,6 +106,12 @@ HEADLINE = [
     "storage_deletion_vectors",
     "win_decay_score",
     "wf_mixture_temperature",
+    # round-2 (driver) second-session additions
+    "wf_sft_format",
+    "wf_curriculum_schedule",
+    "sim_random_projection",
+    "mm_thumbnail_real",
+    "analytic_heavy_change",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

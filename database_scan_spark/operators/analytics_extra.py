@@ -3396,3 +3396,78 @@ SPECS.append(
         tags=("core", "analytics", "mlops"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_heavy_change — heavy-change detection between two periods
+# ---------------------------------------------------------------------------
+
+_HC_TOP = 20
+
+
+def analytic_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-CHANGE detection (the monitoring twin of
+    `agg_heavy_hitters`): split the event window at its exact
+    midpoint and surface the users whose activity shifted most
+    between the halves — |count₂ − count₁| top-N with a total
+    tiebreak order. Traffic-anomaly / drift triage in one pass.
+
+    Shape: the midpoint is a one-row min/max aggregate broadcast back
+    (exact integer micros midpoint, never a row sort); per-user
+    period counts are ONE conditional hash agg over the fact (no
+    self-join of two period scans); the top-N is orderBy+limit —
+    Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    merge of N), which survives any corpus size."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    bounds = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid_us")
+    )
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < F.col("mid_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.sum(F.when(F.unix_micros("ts") >= F.col("mid_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+        .withColumn("abs_change", F.abs(F.col("n_after") - F.col("n_before")))
+    )
+    return per_user.orderBy(
+        F.desc("abs_change"), F.asc("user_id")
+    ).limit(_HC_TOP).select(
+        "user_id", "n_before", "n_after", "abs_change",
+        (F.col("n_after") - F.col("n_before")).alias("delta"),
+    )
+
+
+ANALYTIC_HEAVY_CHANGE_ORACLE = f"""
+WITH b AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events
+),
+per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+    FROM events, b
+    GROUP BY user_id
+)
+SELECT user_id, n_before, n_after,
+       abs(n_after - n_before) AS abs_change,
+       n_after - n_before AS delta
+FROM per_user
+ORDER BY abs_change DESC, user_id ASC
+LIMIT {_HC_TOP}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_heavy_change",
+        analytic_heavy_change,
+        ANALYTIC_HEAVY_CHANGE_ORACLE,
+        doc="heavy-change detection: top-N |Δcount| users across the exact window midpoint",
+        tags=("core", "analytics"),
+    )
+)

@@ -1270,3 +1270,66 @@ SPECS.append(
         tags=("functions",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# fn_bitwise_ops — bitwise scalar + aggregate surface
+# ---------------------------------------------------------------------------
+
+
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: shifts/AND/OR/XOR/bit_count as row
+    scalars (packing a composite flag word — the trick behind bitmap
+    indexes and `agg_bitmap_distinct`) plus the BIT_AND / BIT_OR /
+    BIT_XOR aggregates per group. All JVM integer ops, one hash agg;
+    bitwise aggregates are commutative/associative so Spark's
+    unordered partial aggregation is exactly deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    flags = (
+        (F.col("o_custkey").bitwiseAND(F.lit(1023)))
+        .bitwiseOR(F.shiftleft(F.col("o_orderkey") % 7, 10))
+        .bitwiseXOR(F.shiftright(F.col("o_custkey"), 3))
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            flags.alias("flags"),
+            F.bit_count(flags).alias("nbits"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.bit_and("flags").cast("bigint").alias("and_all"),
+            F.bit_or("flags").cast("bigint").alias("or_all"),
+            F.bit_xor("flags").cast("bigint").alias("xor_all"),
+            F.sum("nbits").cast("bigint").alias("popcount_sum"),
+        )
+    )
+
+
+FN_BITWISE_OPS_ORACLE = """
+WITH f AS (
+    SELECT o_orderpriority,
+           xor((o_custkey & 1023) | ((o_orderkey % 7) << 10),
+               o_custkey >> 3) AS flags
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(bit_and(flags) AS BIGINT) AS and_all,
+       CAST(bit_or(flags) AS BIGINT) AS or_all,
+       CAST(bit_xor(flags) AS BIGINT) AS xor_all,
+       CAST(SUM(bit_count(flags)) AS BIGINT) AS popcount_sum
+FROM f
+GROUP BY o_orderpriority
+"""
+
+SPECS.append(
+    QuerySpec(
+        "fn_bitwise_ops",
+        fn_bitwise_ops,
+        FN_BITWISE_OPS_ORACLE,
+        doc="bitwise scalar (shift/and/or/xor/popcount) + BIT_AND/OR/XOR aggregates",
+        tags=("functions",),
+    )
+)

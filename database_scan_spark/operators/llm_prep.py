@@ -1207,3 +1207,222 @@ SPECS.append(
         tags=("llm", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_sft_format — chat-template rendering for supervised fine-tuning
+# ---------------------------------------------------------------------------
+
+_SFT_PROMPT_TOKENS = 12  # leading tokens become the user turn
+_SFT_SYSTEM = "You are a helpful assistant."
+# Role sentinels of the rendered template. The loss-mask boundary is a
+# CHARACTER OFFSET into the rendered string (everything strictly before
+# it is masked out of the loss), which is what a downstream tokenizer
+# needs to rebuild a token-level mask without re-parsing the template.
+_SFT_PRE_USER = f"<|system|>\n{_SFT_SYSTEM}\n<|user|>\n"
+_SFT_PRE_ASSISTANT = "\n<|assistant|>\n"
+_SFT_END = "<|end|>"
+
+
+def wf_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render (prompt, completion) pairs into a chat-template string
+    for SFT, with the loss-mask boundary emitted as a char offset.
+
+    The pair is derived from the corpus itself (first
+    ``_SFT_PROMPT_TOKENS`` whitespace tokens = user turn, remainder =
+    assistant turn; docs too short to yield a completion are
+    dropped) — the deterministic stand-in for an instruction dataset.
+    Everything is JVM string assembly (split/slice/array_join/concat/
+    length): a narrow per-row map with NO shuffle at any corpus size;
+    the template literals live in one place so Spark and the oracle
+    render byte-identical strings."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    both = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, _SFT_PROMPT_TOKENS), " ").alias("prompt"),
+        F.array_join(
+            F.slice(
+                toks,
+                _SFT_PROMPT_TOKENS + 1,
+                F.greatest(F.size(toks) - _SFT_PROMPT_TOKENS, F.lit(0)),
+            ),
+            " ",
+        ).alias("completion"),
+    ).filter(F.col("n_tokens") > _SFT_PROMPT_TOKENS)
+    rendered = F.concat(
+        F.lit(_SFT_PRE_USER),
+        F.col("prompt"),
+        F.lit(_SFT_PRE_ASSISTANT),
+        F.col("completion"),
+        F.lit(_SFT_END),
+    )
+    return both.select(
+        "doc_id",
+        F.lit(_SFT_PROMPT_TOKENS).cast("int").alias("n_prompt_tokens"),
+        (F.col("n_tokens") - _SFT_PROMPT_TOKENS).cast("int").alias("n_completion_tokens"),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("int").alias("n_chars"),
+        # loss starts at the first assistant char (0-indexed offset)
+        (F.lit(len(_SFT_PRE_USER) + len(_SFT_PRE_ASSISTANT))
+         + F.length("prompt")).cast("int").alias("loss_start"),
+    )
+
+
+def _sql_estr(s: str) -> str:
+    """DuckDB E'...' escape-string literal (real newlines, not the
+    two-char sequence a plain repr would leave behind)."""
+    return "E'" + s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n") + "'"
+
+
+_SFT_P = _SFT_PROMPT_TOKENS
+WF_SFT_FORMAT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pair AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           array_to_string(toks[1:{_SFT_P}], ' ') AS prompt,
+           array_to_string(toks[{_SFT_P} + 1:len(toks)], ' ') AS completion
+    FROM t WHERE len(toks) > {_SFT_P}
+)
+SELECT doc_id,
+       CAST({_SFT_P} AS INTEGER) AS n_prompt_tokens,
+       CAST(n_tokens - {_SFT_P} AS INTEGER) AS n_completion_tokens,
+       {_sql_estr(_SFT_PRE_USER)} || prompt || {_sql_estr(_SFT_PRE_ASSISTANT)}
+           || completion || {_sql_estr(_SFT_END)} AS rendered,
+       CAST({len(_SFT_PRE_USER) + len(_SFT_PRE_ASSISTANT) + len(_SFT_END)}
+            + length(prompt) + length(completion) AS INTEGER) AS n_chars,
+       CAST({len(_SFT_PRE_USER) + len(_SFT_PRE_ASSISTANT)} + length(prompt)
+            AS INTEGER) AS loss_start
+FROM pair
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_sft_format",
+        wf_sft_format,
+        WF_SFT_FORMAT_ORACLE,
+        doc="chat-template SFT rendering with char-offset loss-mask boundary",
+        tags=("llm", "workflow"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# wf_curriculum_schedule — easy-to-hard curriculum phases by token rarity
+# ---------------------------------------------------------------------------
+
+_CUR_PHASES = 4          # curriculum stages, equal token budgets
+_CUR_BUCKET_MU = 100_000  # difficulty micro-units per histogram bucket
+
+
+def wf_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: score each document's difficulty
+    as its mean token rarity (corpus-level -log2 token frequency),
+    then assign docs to ``_CUR_PHASES`` easy-to-hard phases with
+    (approximately) EQUAL TOKEN BUDGETS per phase.
+
+    Scale posture — the phase boundary is NOT a global row sort:
+    difficulty is quantized into integer histogram buckets
+    (``difficulty div _CUR_BUCKET_MU``), token mass is aggregated per
+    bucket (a few hundred rows at any corpus size), the cumulative
+    split runs as a window over that bucket relation, and the
+    bucket→phase map broadcasts back onto the docs. Shuffles: the
+    vocabulary count, the token→rarity equi-join, the per-doc sum —
+    all key-partitioned hash aggs/joins that survive a 100× scale-up.
+
+    Determinism: the only float op is log2 over two exact integers,
+    immediately rounded to micro-units (the ``wf_mixture_temperature``
+    pow() precedent); every downstream step is BIGINT arithmetic."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total_toks = vocab.agg(F.sum("tf").alias("total"))
+    rarity = vocab.join(F.broadcast(total_toks)).select(
+        "tok",
+        F.round(F.log2(F.col("total").cast("double") / F.col("tf")) * 1_000_000)
+        .cast("long")
+        .alias("r_mu"),
+    )
+    per_doc = (
+        toks.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("r_mu").alias("r_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("r_sum div n_tokens").alias("difficulty_mu"),
+        )
+        .withColumn("bucket", F.expr(f"difficulty_mu div {_CUR_BUCKET_MU}"))
+    )
+    buckets = per_doc.groupBy("bucket").agg(F.sum("n_tokens").alias("b_tokens"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    phase_map = buckets.select(
+        "bucket",
+        F.coalesce(F.sum("b_tokens").over(w_cum), F.lit(0)).alias("cum_excl"),
+        F.sum("b_tokens").over(w_all).alias("tot"),
+    ).select(
+        "bucket",
+        F.least(
+            F.expr(f"(cum_excl * {_CUR_PHASES}) div tot"), F.lit(_CUR_PHASES - 1)
+        ).cast("int").alias("phase"),
+    )
+    return per_doc.join(F.broadcast(phase_map), "bucket").select(
+        "doc_id", "n_tokens", "difficulty_mu",
+        F.col("bucket").cast("bigint").alias("bucket"), "phase",
+    )
+
+
+WF_CURRICULUM_SCHEDULE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+),
+rarity AS (
+    SELECT tok,
+           CAST(round(log2(CAST((SELECT SUM(tf) FROM vocab) AS DOUBLE) / tf)
+                      * 1000000) AS BIGINT) AS r_mu
+    FROM vocab
+),
+per_doc AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r.r_mu) // COUNT(*) AS BIGINT) AS difficulty_mu
+    FROM toks t JOIN rarity r USING (tok)
+    GROUP BY t.doc_id
+),
+bucketed AS (
+    SELECT *, CAST(difficulty_mu // {_CUR_BUCKET_MU} AS BIGINT) AS bucket FROM per_doc
+),
+buckets AS (
+    SELECT bucket, SUM(n_tokens) AS b_tokens FROM bucketed GROUP BY bucket
+),
+phase_map AS (
+    SELECT bucket,
+           CAST(LEAST((COALESCE(SUM(b_tokens) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       * {_CUR_PHASES}) // SUM(b_tokens) OVER (),
+                      {_CUR_PHASES - 1}) AS INTEGER) AS phase
+    FROM buckets
+)
+SELECT b.doc_id, b.n_tokens, b.difficulty_mu,
+       CAST(b.bucket AS BIGINT) AS bucket, p.phase
+FROM bucketed b JOIN phase_map p USING (bucket)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_curriculum_schedule",
+        wf_curriculum_schedule,
+        WF_CURRICULUM_SCHEDULE_ORACLE,
+        doc="easy-to-hard curriculum phases, equal token budgets via difficulty histogram",
+        tags=("llm", "workflow"),
+    )
+)

@@ -1306,3 +1306,117 @@ SPECS.append(
         tags=("llm", "multimodal"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_thumbnail_real — REAL box-filter thumbnail over decoded BMP pixels
+# ---------------------------------------------------------------------------
+
+_THUMB_G = 4  # thumbnail grid: G×G cells of average luminance
+
+
+def _thumbnail_batches_fn():
+    """Arrow batch fn: decode each even doc's REAL BMP (vendored
+    codec), drop the per-row 4-byte-alignment padding, and box-filter
+    the pixel plane down to a G×G luminance thumbnail — the actual
+    `resize` semantics `mm_resize_stub` only modeled. Cell membership
+    is the integer map gy=r·G div h, gx=x·G div w (every pixel in
+    exactly one cell, cells contiguous), so the oracle can re-derive
+    every cell from tiling math. Codec captured by value; numpy
+    bincount does the accumulation worker-side."""
+    enc, _ = _media_codec_fns()
+    G = _THUMB_G
+
+    def run(batches):
+        import numpy as _np  # noqa: PLC0415 - worker-side imports
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "gy": [], "gx": [], "n_bytes": [],
+                   "cell_sum": [], "avg_milli": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 1:
+                    continue  # audio docs have no pixel plane
+                blob = enc(did, bytes(payload))
+                n = len(bytes(payload))
+                w, h = n % 64 + 1, n % 48 + 1
+                stride = ((w * 3 + 3) // 4) * 4
+                pix = (
+                    _np.frombuffer(blob[54 : 54 + stride * h], dtype=_np.uint8)
+                    .reshape(h, stride)[:, : w * 3]
+                )
+                r_idx = _np.repeat(_np.arange(h), w * 3)
+                x_idx = _np.tile(_np.arange(w * 3) // 3, h)
+                cell = (r_idx * G // h) * G + (x_idx * G // w)
+                sums = _np.bincount(cell, weights=pix.ravel(), minlength=G * G)
+                cnts = _np.bincount(cell, minlength=G * G)
+                for c in range(G * G):
+                    if cnts[c] == 0:
+                        continue
+                    s = int(sums[c])
+                    out["doc_id"].append(did)
+                    out["gy"].append(c // G)
+                    out["gx"].append(c % G)
+                    out["n_bytes"].append(int(cnts[c]))
+                    out["cell_sum"].append(s)
+                    out["avg_milli"].append(s * 1000 // int(cnts[c]))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+def mm_thumbnail_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G×G box-filter thumbnail over REAL decoded BMP pixels — the
+    image-resize primitive (downsample for vision-model preprocessing)
+    done with true pixel semantics: alignment padding excluded,
+    integer average luminance per cell. Arrow-batched mapInPandas over
+    blobs (bounded memory per batch); the oracle re-derives every cell
+    sum from the documents table alone, pinning header offset, stride,
+    padding exclusion, and the cell-membership map."""
+    return _media_table(spark, sf_dir).mapInPandas(
+        _thumbnail_batches_fn(),
+        schema="doc_id long, gy int, gx int, n_bytes int, cell_sum long, avg_milli long",
+    )
+
+
+MM_THUMBNAIL_REAL_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           octet_length(encode(text)) % 64 + 1 AS w,
+           octet_length(encode(text)) % 48 + 1 AS h,
+           ((octet_length(encode(text)) % 64 + 1) * 3 + 3) // 4 * 4 AS stride
+    FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+    SELECT doc_id, h, w,
+           r, j,
+           ord(text[(r * stride + j) % L + 1]) AS b
+    FROM (
+        SELECT doc_id, text, L, w, h, stride, j,
+               unnest(range(h)) AS r
+        FROM (SELECT doc_id, text, L, w, h, stride,
+                     unnest(range(w * 3)) AS j
+              FROM meta)
+    )
+)
+SELECT doc_id,
+       CAST(r * {_THUMB_G} // h AS INTEGER) AS gy,
+       CAST((j // 3) * {_THUMB_G} // w AS INTEGER) AS gx,
+       CAST(COUNT(*) AS INTEGER) AS n_bytes,
+       CAST(SUM(b) AS BIGINT) AS cell_sum,
+       CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS avg_milli
+FROM px
+GROUP BY doc_id, gy, gx
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_thumbnail_real",
+        mm_thumbnail_real,
+        MM_THUMBNAIL_REAL_ORACLE,
+        doc="real BMP G×G box-filter thumbnail (exact integer luminance cells)",
+        tags=("llm", "multimodal"),
+    )
+)

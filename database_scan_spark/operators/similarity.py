@@ -1722,3 +1722,99 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_random_projection — Johnson-Lindenstrauss sign projection + audit
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # target dimensionality (DIM=64 -> 4x smaller vectors)
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix, K rows × DIM
+    cols, derived from md5 parity so both engines inline the SAME
+    literals (no RNG, no state)."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            1.0 if hashlib.md5(f"jl:{k}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(DIM)
+        ]
+        for k in range(JL_K)
+    ]
+
+
+_JL_S = _jl_signs()
+
+
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding corpus
+    (DIM=64 → JL_K=16 via a ±1 Rademacher matrix) with the per-vector
+    distortion audit: for a sign matrix S, E[(S·v)ₖ²] = ‖v‖², so
+    Σₖ(S·v)ₖ² / (K·‖v‖²) should concentrate near 1 — the readout you
+    run before switching a 100 TB ANN index to reduced-dimension
+    vectors (4× less memory/IO per vector).
+
+    Shape: a NARROW per-row map — each projected coordinate is one
+    fixed-order fold over the embedding array (the shared `dot`
+    kernel), no shuffle, no UDF; scales linearly and pushes straight
+    onto a parquet scan. The matrix is inlined as literals in BOTH
+    engines, and every float op (product fold, square fold, ppm
+    division) is order-fixed, so the audit hash-matches bit-exactly.
+    """
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    proj = F.array(*[_dot(F.col("embedding"), F.array(*[F.lit(s) for s in row]))
+                     for row in _JL_S])
+    orig_ss = _dot(F.col("embedding"), F.col("embedding"))
+    out = emb.select(
+        "vec_id",
+        orig_ss.alias("orig_ss"),
+        proj.alias("proj"),
+    ).select(
+        "vec_id",
+        F.round("orig_ss", 6).alias("orig_ss"),
+        F.round(_dot(F.col("proj"), F.col("proj")), 6).alias("proj_ss"),
+        F.when(
+            F.col("orig_ss") > 0,
+            F.round(_dot(F.col("proj"), F.col("proj")) * 1_000_000
+                    / (F.lit(JL_K) * F.col("orig_ss"))).cast("bigint"),
+        ).alias("distortion_ppm"),
+    )
+    return out
+
+
+def _jl_oracle() -> str:
+    rows = []
+    for row in _JL_S:
+        lits = ", ".join(str(s) for s in row)
+        rows.append(f"list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[])")
+    proj_arr = "[" + ",\n            ".join(rows) + "]"
+    return f"""
+WITH p AS (
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS orig_ss,
+           {proj_arr} AS proj
+    FROM embeddings
+)
+SELECT vec_id,
+       round(orig_ss, 6) AS orig_ss,
+       round(list_dot_product(proj, proj), 6) AS proj_ss,
+       CASE WHEN orig_ss > 0 THEN
+           CAST(round(list_dot_product(proj, proj) * 1000000
+                      / ({JL_K} * orig_ss)) AS BIGINT)
+       END AS distortion_ppm
+FROM p
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_random_projection",
+        sim_random_projection,
+        _jl_oracle(),
+        doc="JL Rademacher projection 64->16 with exact per-vector distortion audit",
+        tags=("llm", "similarity"),
+    )
+)

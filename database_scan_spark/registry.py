@@ -354,6 +354,12 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_decay_score",
     "dedup_jaro_winkler",
     "dedup_keep_best",
+    "wf_sft_format",
+    "wf_curriculum_schedule",
+    "sim_random_projection",
+    "mm_thumbnail_real",
+    "fn_bitwise_ops",
+    "analytic_heavy_change",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -733,3 +733,57 @@ def test_deletion_vectors_never_rewrite_base(spark):
     storage_deletion_vectors(spark, SF_SMOKE).collect()  # re-run the read path
     after = {f: os.path.getmtime(f) for f in glob.glob(base_glob, recursive=True)}
     assert before == after
+
+
+def test_sft_format_is_narrow_no_shuffle(spark):
+    """wf_sft_format is pure string assembly: no Exchange in the plan
+    beyond the small-file fan-out repartition, and no Python eval."""
+    from database_scan_spark.operators.llm_prep import wf_sft_format
+
+    plan = _plan(wf_sft_format(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_curriculum_phase_map_is_broadcast(spark):
+    """The bucket→phase map joins back as a broadcast (bucket relation
+    is histogram-sized), never a shuffled join of the doc relation
+    against itself; the only window runs over the bucket relation."""
+    from database_scan_spark.operators.llm_prep import wf_curriculum_schedule
+
+    plan = _plan(wf_curriculum_schedule(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_narrow_map(spark):
+    """JL projection must stay a narrow per-row map: no join, no agg,
+    no Python boundary — just project over the scan."""
+    from database_scan_spark.operators.similarity import sim_random_projection
+
+    plan = _plan(sim_random_projection(spark, SF_SMOKE))
+    for op in ("Join", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, op
+
+
+def test_thumbnail_is_single_arrow_pass(spark):
+    """mm_thumbnail_real: exactly one mapInPandas boundary over the
+    blob table, no JVM-side shuffle after it."""
+    from database_scan_spark.operators.multimodal import mm_thumbnail_real
+
+    plan = _plan(mm_thumbnail_real(spark, SF_SMOKE))
+    # one MapInPandas node in the tree (it prints once in the tree and
+    # once in the detail section), and nothing after it but the sink
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" not in plan  # cells reduce inside the batch fn
+
+
+def test_heavy_change_topk_is_take_ordered(spark):
+    """The top-N is TakeOrderedAndProject (bounded heaps), not a full
+    global Sort; the midpoint bound joins as a broadcast."""
+    from database_scan_spark.operators.analytics_extra import analytic_heavy_change
+
+    plan = _plan(analytic_heavy_change(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

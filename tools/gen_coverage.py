@@ -257,6 +257,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exact AMS frequency moments / self-join size per key": [
             "agg_frequency_moments"
         ],
+        "heavy-change detection (top-N |Δcount| across window midpoint)": [
+            "analytic_heavy_change"
+        ],
+        "bitwise scalar + BIT_AND/OR/XOR aggregate surface": [
+            "fn_bitwise_ops"
+        ],
     },
     "§2.8 Sort / top-k / windows": {
         "sort_remote_score_desc": ["sort_remote_score_desc"],
@@ -381,6 +387,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "two-stage retrieval (PQ candidates, exact rerank)": ["sim_pq_rerank"],
         "IVF-PQ residual quantization (coarse lists + residual ADC)": ["sim_ivfpq"],
         "SQ8 scalar quantization error readout (asymmetric search)": ["sim_sq8_error"],
+        "JL random-projection dim reduction + exact distortion audit": [
+            "sim_random_projection"
+        ],
     },
     "North-star: multimodal": {
         "decode / feature-extract": [
@@ -389,6 +398,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "binaryFile blob ingest": ["src_binary_files"],
         "frame sampling": ["mm_frame_sample"],
         "resize plumbing": ["mm_resize_stub"],
+        "real BMP box-filter thumbnail (resize semantics, exact cells)": [
+            "mm_thumbnail_real"
+        ],
     },
     "North-star: text analysis": {
         "language-ID": ["text_lang_id"],
@@ -442,6 +454,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "declared-vs-physical schema contract audit": ["dq_schema_contract"],
         "temperature (n^alpha) corpus mixing with exact integer budget": [
             "wf_mixture_temperature"
+        ],
+        "chat-template SFT rendering with char-offset loss-mask boundary": [
+            "wf_sft_format"
+        ],
+        "curriculum phases by token-rarity difficulty (histogram split)": [
+            "wf_curriculum_schedule"
         ],
         "group-level holdout split (whole sources share a fold)": [
             "split_group_holdout"

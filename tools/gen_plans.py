@@ -263,6 +263,18 @@ SHOWCASE = {
     "dedup_jaro_winkler": "JW linkage — expect the dictionary-sized "
     "blocked equi-join on (tok1, length-band) and ArrowEvalPython (never "
     "BatchEvalPython) for the scoring UDF over candidate pairs only",
+    "wf_curriculum_schedule": "curriculum phases — expect the vocabulary "
+    "count and token→rarity equi-joins as hash shuffles, the cumulative "
+    "phase split as a Window over the HISTOGRAM-sized bucket relation "
+    "only, and the bucket→phase map re-joined as a BroadcastHashJoin "
+    "(never a global row sort of the corpus)",
+    "sim_random_projection": "JL projection — expect a single Project "
+    "over the scan: no exchange, no aggregate, no Python boundary; the "
+    "16 fixed-order dot-product folds all live in one WholeStageCodegen "
+    "span",
+    "mm_thumbnail_real": "real thumbnail — expect exactly one MapInPandas "
+    "(Arrow) boundary over the blob table and nothing downstream of it; "
+    "cell reduction happens inside the batch fn, not a JVM shuffle",
 }
 
 
