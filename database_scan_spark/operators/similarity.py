@@ -1045,7 +1045,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(step).alias("sel_order"),
             "mmr_score",
         )
-        sel = sel.unionByName(pick)
+        # persist each step's cumulative selection: without this, step
+        # k's plan re-executes steps 2..k-1's take-ordered-1 jobs (the
+        # union lineage is replayed per reference), turning K greedy
+        # steps into O(K²) tiny jobs — pure fixed overhead at any
+        # scale, since sel is ≤ MMR_K rows by construction.
+        sel = sel.unionByName(pick).persist()
     return sel.select("sel_order", "vec_id", "rel", "mmr_score").orderBy(
         "sel_order"
     )
