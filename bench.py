@@ -112,6 +112,7 @@ HEADLINE = [
     "sim_random_projection",
     "mm_thumbnail_real",
     "analytic_heavy_change",
+    "pipeline_pretrain_batches",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

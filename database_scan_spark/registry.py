@@ -111,6 +111,9 @@ def _load_all() -> None:
     from .plans import media_curation  # noqa: PLC0415
 
     _extend(media_curation.SPECS)
+    from .plans import pretrain_batches  # noqa: PLC0415
+
+    _extend(pretrain_batches.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)
@@ -360,6 +363,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_thumbnail_real",
     "fn_bitwise_ops",
     "analytic_heavy_change",
+    "pipeline_pretrain_batches",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -797,3 +797,162 @@ def test_corpus_overlap_signatures_are_mergeable(spark, specs):
             min(x for x in (a[i], b[i]) if x is not None) for i in range(64)
         ]
         assert merged == fsig, src
+
+
+def test_sft_loss_start_lands_on_completion(spark, specs):
+    """The loss-mask char offset must point exactly at the assistant
+    span: rendered[loss_start:] == completion + end sentinel, and the
+    prompt never leaks past the boundary."""
+    from database_scan_spark.operators.llm_prep import (
+        _SFT_END,
+        _SFT_PRE_ASSISTANT,
+        _SFT_PROMPT_TOKENS,
+    )
+
+    df = specs["wf_sft_format"].fn(spark, SF_SMOKE)
+    bad = df.filter(
+        F.substring_index(
+            F.expr("substring(rendered, loss_start + 1)"), _SFT_END, 1
+        )
+        != F.expr(
+            "array_join(slice(split(substring(rendered, "
+            f"{len('<|system|>') + 1}), ' '), {_SFT_PROMPT_TOKENS + 3}, 100000), ' ')"
+        )
+    )
+    # direct check: the char right before loss_start closes the
+    # assistant sentinel, and rendered ends with the end sentinel
+    assert (
+        df.filter(
+            F.expr(
+                f"substring(rendered, loss_start - {len(_SFT_PRE_ASSISTANT)} + 1, "
+                f"{len(_SFT_PRE_ASSISTANT)})"
+            )
+            != _SFT_PRE_ASSISTANT
+        ).count()
+        == 0
+    )
+    assert df.filter(~F.col("rendered").endswith(_SFT_END)).count() == 0
+    assert df.filter(
+        F.col("n_chars") != F.length("rendered")
+    ).count() == 0
+
+
+def test_curriculum_phases_are_monotone_and_balanced(spark, specs):
+    """Curriculum phases must be non-decreasing in difficulty (every
+    bucket of phase p sits at or below every bucket of phase p+1) and
+    each phase's token mass stays within one bucket of the equal
+    split (the histogram-boundary guarantee)."""
+    from database_scan_spark.operators.llm_prep import _CUR_PHASES
+
+    pdf = (
+        specs["wf_curriculum_schedule"].fn(spark, SF_SMOKE)
+        .groupBy("phase")
+        .agg(
+            F.min("bucket").alias("lo"),
+            F.max("bucket").alias("hi"),
+            F.sum("n_tokens").alias("tok"),
+        )
+        .orderBy("phase")
+        .toPandas()
+    )
+    assert sorted(pdf["phase"]) == list(pdf["phase"])
+    for i in range(len(pdf) - 1):
+        assert pdf["hi"][i] <= pdf["lo"][i + 1]
+    total = pdf["tok"].sum()
+    # every phase BOUNDARY lands within one bucket's mass of the
+    # ideal equal split (the split is exact up to bucket granularity)
+    bucket_mass = (
+        specs["wf_curriculum_schedule"].fn(spark, SF_SMOKE)
+        .groupBy("bucket").agg(F.sum("n_tokens").alias("m"))
+        .agg(F.max("m")).collect()[0][0]
+    )
+    cum = 0
+    for i in range(len(pdf) - 1):
+        cum += pdf["tok"][i]
+        ideal = total * (i + 1) / _CUR_PHASES
+        assert abs(cum - ideal) <= bucket_mass
+
+
+def test_random_projection_distortion_concentrates(spark, specs):
+    """JL guarantee (sanity, not a proof): with K=16 the mean squared
+    distortion over the corpus concentrates near 1 — the corpus mean
+    must land within 25% of 1, and no vector may be degenerate
+    (ppm <= 0)."""
+    df = specs["sim_random_projection"].fn(spark, SF_SMOKE)
+    row = df.agg(
+        F.avg("distortion_ppm").alias("mu"),
+        F.min("distortion_ppm").alias("lo"),
+    ).collect()[0]
+    assert 750_000 < row.mu < 1_250_000
+    assert row.lo > 0
+
+
+def test_thumbnail_cells_tile_the_image_exactly(spark, specs):
+    """Per doc: 16 cells, byte counts sum to w·3·h (padding excluded),
+    and the cell sums total the padding-free luminance of the image."""
+    df = specs["mm_thumbnail_real"].fn(spark, SF_SMOKE)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_bytes").alias("bytes_total"),
+    )
+    docs = (
+        specs["mm_thumbnail_real"]
+        .fn(spark, SF_SMOKE)
+        .sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            (
+                (F.length("text") % 64 + 1) * 3 * (F.length("text") % 48 + 1)
+            ).alias("expect_bytes"),
+            # an image narrower/shorter than the grid yields one cell
+            # per pixel row/col, not G of them
+            (
+                F.least(F.length("text") % 48 + 1, F.lit(4))
+                * F.least(F.length("text") % 64 + 1, F.lit(4))
+            ).alias("expect_cells"),
+        )
+    )
+    joined = per_doc.join(docs, "doc_id")
+    assert joined.filter(F.col("n_cells") != F.col("expect_cells")).count() == 0
+    assert joined.filter(F.col("bytes_total") != F.col("expect_bytes")).count() == 0
+
+
+def test_pretrain_batches_conserve_docs_and_tokens(spark, specs):
+    """Shard manifest conservation: across shards, doc and token
+    totals equal the gate→dedup→tokenize leg recomputed directly, and
+    every shard id is in range."""
+    from database_scan_spark.plans.pretrain_batches import (
+        PB_MAX_WORD_LEN,
+        PB_MIN_TOKENS,
+        PB_SHARDS,
+    )
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import h32
+    from pyspark.sql import Window
+
+    man = specs["pipeline_pretrain_batches"].fn(spark, SF_SMOKE)
+    got = man.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    assert man.filter((F.col("shard_id") < 0) | (F.col("shard_id") >= PB_SHARDS)).count() == 0
+
+    docs = load(spark, SF_SMOKE, "documents")
+    n_ws = F.size(F.split("text", " "))
+    gated = docs.filter(
+        (n_ws >= PB_MIN_TOKENS)
+        & ((F.length("text") - n_ws + 1) / n_ws <= PB_MAX_WORD_LEN)
+    )
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    deduped = (
+        gated.withColumn(
+            "rk", F.row_number().over(Window.partitionBy(h32(canon)).orderBy("doc_id"))
+        )
+        .filter(F.col("rk") == 1)
+    )
+    expect = deduped.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))).alias("toks"),
+    ).collect()[0]
+    assert got.docs == expect.docs
+    assert got.toks == expect.toks

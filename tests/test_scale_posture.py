@@ -787,3 +787,22 @@ def test_heavy_change_topk_is_take_ordered(spark):
     plan = _plan(analytic_heavy_change(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pretrain_batches_windows_partition_by_source(spark):
+    """The packing window must partition by source (no single-reducer
+    global sort); shuffles are the dedup agg, the packing window, and
+    the shard manifest agg — all key-partitioned."""
+    from database_scan_spark.plans.pretrain_batches import pipeline_pretrain_batches
+
+    plan = _plan(pipeline_pretrain_batches(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # no unpartitioned window: every Exchange is hashpartitioning,
+    # except the final ≤PB_SHARDS-row ordered output
+    import re
+    singles = [
+        ln for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln
+    ]
+    assert not singles, singles

@@ -426,6 +426,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "corpus-health dashboard (five composed legs)": [
             "pipeline_corpus_dashboard"
         ],
+        "documents→training-batch manifest (gate→dedup→tokenize→pack→shard)": [
+            "pipeline_pretrain_batches"
+        ],
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
