@@ -1281,3 +1281,51 @@ SPECS.append(
         tags=("sql",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# join_null_aware_anti — NOT IN (subquery): three-valued anti-join
+# ---------------------------------------------------------------------------
+
+
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` with SQL's three-valued NULL semantics —
+    the null-aware anti join. Two legs pin both behaviors: against a
+    null-free exclusion subquery, NOT IN behaves like an anti join;
+    against a subquery CONTAINING a NULL, NOT IN is empty (x <> NULL
+    is UNKNOWN for every x) — the classic migration trap that a plain
+    left_anti would get wrong. Spark plans the single-column case as a
+    BroadcastHashJoin in NullAware LeftAnti mode (streamed side probes
+    a one-null-aware hash relation); a naive engine re-executes the
+    subquery per row. Both legs return their COUNT so the empty leg is
+    an observable 0, not an absent row."""
+    from ..catalog import register_views  # noqa: PLC0415
+
+    register_views(spark, sf_dir)
+    return spark.sql(JOIN_NULL_AWARE_ANTI_ORACLE)
+
+
+JOIN_NULL_AWARE_ANTI_ORACLE = """
+SELECT 'no_null_sub' AS leg, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_custkey NOT IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+)
+UNION ALL
+SELECT 'null_sub' AS leg, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_custkey NOT IN (
+    SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+    FROM customer
+)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "join_null_aware_anti",
+        join_null_aware_anti,
+        JOIN_NULL_AWARE_ANTI_ORACLE,
+        doc="NOT IN (subquery) three-valued semantics: null-aware anti join, empty-on-null leg",
+        tags=("sql", "join"),
+    )
+)

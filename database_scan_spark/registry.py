@@ -364,6 +364,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "fn_bitwise_ops",
     "analytic_heavy_change",
     "pipeline_pretrain_batches",
+    "stream_corpus_ingest",
+    "join_null_aware_anti",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

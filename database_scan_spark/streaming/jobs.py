@@ -2018,3 +2018,165 @@ SPECS.append(
         tags=("stream", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_corpus_ingest — streaming corpus intake: gate + cross-batch dedup
+# ---------------------------------------------------------------------------
+
+_SCI_BATCHES = 3       # arrival files (doc_id mod 3)
+_SCI_MIN_TOKENS = 20   # quality floor (shared with pipeline_pretrain_batches)
+_SCI_MAX_WORD_LEN = 12
+
+
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake — the Kappa twin of
+    ``pipeline_pretrain_batches``'s front half: documents arrive in
+    three REAL micro-batches (maxFilesPerTrigger=1, availableNow);
+    each ``foreachBatch`` applies the row-local quality gate, dedups
+    WITHIN the batch (min doc_id per canonical-text hash), then
+    anti-joins against the accumulated seen-hash ledger so a document
+    already accepted by an earlier batch is never re-admitted — the
+    incremental exactly-once ingest rule of a production corpus
+    intake. Accepted rows and the batch's new hashes land in
+    batchId-keyed idempotent parquet sinks (replay-safe).
+
+    Returns the per-batch intake manifest (new docs, their BPE-proxy
+    token mass, an order-free doc-id checksum); the oracle replays
+    the arrival order in SQL (keeper = first occurrence of each hash
+    by (batch, doc_id)), so the hash check pins the CROSS-BATCH dedup
+    semantics, not just row counts.
+
+    Scale: the gate is row-local; the in-batch dedup is one hash agg
+    per micro-batch; the ledger anti-join is hash-keyed and the
+    ledger carries one row per distinct accepted content — the same
+    state a streaming dedup operator would hold, but spillable and
+    inspectable as a table."""
+    import glob  # noqa: PLC0415
+
+    from ..operators._helpers import h32  # noqa: PLC0415
+
+    root = workdir(sf_dir, "stream_corpus_ingest")
+    src_dir = os.path.join(root, "src")
+    acc_root = os.path.join(root, "accepted")
+    seen_root = os.path.join(root, "seen")
+    shutil.rmtree(acc_root, ignore_errors=True)
+    shutil.rmtree(seen_root, ignore_errors=True)
+
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        for i in range(_SCI_BATCHES):
+            (
+                docs.filter(F.col("doc_id") % _SCI_BATCHES == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+            f = glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet"))[0]
+            dst = os.path.join(src_dir, f"docs_{i}.parquet")
+            os.replace(f, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+
+    doc_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    n_ws = F.size(F.split("text", " "))
+    mean_word = (F.length("text") - n_ws + 1) / n_ws
+    canon_h = h32(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    n_tok = F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        gated = batch_df.filter(
+            (n_ws >= _SCI_MIN_TOKENS) & (mean_word <= _SCI_MAX_WORD_LEN)
+        ).select(
+            "doc_id", "source", canon_h.alias("h"), n_tok.cast("bigint").alias("n_tok")
+        )
+        from pyspark.sql import Window as W  # noqa: PLC0415
+
+        first = (
+            gated.withColumn(
+                "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        prior = sorted(glob.glob(os.path.join(seen_root, "batch_id=*")))
+        if prior:
+            ledger = ss.read.parquet(*prior).select("h")
+            first = first.join(ledger, "h", "left_anti")
+        first.write.mode("overwrite").parquet(
+            os.path.join(acc_root, f"batch_id={batch_id}")
+        )
+        first.select("h").write.mode("overwrite").parquet(
+            os.path.join(seen_root, f"batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(root, "checkpoint")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    accepted = spark.read.option("basePath", acc_root).parquet(
+        *sorted(glob.glob(os.path.join(acc_root, "batch_id=*")))
+    )
+    return (
+        accepted.groupBy(F.col("batch_id").cast("int").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.sum("n_tok").cast("bigint").alias("tokens_new"),
+            F.sum(h32(F.col("doc_id").cast("string"))).cast("bigint").alias("docs_checksum"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+STREAM_CORPUS_INGEST_ORACLE = f"""
+WITH gated AS (
+    SELECT doc_id, CAST(doc_id % {_SCI_BATCHES} AS INTEGER) AS batch_id,
+           ('0x' || substring(md5(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+           ), 1, 8))::BIGINT AS h,
+           CAST(len(regexp_extract_all(text, '[a-z]{{1,4}}')) AS BIGINT) AS n_tok
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {_SCI_MIN_TOKENS}
+      AND (length(text) - len(string_split(text, ' ')) + 1)
+          / len(string_split(text, ' ')) <= {_SCI_MAX_WORD_LEN}
+),
+kept AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY h ORDER BY batch_id, doc_id) AS rk
+        FROM gated
+    ) WHERE rk = 1
+)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_new,
+       CAST(SUM(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS docs_checksum
+FROM kept
+GROUP BY batch_id
+ORDER BY batch_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_corpus_ingest",
+        stream_corpus_ingest,
+        STREAM_CORPUS_INGEST_ORACLE,
+        doc="streaming corpus intake: gate + cross-batch exact dedup ledger, per-batch manifest",
+        tags=("stream", "llm", "pipeline"),
+    )
+)

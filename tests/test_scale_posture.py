@@ -806,3 +806,14 @@ def test_pretrain_batches_windows_partition_by_source(spark):
         if "Exchange SinglePartition" in ln
     ]
     assert not singles, singles
+
+
+def test_null_aware_anti_is_broadcast_hash_not_per_row(spark):
+    """NOT IN (subquery) must plan as hash anti joins (Spark's
+    null-aware BroadcastHashJoin LeftAnti), never a per-row subquery
+    re-execution or a cartesian product."""
+    from database_scan_spark.operators.sql_surface import join_null_aware_anti
+
+    plan = _plan(join_null_aware_anti(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin LeftAnti") == 2
+    assert "CartesianProduct" not in plan

@@ -429,6 +429,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "documents→training-batch manifest (gate→dedup→tokenize→pack→shard)": [
             "pipeline_pretrain_batches"
         ],
+        "streaming corpus intake (gate + cross-batch dedup ledger)": [
+            "stream_corpus_ingest"
+        ],
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
@@ -618,6 +621,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "GROUP BY ALL / ORDER BY ALL inferred grain": ["sql_group_by_all"],
         "ExistenceJoin (projected EXISTS flag)": ["join_existence_project"],
+        "null-aware anti join (NOT IN subquery, three-valued)": [
+            "join_null_aware_anti"
+        ],
         "FILTER (WHERE) conditioned aggregates": ["agg_filter_clause"],
         "RFC 4180 CSV dialect round trip": ["sink_csv_roundtrip_quoted"],
         "multiset INTERSECT ALL / EXCEPT ALL": ["set_ops_multiset"],
