@@ -22,7 +22,7 @@ production use).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -273,6 +273,115 @@ SPECS.append(
         geo_point_in_polygon,
         _pip_oracle(),
         doc="ray-casting geofence test as row-local static edge terms (no join)",
+        tags=("geo",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# geo_geohash_encode — closed-form integer geohash + prefix bucketing
+# ---------------------------------------------------------------------------
+
+GH_CHARS = 6                       # geohash precision (~1.2 km cells)
+GH_BITS = 5 * GH_CHARS             # 30 bits: 15 lon + 15 lat
+GH_HALF = GH_BITS // 2
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_expr(lon_idx: str, lat_idx: str) -> str:
+    """SQL text computing the geohash string from quantized lon/lat
+    cell indices — bit interleave (lon first, per the geohash spec)
+    then base32 via substring on the alphabet literal. The SAME text
+    runs in Spark (F.expr) and DuckDB, so the encode is bit-identical
+    by construction, not by luck."""
+    bits = []
+    for k in range(GH_BITS):
+        if k % 2 == 0:  # even positions take longitude bits, MSB first
+            shift = GH_HALF - 1 - k // 2
+            src = lon_idx
+        else:
+            shift = GH_HALF - 1 - (k - 1) // 2
+            src = lat_idx
+        bits.append(f"((({src} >> {shift}) & 1) << {GH_BITS - 1 - k})")
+    val = " | ".join(bits)
+    chars = [
+        f"substring('{_GH_ALPHABET}', CAST(((({val}) >> {GH_BITS - 5 * (c + 1)}) & 31) "
+        f"AS INTEGER) + 1, 1)"
+        for c in range(GH_CHARS)
+    ]
+    return " || ".join(chars)
+
+
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding — the prefix-index primitive under spatial
+    bucketing (a shared prefix = a shared cell, so equality on a
+    geohash prefix is a spatial join key; this is the string-keyed
+    sibling of the integer grid cells `geo_radius_join` blocks on).
+
+    The encode is CLOSED-FORM integer arithmetic end to end: the
+    fixture coordinates are exact milli-degree integers, quantized to
+    15-bit cell indices with integer div, interleaved and base32'd by
+    ONE generated SQL expression shared verbatim by both engines.
+    Per-row narrow map plus one hash agg for the 4-char-prefix
+    occupancy (the bucketing readout); scales like any projection."""
+    key = F.col("c_custkey").cast("string")
+    lat_mdeg = (h32(F.concat(F.lit("lat|"), key)) % 160000 - 80000).cast("bigint")
+    lon_mdeg = (h32(F.concat(F.lit("lon|"), key)) % 360000 - 180000).cast("bigint")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        lat_mdeg.alias("lat_mdeg"),
+        lon_mdeg.alias("lon_mdeg"),
+    ).withColumn(
+        "lat_idx", F.expr(f"((lat_mdeg + 90000) * {1 << GH_HALF}) div 180000")
+    ).withColumn(
+        "lon_idx", F.expr(f"((lon_mdeg + 180000) * {1 << GH_HALF}) div 360000")
+    ).withColumn("geohash", F.expr(_gh_expr("lon_idx", "lat_idx")))
+    w = Window.partitionBy(F.substring("geohash", 1, 4))
+    return cust.select(
+        "c_custkey",
+        "lat_mdeg",
+        "lon_mdeg",
+        "geohash",
+        F.substring("geohash", 1, 4).alias("gh4"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("gh4_occupancy"),
+    )
+
+
+def _geohash_oracle() -> str:
+    lat_h = H32_SQL.format(x="'lat|' || CAST(c_custkey AS VARCHAR)")
+    lon_h = H32_SQL.format(x="'lon|' || CAST(c_custkey AS VARCHAR)")
+    return f"""
+WITH pts AS (
+    SELECT c_custkey,
+           CAST({lat_h} % 160000 - 80000 AS BIGINT) AS lat_mdeg,
+           CAST({lon_h} % 360000 - 180000 AS BIGINT) AS lon_mdeg
+    FROM customer
+),
+idx AS (
+    SELECT *,
+           ((lat_mdeg + 90000) * {1 << GH_HALF}) // 180000 AS lat_idx,
+           ((lon_mdeg + 180000) * {1 << GH_HALF}) // 360000 AS lon_idx
+    FROM pts
+),
+enc AS (
+    SELECT c_custkey, lat_mdeg, lon_mdeg,
+           {_gh_expr("lon_idx", "lat_idx")} AS geohash
+    FROM idx
+)
+SELECT c_custkey, lat_mdeg, lon_mdeg, geohash,
+       substring(geohash, 1, 4) AS gh4,
+       CAST(COUNT(*) OVER (PARTITION BY substring(geohash, 1, 4)) AS BIGINT)
+           AS gh4_occupancy
+FROM enc
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "geo_geohash_encode",
+        geo_geohash_encode,
+        _geohash_oracle(),
+        doc="closed-form integer geohash encode + 4-char prefix occupancy",
         tags=("geo",),
     )
 )

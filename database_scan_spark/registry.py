@@ -366,6 +366,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_pretrain_batches",
     "stream_corpus_ingest",
     "join_null_aware_anti",
+    "geo_geohash_encode",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

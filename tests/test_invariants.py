@@ -956,3 +956,52 @@ def test_pretrain_batches_conserve_docs_and_tokens(spark, specs):
     ).collect()[0]
     assert got.docs == expect.docs
     assert got.toks == expect.toks
+
+
+def test_geohash_matches_textbook_bisection(spark, specs):
+    """The closed-form bit-interleave encode must agree with the
+    classic bisection geohash algorithm (independent implementation)
+    for every fixture point, PROVIDED the point is quantized to the
+    same 15-bit cell first (the closed form encodes cell centers)."""
+    from database_scan_spark.operators.geo import GH_CHARS, GH_HALF, _GH_ALPHABET
+
+    rows = specs["geo_geohash_encode"].fn(spark, SF_SMOKE).collect()
+
+    def textbook(lat, lon, n_chars):
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        for i in range(n_chars * 5):
+            if even:
+                mid = (lon_rng[0] + lon_rng[1]) / 2
+                if lon >= mid:
+                    ch = (ch << 1) | 1
+                    lon_rng[0] = mid
+                else:
+                    ch = ch << 1
+                    lon_rng[1] = mid
+            else:
+                mid = (lat_rng[0] + lat_rng[1]) / 2
+                if lat >= mid:
+                    ch = (ch << 1) | 1
+                    lat_rng[0] = mid
+                else:
+                    ch = ch << 1
+                    lat_rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(_GH_ALPHABET[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    for r in rows:
+        # decode the 15-bit cell back to its lower-edge coordinate:
+        # the textbook walk on any interior point of the cell yields
+        # the same 15 bits, so use the cell's center
+        lat_idx = ((r.lat_mdeg + 90000) * (1 << GH_HALF)) // 180000
+        lon_idx = ((r.lon_mdeg + 180000) * (1 << GH_HALF)) // 360000
+        lat = (lat_idx + 0.5) / (1 << GH_HALF) * 180.0 - 90.0
+        lon = (lon_idx + 0.5) / (1 << GH_HALF) * 360.0 - 180.0
+        assert textbook(lat, lon, GH_CHARS) == r.geohash, (
+            r.c_custkey, r.geohash)

@@ -612,6 +612,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "directional as-of joins (forward / nearest)": ["join_asof_forward", "join_asof_nearest"],
         "grid-cell-blocked spatial radius join": ["geo_radius_join"],
         "radius-bounded spatial kNN": ["geo_knn_join"],
+        "geohash encode + prefix-cell occupancy (integer closed form)": [
+            "geo_geohash_encode"
+        ],
         "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
         "UDTF over TABLE(...) PARTITION BY / ORDER BY": ["udtf_table_arg"],
         "pandas UDF over a window (WindowInPandas node)": ["udf_window_pandas"],
