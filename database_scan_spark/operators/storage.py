@@ -1809,3 +1809,176 @@ SPECS.append(
         tags=("storage", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_clustering_audit — footer-stats clustering-quality metrics
+# ---------------------------------------------------------------------------
+
+_CA_GROUPS = 12          # logical files per layout
+_CA_MONTHS_PER_GROUP = 7  # clustered layout: 7 calendar months per group
+
+
+def storage_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit from parquet FOOTERS — the metric
+    behind Delta/Iceberg OPTIMIZE reports: for each layout, the
+    STABBING DEPTH of the per-file [min,max] key ranges (how many
+    files a point lookup on the cluster key must open). Two real
+    layouts of lineitem are written and audited on l_shipdate:
+
+    - ``clustered``: files hold contiguous 7-month bands → ranges are
+      disjoint, depth ≈ 1 (a selective scan opens one file);
+    - ``unclustered``: files are hash-assigned → every file spans the
+      whole key range, depth ≈ n_files (every lookup opens all).
+
+    File assignment uses an EXPLICIT rule (month band / shared h32),
+    so the DuckDB oracle re-derives every file's exact min/max from
+    the raw table — which must equal what the footers say (footer
+    stats are exact row min/max). The depth metrics come from an
+    event sweep (+1 at each range start, −1 past its end, running
+    sum over the boundary relation) — the manifest is metadata-sized
+    at any data scale, so the sweep window is trivially small.
+
+    Returns one audit row per layout: file count, max depth, and the
+    span-weighted mean depth in permille over the covered key range.
+    """
+    import datetime as _dt  # noqa: PLC0415
+    import glob as _glob  # noqa: PLC0415
+
+    import pyarrow.parquet as _pq  # noqa: PLC0415
+
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    midx = (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1
+    rules = {
+        "clustered": F.least(
+            (midx - midx % _CA_MONTHS_PER_GROUP) / _CA_MONTHS_PER_GROUP,
+            F.lit(_CA_GROUPS - 1),
+        ).cast("int"),
+        "unclustered": (h32(F.col("l_orderkey").cast("string")) % _CA_GROUPS).cast(
+            "int"
+        ),
+    }
+    root = workdir(sf_dir, "clustering_audit")
+    manifest_rows: list[tuple[str, int, int, int]] = []
+    for layout, rule in rules.items():
+        path = os.path.join(root, layout)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                load(spark, sf_dir, "lineitem")
+                .select(F.col("l_shipdate"), rule.alias("file_id"))
+                .write.partitionBy("file_id")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        epoch = _dt.date(1970, 1, 1)
+        for d in sorted(_glob.glob(os.path.join(path, "file_id=*"))):
+            fid = int(d.rsplit("=", 1)[1])
+            lo = hi = None
+            for fp in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                md = _pq.ParquetFile(fp).metadata
+                ci = md.schema.names.index("l_shipdate")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    assert st is not None and st.has_min_max, fp
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, _dt.datetime):
+                        mn, mx = mn.date(), mx.date()
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+            manifest_rows.append(
+                (layout, fid, (lo - epoch).days, (hi - epoch).days)
+            )
+    manifest = spark.createDataFrame(
+        manifest_rows, "layout string, file_id int, lo_day int, hi_day int"
+    )
+    # event sweep: +1 at lo, −1 at hi+1 (inclusive ranges)
+    ev = manifest.select(
+        "layout", F.col("lo_day").alias("b"), F.lit(1).alias("d")
+    ).unionByName(
+        manifest.select("layout", (F.col("hi_day") + 1).alias("b"), F.lit(-1).alias("d"))
+    )
+    bounds = ev.groupBy("layout", "b").agg(F.sum("d").alias("d"))
+    w = Window.partitionBy("layout").orderBy("b")
+    sweep = bounds.select(
+        "layout",
+        "b",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("depth"),
+        (F.lead("b").over(w) - F.col("b")).alias("span"),
+    ).filter(F.col("span").isNotNull() & (F.col("depth") > 0))
+    files = manifest.groupBy("layout").agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        sweep.groupBy("layout")
+        .agg(
+            F.max("depth").cast("int").alias("max_depth"),
+            F.expr("(sum(depth * span) * 1000) div sum(span)").alias(
+                "avg_depth_permille"
+            ),
+            F.sum("span").cast("bigint").alias("covered_days"),
+        )
+        .join(F.broadcast(files), "layout")
+        .select(
+            "layout",
+            F.col("n_files").cast("bigint").alias("n_files"),
+            "max_depth",
+            "avg_depth_permille",
+            "covered_days",
+        )
+        .orderBy("layout")
+    )
+
+
+STORAGE_CLUSTERING_AUDIT_ORACLE = f"""
+WITH tagged AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+           LEAST(((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1)
+                 // {_CA_MONTHS_PER_GROUP}, {_CA_GROUPS - 1}) AS fid_c,
+           ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % {_CA_GROUPS} AS fid_u
+    FROM lineitem
+),
+manifest AS (
+    SELECT 'clustered' AS layout, fid_c AS file_id,
+           MIN(day) AS lo_day, MAX(day) AS hi_day
+    FROM tagged GROUP BY fid_c
+    UNION ALL
+    SELECT 'unclustered' AS layout, fid_u AS file_id,
+           MIN(day) AS lo_day, MAX(day) AS hi_day
+    FROM tagged GROUP BY fid_u
+),
+ev AS (
+    SELECT layout, lo_day AS b, 1 AS d FROM manifest
+    UNION ALL
+    SELECT layout, hi_day + 1 AS b, -1 AS d FROM manifest
+),
+bounds AS (
+    SELECT layout, b, SUM(d) AS d FROM ev GROUP BY layout, b
+),
+sweep AS (
+    SELECT layout, b,
+           SUM(d) OVER (PARTITION BY layout ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+           LEAD(b) OVER (PARTITION BY layout ORDER BY b) - b AS span
+    FROM bounds
+),
+files AS (SELECT layout, COUNT(*) AS n_files FROM manifest GROUP BY layout)
+SELECT s.layout,
+       CAST(f.n_files AS BIGINT) AS n_files,
+       CAST(MAX(s.depth) AS INTEGER) AS max_depth,
+       CAST((SUM(s.depth * s.span) * 1000) // SUM(s.span) AS BIGINT)
+           AS avg_depth_permille,
+       CAST(SUM(s.span) AS BIGINT) AS covered_days
+FROM sweep s JOIN files f USING (layout)
+WHERE s.span IS NOT NULL AND s.depth > 0
+GROUP BY s.layout, f.n_files
+ORDER BY s.layout
+"""
+
+SPECS.append(
+    QuerySpec(
+        "storage_clustering_audit",
+        storage_clustering_audit,
+        STORAGE_CLUSTERING_AUDIT_ORACLE,
+        doc="footer-stats clustering audit: stabbing depth of per-file key ranges, two layouts",
+        tags=("storage", "scale"),
+    )
+)

@@ -367,6 +367,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "stream_corpus_ingest",
     "join_null_aware_anti",
     "geo_geohash_encode",
+    "storage_clustering_audit",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1005,3 +1005,13 @@ def test_geohash_matches_textbook_bisection(spark, specs):
         lon = (lon_idx + 0.5) / (1 << GH_HALF) * 360.0 - 180.0
         assert textbook(lat, lon, GH_CHARS) == r.geohash, (
             r.c_custkey, r.geohash)
+
+
+def test_clustering_audit_separates_layouts(spark, specs):
+    """The audit must measure what clustering is FOR: the band layout
+    reads ~1 file per point lookup, the hash layout reads all of
+    them."""
+    rows = {r.layout: r for r in specs["storage_clustering_audit"].fn(spark, SF_SMOKE).collect()}
+    assert rows["clustered"].max_depth <= 2
+    assert rows["unclustered"].max_depth == rows["unclustered"].n_files
+    assert rows["clustered"].avg_depth_permille < rows["unclustered"].avg_depth_permille / 4

@@ -432,6 +432,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "streaming corpus intake (gate + cross-batch dedup ledger)": [
             "stream_corpus_ingest"
         ],
+        "footer-stats clustering audit (stabbing depth per layout)": [
+            "storage_clustering_audit"
+        ],
         "audio landmark fingerprint matching (real WAV peaks)": [
             "mm_audio_fingerprint"
         ],
