@@ -1988,3 +1988,160 @@ SPECS.append(
         tags=("llm", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_archive — portable Bloom-filter dedup vs an archive
+# ---------------------------------------------------------------------------
+
+_BF_K = 5         # hash functions
+_BF_BITS_PER_KEY = 16  # m = 16·n_keys → ~31% fill, FPP ≈ 0.3%
+
+
+def dedup_bloom_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup of incoming documents against an archive via a BLOOM
+    filter — the membership pattern for "have I seen this content?"
+    at 100 TB, where the archive's exact hash set is too big to
+    broadcast but its Bloom filter (m bits) always fits. The filter
+    is built PORTABLY: k=5 bit positions per content hash derived
+    from the shared h32, the filter is the distinct-position set, and
+    an incoming doc is 'maybe seen' iff all k of its positions are
+    present — identical semantics in both engines, so even the FALSE
+    POSITIVES hash-match the oracle (m is sized small on purpose so
+    the fixture exercises them).
+
+    Output is the per-batch audit: incoming count, exact dups
+    (ground truth via hash anti-join), Bloom maybes, and measured
+    false positives. Structural guarantee — no false negative is
+    possible (every archived key set all its bits) — is pinned by an
+    invariant test, and `exact_seen <= bloom_maybe` is visible in the
+    row itself.
+
+    Scale shape: the filter build is one distinct-agg over the
+    archive (output ≤ m rows — broadcastable by construction); the
+    membership test is a broadcast semi-join per position with a
+    count==k gate; ground truth is a hash semi-join. No UDFs, no
+    driver state."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    canon_h = h32(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    keyed = docs.select("doc_id", canon_h.alias("h"))
+    archive = keyed.filter(F.col("doc_id") % 3 != 0)
+    incoming = keyed.filter(F.col("doc_id") % 3 == 0)
+    m_row = archive.agg(
+        (F.countDistinct("h") * _BF_BITS_PER_KEY).alias("m_bits")
+    )
+
+    def positions(df):
+        return df.join(F.broadcast(m_row)).select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        (h32(F.concat(F.lit(f"bf{i}:"), F.col("h").cast("string")))
+                         % F.col("m_bits")).alias("p")
+                        for i in range(_BF_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bloom_bits = positions(archive).select("pos").distinct()
+    hits = (
+        positions(incoming)
+        .join(F.broadcast(bloom_bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.countDistinct("pos").alias("k_hit"))
+        .filter(F.col("k_hit") == _BF_K)
+        .select("doc_id")
+    )
+    exact = incoming.join(
+        archive.select("h").distinct(), "h", "left_semi"
+    ).select("doc_id")
+    flagged = (
+        incoming.select("doc_id")
+        .join(hits.withColumn("bloom_maybe", F.lit(1)), "doc_id", "left")
+        .join(exact.withColumn("exact_seen", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_maybe", F.lit(0)).alias("bloom_maybe"),
+            F.coalesce("exact_seen", F.lit(0)).alias("exact_seen"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+        F.sum("exact_seen").cast("bigint").alias("n_exact_seen"),
+        F.sum("bloom_maybe").cast("bigint").alias("n_bloom_maybe"),
+        F.sum(
+            F.when((F.col("bloom_maybe") == 1) & (F.col("exact_seen") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
+def _bloom_pos_sql(h_expr: str, i: int) -> str:
+    return (
+        f"('0x' || substring(md5('bf{i}:' || CAST({h_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % (SELECT m_bits FROM m)"
+    )
+
+
+def _bloom_oracle() -> str:
+    canon = (
+        "('0x' || substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),"
+        " 1, 8))::BIGINT"
+    )
+    pos_rows = ", ".join(f"({_bloom_pos_sql('h', i)})" for i in range(_BF_K))
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, {canon} AS h FROM documents
+),
+archive AS (SELECT * FROM keyed WHERE doc_id % 3 <> 0),
+incoming AS (SELECT * FROM keyed WHERE doc_id % 3 = 0),
+m AS (SELECT COUNT(DISTINCT h) * {_BF_BITS_PER_KEY} AS m_bits FROM archive),
+bloom_bits AS (
+    SELECT DISTINCT unnest([{pos_rows}]) AS pos FROM archive
+),
+inc_pos AS (
+    SELECT doc_id, h, unnest([{pos_rows}]) AS pos FROM incoming
+),
+hits AS (
+    SELECT doc_id FROM (
+        SELECT i.doc_id, COUNT(DISTINCT i.pos) AS k_hit
+        FROM inc_pos i JOIN bloom_bits b USING (pos)
+        GROUP BY i.doc_id
+    ) WHERE k_hit = {_BF_K}
+),
+exact AS (
+    SELECT DISTINCT i.doc_id FROM incoming i
+    WHERE i.h IN (SELECT h FROM archive)
+),
+flagged AS (
+    SELECT k.doc_id,
+           CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS bloom_maybe,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_seen
+    FROM incoming k
+    LEFT JOIN hits h ON k.doc_id = h.doc_id
+    LEFT JOIN exact e ON k.doc_id = e.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(exact_seen) AS BIGINT) AS n_exact_seen,
+       CAST(SUM(bloom_maybe) AS BIGINT) AS n_bloom_maybe,
+       CAST(SUM(CASE WHEN bloom_maybe = 1 AND exact_seen = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM flagged
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_bloom_archive",
+        dedup_bloom_archive,
+        _bloom_oracle(),
+        doc="portable Bloom-filter archive dedup with measured false-positive audit",
+        tags=("llm", "dedup", "scale"),
+    )
+)

@@ -1362,3 +1362,101 @@ SPECS.append(
         tags=("window", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_mtd_ytd — calendar running totals + same-month-last-year comparison
+# ---------------------------------------------------------------------------
+
+
+def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar BI running totals: per order MONTH, the month's
+    revenue, the year-to-date cumulative, and the year-over-year
+    ratio against the same month last year (basis points, integer
+    division — no float drift). The fact aggregates once to month
+    grain; every window and the YoY self-join then run on the
+    MONTHS relation (≤ a few hundred rows at any corpus size), so
+    the plan is one fact shuffle + dimension-sized windows — the
+    shape a 100 TB revenue dashboard needs.
+
+    All money stays DECIMAL (order-free partial sums); YoY is NULL
+    for months with no prior-year counterpart rather than a fake 0."""
+    rev = F.col("o_totalprice").cast("decimal(18,2)")
+    months = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(rev).alias("month_rev"))
+    )
+    w_ytd = (
+        Window.partitionBy("yr")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = months.withColumn("ytd_rev", F.sum("month_rev").over(w_ytd))
+    prior = months.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("month_rev").alias("prev_year_rev"),
+    )
+    return (
+        cur.join(prior, ["yr", "mo"], "left")
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mo").cast("int").alias("mo"),
+            # DECIMAL through every sum, double only at the output
+            # boundary (the repo-wide oracle-match discipline)
+            F.col("month_rev").cast("double").alias("month_rev"),
+            F.col("ytd_rev").cast("double").alias("ytd_rev"),
+            F.col("prev_year_rev").cast("double").alias("prev_year_rev"),
+            # basis points via exact integer CENTS: DECIMAL '//' rounds
+            # differently across engines, BIGINT div does not
+            F.when(
+                F.col("prev_year_rev") > 0,
+                F.expr(
+                    "CAST(month_rev * 100 AS BIGINT) * 10000 "
+                    "div CAST(prev_year_rev * 100 AS BIGINT)"
+                ),
+            ).alias("yoy_bp"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+WIN_MTD_YTD_ORACLE = """
+WITH months AS (
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
+    FROM orders GROUP BY 1, 2
+),
+cur AS (
+    SELECT *,
+           SUM(month_rev) OVER (PARTITION BY yr ORDER BY mo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd_rev
+    FROM months
+)
+SELECT CAST(c.yr AS INTEGER) AS yr,
+       CAST(c.mo AS INTEGER) AS mo,
+       CAST(c.month_rev AS DOUBLE) AS month_rev,
+       CAST(c.ytd_rev AS DOUBLE) AS ytd_rev,
+       CAST(p.month_rev AS DOUBLE) AS prev_year_rev,
+       CASE WHEN p.month_rev > 0 THEN
+           CAST(CAST(c.month_rev * 100 AS BIGINT) * 10000
+                // CAST(p.month_rev * 100 AS BIGINT) AS BIGINT)
+       END AS yoy_bp
+FROM cur c
+LEFT JOIN months p ON p.yr = c.yr - 1 AND p.mo = c.mo
+ORDER BY yr, mo
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_mtd_ytd",
+        win_mtd_ytd,
+        WIN_MTD_YTD_ORACLE,
+        doc="calendar YTD running totals + integer-exact YoY basis points on the months relation",
+        tags=("window", "analytics"),
+    )
+)

@@ -368,6 +368,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "join_null_aware_anti",
     "geo_geohash_encode",
     "storage_clustering_audit",
+    "dedup_bloom_archive",
+    "win_mtd_ytd",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1015,3 +1015,14 @@ def test_clustering_audit_separates_layouts(spark, specs):
     assert rows["clustered"].max_depth <= 2
     assert rows["unclustered"].max_depth == rows["unclustered"].n_files
     assert rows["clustered"].avg_depth_permille < rows["unclustered"].avg_depth_permille / 4
+
+
+def test_bloom_archive_has_no_false_negatives(spark, specs):
+    """Structural Bloom guarantee: every exact duplicate is flagged
+    (bloom ∧ exact == exact), and the measured FPP stays within 10x
+    the design point (k=5, 16 bits/key → ~0.3%)."""
+    r = specs["dedup_bloom_archive"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_bloom_maybe - r.n_false_pos == r.n_exact_seen
+    fresh = r.n_incoming - r.n_exact_seen
+    if fresh:
+        assert r.n_false_pos / fresh <= 0.03

@@ -260,6 +260,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "heavy-change detection (top-N |Δcount| across window midpoint)": [
             "analytic_heavy_change"
         ],
+        "calendar YTD totals + integer-exact YoY basis points": [
+            "win_mtd_ytd"
+        ],
         "bitwise scalar + BIT_AND/OR/XOR aggregate surface": [
             "fn_bitwise_ops"
         ],
@@ -372,6 +375,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "per-cluster canonical election (keep argmax quality)": [
             "dedup_keep_best"
+        ],
+        "portable Bloom-filter archive dedup (measured FPP audit)": [
+            "dedup_bloom_archive"
         ],
     },
     "North-star: similarity search": {
