@@ -1426,3 +1426,73 @@ SPECS.append(
         tags=("llm", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_active_learning_select — uncertainty sampling with per-source caps
+# ---------------------------------------------------------------------------
+
+_AL_PER_SOURCE_CAP = 3  # diversity constraint: ≤3 picks per source
+_AL_BUDGET = 20         # annotation budget (global top-K)
+
+
+def wf_active_learning_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection: route the documents the
+    quality classifier is LEAST SURE about to annotation —
+    uncertainty sampling (margin |score − ½| ascending) under a
+    per-source cap so one domain can't monopolize the labeling
+    budget. Reuses `text_quality_logreg`'s rational-sigmoid scores
+    (bit-identical across engines by construction), so the selection
+    itself hash-matches.
+
+    Shape: score is a narrow map; the cap is a per-SOURCE rank window
+    (key-partitioned); the final budget cut is orderBy+limit —
+    TakeOrderedAndProject's bounded per-partition heaps, never a
+    global sort. Total order everywhere (doc_id tiebreak), so the
+    selected batch is reproducible run to run — an annotation-audit
+    requirement, not a nicety."""
+    from .text_analysis import text_quality_logreg  # noqa: PLC0415
+
+    scored = text_quality_logreg(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "score",
+        F.round(F.abs(F.col("score") - 0.5), 6).alias("uncertainty"),
+    )
+    w = Window.partitionBy("source").orderBy("uncertainty", "doc_id")
+    capped = (
+        scored.withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("src_rank") <= _AL_PER_SOURCE_CAP)
+    )
+    return capped.orderBy("uncertainty", "doc_id").limit(_AL_BUDGET)
+
+
+def _al_oracle() -> str:
+    from .text_analysis import TEXT_QUALITY_LOGREG_ORACLE  # noqa: PLC0415
+
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source, score,
+           round(abs(score - 0.5), 6) AS uncertainty
+    FROM ({TEXT_QUALITY_LOGREG_ORACLE})
+),
+capped AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY uncertainty, doc_id) AS INTEGER) AS src_rank
+    FROM scored
+)
+SELECT doc_id, source, score, uncertainty, src_rank
+FROM capped WHERE src_rank <= {_AL_PER_SOURCE_CAP}
+ORDER BY uncertainty, doc_id LIMIT {_AL_BUDGET}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "wf_active_learning_select",
+        wf_active_learning_select,
+        _al_oracle(),
+        doc="uncertainty-sampling annotation batch with per-source caps, reproducible order",
+        tags=("llm", "workflow"),
+    )
+)

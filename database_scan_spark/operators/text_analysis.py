@@ -2260,3 +2260,95 @@ SPECS.append(
         tags=("llm", "text", "stats", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_watermark_detect — green-list watermark detection (integer z-test)
+# ---------------------------------------------------------------------------
+
+_WM_Z = 2  # flag threshold (z > 2 ≈ 2.3% false-positive rate under H0)
+
+
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-text WATERMARK detection, Kirchenbauer et al. (ICML
+    2023) shape: a watermarking generator boosts tokens from a
+    "green list" keyed by the previous token's hash (γ=0.5 split);
+    the detector counts, per document, how many bigram transitions
+    land green and z-tests the excess over the γ·m expectation. On
+    un-watermarked text the green fraction concentrates at 1/2, so
+    flags are the z>2 false-positive tail — the invariant test pins
+    that rate, and any upstream generator using this green rule
+    becomes detectable with no model in the loop.
+
+    All arithmetic is INTEGER: with γ=1/2 the z>z₀ test is
+    (2g−m)² > z₀²·m ∧ 2g>m — no sqrt, no floats, exact in both
+    engines. One shingle-style explode + per-doc hash agg; scales
+    like every other shingle op in this module."""
+    from ._helpers import h32, spread  # noqa: PLC0415
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), '→', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    per_doc = grams.select(
+        "doc_id", (h32(F.col("bigram")) % 2 == 0).cast("int").alias("green")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("green").cast("bigint").alias("g"),
+    )
+    excess = F.col("g") * 2 - F.col("m")
+    return per_doc.select(
+        "doc_id",
+        "m",
+        "g",
+        F.expr("g * 1000 div m").alias("green_permille"),
+        (
+            (excess > 0) & (excess * excess > F.lit(_WM_Z * _WM_Z) * F.col("m"))
+        ).cast("int").alias("wm_flag"),
+    )
+
+
+TEXT_WATERMARK_DETECT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || chr(8594) || t[i + 1])) AS bigram
+    FROM t
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(CASE WHEN ('0x' || substring(md5(bigram), 1, 8))::BIGINT % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS g
+    FROM grams GROUP BY doc_id
+)
+SELECT doc_id, m, g,
+       CAST(g * 1000 // m AS BIGINT) AS green_permille,
+       CAST(CASE WHEN g * 2 - m > 0
+                  AND (g * 2 - m) * (g * 2 - m) > {_WM_Z * _WM_Z} * m
+             THEN 1 ELSE 0 END AS INTEGER) AS wm_flag
+FROM per_doc
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_watermark_detect",
+        text_watermark_detect,
+        TEXT_WATERMARK_DETECT_ORACLE,
+        doc="green-list watermark detection (Kirchenbauer shape), integer z-test, no floats",
+        tags=("llm", "text"),
+    )
+)

@@ -370,6 +370,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "storage_clustering_audit",
     "dedup_bloom_archive",
     "win_mtd_ytd",
+    "text_watermark_detect",
+    "wf_active_learning_select",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

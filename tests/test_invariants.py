@@ -1026,3 +1026,17 @@ def test_bloom_archive_has_no_false_negatives(spark, specs):
     fresh = r.n_incoming - r.n_exact_seen
     if fresh:
         assert r.n_false_pos / fresh <= 0.03
+
+
+def test_watermark_detector_null_rate(spark, specs):
+    """On un-watermarked text the green fraction is a fair coin, so
+    the z>2 flag rate must sit in the one-sided normal tail — allow
+    [0, 8%] at fixture scale (expected ≈2.3%), and the corpus mean
+    green rate must be near 1/2."""
+    df = specs["text_watermark_detect"].fn(spark, SF_SMOKE)
+    row = df.agg(
+        F.avg("wm_flag").alias("flag_rate"),
+        (F.sum("g") / F.sum("m")).alias("green_rate"),
+    ).collect()[0]
+    assert row.flag_rate <= 0.08
+    assert 0.45 < row.green_rate < 0.55

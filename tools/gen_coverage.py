@@ -473,6 +473,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "chat-template SFT rendering with char-offset loss-mask boundary": [
             "wf_sft_format"
         ],
+        "green-list watermark detection (integer z-test, no floats)": [
+            "text_watermark_detect"
+        ],
+        "active-learning batch selection (uncertainty + per-source caps)": [
+            "wf_active_learning_select"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
