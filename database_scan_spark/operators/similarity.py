@@ -1823,3 +1823,112 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives — contrastive-training hard-negative mining
+# ---------------------------------------------------------------------------
+
+HN_NEGS = 3  # hard negatives per query
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive embedding training: for
+    each query, the top different-label neighbors by cosine (the
+    negatives the model currently confuses most) together with the
+    best same-label positive's similarity and the margin — a
+    violated margin (negative outranking the positive) is exactly
+    the triplet a trainer wants in the next batch. This is the
+    training-data complement of `sim_topk_filtered` (which retrieves
+    the positives).
+
+    One scored pass (broadcast query batch over a single corpus
+    scan, persisted), then a per-query MAX for the positive side and
+    a per-query rank window for the negative side — both partitioned
+    by query_id, no second corpus scan, no cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("nlabel"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "nlabel",
+            F.round(_dot(F.col("qe"), F.col("ne")), 6).alias("sim"),
+        )
+        .persist()
+    )
+    pos = (
+        scored.filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    negs = (
+        scored.filter(F.col("nlabel") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HN_NEGS)
+    )
+    return negs.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.col("nlabel").cast("bigint").alias("neg_label"),
+        F.col("sim").alias("neg_sim"),
+        "pos_sim",
+        F.round(F.col("pos_sim") - F.col("sim"), 6).alias("margin"),
+        (F.col("sim") >= F.col("pos_sim")).cast("int").alias("violation"),
+    )
+
+
+def _hard_neg_oracle() -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+           round(list_dot_product(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+    FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+),
+pos AS (
+    SELECT query_id, MAX(sim) AS pos_sim FROM scored
+    WHERE nlabel = qlabel GROUP BY query_id
+),
+negs AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored WHERE nlabel <> qlabel
+)
+SELECT n.query_id, n.rank, n.neighbor_id,
+       CAST(n.nlabel AS BIGINT) AS neg_label,
+       n.sim AS neg_sim,
+       p.pos_sim,
+       round(p.pos_sim - n.sim, 6) AS margin,
+       CAST(n.sim >= p.pos_sim AS INTEGER) AS violation
+FROM negs n JOIN pos p USING (query_id)
+WHERE n.rank <= {HN_NEGS}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_hard_negatives",
+        sim_hard_negatives,
+        _hard_neg_oracle(),
+        doc="contrastive hard-negative mining: top diff-label neighbors + margin violations",
+        tags=("llm", "similarity"),
+    )
+)

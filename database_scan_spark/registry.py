@@ -372,6 +372,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "win_mtd_ytd",
     "text_watermark_detect",
     "wf_active_learning_select",
+    "sim_hard_negatives",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

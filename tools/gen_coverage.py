@@ -396,6 +396,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "JL random-projection dim reduction + exact distortion audit": [
             "sim_random_projection"
         ],
+        "contrastive hard-negative mining (margin violations)": [
+            "sim_hard_negatives"
+        ],
     },
     "North-star: multimodal": {
         "decode / feature-extract": [
