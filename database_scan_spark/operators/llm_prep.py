@@ -1496,3 +1496,106 @@ SPECS.append(
         tags=("llm", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# wf_dpo_pair_builder — preference pairs from near-dup variants + quality
+# ---------------------------------------------------------------------------
+
+
+def wf_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training:
+    verified near-duplicate documents are treated as VARIANTS of the
+    same underlying content (paraphrase pairs), and the quality
+    classifier's score orders each pair into (chosen, rejected) with
+    the score gap as the preference strength. Composes two registered
+    legs verbatim — `dedup_ngram_jaccard`'s verified pairs and
+    `text_quality_logreg`'s bit-identical scores — so the preference
+    set inherits both oracles. Ties break to the lower doc_id and are
+    flagged rather than dropped (a DPO trainer usually filters
+    tie=1, but that's the consumer's call).
+
+    Shape: the pair relation is near-dup-sized; scores attach via two
+    hash joins (AQE broadcasts the pair side); one narrow projection
+    orders each pair. Nothing here rescans the corpus."""
+    from .dedup import dedup_ngram_jaccard  # noqa: PLC0415
+    from .text_analysis import text_quality_logreg  # noqa: PLC0415
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    scores = text_quality_logreg(spark, sf_dir).select("doc_id", "score")
+    joined = (
+        pairs.join(
+            scores.select(F.col("doc_id").alias("doc_a"), F.col("score").alias("score_a")),
+            "doc_a",
+        ).join(
+            scores.select(F.col("doc_id").alias("doc_b"), F.col("score").alias("score_b")),
+            "doc_b",
+        )
+    )
+    a_wins = (F.col("score_a") > F.col("score_b")) | (
+        (F.col("score_a") == F.col("score_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return joined.select(
+        F.least("doc_a", "doc_b").alias("prompt_id"),
+        F.when(a_wins, F.col("doc_a")).otherwise(F.col("doc_b")).alias("chosen_id"),
+        F.when(a_wins, F.col("doc_b")).otherwise(F.col("doc_a")).alias("rejected_id"),
+        F.when(a_wins, F.col("score_a")).otherwise(F.col("score_b")).alias("chosen_score"),
+        F.when(a_wins, F.col("score_b")).otherwise(F.col("score_a")).alias("rejected_score"),
+        F.round(F.abs(F.col("score_a") - F.col("score_b")), 6).alias("score_gap"),
+        (F.col("score_a") == F.col("score_b")).cast("int").alias("tie"),
+    )
+
+
+def _dpo_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD  # noqa: PLC0415
+    from .text_analysis import TEXT_QUALITY_LOGREG_ORACLE  # noqa: PLC0415
+
+    return f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN generate_series(1, greatest(len(t) - 2, 0))
+           ])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {JACCARD_THRESHOLD}
+),
+scores AS (
+    SELECT doc_id, score FROM ({TEXT_QUALITY_LOGREG_ORACLE})
+),
+joined AS (
+    SELECT p.doc_a, p.doc_b, x.score AS score_a, y.score AS score_b,
+           (x.score > y.score OR (x.score = y.score AND p.doc_a < p.doc_b)) AS a_wins
+    FROM pairs p JOIN scores x ON p.doc_a = x.doc_id
+                 JOIN scores y ON p.doc_b = y.doc_id
+)
+SELECT LEAST(doc_a, doc_b) AS prompt_id,
+       CASE WHEN a_wins THEN doc_a ELSE doc_b END AS chosen_id,
+       CASE WHEN a_wins THEN doc_b ELSE doc_a END AS rejected_id,
+       CASE WHEN a_wins THEN score_a ELSE score_b END AS chosen_score,
+       CASE WHEN a_wins THEN score_b ELSE score_a END AS rejected_score,
+       round(abs(score_a - score_b), 6) AS score_gap,
+       CAST(score_a = score_b AS INTEGER) AS tie
+FROM joined
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "wf_dpo_pair_builder",
+        wf_dpo_pair_builder,
+        _dpo_oracle(),
+        doc="DPO preference pairs: near-dup variants ordered by quality score, gap + tie flag",
+        tags=("llm", "workflow"),
+    )
+)

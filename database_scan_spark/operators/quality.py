@@ -1681,3 +1681,131 @@ SPECS.append(
         tags=("quality", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_split_leakage_audit — cross-split near-dup contamination
+# ---------------------------------------------------------------------------
+
+
+def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: count verified near-duplicate pairs
+    that STRADDLE the corpus split — a near-dup of a test document
+    sitting in train silently inflates eval scores (the Lee et al.
+    deduplication finding). Composes two registered legs verbatim:
+    `split_train_test`'s hash-range assignment (so the audit reflects
+    the REAL split rule, not a test-only re-derivation) and
+    `dedup_ngram_jaccard`'s verified pairs. Output: one row per
+    ordered split pair (train→test, train→val, …) with the pair count
+    and an order-free doc-id checksum, plus within-split pairs for
+    the denominator.
+
+    Shape: the pair relation is near-dup-sized (tiny vs the corpus);
+    two broadcast joins tag each side's split; one hash agg. At any
+    corpus size the expensive step is the pair generation the dedup
+    family already optimized — the audit itself is free."""
+    from ._helpers import h32  # noqa: PLC0415
+    from .dedup import dedup_ngram_jaccard  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    bucket = h32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    tags = docs.select("doc_id", split.alias("split"))
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    tagged = (
+        pairs.join(
+            F.broadcast(tags.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(tags.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))),
+            "doc_b",
+        )
+        # canonical unordered split pair: (min, max) by split name
+        .select(
+            F.least("split_a", "split_b").alias("s_lo"),
+            F.greatest("split_a", "split_b").alias("s_hi"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return (
+        tagged.groupBy("s_lo", "s_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                h32(F.col("doc_a").cast("string")) + h32(F.col("doc_b").cast("string"))
+            )
+            .cast("bigint")
+            .alias("pairs_checksum"),
+            (F.col("s_lo") != F.col("s_hi")).cast("int").alias("is_leakage"),
+        )
+        .select("s_lo", "s_hi", "is_leakage", "n_pairs", "pairs_checksum")
+        .orderBy("s_lo", "s_hi")
+    )
+
+
+DQ_SPLIT_LEAKAGE_AUDIT_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN generate_series(1, greatest(len(t) - 2, 0))
+           ])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {{thr}}
+),
+tags AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                THEN 'train'
+                WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+),
+tagged AS (
+    SELECT LEAST(ta.split, tb.split) AS s_lo,
+           GREATEST(ta.split, tb.split) AS s_hi,
+           p.doc_a, p.doc_b
+    FROM pairs p JOIN tags ta ON p.doc_a = ta.doc_id
+                 JOIN tags tb ON p.doc_b = tb.doc_id
+)
+SELECT s_lo, s_hi,
+       CAST(s_lo <> s_hi AS INTEGER) AS is_leakage,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(('0x' || substring(md5(CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT
+              + ('0x' || substring(md5(CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS pairs_checksum
+FROM tagged
+GROUP BY s_lo, s_hi
+ORDER BY s_lo, s_hi
+"""
+
+
+def _leakage_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD  # noqa: PLC0415
+
+    return DQ_SPLIT_LEAKAGE_AUDIT_ORACLE.replace("{thr}", str(JACCARD_THRESHOLD))
+
+
+SPECS.append(
+    QuerySpec(
+        "dq_split_leakage_audit",
+        dq_split_leakage_audit,
+        _leakage_oracle(),
+        doc="cross-split near-dup contamination audit over the real split rule",
+        tags=("quality", "llm"),
+    )
+)

@@ -373,6 +373,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_watermark_detect",
     "wf_active_learning_select",
     "sim_hard_negatives",
+    "dq_split_leakage_audit",
+    "wf_dpo_pair_builder",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -482,6 +482,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "active-learning batch selection (uncertainty + per-source caps)": [
             "wf_active_learning_select"
         ],
+        "cross-split near-dup leakage audit (real split rule)": [
+            "dq_split_leakage_audit"
+        ],
+        "DPO preference pairs from near-dup variants + quality order": [
+            "wf_dpo_pair_builder"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
