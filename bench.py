@@ -113,6 +113,11 @@ HEADLINE = [
     "mm_thumbnail_real",
     "analytic_heavy_change",
     "pipeline_pretrain_batches",
+    "dedup_bloom_archive",
+    "text_watermark_detect",
+    "storage_clustering_audit",
+    "geo_geohash_encode",
+    "stream_corpus_ingest",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

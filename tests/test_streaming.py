@@ -283,3 +283,38 @@ def test_python_stream_source_checkpoint_resume_exactly_once(spark):
     assert committed.count() == total_rows  # resume added ONLY the new pages
     # and nothing was double-counted
     assert committed.select("edge_id").distinct().count() == total_rows
+
+
+def test_corpus_ingest_rerun_idempotent_and_ledger_monotone(spark):
+    """stream_corpus_ingest: a re-run from a fresh checkpoint must
+    reproduce the identical manifest (batchId-keyed sinks are
+    idempotent), and the cross-batch ledger must make per-batch new
+    docs disjoint: total new docs == distinct canonical hashes among
+    gated docs (each content admitted exactly once)."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import h32
+    from database_scan_spark.streaming.jobs import (
+        _SCI_MAX_WORD_LEN,
+        _SCI_MIN_TOKENS,
+        stream_corpus_ingest,
+    )
+
+    a = sorted(map(tuple, stream_corpus_ingest(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, stream_corpus_ingest(spark, SF_SMOKE).collect()))
+    assert a == b
+
+    docs = load(spark, SF_SMOKE, "documents")
+    n_ws = F.size(F.split("text", " "))
+    gated = docs.filter(
+        (n_ws >= _SCI_MIN_TOKENS)
+        & ((F.length("text") - n_ws + 1) / n_ws <= _SCI_MAX_WORD_LEN)
+    )
+    distinct_contents = (
+        gated.select(h32(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r[1] for r in a) == distinct_contents
