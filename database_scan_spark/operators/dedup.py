@@ -2145,3 +2145,161 @@ SPECS.append(
         tags=("llm", "dedup", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_oph — one-permutation MinHash with rotation densification
+# ---------------------------------------------------------------------------
+
+_OPH_K = 32              # signature bins
+_OPH_C = 1_000_003       # densification offset multiplier (prime)
+_OPH_PACK = 1 << 33      # packs (rotation distance, value) into one BIGINT
+
+
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation Hashing MinHash (Li, Owen, Zhang NIPS'12) with
+    rotation densification (Shrivastava & Li ICML'14): ONE hash per
+    shingle, binned into K=32 slots whose per-slot minima form the
+    signature — versus the classic K-hashes-per-shingle signature in
+    ``dedup_minhash_lsh`` this is a K× cheaper signature pass, which
+    is exactly the term that dominates MinHash cost at 100 TB. Empty
+    bins borrow the next non-empty bin's value cyclically, offset by
+    the rotation distance so borrowed values never fake a match.
+
+    The op audits the estimator where ground truth exists: for every
+    exact-verified near-dup pair, the matching-bin estimate vs the
+    exact Jaccard (both in permille, pure integers). Densification is
+    a bounded K×K-per-doc self-join (a CONSTANT 1024 rows per doc —
+    linear overall); the estimate join is signature-sized. Everything
+    is integer arithmetic on the shared h32, so both engines produce
+    the identical signature, bin for bin."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    sh = _shingle_df(spark, sf_dir)
+    hv = h32(F.concat(F.lit("oph:"), F.col("shingle")))
+    raw = (
+        sh.select(
+            "doc_id",
+            (hv % _OPH_K).cast("int").alias("bin"),
+            hv.alias("hv"),
+        )
+        .select("doc_id", "bin", F.expr(f"hv div {_OPH_K}").alias("val"))
+        .groupBy("doc_id", "bin")
+        .agg(F.min("val").alias("val"))
+    )
+    bins = (
+        raw.select("doc_id").distinct()
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(_OPH_K - 1))).alias("j"))
+    )
+    dense = (
+        bins.join(raw.select("doc_id", F.col("bin").alias("src"), "val"), "doc_id")
+        .select(
+            "doc_id",
+            "j",
+            ((F.col("src") - F.col("j") + _OPH_K) % _OPH_K).alias("t"),
+            "val",
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min(F.col("t") * _OPH_PACK + F.col("val")).alias("packed"))
+        .select(
+            "doc_id",
+            "j",
+            (F.col("packed") % _OPH_PACK
+             + F.expr(f"(packed div {_OPH_PACK})") * _OPH_C).alias("sig"),
+        )
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    sa = dense.select(F.col("doc_id").alias("doc_a"), "j", F.col("sig").alias("sig_a"))
+    sb = dense.select(F.col("doc_id").alias("doc_b"), "j", F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")).alias("matches"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("matches").cast("int").alias("matches"),
+            F.expr(f"matches * 1000 div {_OPH_K}").alias("est_permille"),
+            F.expr("CAST(round(jaccard * 1000) AS BIGINT)").alias("exact_permille"),
+            F.expr(
+                f"abs(matches * 1000 div {_OPH_K} - CAST(round(jaccard * 1000) AS BIGINT))"
+            ).alias("abs_err"),
+        )
+    )
+
+
+DEDUP_MINHASH_OPH_ORACLE = f"""
+WITH sh AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_distinct([
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN generate_series(1, greatest(len(t) - 2, 0))
+           ])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+hv AS MATERIALIZED (
+    SELECT doc_id,
+           ('0x' || substring(md5('oph:' || shingle), 1, 8))::BIGINT AS h
+    FROM sh
+),
+raw AS MATERIALIZED (
+    SELECT doc_id, CAST(h % {_OPH_K} AS INTEGER) AS bin,
+           MIN(h // {_OPH_K}) AS val
+    FROM hv GROUP BY doc_id, bin
+),
+bins AS MATERIALIZED (
+    SELECT DISTINCT doc_id, unnest(range({_OPH_K})) AS j FROM raw
+),
+dense AS MATERIALIZED (
+    SELECT doc_id, j,
+           MIN(((src - j + {_OPH_K}) % {_OPH_K}) * {_OPH_PACK} + val) AS packed
+    FROM (
+        SELECT b.doc_id, b.j, r.bin AS src, r.val
+        FROM bins b JOIN raw r USING (doc_id)
+    )
+    GROUP BY doc_id, j
+),
+sig AS MATERIALIZED (
+    SELECT doc_id, j,
+           packed % {_OPH_PACK} + (packed // {_OPH_PACK}) * {_OPH_C} AS sig
+    FROM dense
+),
+sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT DISTINCT doc_id, shingle FROM sh) a
+    JOIN (SELECT DISTINCT doc_id, shingle FROM sh) b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {{thr}}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS INTEGER) AS matches,
+       CAST(SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) * 1000 // {_OPH_K}
+            AS BIGINT) AS est_permille,
+       CAST(round(p.jaccard * 1000) AS BIGINT) AS exact_permille,
+       abs(CAST(SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) * 1000 // {_OPH_K}
+                AS BIGINT)
+           - CAST(round(p.jaccard * 1000) AS BIGINT)) AS abs_err
+FROM pairs p
+JOIN sig x ON p.doc_a = x.doc_id
+JOIN sig y ON p.doc_b = y.doc_id AND x.j = y.j
+GROUP BY p.doc_a, p.doc_b, p.jaccard
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_minhash_oph",
+        dedup_minhash_oph,
+        DEDUP_MINHASH_OPH_ORACLE.replace("{thr}", str(JACCARD_THRESHOLD)),
+        doc="one-permutation MinHash + rotation densification; estimate audited vs exact Jaccard",
+        tags=("llm", "dedup", "scale"),
+    )
+)

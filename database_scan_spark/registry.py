@@ -375,6 +375,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_hard_negatives",
     "dq_split_leakage_audit",
     "wf_dpo_pair_builder",
+    "dedup_minhash_oph",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1040,3 +1040,18 @@ def test_watermark_detector_null_rate(spark, specs):
     ).collect()[0]
     assert row.flag_rate <= 0.08
     assert 0.45 < row.green_rate < 0.55
+
+
+def test_oph_estimator_within_sampling_error(spark, specs):
+    """OPH-with-densification is an unbiased Jaccard estimator with
+    per-bin variance J(1−J)/K: at K=32 the per-pair σ is ≤ ~88‰, so
+    the mean |error| over the verified pairs must stay below one σ
+    and no single pair may exceed ~3σ."""
+    df = specs["dedup_minhash_oph"].fn(spark, SF_SMOKE)
+    row = df.agg(
+        F.avg("abs_err").alias("mu"), F.max("abs_err").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row.n > 0
+    assert row.mu <= 88
+    assert row.mx <= 265

@@ -379,6 +379,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "portable Bloom-filter archive dedup (measured FPP audit)": [
             "dedup_bloom_archive"
         ],
+        "one-permutation MinHash + rotation densification (K× cheaper signatures)": [
+            "dedup_minhash_oph"
+        ],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
