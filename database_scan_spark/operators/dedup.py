@@ -2303,3 +2303,118 @@ SPECS.append(
         tags=("llm", "dedup", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks — content-defined chunking (shift-robust dedup units)
+# ---------------------------------------------------------------------------
+
+_CDC_D = 8  # boundary divisor: expected chunk length ≈ D tokens
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule): a
+    chunk break falls BETWEEN tokens wherever the bigram hash ≡ 0
+    (mod D), so chunk boundaries move WITH the content — insert a
+    token at the front of a document and every downstream chunk still
+    hashes the same, which is what fixed-offset windows (`
+    wf_chunk_documents`) cannot give and why storage dedup uses CDC.
+    Cross-corpus chunk-hash grouping then surfaces content shared at
+    ANY offset between documents.
+
+    Shape: token explode, a per-document running count of boundary
+    flags (doc-partitioned window — streams, never buffers), chunk
+    reassembly via sorted struct collect, one corpus-wide hash agg on
+    the chunk hash. Returns chunks appearing in ≥2 distinct docs with
+    occurrence stats — the shared-content ledger."""
+    from ._helpers import h32  # noqa: PLC0415
+
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = docs.withColumn(
+        "brk",
+        F.when(
+            (F.col("pos") > 0)
+            & (h32(F.concat(F.lit("cdc:"), F.lag("tok").over(w), F.lit(" "), F.col("tok")))
+               % _CDC_D == 0),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "chunk_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    chunks = (
+        flagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+        .select("doc_id", h32(F.col("chunk_text")).alias("chunk_hash"), "n_tokens")
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+DEDUP_CDC_CHUNKS_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, (i - 1) AS pos, t[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+flagged AS MATERIALIZED (
+    SELECT doc_id, pos, tok,
+           CASE WHEN pos > 0 AND
+                ('0x' || substring(md5('cdc:' ||
+                    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                    || ' ' || tok), 1, 8))::BIGINT % {_CDC_D} = 0
+           THEN 1 ELSE 0 END AS brk
+    FROM toks
+),
+chunked AS MATERIALIZED (
+    SELECT doc_id, pos, tok,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+    FROM flagged
+),
+chunks AS MATERIALIZED (
+    SELECT doc_id,
+           ('0x' || substring(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 8))::BIGINT
+               AS chunk_hash,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens
+    FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(n_tokens) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dedup_cdc_chunks",
+        dedup_cdc_chunks,
+        DEDUP_CDC_CHUNKS_ORACLE,
+        doc="content-defined chunking (rsync/LBFS rule): shift-robust shared-content ledger",
+        tags=("llm", "dedup", "scale"),
+    )
+)

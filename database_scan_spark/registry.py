@@ -376,6 +376,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dq_split_leakage_audit",
     "wf_dpo_pair_builder",
     "dedup_minhash_oph",
+    "dedup_cdc_chunks",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1055,3 +1055,39 @@ def test_oph_estimator_within_sampling_error(spark, specs):
     assert row.n > 0
     assert row.mu <= 88
     assert row.mx <= 265
+
+
+def test_cdc_chunks_survive_a_prefix_shift(spark, tmp_path, specs):
+    """THE content-defined-chunking property: prepending a token to a
+    document shifts every offset, yet all chunks after the first
+    boundary still hash identically — fixed-offset windows share
+    nothing. Build a two-doc corpus (original + prefixed copy) and
+    require most of the token mass to land in shared chunks."""
+    import os
+
+    from database_scan_spark.catalog import load
+
+    text = (
+        load(spark, SF_SMOKE, "documents")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]["text"]
+    )
+    sf_dir = str(tmp_path / "cdc_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (1, text, "en", "src_1", len(text)),
+            (2, "shiftedprefixtoken " + text, "en", "src_1", len(text) + 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    shared = specs["dedup_cdc_chunks"].fn(spark, sf_dir).collect()
+    n_tokens_total = len(text.split(" "))
+    shared_tokens = sum(r.n_tokens for r in shared)
+    # the prefix can only disturb chunks up to the FIRST boundary
+    # (expected ~D=8 tokens); everything after must be shared
+    assert shared, "no shared chunks after a pure prefix shift"
+    assert shared_tokens >= n_tokens_total - 3 * 8, (
+        shared_tokens, n_tokens_total)

@@ -382,6 +382,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "one-permutation MinHash + rotation densification (K× cheaper signatures)": [
             "dedup_minhash_oph"
         ],
+        "content-defined chunking (shift-robust shared-content ledger)": [
+            "dedup_cdc_chunks"
+        ],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
