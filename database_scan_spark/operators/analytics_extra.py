@@ -3471,3 +3471,194 @@ SPECS.append(
         tags=("core", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_model_eval — train on held-in folds, evaluate on held-out
+# ---------------------------------------------------------------------------
+
+_PME_FOLDS = 5  # fold 4 is the held-out test fold
+
+
+def pipeline_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised TRAIN→EVAL pipeline with a real held-out fold — the
+    discipline `analytic_logreg_gd` (which trains and scores on the
+    same rows) deliberately skips: hash-fold the fact, fit the same
+    hard-sigmoid logistic model by 3 unrolled GD steps on folds 0-3
+    ONLY, then score fold 4 and report held-out accuracy and EXACT
+    AUC. AUC comes from the score HISTOGRAM (tie-averaged ranks in
+    doubled integer units — `analytic_auc`'s trick), so the eval
+    windows run over distinct-score rows, never the fact.
+
+    Every per-step gradient is the proven exact-DECIMAL sum; the
+    fold assignment is the shared h32, so both engines train on the
+    byte-identical subset and the weights — and therefore the
+    held-out metrics — hash-match.
+
+    On THIS fixture the held-out AUC sits at chance (~0.49): the
+    synthetic order priority is independent of price, and unlike a
+    train-set confusion matrix, a held-out metric cannot be flattered
+    by overfitting — reporting "no signal" here is the pipeline
+    working. The planted-signal invariant test proves the same
+    pipeline reaches AUC > 0.93 when the label actually depends on
+    the feature."""
+    orders = load(spark, sf_dir, "orders")
+    fold = h32(F.concat(F.lit("fold:"), F.col("o_orderkey").cast("string"))) % _PME_FOLDS
+    base = orders.select(
+        F.round(F.col("o_totalprice") / F.lit(LOGREG_XSCALE), 9).alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
+        fold.alias("fold"),
+    )
+    train = base.filter(F.col("fold") < _PME_FOLDS - 1)
+    test = base.filter(F.col("fold") == _PME_FOLDS - 1)
+
+    D = "decimal(28,12)"
+    w = spark.range(1).select(F.lit(0.0).alias("w"), F.lit(0.0).alias("b"))
+    for _ in range(LOGREG_STEPS):
+        j = train.crossJoin(F.broadcast(w))
+        z = F.col("w") * F.col("x") + F.col("b")
+        p = F.least(F.greatest(z * 0.25 + 0.5, F.lit(0.0)), F.lit(1.0))
+        err = p - F.col("y")
+        g = j.agg(
+            F.sum(F.round(err * F.col("x"), 12).cast(D)).alias("sgw"),
+            F.sum(F.round(err, 12).cast(D)).alias("sgb"),
+            F.count(F.lit(1)).alias("n"),
+            F.first("w").alias("w0"),
+            F.first("b").alias("b0"),
+        )
+        w = g.select(
+            F.round(
+                F.col("w0") - F.lit(LOGREG_LR) * F.col("sgw").cast("double") / F.col("n"),
+                12,
+            ).alias("w"),
+            F.round(
+                F.col("b0") - F.lit(LOGREG_LR) * F.col("sgb").cast("double") / F.col("n"),
+                12,
+            ).alias("b"),
+        )
+
+    scored = test.crossJoin(F.broadcast(w)).select(
+        "y",
+        F.round(
+            F.least(
+                F.greatest((F.col("w") * F.col("x") + F.col("b")) * 0.25 + 0.5, F.lit(0.0)),
+                F.lit(1.0),
+            ),
+            9,
+        ).alias("p"),
+        F.col("w"),
+        F.col("b"),
+    )
+    hist = scored.groupBy("p", "w", "b").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).alias("neg"),
+    )
+    w_cum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "p",
+        "w",
+        "b",
+        "pos",
+        "neg",
+        (
+            F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(w_cum), F.lit(0)) * 2
+            + F.col("pos")
+            + F.col("neg")
+            + 1
+        ).alias("rank2"),
+    )
+    return ranked.agg(
+        F.first("w").alias("w"),
+        F.first("b").alias("b"),
+        F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n_test"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.when(
+                (F.col("p") >= 0.5), F.col("pos")
+            ).otherwise(F.col("neg"))
+        ).cast("bigint").alias("n_correct"),
+        F.sum(F.col("pos") * F.col("rank2")).cast("bigint").alias("sum_rank2_pos"),
+    ).select(
+        "w",
+        "b",
+        "n_test",
+        "n_pos",
+        "n_neg",
+        F.expr("n_correct * 1000 div n_test").alias("acc_permille"),
+        F.expr(
+            "(sum_rank2_pos - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)"
+        ).alias("auc_micro"),
+    )
+
+
+def _pme_oracle() -> str:
+    base = f"""
+base AS MATERIALIZED (
+    SELECT round(o_totalprice / {LOGREG_XSCALE!r}, 9) AS x,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+           ('0x' || substring(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % {_PME_FOLDS} AS fold
+    FROM orders
+),
+train AS MATERIALIZED (SELECT x, y FROM base WHERE fold < {_PME_FOLDS - 1}),
+test AS MATERIALIZED (SELECT x, y FROM base WHERE fold = {_PME_FOLDS - 1})"""
+    ctes = [base.strip()]
+    prev_w, prev_b = "0.0", "0.0"
+    for k in range(LOGREG_STEPS):
+        ctes.append(f"""
+g{k} AS MATERIALIZED (
+    SELECT SUM(CAST(round((least(greatest((({prev_w}) * x + ({prev_b})) * 0.25 + 0.5, 0.0), 1.0) - y) * x, 12) AS DECIMAL(28,12))) AS sgw,
+           SUM(CAST(round(least(greatest((({prev_w}) * x + ({prev_b})) * 0.25 + 0.5, 0.0), 1.0) - y, 12) AS DECIMAL(28,12))) AS sgb,
+           COUNT(*) AS n
+    FROM train
+),
+w{k} AS MATERIALIZED (
+    SELECT round(({prev_w}) - {LOGREG_LR!r} * CAST(sgw AS DOUBLE) / n, 12) AS w,
+           round(({prev_b}) - {LOGREG_LR!r} * CAST(sgb AS DOUBLE) / n, 12) AS b
+    FROM g{k}
+)""".strip())
+        prev_w = f"(SELECT w FROM w{k})"
+        prev_b = f"(SELECT b FROM w{k})"
+    wl = LOGREG_STEPS - 1
+    final = f"""
+scored AS MATERIALIZED (
+    SELECT y,
+           round(least(greatest(((SELECT w FROM w{wl}) * x + (SELECT b FROM w{wl})) * 0.25 + 0.5, 0.0), 1.0), 9) AS p
+    FROM test
+),
+hist AS MATERIALIZED (
+    SELECT p,
+           SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos,
+           SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+    FROM scored GROUP BY p
+),
+ranked AS MATERIALIZED (
+    SELECT *,
+           COALESCE(SUM(pos + neg) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+               + pos + neg + 1 AS rank2
+    FROM hist
+)
+SELECT (SELECT w FROM w{wl}) AS w,
+       (SELECT b FROM w{wl}) AS b,
+       CAST(SUM(pos + neg) AS BIGINT) AS n_test,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(SUM(CASE WHEN p >= 0.5 THEN pos ELSE neg END) * 1000
+            // SUM(pos + neg) AS BIGINT) AS acc_permille,
+       CAST((SUM(pos * rank2) - SUM(pos) * (SUM(pos) + 1)) * 1000000
+            // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_micro
+FROM ranked"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final.strip()
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_model_eval",
+        pipeline_model_eval,
+        _pme_oracle(),
+        doc="train on folds 0-3, evaluate fold 4: held-out accuracy + exact histogram AUC",
+        tags=("analytics", "ml", "pipeline"),
+    )
+)

@@ -377,6 +377,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_dpo_pair_builder",
     "dedup_minhash_oph",
     "dedup_cdc_chunks",
+    "pipeline_model_eval",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

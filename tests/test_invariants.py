@@ -1091,3 +1091,28 @@ def test_cdc_chunks_survive_a_prefix_shift(spark, tmp_path, specs):
     assert shared, "no shared chunks after a pure prefix shift"
     assert shared_tokens >= n_tokens_total - 3 * 8, (
         shared_tokens, n_tokens_total)
+
+
+def test_model_eval_learns_planted_signal(spark, tmp_path, specs):
+    """pipeline_model_eval on a corpus with REAL signal (priority
+    deterministically tied to price band) must reach high held-out
+    AUC — proving the chance-level result on the fixture reflects
+    the data, not a broken pipeline."""
+    import os
+
+    rows = []
+    for k in range(2000):
+        price = 50_000.0 + (k % 100) * 4_000.0  # 50k..446k
+        # signal: urgent iff price in the top band, with a small
+        # deterministic noise stripe so AUC < 1
+        urgent = (price > 250_000.0) != (k % 17 == 0)
+        rows.append((k, float(price), "1-URGENT" if urgent else "3-MEDIUM"))
+    sf_dir = str(tmp_path / "pme_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    r = specs["pipeline_model_eval"].fn(spark, sf_dir).collect()[0]
+    assert r.n_test > 100
+    assert r.auc_micro > 930_000, r.auc_micro

@@ -494,6 +494,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "DPO preference pairs from near-dup variants + quality order": [
             "wf_dpo_pair_builder"
         ],
+        "train→held-out-eval pipeline (hash folds, exact histogram AUC)": [
+            "pipeline_model_eval"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
