@@ -3662,3 +3662,122 @@ SPECS.append(
         tags=("analytics", "ml", "pipeline"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_tost_equivalence — two one-sided tests (equivalence testing)
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN_PCT = 5     # equivalence margin: ±5% of the pooled mean
+_TOST_Z_ALPHA = 1.644854  # one-sided z at α = 0.05
+
+
+def analytic_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUIVALENCE testing via TOST (two one-sided tests) — the
+    question `analytic_ab_test` cannot answer: a non-significant
+    difference is NOT evidence of no difference; TOST is. With margin
+    δ = 5% of the pooled mean, the variants are declared equivalent
+    iff BOTH one-sided Welch tests reject: (Δ+δ)/se > z_α and
+    (δ−Δ)/se > z_α — the standard bioequivalence / launch-guardrail
+    procedure ("the new variant changes the metric by less than 5%").
+
+    Same exact-moment discipline as the A/B family: DECIMAL sums,
+    doubles only in the final one-row combine; sqrt is IEEE
+    correctly-rounded (portable across engines, unlike exp/log), so
+    both z's hash-match. One scan, one 2-group aggregate."""
+    ev = load(spark, sf_dir, "events")
+    variant = (h32(F.col("user_id").cast("string")) % 2).alias("variant")
+    per = (
+        ev.select(variant, F.col("value"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).alias("s"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))
+            ).alias("ss"),
+        )
+        .select(
+            "variant",
+            "n",
+            F.col("s").cast("double").alias("s"),
+            F.col("ss").cast("double").alias("ss"),
+        )
+    )
+    a = per.filter(F.col("variant") == 0).alias("a")
+    b = per.filter(F.col("variant") == 1).alias("b")
+    joined = a.crossJoin(b)
+    mean_a = F.col("a.s") / F.col("a.n")
+    mean_b = F.col("b.s") / F.col("b.n")
+    diff = mean_a - mean_b
+    delta = (
+        F.lit(_TOST_MARGIN_PCT / 100.0)
+        * (F.col("a.s") + F.col("b.s"))
+        / (F.col("a.n") + F.col("b.n"))
+    )
+    var_a = (F.col("a.ss") - F.col("a.s") * F.col("a.s") / F.col("a.n")) / (
+        F.col("a.n") - 1
+    )
+    var_b = (F.col("b.ss") - F.col("b.s") * F.col("b.s") / F.col("b.n")) / (
+        F.col("b.n") - 1
+    )
+    se = F.sqrt(var_a / F.col("a.n") + var_b / F.col("b.n"))
+    z_lower = (diff + delta) / se
+    z_upper = (delta - diff) / se
+    return joined.select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(delta, 6).alias("delta_margin"),
+        F.round(z_lower, 6).alias("z_lower"),
+        F.round(z_upper, 6).alias("z_upper"),
+        ((z_lower > _TOST_Z_ALPHA) & (z_upper > _TOST_Z_ALPHA)).cast("int").alias(
+            "equivalent"
+        ),
+    )
+
+
+ANALYTIC_TOST_EQUIVALENCE_ORACLE = f"""
+WITH per AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS ss
+    FROM events GROUP BY 1
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n, 6) AS mean_a,
+       round(b.s / b.n, 6) AS mean_b,
+       round({_TOST_MARGIN_PCT / 100.0} * (a.s + b.s) / (a.n + b.n), 6) AS delta_margin,
+       round(((a.s / a.n - b.s / b.n)
+              + {_TOST_MARGIN_PCT / 100.0} * (a.s + b.s) / (a.n + b.n))
+             / sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n), 6) AS z_lower,
+       round(({_TOST_MARGIN_PCT / 100.0} * (a.s + b.s) / (a.n + b.n)
+              - (a.s / a.n - b.s / b.n))
+             / sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n), 6) AS z_upper,
+       CAST(((a.s / a.n - b.s / b.n)
+              + {_TOST_MARGIN_PCT / 100.0} * (a.s + b.s) / (a.n + b.n))
+             / sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n) > {_TOST_Z_ALPHA}
+            AND ({_TOST_MARGIN_PCT / 100.0} * (a.s + b.s) / (a.n + b.n)
+              - (a.s / a.n - b.s / b.n))
+             / sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n) > {_TOST_Z_ALPHA}
+            AS INTEGER) AS equivalent
+FROM (SELECT * FROM per WHERE variant = 0) a,
+     (SELECT * FROM per WHERE variant = 1) b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_tost_equivalence",
+        analytic_tost_equivalence,
+        ANALYTIC_TOST_EQUIVALENCE_ORACLE,
+        doc="TOST equivalence: both one-sided Welch tests vs a 5%-of-mean margin",
+        tags=("analytics", "stats"),
+    )
+)

@@ -378,6 +378,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dedup_minhash_oph",
     "dedup_cdc_chunks",
     "pipeline_model_eval",
+    "analytic_tost_equivalence",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -497,6 +497,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "train→held-out-eval pipeline (hash folds, exact histogram AUC)": [
             "pipeline_model_eval"
         ],
+        "TOST equivalence testing (both one-sided Welch tests vs margin)": [
+            "analytic_tost_equivalence"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
