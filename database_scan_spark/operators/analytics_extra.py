@@ -3781,3 +3781,147 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_shapley_attribution — exact Shapley channel credit (3 channels)
+# ---------------------------------------------------------------------------
+
+# channel → bitmask bit (fixed order; masks are engine-portable ints)
+_SHAP_CHANNELS = (("click", 1), ("signup", 2), ("view", 4))
+# 6·w(|S|) for n=3: (|S|−1)!·(3−|S|)!  →  |S|=1:2, |S|=2:1, |S|=3:2
+_SHAP_W6 = {1: 2, 2: 1, 3: 2}
+
+
+def analytic_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-value channel attribution — the principled credit rule
+    first/last/linear touch (`analytic_attribution`) approximate: the
+    coalition game's value v(S) is the observed conversion rate of
+    users whose pre-purchase touch set is exactly S, and each
+    channel's credit is Σ_{S∋c} w(|S|)·[v(S) − v(S∖c)] with the
+    Shapley weights. With 3 channels the 8 coalitions enumerate
+    exactly; at ANY corpus size the per-user reduction is one
+    bitmask-OR aggregate and the Shapley combination runs on the
+    ≤8-row coalition table — the fact is touched once.
+
+    Everything integer: touch sets are bitmasks (bit-or agg),
+    conversion rates are micro-units, weights are 6·w (integers), so
+    the output column is exactly 6,000,000 × Shapley. The coalition
+    table rides along so the credit is auditable."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w_first = Window.partitionBy("user_id")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.struct("ts", "event_id"))
+    ).over(w_first)
+    chan_bit = F.when(F.col("event_type") == "click", 1).when(
+        F.col("event_type") == "signup", 2
+    ).when(F.col("event_type") == "view", 4)
+    tagged = ev.select(
+        "user_id",
+        chan_bit.alias("bit"),
+        first_purchase.alias("fp"),
+        F.struct("ts", "event_id").alias("k"),
+    )
+    per_user = (
+        tagged.groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.when(
+                    F.col("bit").isNotNull()
+                    & (F.col("fp").isNull() | (F.col("k") < F.col("fp"))),
+                    F.col("bit"),
+                ).otherwise(0)
+            ).alias("mask"),
+            F.max(F.col("fp").isNotNull().cast("int")).alias("conv"),
+        )
+    )
+    observed = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    ).withColumn("v_obs", F.expr("n_conv * 1000000 div n_users"))
+    # Shapley must run over the FULL 8-subset lattice with v = 0 for
+    # unseen coalitions: summing only observed masks silently drops
+    # the negative marginal through an unseen superset (caught by the
+    # efficiency-identity invariant test).
+    lattice = spark.range(8).select(F.col("id").cast("int").alias("mask"))
+    sets = lattice.join(observed, "mask", "left").select(
+        "mask", F.coalesce(F.col("v_obs"), F.lit(0)).alias("v_micro")
+    )
+    chans = spark.createDataFrame(list(_SHAP_CHANNELS), "channel string, bit int")
+    with_b = sets.crossJoin(F.broadcast(chans)).filter(
+        F.expr("(mask & bit) != 0")
+    )
+    minus = sets.select(
+        F.col("mask").alias("m2"), F.col("v_micro").alias("v_without")
+    )
+    w6 = F.when(F.expr("bit_count(mask)") == 1, _SHAP_W6[1]).when(
+        F.expr("bit_count(mask)") == 2, _SHAP_W6[2]
+    ).otherwise(_SHAP_W6[3])
+    contrib = (
+        with_b.join(minus, F.expr("mask ^ bit") == F.col("m2"), "left")
+        .select(
+            "channel",
+            (
+                w6 * (F.col("v_micro") - F.coalesce(F.col("v_without"), F.lit(0)))
+            ).alias("term"),
+        )
+        .groupBy("channel")
+        .agg(F.sum("term").cast("bigint").alias("shapley_6micro"))
+    )
+    return contrib.orderBy("channel")
+
+
+ANALYTIC_SHAPLEY_ATTRIBUTION_ORACLE = """
+WITH ev AS MATERIALIZED (
+    SELECT user_id, ts, event_id, event_type,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'signup' THEN 2
+                           WHEN 'view' THEN 4 END AS bit
+    FROM events
+),
+fp AS MATERIALIZED (
+    SELECT user_id, MIN(ROW(ts, event_id)) AS fpk
+    FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+),
+per_user AS MATERIALIZED (
+    SELECT e.user_id,
+           COALESCE(bit_or(CASE WHEN e.bit IS NOT NULL
+                    AND (f.fpk IS NULL OR ROW(e.ts, e.event_id) < f.fpk)
+               THEN e.bit ELSE 0 END), 0) AS mask,
+           MAX(CASE WHEN f.fpk IS NOT NULL THEN 1 ELSE 0 END) AS conv
+    FROM ev e LEFT JOIN fp f USING (user_id)
+    GROUP BY e.user_id
+),
+observed AS MATERIALIZED (
+    SELECT mask, CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS v_obs
+    FROM per_user GROUP BY mask
+),
+sets AS MATERIALIZED (
+    SELECT l.mask, COALESCE(o.v_obs, 0) AS v_micro
+    FROM (SELECT unnest(range(8)) AS mask) l
+    LEFT JOIN observed o ON l.mask = o.mask
+),
+chans AS (
+    SELECT * FROM (VALUES ('click', 1), ('signup', 2), ('view', 4))
+        AS t(channel, bit)
+)
+SELECT c.channel,
+       CAST(SUM(
+           (CASE bit_count(s.mask) WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 2 END)
+           * (s.v_micro - COALESCE(s2.v_micro, 0))
+       ) AS BIGINT) AS shapley_6micro
+FROM sets s
+JOIN chans c ON (s.mask & c.bit) != 0
+LEFT JOIN sets s2 ON xor(s.mask, c.bit) = s2.mask
+GROUP BY c.channel
+ORDER BY c.channel
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_shapley_attribution",
+        analytic_shapley_attribution,
+        ANALYTIC_SHAPLEY_ATTRIBUTION_ORACLE,
+        doc="exact Shapley channel credit over the 8-coalition bitmask table, pure integers",
+        tags=("analytics", "core"),
+    )
+)

@@ -379,6 +379,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "dedup_cdc_chunks",
     "pipeline_model_eval",
     "analytic_tost_equivalence",
+    "analytic_shapley_attribution",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

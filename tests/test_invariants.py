@@ -1116,3 +1116,48 @@ def test_model_eval_learns_planted_signal(spark, tmp_path, specs):
     r = specs["pipeline_model_eval"].fn(spark, sf_dir).collect()[0]
     assert r.n_test > 100
     assert r.auc_micro > 930_000, r.auc_micro
+
+
+def test_shapley_efficiency_identity(spark, specs):
+    """Shapley efficiency, exact in integers: with weights 6·w the
+    per-coalition coefficients telescope so Σ channels' credit equals
+    6·(v(grand coalition) − v(∅)) — a wrong subset join or weight
+    breaks this identity immediately."""
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import h32  # noqa: F401
+    from pyspark.sql import Window
+
+    shap = {
+        r.channel: r.shapley_6micro
+        for r in specs["analytic_shapley_attribution"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id", "event_type")
+    w_first = Window.partitionBy("user_id")
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.struct("ts", "event_id"))
+    ).over(w_first)
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "view", 4)
+    )
+    per_user = (
+        ev.select("user_id", bit.alias("bit"), fp.alias("fp"), F.struct("ts", "event_id").alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.when(
+                    F.col("bit").isNotNull() & (F.col("fp").isNull() | (F.col("k") < F.col("fp"))),
+                    F.col("bit"),
+                ).otherwise(0)
+            ).alias("mask"),
+            F.max(F.col("fp").isNotNull().cast("int")).alias("conv"),
+        )
+    )
+    sets = {
+        r.mask: r.v
+        for r in per_user.groupBy("mask")
+        .agg(F.expr("sum(conv) * 1000000 div count(1)").alias("v"))
+        .collect()
+    }
+    assert sum(shap.values()) == 6 * (sets.get(7, 0) - sets.get(0, 0))

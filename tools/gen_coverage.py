@@ -500,6 +500,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "TOST equivalence testing (both one-sided Welch tests vs margin)": [
             "analytic_tost_equivalence"
         ],
+        "exact Shapley channel attribution (8-coalition bitmask lattice)": [
+            "analytic_shapley_attribution"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
