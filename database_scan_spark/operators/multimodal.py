@@ -1420,3 +1420,215 @@ SPECS.append(
         tags=("llm", "multimodal"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_edge_density — gradient-magnitude image-quality gate (real pixels)
+# ---------------------------------------------------------------------------
+
+
+def _edge_density_batches_fn():
+    """Arrow batch fn: decode each even doc's REAL BMP, drop row
+    padding, and sum absolute horizontal (same channel, adjacent
+    pixel) and vertical (adjacent row) byte gradients — the
+    blur/blank detector under image-quality gates (a near-constant
+    image has near-zero gradient mass). Codec captured by value."""
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import numpy as _np  # noqa: PLC0415 - worker-side imports
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "h_grad_sum": [], "v_grad_sum": [],
+                   "n_h_pairs": [], "n_v_pairs": [], "edge_permille": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 1:
+                    continue
+                blob = enc(did, bytes(payload))
+                n = len(bytes(payload))
+                w, h = n % 64 + 1, n % 48 + 1
+                stride = ((w * 3 + 3) // 4) * 4
+                pix = (
+                    _np.frombuffer(blob[54 : 54 + stride * h], dtype=_np.uint8)
+                    .reshape(h, stride)[:, : w * 3]
+                    .astype(_np.int64)
+                )
+                hg = _np.abs(pix[:, 3:] - pix[:, :-3]).sum() if w > 1 else 0
+                vg = _np.abs(pix[1:, :] - pix[:-1, :]).sum() if h > 1 else 0
+                n_h = h * max(w * 3 - 3, 0)
+                n_v = max(h - 1, 0) * w * 3
+                tot = n_h + n_v
+                out["doc_id"].append(did)
+                out["h_grad_sum"].append(int(hg))
+                out["v_grad_sum"].append(int(vg))
+                out["n_h_pairs"].append(n_h)
+                out["n_v_pairs"].append(n_v)
+                out["edge_permille"].append(
+                    (int(hg) + int(vg)) * 1000 // (tot * 255) if tot else 0
+                )
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image gradient-magnitude density over REAL decoded BMP
+    pixels — the sharpness/blankness gate of an image-curation
+    pipeline, computed with true pixel semantics (padding excluded,
+    same-channel horizontal neighbors at offset 3). The oracle
+    re-derives both gradient sums in closed form from the documents
+    table (neighbor bytes are direct tiling expressions — no
+    self-join), pinning stride, padding, and channel alignment."""
+    return _media_table(spark, sf_dir).mapInPandas(
+        _edge_density_batches_fn(),
+        schema=(
+            "doc_id long, h_grad_sum long, v_grad_sum long, "
+            "n_h_pairs long, n_v_pairs long, edge_permille long"
+        ),
+    )
+
+
+MM_IMAGE_EDGE_DENSITY_ORACLE = """
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           octet_length(encode(text)) % 64 + 1 AS w,
+           octet_length(encode(text)) % 48 + 1 AS h,
+           ((octet_length(encode(text)) % 64 + 1) * 3 + 3) // 4 * 4 AS stride
+    FROM documents WHERE doc_id % 2 = 0
+),
+px AS MATERIALIZED (
+    SELECT doc_id, w, h, r, j,
+           ord(text[(r * stride + j) % L + 1]) AS b,
+           CASE WHEN j >= 3
+                THEN ord(text[(r * stride + j - 3) % L + 1]) END AS b_left,
+           CASE WHEN r >= 1
+                THEN ord(text[((r - 1) * stride + j) % L + 1]) END AS b_up
+    FROM (
+        SELECT doc_id, text, L, w, h, stride, j, unnest(range(h)) AS r
+        FROM (SELECT doc_id, text, L, w, h, stride,
+                     unnest(range(w * 3)) AS j
+              FROM meta)
+    )
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN b_left IS NOT NULL THEN abs(b - b_left) ELSE 0 END)
+                AS BIGINT) AS h_grad_sum,
+           CAST(SUM(CASE WHEN b_up IS NOT NULL THEN abs(b - b_up) ELSE 0 END)
+                AS BIGINT) AS v_grad_sum,
+           CAST(MAX(h) * GREATEST(MAX(w) * 3 - 3, 0) AS BIGINT) AS n_h_pairs,
+           CAST(GREATEST(MAX(h) - 1, 0) * MAX(w) * 3 AS BIGINT) AS n_v_pairs
+    FROM px GROUP BY doc_id
+)
+SELECT doc_id, h_grad_sum, v_grad_sum, n_h_pairs, n_v_pairs,
+       CASE WHEN n_h_pairs + n_v_pairs > 0
+            THEN CAST((h_grad_sum + v_grad_sum) * 1000
+                      // ((n_h_pairs + n_v_pairs) * 255) AS BIGINT)
+            ELSE 0 END AS edge_permille
+FROM sums
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_image_edge_density",
+        mm_image_edge_density,
+        MM_IMAGE_EDGE_DENSITY_ORACLE,
+        doc="real-pixel gradient density gate; closed-form neighbor-byte oracle, no self-join",
+        tags=("llm", "multimodal", "udf"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_clipping — signed PCM16 clipping-rate gate (real WAV)
+# ---------------------------------------------------------------------------
+
+_CLIP_ABS = 32000  # |sample| at or beyond this counts as clipped
+
+
+def _clipping_batches_fn():
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import numpy as _np  # noqa: PLC0415 - worker-side imports
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "n_clipped": [],
+                   "peak_abs": [], "clip_permille": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 0:
+                    continue  # image docs have no PCM stream
+                blob = enc(did, bytes(payload))
+                samp = _np.frombuffer(blob[44:], dtype="<i2").astype(_np.int64)
+                n_clip = int((_np.abs(samp) >= _CLIP_ABS).sum())
+                out["doc_id"].append(did)
+                out["n_samples"].append(len(samp))
+                out["n_clipped"].append(n_clip)
+                out["peak_abs"].append(int(_np.abs(samp).max()))
+                out["clip_permille"].append(n_clip * 1000 // len(samp))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+def mm_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping-rate gate over REAL WAV PCM16 samples with correct
+    SIGNED semantics (`mm_audio_energy` works on the unsigned byte
+    stream; clipping is about signed amplitude, so the two's-
+    complement conversion is the point here): per clip, sample count,
+    samples at |s| ≥ 32000, the signed peak, and the clip rate — the
+    distortion gate of an audio-curation pipeline. The oracle
+    re-derives every 16-bit sample from the byte tiling with an
+    explicit two's-complement CASE."""
+    return _media_table(spark, sf_dir).mapInPandas(
+        _clipping_batches_fn(),
+        schema=(
+            "doc_id long, n_samples long, n_clipped long, "
+            "peak_abs long, clip_permille long"
+        ),
+    )
+
+
+MM_AUDIO_CLIPPING_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS L,
+           (octet_length(encode(text)) % 1000 + 1)
+             * (octet_length(encode(text)) % 2 + 1) AS n_samp
+    FROM documents WHERE doc_id % 2 = 1
+),
+samp AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN ord(text[(2 * k) % L + 1])
+                     + 256 * ord(text[(2 * k + 1) % L + 1]) >= 32768
+                THEN ord(text[(2 * k) % L + 1])
+                     + 256 * ord(text[(2 * k + 1) % L + 1]) - 65536
+                ELSE ord(text[(2 * k) % L + 1])
+                     + 256 * ord(text[(2 * k + 1) % L + 1]) END AS s
+    FROM (SELECT doc_id, text, L, unnest(range(n_samp)) AS k FROM meta)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN abs(s) >= {_CLIP_ABS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped,
+       CAST(MAX(abs(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN abs(s) >= {_CLIP_ABS} THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS clip_permille
+FROM samp
+GROUP BY doc_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "mm_audio_clipping",
+        mm_audio_clipping,
+        MM_AUDIO_CLIPPING_ORACLE,
+        doc="signed PCM16 clipping-rate gate; two's-complement byte-exact oracle",
+        tags=("llm", "multimodal", "udf"),
+    )
+)

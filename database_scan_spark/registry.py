@@ -380,6 +380,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "pipeline_model_eval",
     "analytic_tost_equivalence",
     "analytic_shapley_attribution",
+    "mm_image_edge_density",
+    "mm_audio_clipping",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

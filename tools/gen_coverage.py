@@ -416,6 +416,12 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "real BMP box-filter thumbnail (resize semantics, exact cells)": [
             "mm_thumbnail_real"
         ],
+        "image sharpness gate (real-pixel gradient density)": [
+            "mm_image_edge_density"
+        ],
+        "audio distortion gate (signed PCM16 clipping rate)": [
+            "mm_audio_clipping"
+        ],
     },
     "North-star: text analysis": {
         "language-ID": ["text_lang_id"],
