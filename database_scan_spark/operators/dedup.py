@@ -1904,7 +1904,11 @@ def _jw_scalar():
                 if a[i] != b[j]:
                     t += 1
                 j += 1
-        jaro = (m / la + m / lb + (m - t / 2) / m) / 3
+        # DuckDB (and Apache Commons) FLOOR the half-transposition
+        # count — with an odd number of mismatched matched positions,
+        # t/2 would overcount by 0.5 (caught by the hypothesis fuzz:
+        # '000006D' vs '0000D06' has t=3 → 1, not 1.5)
+        jaro = (m / la + m / lb + (m - t // 2) / m) / 3
         if jaro > 0.7:
             p = 0
             for i in range(min(4, la, lb)):
