@@ -3925,3 +3925,141 @@ SPECS.append(
         tags=("analytics", "core"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_adstock — advertising carryover (geometric adstock) + response fit
+# ---------------------------------------------------------------------------
+
+_ADSTOCK_LAGS = 8  # carryover horizon (days); λ = 1/2 so λ^k is exact binary
+
+
+def analytic_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-mix ADSTOCK: daily ad pressure with geometric
+    carryover (adstock_t = Σ_{k≤8} λᵏ·spend_{t−k}, λ=1/2), then the
+    response regression of same-day purchase revenue on adstock via
+    the exact-moment OLS closed form. λ=1/2 makes every λᵏ exactly
+    representable in binary FP, so the convolution is bit-identical
+    across engines with no rounding discipline needed; the recursion
+    is UNROLLED into a bounded 8-lag window (each day needs only its
+    8 predecessors — a streaming frame, not the whole series).
+
+    Shape: the fact aggregates once to (day, spend, revenue); the lag
+    convolution and the OLS moments run on the DAYS relation (≤
+    thousands of rows at any corpus size). Output: per-day rows with
+    the fitted response, plus slope/intercept in micro-units."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = (
+        ev.groupBy(day)
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", money("value")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("spend"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", money("value")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("revenue"),
+        )
+        .select(
+            "day",
+            F.col("spend").cast("double").alias("spend"),
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+    w = Window.orderBy("day")
+    # NULL lags (series head) contribute 0 — coalesce each term.
+    # Fold LEFT-TO-RIGHT starting from spend: FP addition is not
+    # associative, and the oracle's `spend + t1 + t2 + ...` parses
+    # that way (a python sum() of the tail first differs by 1 ulp).
+    import functools  # noqa: PLC0415
+
+    adstock = functools.reduce(
+        lambda acc, k: acc
+        + F.coalesce(F.lag("spend", k).over(w), F.lit(0.0)) * float(0.5**k),
+        range(1, _ADSTOCK_LAGS + 1),
+        F.col("spend"),
+    )
+    days = daily.select("day", "spend", "revenue", adstock.alias("adstock"))
+    mom = days.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("adstock").alias("sx"),
+        F.sum("revenue").alias("sy"),
+        F.sum(F.col("adstock") * F.col("adstock")).alias("sxx"),
+        F.sum(F.col("adstock") * F.col("revenue")).alias("sxy"),
+    ).select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1_000_000
+        ).cast("bigint").alias("beta_micro"),
+        F.round(
+            (F.col("sy") - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             * F.col("sx"))
+            / F.col("n")
+            * 1_000_000
+        ).cast("bigint").alias("alpha_micro"),
+    )
+    return days.crossJoin(F.broadcast(mom)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("spend", 2).alias("spend"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round("adstock", 6).alias("adstock"),
+        "beta_micro",
+        "alpha_micro",
+    ).orderBy("day")
+
+
+def _adstock_oracle() -> str:
+    lag_terms = " + ".join(
+        f"COALESCE(lag(spend, {k}) OVER (ORDER BY day), 0.0) * {0.5 ** k!r}"
+        for k in range(1, _ADSTOCK_LAGS + 1)
+    )
+    return f"""
+WITH daily AS MATERIALIZED (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS spend,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue
+    FROM events GROUP BY 1
+),
+days AS MATERIALIZED (
+    SELECT day, spend, revenue,
+           spend + {lag_terms} AS adstock
+    FROM daily
+),
+mom AS MATERIALIZED (
+    SELECT CAST(round((COUNT(*) * SUM(adstock * revenue) - SUM(adstock) * SUM(revenue))
+               / (COUNT(*) * SUM(adstock * adstock) - SUM(adstock) * SUM(adstock))
+               * 1000000) AS BIGINT) AS beta_micro,
+           CAST(round((SUM(revenue)
+                - (COUNT(*) * SUM(adstock * revenue) - SUM(adstock) * SUM(revenue))
+                  / (COUNT(*) * SUM(adstock * adstock) - SUM(adstock) * SUM(adstock))
+                  * SUM(adstock))
+               / COUNT(*) * 1000000) AS BIGINT) AS alpha_micro
+    FROM days
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(spend, 2) AS spend, round(revenue, 2) AS revenue,
+       round(adstock, 6) AS adstock, m.beta_micro, m.alpha_micro
+FROM days, mom m
+ORDER BY day
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "analytic_adstock",
+        analytic_adstock,
+        _adstock_oracle(),
+        doc="geometric adstock carryover (exact binary lambda powers) + exact-moment OLS response",
+        tags=("analytics",),
+    )
+)

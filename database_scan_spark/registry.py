@@ -382,6 +382,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_shapley_attribution",
     "mm_image_edge_density",
     "mm_audio_clipping",
+    "analytic_adstock",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -509,6 +509,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "exact Shapley channel attribution (8-coalition bitmask lattice)": [
             "analytic_shapley_attribution"
         ],
+        "geometric adstock carryover + exact-moment OLS response fit": [
+            "analytic_adstock"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
