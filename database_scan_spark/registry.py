@@ -383,6 +383,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_image_edge_density",
     "mm_audio_clipping",
     "analytic_adstock",
+    "wf_provenance_chain",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

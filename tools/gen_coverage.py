@@ -450,6 +450,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "documents→training-batch manifest (gate→dedup→tokenize→pack→shard)": [
             "pipeline_pretrain_batches"
         ],
+        "chained per-stage provenance manifest (reproducibility receipt)": [
+            "wf_provenance_chain"
+        ],
         "streaming corpus intake (gate + cross-batch dedup ledger)": [
             "stream_corpus_ingest"
         ],
