@@ -4063,3 +4063,102 @@ SPECS.append(
         tags=("analytics",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_event_study — dynamic DiD: per-period treatment effects
+# ---------------------------------------------------------------------------
+
+
+def analytic_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-STUDY (dynamic DiD) around `analytic_did`'s treatment:
+    instead of one pooled post-period interaction, the per-YEAR
+    treated-vs-control gap relative to the last pre-treatment year —
+    the leads-and-lags plot that validates (or kills) a DiD: effects
+    at negative event time are the PRE-TREND check (they should be
+    ≈ 0 if parallel trends hold), effects at non-negative event time
+    trace the dynamic treatment response.
+
+    effect(τ) = [ȳ_T(τ) − ȳ_C(τ)] − [ȳ_T(−1) − ȳ_C(−1)], where τ is
+    years since the cut and −1 is the reference year. Same exactness
+    contract as the 2×2 version: DECIMAL cent sums, one double
+    division per cell, identical combine order, 6dp report. One
+    broadcast dim join + one (year × 2)-cell aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cells = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("p_type").startswith("PROMO").cast("int").alias("treated"),
+            (F.year("l_shipdate") - DID_CUT_YEAR).cast("int").alias("tau"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+        .groupBy("tau", "treated")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .withColumn("mean_price", F.col("s").cast("double") / F.col("n") / 100.0)
+    )
+    gaps = (
+        cells.groupBy("tau")
+        .agg(
+            F.max(F.when(F.col("treated") == 1, F.col("mean_price"))).alias("m_t"),
+            F.max(F.when(F.col("treated") == 0, F.col("mean_price"))).alias("m_c"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+        .withColumn("gap", F.col("m_t") - F.col("m_c"))
+    )
+    ref = gaps.filter(F.col("tau") == -1).select(F.col("gap").alias("ref_gap"))
+    return (
+        gaps.crossJoin(F.broadcast(ref))
+        .select(
+            "tau",
+            "n_rows",
+            F.round("m_t", 6).alias("mean_treated"),
+            F.round("m_c", 6).alias("mean_control"),
+            F.round("gap", 6).alias("gap"),
+            F.round(F.col("gap") - F.col("ref_gap"), 6).alias("effect"),
+            (F.col("tau") < 0).cast("int").alias("is_pretrend"),
+        )
+        .orderBy("tau")
+    )
+
+
+ANALYTIC_EVENT_STUDY_ORACLE = f"""
+WITH cells AS MATERIALIZED (
+    SELECT CAST(year(l_shipdate) - {{cut}} AS INTEGER) AS tau,
+           CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+           COUNT(*) AS n,
+           SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS s
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+means AS (
+    SELECT tau, treated, n, CAST(s AS DOUBLE) / n / 100.0 AS mean_price FROM cells
+),
+gaps AS MATERIALIZED (
+    SELECT tau,
+           MAX(CASE WHEN treated = 1 THEN mean_price END) AS m_t,
+           MAX(CASE WHEN treated = 0 THEN mean_price END) AS m_c,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM means GROUP BY tau
+)
+SELECT g.tau, g.n_rows,
+       round(g.m_t, 6) AS mean_treated,
+       round(g.m_c, 6) AS mean_control,
+       round(g.m_t - g.m_c, 6) AS gap,
+       round((g.m_t - g.m_c) - (r.m_t - r.m_c), 6) AS effect,
+       CAST(g.tau < 0 AS INTEGER) AS is_pretrend
+FROM gaps g, (SELECT m_t, m_c FROM gaps WHERE tau = -1) r
+ORDER BY g.tau
+"""
+
+SPECS.append(
+    QuerySpec(
+        "analytic_event_study",
+        analytic_event_study,
+        ANALYTIC_EVENT_STUDY_ORACLE.replace("{cut}", str(DID_CUT_YEAR)),
+        doc="dynamic DiD leads-and-lags: per-year effects vs the reference year, pre-trend check",
+        tags=("analytics", "stats"),
+    )
+)

@@ -384,6 +384,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "mm_audio_clipping",
     "analytic_adstock",
     "wf_provenance_chain",
+    "analytic_event_study",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

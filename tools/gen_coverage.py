@@ -515,6 +515,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "geometric adstock carryover + exact-moment OLS response fit": [
             "analytic_adstock"
         ],
+        "event-study dynamic DiD (leads/lags + pre-trend check)": [
+            "analytic_event_study"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
