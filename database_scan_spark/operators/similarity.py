@@ -1932,3 +1932,98 @@ SPECS.append(
         tags=("llm", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_matrix — every ANN variant judged against exact top-k
+# ---------------------------------------------------------------------------
+
+
+def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall matrix for the ANN family: each approximate method's
+    (query, neighbor) pairs judged against the exact brute-force
+    top-k, in ONE registered query — the in-engine eval that keeps
+    'is the index still good?' answerable after every re-tune,
+    instead of a number in a doc. Expected values on the fixture's
+    deterministic toy codebooks are LOW by design (the methods'
+    docstrings say so); the point is the measurement being part of
+    the engine's oracled surface.
+
+    Shape: the exact pair set is computed once and persisted; each
+    method contributes a distinct-pair semi-join + one-row counts.
+    All relations are (queries × k)-sized — evaluation never touches
+    the corpus beyond what the methods themselves do."""
+    exact = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .persist()
+    )
+    methods = [
+        ("ivf_flat", sim_ivf_flat),
+        ("ivfpq", sim_ivfpq),
+        ("lsh", sim_lsh_ann),
+        ("pq_rerank", sim_pq_rerank),
+    ]
+    out = None
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    for name, fn in methods:
+        got = fn(spark, sf_dir).select("query_id", "neighbor_id").distinct()
+        hits = got.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            got.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+            .select(F.lit(name).alias("method"), "n_pairs", "n_hits")
+        )
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(n_exact))
+        .select(
+            "method",
+            "n_pairs",
+            "n_hits",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("n_hits * 1000 div n_exact").alias("recall_permille"),
+        )
+        .orderBy("method")
+    )
+
+
+def _recall_matrix_oracle() -> str:
+    legs = {
+        "ivf_flat": SIM_IVF_FLAT_ORACLE,
+        "ivfpq": SIM_IVFPQ_ORACLE,
+        "lsh": _lsh_oracle(),
+        "pq_rerank": _pq_rerank_oracle(),
+    }
+    ctes = [
+        "exact AS MATERIALIZED (SELECT DISTINCT query_id, neighbor_id FROM ("
+        + SIM_TOPK_BRUTEFORCE_ORACLE
+        + "))"
+    ]
+    selects = []
+    for name, sql in legs.items():
+        ctes.append(
+            f"m_{name} AS MATERIALIZED (SELECT DISTINCT query_id, neighbor_id FROM ({sql}))"
+        )
+        selects.append(f"""
+SELECT '{name}' AS method,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM m_{name}) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM m_{name} JOIN exact USING (query_id, neighbor_id)) AS n_hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       CAST((SELECT COUNT(*) FROM m_{name} JOIN exact USING (query_id, neighbor_id))
+            * 1000 // (SELECT COUNT(*) FROM exact) AS BIGINT) AS recall_permille
+""".strip())
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY method"
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_ann_recall_matrix",
+        sim_ann_recall_matrix,
+        _recall_matrix_oracle(),
+        doc="in-engine recall of every ANN variant vs exact top-k, one oracled matrix",
+        tags=("llm", "similarity"),
+    )
+)

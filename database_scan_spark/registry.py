@@ -385,6 +385,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_adstock",
     "wf_provenance_chain",
     "analytic_event_study",
+    "sim_ann_recall_matrix",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

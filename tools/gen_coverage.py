@@ -405,6 +405,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "contrastive hard-negative mining (margin violations)": [
             "sim_hard_negatives"
         ],
+        "ANN-family recall matrix vs exact top-k (one oracled eval)": [
+            "sim_ann_recall_matrix"
+        ],
     },
     "North-star: multimodal": {
         "decode / feature-extract": [
