@@ -2352,3 +2352,209 @@ SPECS.append(
         tags=("llm", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_prf_rocchio — pseudo-relevance feedback (two-pass BM25 expansion)
+# ---------------------------------------------------------------------------
+
+_PRF_FEEDBACK_DOCS = 5   # pass-1 docs assumed relevant
+_PRF_EXPANSION_TERMS = 3  # terms added to the query
+_PRF_TOP = 10
+
+
+def sim_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio shape): run the literal
+    BM25 query, assume the top-5 docs are relevant, mine their top
+    TF-IDF terms (excluding the original query terms), and re-score
+    the corpus with the EXPANDED query — the classic two-pass recall
+    booster behind 'did you mean more like this'. Both passes use the
+    engine's BM25 machinery with a TERM RELATION instead of literals
+    (the expanded term set is data-dependent), so the plan shape is
+    identical: postings filtered inside the explode via a broadcast
+    term join, df/corpus stats broadcast, narrow per-doc math,
+    TakeOrdered top-k. Output: the final top-10 with per-doc matched
+    term counts and the expansion terms rolled into a column for
+    auditability."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"), "text"
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def bm25(terms_df):
+        tf = (
+            docs.select("doc_id", "dl", F.explode(F.split("text", " ")).alias("term"))
+            .join(F.broadcast(terms_df), "term")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        term_score = idf * (
+            F.col("tf") * (F.lit(BM25_K1) + 1)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+            )
+        )
+        return (
+            tf.join(F.broadcast(df_), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                F.round(term_score, 6).cast("decimal(18,6)").alias("ts"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum("ts").alias("score"),
+                F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            )
+        )
+
+    q0 = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    top1 = (
+        bm25(q0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    # expansion: top TF-IDF terms of the feedback docs, query terms excluded
+    fb_tf = (
+        docs.join(F.broadcast(top1), "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(~F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+    )
+    corpus_df = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .join(F.broadcast(fb_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    expansion = (
+        fb_tf.join(corpus_df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.col("fb_tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("w"),
+        )
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(_PRF_EXPANSION_TERMS)
+        .select("term")
+    )
+    expanded = q0.unionByName(expansion)
+    exp_list = expansion.agg(
+        F.array_join(F.array_sort(F.collect_list("term")), ",").alias("expansion_terms")
+    )
+    return (
+        bm25(expanded)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_PRF_TOP)
+        .crossJoin(F.broadcast(exp_list))
+        .select(
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "n_terms_hit",
+            "expansion_terms",
+        )
+    )
+
+
+def _prf_oracle() -> str:
+    terms0 = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    not_in = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    bm25_body = """
+    SELECT tf.doc_id,
+           SUM(CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * ({k1} + 1)
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6)
+               AS DECIMAL(18,6))) AS score,
+           CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+    FROM (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term IN (SELECT term FROM {terms})
+        GROUP BY doc_id, dl, term
+    ) tf
+    JOIN (
+        SELECT term, COUNT(*) AS df FROM (
+            SELECT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+            WHERE term IN (SELECT term FROM {terms})
+            GROUP BY doc_id, term
+        ) GROUP BY term
+    ) d USING (term), stats s
+    GROUP BY tf.doc_id
+"""
+    return f"""
+WITH stats AS MATERIALIZED (
+    SELECT COUNT(*) AS n_docs, SUM(len(string_split(text, ' '))) AS sum_dl
+    FROM documents
+),
+q0(term) AS (VALUES {terms0}),
+pass1 AS MATERIALIZED (
+{bm25_body.format(k1=BM25_K1, b=BM25_B, terms='q0')}
+),
+top1 AS MATERIALIZED (
+    SELECT doc_id FROM pass1 ORDER BY score DESC, doc_id LIMIT {_PRF_FEEDBACK_DOCS}
+),
+fb_tf AS MATERIALIZED (
+    SELECT term, COUNT(*) AS fb_tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE doc_id IN (SELECT doc_id FROM top1)
+      AND term NOT IN ({not_in})
+    GROUP BY term
+),
+corpus_df AS MATERIALIZED (
+    SELECT term, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term IN (SELECT term FROM fb_tf)
+    GROUP BY term
+),
+expansion AS MATERIALIZED (
+    SELECT term
+    FROM fb_tf JOIN corpus_df USING (term), stats s
+    ORDER BY round(fb_tf * ln(CAST(s.n_docs AS DOUBLE) / df), 6) DESC, term
+    LIMIT {_PRF_EXPANSION_TERMS}
+),
+expanded AS MATERIALIZED (
+    SELECT term FROM q0 UNION ALL SELECT term FROM expansion
+),
+pass2 AS MATERIALIZED (
+{bm25_body.format(k1=BM25_K1, b=BM25_B, terms='expanded')}
+),
+exp_list AS (
+    SELECT array_to_string(list_sort(list(term)), ',') AS expansion_terms
+    FROM expansion
+)
+SELECT p.doc_id, CAST(p.score AS DOUBLE) AS score, p.n_terms_hit, e.expansion_terms
+FROM (SELECT * FROM pass2 ORDER BY score DESC, doc_id LIMIT {_PRF_TOP}) p, exp_list e
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_prf_rocchio",
+        sim_prf_rocchio,
+        _prf_oracle(),
+        doc="pseudo-relevance feedback: BM25 top-5 mine expansion terms, expanded re-search",
+        tags=("llm", "text", "similarity"),
+    )
+)

@@ -386,6 +386,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "wf_provenance_chain",
     "analytic_event_study",
     "sim_ann_recall_matrix",
+    "sim_prf_rocchio",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -408,6 +408,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "ANN-family recall matrix vs exact top-k (one oracled eval)": [
             "sim_ann_recall_matrix"
         ],
+        "pseudo-relevance feedback (Rocchio two-pass BM25 expansion)": [
+            "sim_prf_rocchio"
+        ],
     },
     "North-star: multimodal": {
         "decode / feature-extract": [
