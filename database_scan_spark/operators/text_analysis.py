@@ -2558,3 +2558,161 @@ SPECS.append(
         tags=("llm", "text", "similarity"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_winnowing_fingerprints — MOSS winnowing (guaranteed-density)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # token-gram size
+_WIN_W = 4  # winnowing window (guarantee: ≥1 fingerprint per window)
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
+    the MOSS algorithm): hash every positional 3-token gram, then in
+    each sliding window of w=4 consecutive hashes select the RIGHTMOST
+    minimum — the local fingerprinting scheme with a guaranteed
+    density floor (≥ 1 selection per window, expected 2/(w+1)) that
+    fixed sampling can't give and the third member of this engine's
+    position-robust dedup family (CDC chunks move boundaries with
+    content; winnowing guarantees match density; MinHash bounds set
+    resemblance).
+
+    Shape: positional grams are a narrow map; BOTH window functions
+    (frame min and rightmost-argmin) share one doc-partitioned frame
+    — one shuffle, streaming frames; the cross-doc sharing audit
+    joins the fingerprint relation (a 2/(w+1) fraction of tokens)
+    against itself on the hash, never the corpus. Per-doc output:
+    gram/fingerprint counts, density, and how many of the doc's
+    fingerprints also appear in ANY other document."""
+    from ._helpers import h32, spread  # noqa: PLC0415
+
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= _WIN_K)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_WIN_K - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {_WIN_K})))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", h32(F.col("gram")).alias("gh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    wins = grams.select(
+        "doc_id",
+        F.col("pos").alias("wpos"),
+        F.min("gh").over(w).alias("m"),
+        F.count(F.lit(1)).over(w).alias("span"),
+    ).filter(F.col("span") == _WIN_W)  # only full windows select
+    # rightmost argmin per window: equi-join on (doc, hash == window
+    # min) with the w-wide position band as a post-filter — nesting
+    # the argmax window inside the min window is not portable SQL
+    g2 = grams.select(
+        F.col("doc_id").alias("g_doc"), F.col("pos").alias("g_pos"),
+        F.col("gh").alias("g_gh"),
+    )
+    fps = (
+        wins.join(
+            g2,
+            (F.col("doc_id") == F.col("g_doc"))
+            & (F.col("g_gh") == F.col("m"))
+            & (F.col("g_pos") >= F.col("wpos"))
+            & (F.col("g_pos") < F.col("wpos") + _WIN_W),
+        )
+        .groupBy("doc_id", "wpos", "m")
+        .agg(F.max("g_pos").alias("pos"))
+        .select("doc_id", "pos", F.col("m").alias("gh"))
+        .distinct()
+    )
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    gram_counts = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    other = fps.select(F.col("doc_id").alias("o_doc"), "gh").distinct()
+    shared = (
+        fps.join(other, "gh")
+        .filter(F.col("doc_id") != F.col("o_doc"))
+        .select("doc_id", "gh")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+    )
+    return (
+        gram_counts.join(per_doc, "doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            F.expr("n_fp * 1000 div n_grams").alias("density_permille"),
+            F.coalesce("n_shared_fp", F.lit(0)).cast("bigint").alias("n_shared_fp"),
+        )
+    )
+
+
+TEXT_WINNOWING_FINGERPRINTS_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= {_WIN_K}
+),
+grams AS MATERIALIZED (
+    SELECT doc_id, i AS pos,
+           ('0x' || substring(md5(
+               array_to_string(t[i : i + {_WIN_K - 1}], ' ')
+           ), 1, 8))::BIGINT AS gh
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS u(i)
+),
+wins AS MATERIALIZED (
+    SELECT doc_id, pos AS wpos,
+           MIN(gh) OVER fr AS m,
+           COUNT(*) OVER fr AS span
+    FROM grams
+    WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+),
+fps AS MATERIALIZED (
+    SELECT DISTINCT doc_id, pos, gh FROM (
+        SELECT w.doc_id, w.wpos, w.m AS gh, MAX(g.pos) AS pos
+        FROM (SELECT * FROM wins WHERE span = {_WIN_W}) w
+        JOIN grams g ON g.doc_id = w.doc_id AND g.gh = w.m
+                    AND g.pos >= w.wpos AND g.pos < w.wpos + {_WIN_W}
+        GROUP BY w.doc_id, w.wpos, w.m
+    )
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+),
+gram_counts AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id
+),
+shared AS (
+    SELECT a.doc_id, CAST(COUNT(DISTINCT a.gh) AS BIGINT) AS n_shared_fp
+    FROM (SELECT DISTINCT doc_id, gh FROM fps) a
+    JOIN (SELECT DISTINCT doc_id, gh FROM fps) b
+      ON a.gh = b.gh AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id
+)
+SELECT g.doc_id, g.n_grams, p.n_fp,
+       CAST(p.n_fp * 1000 // g.n_grams AS BIGINT) AS density_permille,
+       CAST(COALESCE(s.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+FROM gram_counts g
+JOIN per_doc p USING (doc_id)
+LEFT JOIN shared s USING (doc_id)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_winnowing_fingerprints",
+        text_winnowing_fingerprints,
+        TEXT_WINNOWING_FINGERPRINTS_ORACLE,
+        doc="MOSS winnowing: rightmost-min fingerprints, guaranteed density, sharing audit",
+        tags=("llm", "text", "dedup"),
+    )
+)

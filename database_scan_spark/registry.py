@@ -387,6 +387,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "analytic_event_study",
     "sim_ann_recall_matrix",
     "sim_prf_rocchio",
+    "text_winnowing_fingerprints",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -1161,3 +1161,21 @@ def test_shapley_efficiency_identity(spark, specs):
         .collect()
     }
     assert sum(shap.values()) == 6 * (sets.get(7, 0) - sets.get(0, 0))
+
+
+def test_winnowing_density_guarantee(spark, specs):
+    """Winnowing's defining property: every full window selects ≥1
+    fingerprint and one fingerprint covers ≤ w windows, so
+    n_fp ≥ (n_grams − w + 1) / w for every document; density should
+    also sit near the theoretical 2/(w+1) on random-ish hashes."""
+    from database_scan_spark.operators.text_analysis import _WIN_W
+
+    rows = specs["text_winnowing_fingerprints"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n_windows = r.n_grams - _WIN_W + 1
+        if n_windows > 0:
+            assert r.n_fp * _WIN_W >= n_windows, (r.doc_id, r.n_fp, r.n_grams)
+        assert r.n_fp <= r.n_grams
+    mean_density = sum(r.n_fp for r in rows) / sum(r.n_grams for r in rows)
+    assert 0.25 < mean_density < 0.55  # 2/(w+1) = 0.4 at w=4

@@ -385,6 +385,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "content-defined chunking (shift-robust shared-content ledger)": [
             "dedup_cdc_chunks"
         ],
+        "MOSS winnowing fingerprints (guaranteed density, sharing audit)": [
+            "text_winnowing_fingerprints"
+        ],
     },
     "North-star: similarity search": {
         "brute-force cosine top-k": ["sim_topk_bruteforce"],
