@@ -4162,3 +4162,119 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_rdd — sharp regression discontinuity (difference in local means)
+# ---------------------------------------------------------------------------
+
+_RDD_CUTOFF = 5000.0   # acctbal threshold ("premium" assignment rule)
+_RDD_BANDWIDTH = 2000.0  # local window on each side
+
+
+def analytic_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp REGRESSION DISCONTINUITY: when treatment switches at a
+    known threshold of a running variable (premium status at acctbal
+    ≥ 5000), the causal effect at the cutoff is the jump in outcomes
+    between the two local neighborhoods — the difference-in-local-
+    means estimator with bandwidth h on each side. A PLACEBO cutoff
+    at the window midpoint of the untreated side rides along: a
+    'jump' there would mean the running variable itself is lumpy and
+    the design invalid — the falsification check that makes an RDD
+    believable, emitted as a second row rather than left to the
+    analyst's memory.
+
+    Exactness: per-customer outcomes are DECIMAL sums; each local
+    mean is one double division; the estimator combines four doubles
+    in a fixed order, rounded 6dp. One broadcast-joined aggregation
+    per cutoff over a single fact scan."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("spend")
+        )
+    )
+
+    def cutoff_row(label: str, cut: float):
+        lo, hi = cut - _RDD_BANDWIDTH, cut + _RDD_BANDWIDTH
+        local = spend.filter((F.col("c_acctbal") >= lo) & (F.col("c_acctbal") < hi))
+        side = F.col("c_acctbal") >= cut
+        agg = local.agg(
+            F.sum(F.when(side, 1).otherwise(0)).cast("bigint").alias("n_above"),
+            F.sum(F.when(~side, 1).otherwise(0)).cast("bigint").alias("n_below"),
+            F.sum(F.when(side, F.col("spend"))).alias("s_above"),
+            F.sum(F.when(~side, F.col("spend"))).alias("s_below"),
+        )
+        return agg.select(
+            F.lit(label).alias("test"),
+            F.lit(cut).alias("cutoff"),
+            "n_above",
+            "n_below",
+            F.round(F.col("s_above").cast("double") / F.col("n_above"), 6).alias(
+                "mean_above"
+            ),
+            F.round(F.col("s_below").cast("double") / F.col("n_below"), 6).alias(
+                "mean_below"
+            ),
+            F.round(
+                F.col("s_above").cast("double") / F.col("n_above")
+                - F.col("s_below").cast("double") / F.col("n_below"),
+                6,
+            ).alias("effect"),
+        )
+
+    placebo_cut = _RDD_CUTOFF - _RDD_BANDWIDTH  # midpoint of untreated side
+    return cutoff_row("rdd", _RDD_CUTOFF).unionByName(
+        cutoff_row("placebo", placebo_cut)
+    )
+
+
+def _rdd_oracle() -> str:
+    def leg(label: str, cut: float) -> str:
+        lo, hi = cut - _RDD_BANDWIDTH, cut + _RDD_BANDWIDTH
+        return f"""
+SELECT '{label}' AS test, {cut!r} AS cutoff,
+       CAST(SUM(CASE WHEN c_acctbal >= {cut!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(SUM(CASE WHEN c_acctbal < {cut!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       round(CAST(SUM(CASE WHEN c_acctbal >= {cut!r} THEN spend END) AS DOUBLE)
+             / SUM(CASE WHEN c_acctbal >= {cut!r} THEN 1 ELSE 0 END), 6) AS mean_above,
+       round(CAST(SUM(CASE WHEN c_acctbal < {cut!r} THEN spend END) AS DOUBLE)
+             / SUM(CASE WHEN c_acctbal < {cut!r} THEN 1 ELSE 0 END), 6) AS mean_below,
+       round(CAST(SUM(CASE WHEN c_acctbal >= {cut!r} THEN spend END) AS DOUBLE)
+             / SUM(CASE WHEN c_acctbal >= {cut!r} THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN c_acctbal < {cut!r} THEN spend END) AS DOUBLE)
+             / SUM(CASE WHEN c_acctbal < {cut!r} THEN 1 ELSE 0 END), 6) AS effect
+FROM spend
+WHERE c_acctbal >= {lo!r} AND c_acctbal < {hi!r}
+""".strip()
+
+    placebo_cut = _RDD_CUTOFF - _RDD_BANDWIDTH
+    return f"""
+WITH spend AS MATERIALIZED (
+    SELECT c.c_custkey, c.c_acctbal,
+           COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                    CAST(0 AS DECIMAL(18,2))) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+)
+{leg('rdd', _RDD_CUTOFF)}
+UNION ALL
+{leg('placebo', placebo_cut)}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "analytic_rdd",
+        analytic_rdd,
+        _rdd_oracle(),
+        doc="sharp regression discontinuity with a built-in placebo-cutoff falsification row",
+        tags=("analytics", "stats"),
+    )
+)

@@ -388,6 +388,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_ann_recall_matrix",
     "sim_prf_rocchio",
     "text_winnowing_fingerprints",
+    "analytic_rdd",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

@@ -527,6 +527,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "event-study dynamic DiD (leads/lags + pre-trend check)": [
             "analytic_event_study"
         ],
+        "sharp regression discontinuity (+ placebo falsification row)": [
+            "analytic_rdd"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
