@@ -817,3 +817,58 @@ def test_null_aware_anti_is_broadcast_hash_not_per_row(spark):
     plan = _plan(join_null_aware_anti(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin LeftAnti") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_oph_densification_is_equi_join_per_doc(spark):
+    """OPH's densification join must be hash-keyed on doc_id (the K×K
+    band is a post-filter), never a cartesian; and the whole plan
+    carries no Python boundary."""
+    from database_scan_spark.operators.dedup import dedup_minhash_oph
+
+    plan = _plan(dedup_minhash_oph(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunk_windows_partition_by_doc(spark):
+    """CDC chunking must never sort globally: every Exchange is hash
+    partitioning (doc-keyed windows + the chunk-hash agg)."""
+    from database_scan_spark.operators.dedup import dedup_cdc_chunks
+
+    plan = _plan(dedup_cdc_chunks(spark, SF_SMOKE))
+    singles = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert not singles, singles
+
+
+def test_bloom_filter_bits_broadcast(spark):
+    """The position set must reach the membership test as a broadcast
+    (≤ m rows by construction) — a shuffled join would defeat the
+    point of the filter."""
+    from database_scan_spark.operators.dedup import dedup_bloom_archive
+
+    plan = _plan(dedup_bloom_archive(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_term_joins_broadcast(spark):
+    """Both BM25 passes filter postings via a broadcast term join —
+    the data-dependent expansion must keep the literal query's access
+    path."""
+    from database_scan_spark.operators.text_analysis import sim_prf_rocchio
+
+    plan = _plan(sim_prf_rocchio(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_winnowing_argmin_join_is_hash_keyed(spark):
+    """The rightmost-argmin banded join must hash on (doc, hash) with
+    the position band as a filter — no nested-loop blowup."""
+    from database_scan_spark.operators.text_analysis import (
+        text_winnowing_fingerprints,
+    )
+
+    plan = _plan(text_winnowing_fingerprints(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
