@@ -4278,3 +4278,166 @@ SPECS.append(
         tags=("analytics", "stats"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# analytic_raking_ipf — survey raking (iterative proportional fitting)
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3  # row-adjust + column-adjust per round, unrolled
+
+
+def analytic_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey RAKING (iterative proportional fitting): reweight the
+    customer (nation × segment) cell table so BOTH margins match
+    uniform targets — the calibration step survey/panel pipelines run
+    when a sample over-represents some strata. Three unrolled IPF
+    rounds (row adjust then column adjust), the classic Deming-
+    Stephan procedure.
+
+    Scale shape: the fact reduces ONCE to the cell table (≤ nations ×
+    segments rows); every IPF step is a groupBy + broadcast join on
+    that dimension-sized relation — the fact is never rescanned.
+    Determinism: weighted margin sums quantize each term to 6dp and
+    sum in DECIMAL (order-free), each weight update rounds to 12dp —
+    the `analytic_logreg_gd` discipline, so the weights hash-match
+    across engines. Output: final cell weights plus both margins'
+    remaining relative errors in ppm."""
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("c_nationkey").alias("n_rows"),
+        F.countDistinct("c_mktsegment").alias("n_cols"),
+    )
+    D = "decimal(28,6)"
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.lit(1.0).alias("w"),
+        (F.col("total").cast("double") / F.col("n_rows")).alias("row_target"),
+        (F.col("total").cast("double") / F.col("n_cols")).alias("col_target"),
+    )
+    for _ in range(_IPF_ROUNDS):
+        row_sums = w.groupBy("c_nationkey").agg(
+            F.sum(F.round(F.col("n") * F.col("w"), 6).cast(D)).alias("rs")
+        )
+        w = w.join(F.broadcast(row_sums), "c_nationkey").select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            F.round(
+                F.col("w") * (F.col("row_target") / F.col("rs").cast("double")), 12
+            ).alias("w"),
+            "row_target",
+            "col_target",
+        )
+        col_sums = w.groupBy("c_mktsegment").agg(
+            F.sum(F.round(F.col("n") * F.col("w"), 6).cast(D)).alias("cs")
+        )
+        w = w.join(F.broadcast(col_sums), "c_mktsegment").select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            F.round(
+                F.col("w") * (F.col("col_target") / F.col("cs").cast("double")), 12
+            ).alias("w"),
+            "row_target",
+            "col_target",
+        )
+    final_rows = w.groupBy("c_nationkey").agg(
+        F.sum(F.round(F.col("n") * F.col("w"), 6).cast(D)).alias("rs")
+    )
+    return (
+        w.join(F.broadcast(final_rows), "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            F.col("w").alias("weight"),
+            F.round(F.col("n") * F.col("w"), 6).alias("weighted_n"),
+            F.round(
+                F.abs(F.col("rs").cast("double") - F.col("row_target"))
+                / F.col("row_target")
+                * 1_000_000
+            ).cast("bigint").alias("row_err_ppm"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+def _ipf_oracle() -> str:
+    ctes = ["""cells AS MATERIALIZED (
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+    SELECT SUM(n) AS total,
+           COUNT(DISTINCT c_nationkey) AS n_rows,
+           COUNT(DISTINCT c_mktsegment) AS n_cols
+    FROM cells
+),
+w0 AS MATERIALIZED (
+    SELECT c_nationkey, c_mktsegment, n, 1.0 AS w,
+           CAST(t.total AS DOUBLE) / t.n_rows AS row_target,
+           CAST(t.total AS DOUBLE) / t.n_cols AS col_target
+    FROM cells, tot t
+)"""]
+    prev = "w0"
+    step = 0
+    for _ in range(_IPF_ROUNDS):
+        step += 1
+        ctes.append(f"""r{step} AS MATERIALIZED (
+    SELECT c_nationkey, SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS rs
+    FROM {prev} GROUP BY c_nationkey
+),
+wr{step} AS MATERIALIZED (
+    SELECT p.c_nationkey, p.c_mktsegment, p.n,
+           round(p.w * (p.row_target / CAST(r.rs AS DOUBLE)), 12) AS w,
+           p.row_target, p.col_target
+    FROM {prev} p JOIN r{step} r USING (c_nationkey)
+),
+c{step} AS MATERIALIZED (
+    SELECT c_mktsegment, SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS cs
+    FROM wr{step} GROUP BY c_mktsegment
+),
+wc{step} AS MATERIALIZED (
+    SELECT p.c_nationkey, p.c_mktsegment, p.n,
+           round(p.w * (p.col_target / CAST(c.cs AS DOUBLE)), 12) AS w,
+           p.row_target, p.col_target
+    FROM wr{step} p JOIN c{step} c USING (c_mktsegment)
+)""")
+        prev = f"wc{step}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+final_rows AS MATERIALIZED (
+    SELECT c_nationkey, SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS rs
+    FROM {prev} GROUP BY c_nationkey
+)
+SELECT CAST(p.c_nationkey AS INTEGER) AS nation,
+       p.c_mktsegment AS segment,
+       p.n,
+       p.w AS weight,
+       round(p.n * p.w, 6) AS weighted_n,
+       CAST(round(abs(CAST(f.rs AS DOUBLE) - p.row_target) / p.row_target
+                  * 1000000) AS BIGINT) AS row_err_ppm
+FROM {prev} p JOIN final_rows f USING (c_nationkey)
+ORDER BY nation, segment
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "analytic_raking_ipf",
+        analytic_raking_ipf,
+        _ipf_oracle(),
+        doc="survey raking (3 unrolled IPF rounds) on the cell table, margin errors in ppm",
+        tags=("analytics", "stats"),
+    )
+)

@@ -389,6 +389,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "sim_prf_rocchio",
     "text_winnowing_fingerprints",
     "analytic_rdd",
+    "analytic_raking_ipf",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

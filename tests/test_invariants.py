@@ -1179,3 +1179,13 @@ def test_winnowing_density_guarantee(spark, specs):
         assert r.n_fp <= r.n_grams
     mean_density = sum(r.n_fp for r in rows) / sum(r.n_grams for r in rows)
     assert 0.25 < mean_density < 0.55  # 2/(w+1) = 0.4 at w=4
+
+
+def test_raking_converges_toward_margins(spark, specs):
+    """Three IPF rounds must land the row margins near their uniform
+    targets (residual under 5% — IPF converges geometrically on a
+    strictly positive table), and all weights must be positive."""
+    rows = specs["analytic_raking_ipf"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.weight > 0 for r in rows)
+    assert max(r.row_err_ppm for r in rows) < 50_000

@@ -530,6 +530,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "sharp regression discontinuity (+ placebo falsification row)": [
             "analytic_rdd"
         ],
+        "survey raking (iterative proportional fitting, 3 rounds)": [
+            "analytic_raking_ipf"
+        ],
         "curriculum phases by token-rarity difficulty (histogram split)": [
             "wf_curriculum_schedule"
         ],
