@@ -1125,3 +1125,137 @@ SPECS.append(
         tags=("graph",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_neighborhood_function — HyperBall dataflow with exact bitsets
+# ---------------------------------------------------------------------------
+
+_NF_ROUNDS = 4  # ball radius — trade-graph diameter is small
+
+
+def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBORHOOD FUNCTION N(t) — how many (source, target) pairs
+    are within t hops — computed with the HyperBall dataflow (Boldi &
+    Vigna, 2013): every node carries a summary of its ball, and each
+    round unions every node's summary with its out-neighbors'
+    summaries (one join + one aggregate per round). At billion-node
+    scale the summary is a mergeable HLL sketch; on the nation-sized
+    trade graph the SAME dataflow runs with EXACT 32-bit bitsets
+    (bit_or aggregate, popcount sizes), so the oracle is exact while
+    the plan is precisely the sketch algorithm's shape — swap the
+    bitset column for a sketch column and nothing else changes.
+
+    Output per radius t: pairs reached, newly reached pairs, and the
+    reached fraction in ppm — the curve whose 90% crossing is the
+    effective diameter."""
+    edges = _trade_edges(spark, sf_dir).select("src", "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # dimension-sized; a count action, not a collect
+    balls = nodes.select(
+        "node", F.expr("shiftleft(CAST(1 AS BIGINT), node)").alias("ball")
+    )
+    rows = [
+        balls.agg(
+            F.lit(0).alias("t"),
+            F.sum(F.bit_count("ball")).cast("bigint").alias("pairs_reached"),
+        )
+    ]
+    for t in range(1, _NF_ROUNDS + 1):
+        nbr = (
+            edges.join(balls.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.bit_or("ball").alias("nbr_ball"))
+        )
+        balls = (
+            balls.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.col("ball").bitwiseOR(F.coalesce("nbr_ball", F.lit(0))).alias("ball"),
+            )
+            .persist()
+        )
+        rows.append(
+            balls.agg(
+                F.lit(t).alias("t"),
+                F.sum(F.bit_count("ball")).cast("bigint").alias("pairs_reached"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy("t")
+    return out.select(
+        "t",
+        "pairs_reached",
+        (F.col("pairs_reached") - F.coalesce(F.lag("pairs_reached").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("new_pairs"),
+        F.expr(f"pairs_reached * 1000000 div {n_nodes} div {n_nodes}").alias(
+            "reached_ppm"
+        ),
+    ).orderBy("t")
+
+
+def _nf_oracle() -> str:
+    ctes = ["""edges AS MATERIALIZED (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+b0 AS MATERIALIZED (
+    SELECT node, CAST(1 AS BIGINT) << node AS ball FROM nodes
+)"""]
+    prev = "b0"
+    for t in range(1, _NF_ROUNDS + 1):
+        ctes.append(f"""b{t} AS MATERIALIZED (
+    SELECT p.node,
+           p.ball | COALESCE(n.nbr_ball, 0) AS ball
+    FROM {prev} p
+    LEFT JOIN (
+        SELECT e.src AS node, bit_or(p2.ball) AS nbr_ball
+        FROM edges e JOIN {prev} p2 ON e.dst = p2.node
+        GROUP BY e.src
+    ) n USING (node)
+)""")
+        prev = f"b{t}"
+    sizes = "\nUNION ALL\n".join(
+        f"SELECT {t} AS t, CAST(SUM(bit_count(ball)) AS BIGINT) AS pairs_reached FROM b{t}"
+        for t in range(_NF_ROUNDS + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+curve AS MATERIALIZED (
+{sizes}
+),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes)
+SELECT t, pairs_reached,
+       CAST(pairs_reached - COALESCE(LAG(pairs_reached) OVER (ORDER BY t), 0)
+            AS BIGINT) AS new_pairs,
+       CAST(pairs_reached * 1000000 // n.n_nodes // n.n_nodes AS BIGINT)
+           AS reached_ppm
+FROM curve, n
+ORDER BY t
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_neighborhood_function",
+        graph_neighborhood_function,
+        _nf_oracle(),
+        doc="HyperBall dataflow (exact bitsets at this scale): N(t) curve, effective-diameter readout",
+        tags=("graph", "scale"),
+    )
+)

@@ -390,6 +390,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
     "text_winnowing_fingerprints",
     "analytic_rdd",
     "analytic_raking_ipf",
+    "graph_neighborhood_function",
 })
 
 # Unverified queries sort by family, north-star first; ties keep

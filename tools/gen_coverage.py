@@ -684,6 +684,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "geohash encode + prefix-cell occupancy (integer closed form)": [
             "geo_geohash_encode"
         ],
+        "HyperBall neighborhood function N(t) (exact bitsets here)": [
+            "graph_neighborhood_function"
+        ],
         "polymorphic UDTF (analyze-time schema)": ["udtf_analyze_parse"],
         "UDTF over TABLE(...) PARTITION BY / ORDER BY": ["udtf_table_arg"],
         "pandas UDF over a window (WindowInPandas node)": ["udf_window_pandas"],
