@@ -754,3 +754,133 @@ SPECS.append(
         tags=("composite", "approx", "sketch"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — owned hash family
+# ---------------------------------------------------------------------------
+#
+# `agg_approx` (approx_count_distinct) is rows-only because Spark's HLL++
+# internals aren't reproducible elsewhere. This variant OWNS every bit:
+# h32 (the package's cross-engine hash) split into an 8-bit register index
+# and a 24-bit suffix whose leading-zero rank feeds max-per-register. The
+# harmonic denominator Z = sum(2^-M_b) sums 256 exact powers of two —
+# mantissa needs ≤ 34 bits, so Z is bit-exact in IEEE double on BOTH
+# engines and the estimate hash-matches without float discipline. The
+# SURVEY §5 "own your hash family" rule applied to cardinality sketches.
+
+_HLL_P = 8                      # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_W = 32 - _HLL_P            # 24-bit suffix
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # alpha_256, standard constant
+
+
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimates from
+    hand-rolled registers, judged in-engine against exact
+    COUNT(DISTINCT): raw → (type, register, rank) via one narrow
+    map, max-per-register hash-agg, then a 256-row-per-group fold to
+    the harmonic estimate with the standard small-range (linear
+    counting) correction. The 100 TB shape: the shuffle carries at
+    most m=256 rows per group (map-side max combine), and registers
+    are mergeable across partitions/days by the same MAX — the
+    mergeability theta sketches give you, but with a hash family the
+    oracle can re-derive bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    h = _h32_local(F.col("user_id").cast("string"))
+    bucket = (h / F.lit(1 << _HLL_W)).cast("long")  # top 8 bits
+    w = h % F.lit(1 << _HLL_W)                       # low 24 bits
+    # rank = leading zeros in the 24-bit suffix + 1 = W+1 - bitlen(w)
+    rank = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        ev.select("event_type", bucket.alias("b"), rank.alias("r"))
+        .groupBy("event_type", "b")
+        .agg(F.max("r").alias("m_b"))
+    )
+    # fold registers: absent buckets contribute 2^0 each (rank 0)
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_b"))).alias("z_present"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    z = F.col("z_present") + zeros.cast("double")
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
+    # linear-counting small-range correction (V = empty registers)
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros), 6),
+    ).otherwise(F.round(e_raw, 6))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            zeros.cast("long").alias("n_zero_registers"),
+            est.alias("est_hll"),
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_zero_registers",
+            "est_hll",
+            "exact_distinct",
+            F.round(F.col("est_hll") / F.col("exact_distinct"), 6).alias("est_ratio"),
+        )
+    )
+
+
+def _h32_local(c):
+    from ._helpers import h32  # noqa: PLC0415 - avoid top-level churn
+
+    return h32(c)
+
+
+AGG_HLL_PORTABLE_ORACLE = f"""
+WITH hashed AS (
+    SELECT event_type,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM events
+), ranked AS (
+    SELECT event_type,
+           h // {1 << _HLL_W} AS b,
+           CASE WHEN h % {1 << _HLL_W} = 0 THEN {_HLL_W + 1}
+                ELSE {_HLL_W + 1} - len(printf('%b', h % {1 << _HLL_W})) END AS r
+    FROM hashed
+), regs AS (
+    SELECT event_type, b, max(r) AS m_b FROM ranked GROUP BY event_type, b
+), folded AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_present,
+           sum(power(2.0, -m_b)) AS z_present
+    FROM regs GROUP BY event_type
+), est AS (
+    SELECT event_type,
+           CAST({_HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+           CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M} / (z_present + ({_HLL_M} - n_present)) <= {2.5 * _HLL_M}
+                 AND {_HLL_M} - n_present > 0
+                THEN round({float(_HLL_M)} * ln({float(_HLL_M)} / ({_HLL_M} - n_present)), 6)
+                ELSE round({_HLL_ALPHA * _HLL_M * _HLL_M} / (z_present + ({_HLL_M} - n_present)), 6)
+           END AS est_hll
+    FROM folded
+), exact AS (
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_zero_registers, e.est_hll, x.exact_distinct,
+       round(e.est_hll / x.exact_distinct, 6) AS est_ratio
+FROM est e JOIN exact x USING (event_type)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "agg_hll_portable",
+        agg_hll_portable,
+        AGG_HLL_PORTABLE_ORACLE,
+        doc="hand-rolled HyperLogLog (owned hash family): registers + estimate "
+        "bit-reproducible in SQL, judged vs exact distinct in-engine",
+        tags=("composite", "approx", "sketch"),
+    )
+)

@@ -1599,3 +1599,121 @@ SPECS.append(
         tags=("llm", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+#
+# Select pool documents whose hashed-n-gram distribution resembles a small
+# clean TARGET corpus: importance weight = sum over the doc's tokens of
+# log p_target(bucket) - log p_raw(bucket), both Laplace-smoothed. The two
+# bucket language models fit in O(B) rows, so scoring is a broadcast join.
+#
+# Cross-engine determinism: ln() is evaluated once per BUCKET (256 values,
+# not per token), quantized to integer MICRO-NATS, and the per-doc score is
+# an exact BIGINT sum of those integers — no float accumulation anywhere
+# (the text_surprisal integer discipline applied to log-ratio weights).
+
+DSIR_BUCKETS = 256          # hashed unigram feature space (paper: 10k)
+DSIR_TARGET_LANG = "en"     # fixture stand-in for the clean target corpus
+DSIR_TOPK = 100             # docs selected from the pool
+
+
+def wf_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: hashed-unigram bucket LMs for target (lang =
+    'en') and pool (everything else), per-bucket quantized log-ratio
+    weights, per-doc integer-exact scores, top-K pool docs by score
+    (ties by doc_id). 100 TB posture: the bucket table is bounded at
+    DSIR_BUCKETS rows (broadcast); the corpus is touched by ONE
+    explode + two hash-aggs + one per-doc agg — the same shuffle
+    budget as a word count. Raising DSIR_BUCKETS to the paper's 10k
+    changes only the broadcast payload."""
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    toks = docs.withColumn("bucket", h32(F.col("token")) % DSIR_BUCKETS)
+    is_target = F.col("lang") == DSIR_TARGET_LANG
+    counts = toks.groupBy("bucket").agg(
+        F.sum(is_target.cast("long")).alias("ct"),
+        F.sum((~is_target).cast("long")).alias("cr"),
+    )
+    totals = toks.agg(
+        F.sum(is_target.cast("long")).alias("nt"),
+        F.sum((~is_target).cast("long")).alias("nr"),
+    )
+    # per-bucket weight in integer micro-nats: the ONLY ln() call
+    # sites, B evaluations, quantized before any summation
+    w = F.round(
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
+        )
+        * 1_000_000.0,
+        0,
+    ).cast("long")
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", w.alias("w_unats")
+    )
+    pool = toks.filter(~is_target).join(F.broadcast(weights), "bucket")
+    scored = pool.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_unats").cast("long").alias("score_unats"),
+    )
+    win = Window.orderBy(F.desc("score_unats"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= DSIR_TOPK)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "score_unats",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+WF_DSIR_SELECT_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+           ('0x' || substring(md5(t.token), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+    FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), counts AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+    FROM toks GROUP BY bucket
+), totals AS (
+    SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS nr
+    FROM toks
+), weights AS (
+    SELECT bucket,
+           CAST(round((ln((ct + 1) * 1.0 / (nt + {DSIR_BUCKETS}))
+                     - ln((cr + 1) * 1.0 / (nr + {DSIR_BUCKETS}))) * 1000000.0, 0) AS BIGINT) AS w_unats
+    FROM counts CROSS JOIN totals
+), scored AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.w_unats) AS BIGINT) AS score_unats
+    FROM toks t JOIN weights w USING (bucket)
+    WHERE NOT t.is_target
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, score_unats,
+       CAST(row_number() OVER (ORDER BY score_unats DESC, doc_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {DSIR_TOPK}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "wf_dsir_select",
+        wf_dsir_select,
+        WF_DSIR_SELECT_ORACLE,
+        doc="DSIR importance resampling (Xie '23): bucket LMs broadcast, "
+        "integer micro-nat scores, top-K pool selection",
+        tags=("llm", "workflow"),
+    )
+)

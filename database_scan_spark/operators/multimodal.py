@@ -190,21 +190,46 @@ FROM (
 """
 
 
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: target dims computed JVM-side (aspect-
-    preserving fit into 224×224); the pixel work is the stubbed
-    decode. Rows-only check (no oracle) — exercises the
-    metadata-only projection that never reads the blob column."""
-    meta = mm_decode_meta(spark, sf_dir)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over REAL decoded dimensions (VERDICT r2 item
+    5 — replaces the retired ``mm_resize_stub``): the vendored BMP
+    codec parses each image blob's true width/height headers
+    (``mm_decode_real``'s Arrow-batched path), then the aspect-
+    preserving fit into 224×224 is computed JVM-side — the pixel
+    resample itself would run in the same mapInPandas pass at
+    ingest, but the PLAN (scale factor + target dims per blob) is
+    pure column arithmetic and never re-reads the blob. Image rows
+    only: audio has no spatial dims. The oracle re-derives the
+    decoded dimensions from the codec arithmetic (w = n%64+1,
+    h = n%48+1 — the same header fields MM_DECODE_REAL_ORACLE
+    hash-proves) and the identical float fit, so a header-parse or
+    rounding divergence breaks the hash."""
+    meta = mm_decode_real(spark, sf_dir).filter(F.col("modality") == "image")
     scale = F.least(
-        F.lit(224) / F.col("fake_width"), F.lit(224) / F.col("fake_height")
+        F.lit(224.0) / F.col("width"), F.lit(224.0) / F.col("height")
     )
     return meta.select(
         "doc_id",
-        "modality",
-        F.floor(F.col("fake_width") * scale).cast("int").alias("target_width"),
-        F.floor(F.col("fake_height") * scale).cast("int").alias("target_height"),
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
     )
+
+
+MM_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(floor(w * least(224.0 / w, 224.0 / h)) AS INTEGER) AS target_width,
+       CAST(floor(h * least(224.0 / w, 224.0 / h)) AS INTEGER) AS target_height
+FROM (
+    SELECT doc_id,
+           octet_length(encode(text)) % 64 + 1 AS w,
+           octet_length(encode(text)) % 48 + 1 AS h
+    FROM documents WHERE doc_id % 2 = 0
+)
+"""
 
 
 _FEAT_DIM = 8
@@ -442,7 +467,13 @@ SPECS = [
     QuerySpec("mm_decode_meta", mm_decode_meta, MM_DECODE_META_ORACLE, tags=("llm", "multimodal", "udf")),
     QuerySpec("mm_feature_extract", mm_feature_extract, MM_FEATURE_EXTRACT_ORACLE, tags=("llm", "multimodal", "udf")),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE, tags=("llm", "multimodal")),
-    QuerySpec("mm_resize_stub", mm_resize_stub, None, doc="rows-only: stubbed decode", tags=("llm", "multimodal")),
+    QuerySpec(
+        "mm_resize",
+        mm_resize,
+        MM_RESIZE_ORACLE,
+        doc="aspect-fit resize plan over real decoded BMP dims (vendored codec)",
+        tags=("llm", "multimodal"),
+    ),
 ]
 
 
@@ -1319,7 +1350,7 @@ def _thumbnail_batches_fn():
     """Arrow batch fn: decode each even doc's REAL BMP (vendored
     codec), drop the per-row 4-byte-alignment padding, and box-filter
     the pixel plane down to a G×G luminance thumbnail — the actual
-    `resize` semantics `mm_resize_stub` only modeled. Cell membership
+    pixel-resample semantics behind `mm_resize`'s planning pass. Cell membership
     is the integer map gy=r·G div h, gx=x·G div w (every pixel in
     exactly one cell, cells contiguous), so the oracle can re-derive
     every cell from tiling math. Codec captured by value; numpy

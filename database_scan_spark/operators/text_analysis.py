@@ -2716,3 +2716,172 @@ SPECS.append(
         tags=("llm", "text", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1.2)
+# ---------------------------------------------------------------------------
+#
+# The canonical rule-based document filter for pretraining corpora. Every
+# threshold below is evaluated with INTEGER cross-multiplication (3 <=
+# sum_len/words <= 10 becomes 3*words <= sum_len <= 10*words), so the rule
+# booleans are bit-exact across engines — the text_surprisal discipline
+# applied to ratio thresholds instead of logs.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3   # mean word length lower bound (chars/word)
+GOPHER_MAX_MEAN_LEN = 10  # upper bound
+GOPHER_MIN_STOP_HITS = 2  # distinct-agnostic stopword hit count
+GOPHER_ALPHA_NUM = 4      # alpha-word ratio >= 4/5 (0.8)
+GOPHER_ALPHA_DEN = 5
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter: per-document boolean rule columns plus the
+    conjunctive keep flag — word-count bounds, mean-word-length bounds,
+    stopword floor, alphabetic-word ratio (the rules a 100 TB corpus
+    prunes with BEFORE any model-based scoring; the fixture's zh docs
+    fail the alpha rule, short docs fail the word floor, so every rule
+    discriminates). One narrow projection over the documents scan —
+    no shuffle, no UDF; all thresholds integer-exact (see module
+    comment), so the oracle hash-matches without float discipline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t).cast("int")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = _stopword_hits(toks)
+    r_count = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean = (sum_len >= GOPHER_MIN_MEAN_LEN * n_words) & (
+        sum_len <= GOPHER_MAX_MEAN_LEN * n_words
+    )
+    r_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    r_alpha = n_alpha * GOPHER_ALPHA_DEN >= n_words * GOPHER_ALPHA_NUM
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        sum_len.cast("int").alias("sum_word_len"),
+        n_alpha.cast("int").alias("n_alpha_words"),
+        n_stop.cast("int").alias("n_stop_hits"),
+        r_count.cast("int").alias("rule_word_count"),
+        r_mean.cast("int").alias("rule_mean_len"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        r_alpha.cast("int").alias("rule_alpha_ratio"),
+        (r_count & r_mean & r_stop & r_alpha).cast("int").alias("kept"),
+    )
+
+
+TEXT_GOPHER_RULES_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           list_sum([length(x) FOR x IN toks]) AS sum_len,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+           len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x))) AS n_stop
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(sum_len AS INTEGER) AS sum_word_len,
+       CAST(n_alpha AS INTEGER) AS n_alpha_words,
+       CAST(n_stop AS INTEGER) AS n_stop_hits,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INTEGER) AS rule_word_count,
+       CAST(sum_len BETWEEN {GOPHER_MIN_MEAN_LEN} * n_words AND {GOPHER_MAX_MEAN_LEN} * n_words AS INTEGER) AS rule_mean_len,
+       CAST(n_stop >= {GOPHER_MIN_STOP_HITS} AS INTEGER) AS rule_stopwords,
+       CAST(n_alpha * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM} AS INTEGER) AS rule_alpha_ratio,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND sum_len BETWEEN {GOPHER_MIN_MEAN_LEN} * n_words AND {GOPHER_MAX_MEAN_LEN} * n_words
+            AND n_stop >= {GOPHER_MIN_STOP_HITS}
+            AND n_alpha * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM} AS INTEGER) AS kept
+FROM m
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_gopher_rules",
+        text_gopher_rules,
+        TEXT_GOPHER_RULES_ORACLE,
+        doc="Gopher rule filter (Rae '21): integer-exact word/mean-len/stopword/alpha rules",
+        tags=("llm", "text"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-budget profile: subword fertility
+    (BPE-ish chunks per whitespace word) and bytes per chunk — the
+    table a multilingual pretraining run consults when setting
+    per-language sampling weights (high-fertility languages cost more
+    tokens per word, so naive doc-count mixing under-trains them).
+    One narrow map + one hash-agg on the 5-value lang key; every
+    ratio divides exact integer sums (deterministic doubles)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias(
+            "n_chunks"
+        ),
+        F.length("text").alias("n_bytes"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chunks",
+        F.round(F.col("n_chunks") / F.col("n_words"), 6).alias("fertility"),
+        F.round(F.col("n_bytes") / F.greatest(F.col("n_chunks"), F.lit(1)), 6).alias(
+            "bytes_per_chunk"
+        ),
+        F.round(F.col("n_words") / F.col("n_docs"), 6).alias("words_per_doc"),
+    )
+
+
+TEXT_TOKEN_FERTILITY_ORACLE = """
+WITH per_doc AS (
+    SELECT lang,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_chunks,
+           length(text) AS n_bytes
+    FROM documents
+), agg AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+    FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_chunks,
+       round(n_chunks * 1.0 / n_words, 6) AS fertility,
+       round(n_bytes * 1.0 / greatest(n_chunks, 1), 6) AS bytes_per_chunk,
+       round(n_words * 1.0 / n_docs, 6) AS words_per_doc
+FROM agg
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_token_fertility",
+        text_token_fertility,
+        TEXT_TOKEN_FERTILITY_ORACLE,
+        doc="per-language subword fertility / bytes-per-chunk profile (mixing-weight input)",
+        tags=("llm", "text"),
+    )
+)

@@ -122,16 +122,31 @@ def _load_all() -> None:
 _load_all()
 
 
-# --- driver-window rotation (VERDICT r1, item 1) -------------------------
+# --- driver-window rotation (VERDICT r1 item 1, VERDICT r2 item 1) --------
 #
 # The driver's CORRECTNESS check covers the FIRST 50 registry entries per
-# round. Round 1 verified exactly the 50 names below; 155 queries had only
-# the local parity suite. We therefore rotate: queries never yet verified
-# by the driver sort first (north-star families leading), already-verified
-# ones sort last. After each round, append that round's newly-verified
-# names to ``_DRIVER_VERIFIED`` so the window advances. Rotation plan:
-# r2 = dedup/sim/text/mm/stream/pipeline/sampling, r3 = TPC-H + windows +
-# graph/dq, r4 = remaining fn/wf/agg/join surface (see ROADMAP.md).
+# round. Queries never yet driver-verified sort first; verified ones last,
+# so the window advances each round. Rotation plan (ROADMAP.md): r2 =
+# dedup/sim/text/mm/stream/pipeline (done — 47/50 green), r3 = the five
+# never-windowed SURVEY-§2 ops PINNED first + TPC-H + windows, r4 =
+# remaining win/graph/dq + agg/join/analytic surface, r5+ = sweeps.
+
+# VERDICT r2 item 1: these names sort ABSOLUTELY first so the round-3
+# window is guaranteed to contain them — the five SURVEY §2 ops that have
+# never been inside a driver CORRECTNESS window (green in local parity
+# only), plus the two rows upgraded from rows-only to oracled this round
+# (mm_resize: realized against the vendored codec; dedup_minhash_mllib:
+# cross-implementation equality with dedup_minhash_lsh, proven at
+# sf0.001/0.01/0.1, shares its DuckDB oracle).
+_PINNED_WINDOW: tuple[str, ...] = (
+    "fn_str_format",
+    "fn_coalesce",
+    "fn_json_pretty",
+    "udf_smiles_canonical",
+    "wf_checkpoint_resume",
+    "mm_resize",
+    "dedup_minhash_mllib",
+)
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     # round 1 (CORRECTNESS_r01.json — all three matches green)
@@ -150,256 +165,41 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "agg_count", "sort_remote_score_desc", "topk_first", "fn_str_replace",
     "fn_str_strip", "fn_json_get", "udf_molecule_name",
     "src_python_datasource",
+    # round 2 (CORRECTNESS_r02.json — rows+schema+hash green; the window's
+    # three no_oracle rows are NOT folded in: dedup_minhash_mllib and
+    # mm_resize re-enter via _PINNED_WINDOW now that they're oracled, and
+    # stream_stateful_user_totals stays rows-only by documented contract)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_embedding_cosine", "dedup_levenshtein",
+    "dedup_levenshtein_passjoin", "dedup_decontaminate",
+    "dedup_containment", "dedup_substring_spans",
+    "dedup_incremental_minhash", "dedup_cluster_cc",
+    "sim_topk_bruteforce", "sim_lsh_ann", "sim_ivf_flat",
+    "sim_lsh_recall_eval", "sim_label_centroids", "sim_centroid_assign",
+    "sim_kmeans", "sim_pq_adc", "sim_pq_rerank", "sim_knn_classify",
+    "text_tokens", "text_quality", "text_lang_id", "text_fingerprint",
+    "text_pii_redact", "text_repetition", "text_tfidf_topk",
+    "text_inverted_index", "text_bm25_search", "text_quality_logreg",
+    "text_ngram_topk", "text_surprisal",
+    "mm_decode_real", "mm_decode_meta", "mm_feature_extract",
+    "mm_frame_sample",
+    "pipeline_corpus_prep",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_stateful_running_total", "stream_tws_recent_events",
+    "stream_tws_type_counts",
 })
 
-# Ops registered AFTER the round-2 window was planned: sort behind the
-# existing unverified queue (but still ahead of driver-verified names)
-# so they don't displace the families promised to this round's window.
-# Fold into the normal rotation once they've been through local parity
-# for a full round.
-_DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset({
-    "analytic_chi_square",
-    "analytic_spearman",
-    "analytic_avg_precision",
-    "analytic_changepoint",
-    "graph_kcore",
-    "graph_modularity",
-    "analytic_kendall_tau",
-    "text_keyword_rake",
-    "wf_dp_counts",
-    "udtf_table_arg",
-    "join_hint_matrix",
-    "dedup_fellegi_sunter",
-    "text_hashing_vectorizer",
-    "analytic_mannwhitney",
-    "sink_jsonl_roundtrip",
-    "src_text_lines",
-    "analytic_power_analysis",
-    "stream_update_vs_complete",
-    "analytic_seasonality_strength",
-    "sim_rrf_fusion",
-    "analytic_ndcg",
-    "text_boilerplate_fraction",
-    "dq_langid_confusion",
-    "analytic_cuped",
-    "graph_assortativity",
-    "win_rolling_corr",
-    "analytic_prop_ztest",
-    "pipeline_experiment_readout",
-    "analytic_forecast_backtest",
-    "analytic_fdr_bh",
-    "analytic_var_cvar",
-    "dq_key_discovery",
-    "udf_window_pandas",
-    "sql_group_by_all",
-    "udf_arrow_python",
-    "analytic_psm",
-    "graph_bipartite_projection",
-    "mm_audio_fingerprint",
-    "text_zipf_fit",
-    "wf_fair_share_budget",
-    "dq_drift_wasserstein",
-    "stream_watermark_late_drop",
-    "fn_uuid_deterministic",
-    "analytic_effect_size",
-    "storage_vacuum_retention",
-    "analytic_qte",
-    "text_ngram_novelty",
-    "sim_centroid_drift",
-    "stream_checkpoint_resume",
-    "dq_outlier_ensemble",
-    "agg_frequency_moments",
-    "pipeline_corpus_dashboard",
-    "analytic_contribution",
-    "win_seasonal_decompose",
-    "text_stylometry_distance",
-    "stream_chained_aggregations",
-    "graph_reciprocity",
-    "analytic_markov_transition",
-    "analytic_growth_accounting",
-    "mm_audio_snr",
-    "win_rolling_skewness",
-    "graph_clustering_coefficient",
-    "dedup_token_sort",
-    "analytic_retention_fit",
-    "dedup_cluster_cc_twostar",
-    "text_chunk_dedup",
-    "stream_tws_inactivity_flush",
-    "join_bloom_prefilter",
-    "fn_variant_json",
-    "agg_theta_distinct_union",
-    "catalog_stats_cbo",
-    "src_python_stream_datasource",
-    "sql_recursive_cte",
-    "sql_lateral_topk",
-    "sql_pipe_syntax",
-    "udf_arrow_map_batches",
-    "dq_observed_metrics",
-    "sink_python_datasource",
-    "fn_collation_compare",
-    "fn_xml_roundtrip",
-    "fn_url_parse",
-    "stream_static_join",
-    "stream_dedup_within_watermark",
-    "fn_try_arithmetic",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "geo_radius_join",
-    "geo_knn_join",
-    "udtf_analyze_parse",
-    "param_identifier",
-    "join_existence_project",
-    "agg_filter_clause",
-    "sink_csv_roundtrip_quoted",
-    "set_ops_multiset",
-    "fn_interval_ops",
-    "analytic_logreg_gd",
-    "win_nav_ignore_nulls",
-    "pipeline_incremental_ingest",
-    "storage_time_travel",
-    "fn_lambda_ops",
-    "graph_degree_histogram",
-    "graph_label_propagation",
-    "agg_countmin_sketch",
-    "analytic_attribution",
-    "storage_merge_on_read",
-    "text_bpe_train",
-    "dq_anomaly_mad",
-    "storage_mor_compact",
-    "win_twap",
-    "agg_weighted_median",
-    "sample_balanced_class",
-    "join_asof_tolerance",
-    "wf_late_restatement",
-    "geo_point_in_polygon",
-    "stream_left_outer_interval_join",
-    "analytic_rfm",
-    "src_csv_corrupt_recovery",
-    "win_drawdown",
-    "join_interval_overlap",
-    "agg_quantile_histogram",
-    "dq_freshness_sla",
-    "analytic_pareto",
-    "join_dynamic_partition_pruning",
-    "agg_approx_error_eval",
-    "text_bpe_apply",
-    "sink_python_stream_datasource",
-    "mm_audio_energy",
-    "mm_image_rowsum",
-    "sim_topk_filtered",
-    "analytic_cohort_ltv",
-    "analytic_time_to_convert",
-    "pipeline_rag_retrieval",
-    "dq_error_budget",
-    "dedup_minhash_bbit",
-    "fn_column_protection",
-    "dq_seasonal_baseline",
-    "split_kfold",
-    "graph_link_prediction",
-    "analytic_gini",
-    "dedup_semdedup",
-    "analytic_survival",
-    "sim_mmr_rerank",
-    "wf_k_anonymity",
-    "sample_stratified_neyman",
-    "dq_entropy_profile",
-    "mm_phash_pairs",
-    "win_cusum",
-    "win_hampel",
-    "analytic_ks_test",
-    "analytic_price_index",
-    "mm_vad_segments",
-    "analytic_did",
-    "split_temporal_embargo",
-    "text_collocations",
-    "analytic_bootstrap_ci",
-    "sim_matryoshka_rerank",
-    "win_interpolate",
-    "text_readability",
-    "udf_scalar_iter",
-    "analytic_trend_mk",
-    "fn_sql_udf",
-    "graph_hits",
-    "pipeline_media_curation",
-    "agg_theta_set_algebra",
-    "param_execute_immediate",
-    "analytic_theil_sen",
-    "dq_moments",
-    "graph_random_walk",
-    "wf_target_encoding",
-    "analytic_auc",
-    "dq_annotator_agreement",
-    "analytic_gains_table",
-    "analytic_calibration",
-    # round-2 session additions (window already frozen for CORRECTNESS_r02)
-    "sim_corpus_overlap",
-    "join_pit_features",
-    "storage_partition_evolution",
-    "graph_scc",
-    "storage_manifest_skipping",
-    "sim_ivfpq",
-    "stream_pit_enrich",
-    "mm_png_roundtrip",
-    "wf_compaction_plan",
-    "sim_sq8_error",
-    "udf_cogrouped_merge",
-    "analytic_msprt",
-    "stream_dlq_split",
-    "dq_schema_contract",
-    "wf_mixture_temperature",
-    "split_group_holdout",
-    "proj_withfield",
-    "win_sax_symbolize",
-    "analytic_srm",
-    "storage_deletion_vectors",
-    "wf_dlq_replay",
-    "fn_timezone_ops",
-    "win_decay_score",
-    "dedup_jaro_winkler",
-    "dedup_keep_best",
-    "wf_sft_format",
-    "wf_curriculum_schedule",
-    "sim_random_projection",
-    "mm_thumbnail_real",
-    "fn_bitwise_ops",
-    "analytic_heavy_change",
-    "pipeline_pretrain_batches",
-    "stream_corpus_ingest",
-    "join_null_aware_anti",
-    "geo_geohash_encode",
-    "storage_clustering_audit",
-    "dedup_bloom_archive",
-    "win_mtd_ytd",
-    "text_watermark_detect",
-    "wf_active_learning_select",
-    "sim_hard_negatives",
-    "dq_split_leakage_audit",
-    "wf_dpo_pair_builder",
-    "dedup_minhash_oph",
-    "dedup_cdc_chunks",
-    "pipeline_model_eval",
-    "analytic_tost_equivalence",
-    "analytic_shapley_attribution",
-    "mm_image_edge_density",
-    "mm_audio_clipping",
-    "analytic_adstock",
-    "wf_provenance_chain",
-    "analytic_event_study",
-    "sim_ann_recall_matrix",
-    "sim_prf_rocchio",
-    "text_winnowing_fingerprints",
-    "analytic_rdd",
-    "analytic_raking_ipf",
-    "graph_neighborhood_function",
-})
-
-# Unverified queries sort by family, north-star first; ties keep
-# registration order. Families past the window land in later rounds.
+# Unverified queries sort by family; ties keep registration order.
+# Families past the window land in later rounds. Round-3 ordering: the
+# north-star LLM families were verified in r02, so the warehouse
+# bread-and-butter (TPC-H shapes, windows, graph, dq — VERDICT r2 "What's
+# missing" #1) leads; everything else queues behind for r4+.
 _FAMILY_ORDER: tuple[str, ...] = (
-    "dedup_", "sim_", "text_", "mm_", "pipeline_", "stream_",
-    "sample_", "split_", "wf_shuffle", "udtf_",
     "tpch_", "win_", "graph_", "dq_",
-    "agg_", "join_", "analytic_", "wf_", "fn_", "filter_", "subquery_",
+    "agg_", "join_", "analytic_", "wf_", "fn_",
+    "dedup_", "sim_", "text_", "mm_", "pipeline_", "stream_",
+    "sample_", "split_", "udtf_", "filter_", "subquery_",
     "sql_", "grouped_", "funnel_", "cohort_", "topk_", "sink_", "src_",
     "udf_", "proj_",
 )
@@ -414,10 +214,12 @@ def _family_rank(name: str) -> int:
 
 def _rotate() -> None:
     order = {id(s): i for i, s in enumerate(SPECS)}
+    pin = {n: i for i, n in enumerate(_PINNED_WINDOW)}
     SPECS.sort(
         key=lambda s: (
+            s.name not in pin,
+            pin.get(s.name, 0),
             s.name in _DRIVER_VERIFIED,
-            s.name in _DEFER_TO_NEXT_WINDOW,
             _family_rank(s.name),
             order[id(s)],
         )

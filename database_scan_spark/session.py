@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable: the driver captures a bounded
+        # tail of bench.py's output, and [Stage …] progress bars would
+        # interleave with (and truncate) the summary JSON line
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
 

@@ -877,6 +877,40 @@ _TWS_FLUSH_SPLIT = "2024-01-16 00:00:00"  # fixture events span Jan 2024
 _TWS_FLUSH_GAP_S = 3600  # inactivity gap (whole-second timer granularity)
 
 
+def _two_file_events_src(
+    spark: SparkSession, sf_dir: str, name: str, nts
+) -> str:
+    """Stage the events table as TWO arrival files split at
+    ``_TWS_FLUSH_SPLIT`` (pre/post), mtime-ordered so FileStreamSource
+    with maxFilesPerTrigger=1 delivers them as two deterministic
+    micro-batches. Idempotent (guarded by _SPLIT_OK); shared by the
+    event-time-timer and processing-time-timer jobs so both observe
+    the same batch boundary."""
+    import glob  # noqa: PLC0415
+
+    src_dir = os.path.join(workdir(sf_dir, name), "src")
+    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        ev = spark.read.parquet(table_path(sf_dir, "events"))
+        split = F.lit(_TWS_FLUSH_SPLIT).cast(T.TimestampType())
+        for i, cond in enumerate([nts < split, nts >= split]):
+            (
+                ev.filter(cond)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"part{i}"))
+            )
+            f = glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet"))[0]
+            dst = os.path.join(src_dir, f"events_{i}.parquet")
+            os.replace(f, dst)
+            # FileStreamSource orders arrivals by mtime: force it
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
+        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
+            fh.write("ok")
+    return src_dir
+
+
 def _inactivity_flush_processor(gap_s: int):
     """ValueState + event-time-timer processor: per-user open window
     (n, first_us, last_us). A window flushes when (a) a later batch
@@ -980,8 +1014,6 @@ def stream_tws_inactivity_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     time stay open (and unemitted). Every branch is deterministic, so
     the memory-sink content has an exact SQL oracle reproducing the
     batch-by-batch watermark sequence (emit1/emit2 CTEs)."""
-    import glob  # noqa: PLC0415
-
     _ensure_tws_protobuf(spark)
     raw_schema = _events_raw_schema(spark, sf_dir)
     ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
@@ -990,27 +1022,7 @@ def stream_tws_inactivity_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ts_is_long
         else F.col("ts").cast(T.TimestampType())
     )
-    root = workdir(sf_dir, "stream_tws_flush")
-    src_dir = os.path.join(root, "src")
-    if not os.path.exists(os.path.join(src_dir, "_SPLIT_OK")):
-        shutil.rmtree(src_dir, ignore_errors=True)
-        ev = spark.read.parquet(table_path(sf_dir, "events"))
-        split = F.lit(_TWS_FLUSH_SPLIT).cast(T.TimestampType())
-        for i, cond in enumerate([nts < split, nts >= split]):
-            (
-                ev.filter(cond)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(src_dir, f"part{i}"))
-            )
-            f = glob.glob(os.path.join(src_dir, f"part{i}", "*.parquet"))[0]
-            dst = os.path.join(src_dir, f"events_{i}.parquet")
-            os.replace(f, dst)
-            # FileStreamSource orders arrivals by mtime: force it
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-            shutil.rmtree(os.path.join(src_dir, f"part{i}"), ignore_errors=True)
-        with open(os.path.join(src_dir, "_SPLIT_OK"), "w") as fh:
-            fh.write("ok")
+    src_dir = _two_file_events_src(spark, sf_dir, "stream_tws_flush", nts)
 
     stream = (
         spark.readStream.schema(raw_schema)
@@ -1096,6 +1108,164 @@ SPECS.append(
         STREAM_TWS_INACTIVITY_FLUSH_ORACLE,
         doc="event-time TIMERS across two real micro-batches: inactivity session "
         "flush (timer + arrival), exact SQL oracle over the same split",
+        tags=("stream",),
+    )
+)
+
+
+def _proctime_snapshot_processor():
+    """ProcessingTime-timer processor: on a key's FIRST appearance,
+    freeze (n_first, first_us) from that batch's rows and arm a
+    processing-time timer at the CURRENT processing time — expiry ≤
+    batch timestamp, so the engine fires it in the same micro-batch,
+    after input processing (Spark processes expired timers after the
+    batch's input rows). ``handleExpiredTimer`` emits the frozen
+    snapshot exactly once (``fired`` flag) and deletes the timer.
+    Because the payload is frozen at registration, the emission is
+    byte-identical no matter WHICH batch the timer happens to fire in
+    — wall clock decides only THAT it fires, which is the lifecycle
+    under test (register → expire → emit → delete in ProcessingTime
+    timeMode)."""
+    from pyspark.sql import types as _T  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class ProcTimeSnapshot(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState(
+                "snap",
+                _T.StructType(
+                    [
+                        _T.StructField("n_first", _T.LongType()),
+                        _T.StructField("first_us", _T.LongType()),
+                        _T.StructField("fired", _T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if not self.state.exists():
+                n, first_us = 0, None
+                for pdf in rows:
+                    if len(pdf) == 0:
+                        continue
+                    n += len(pdf)
+                    mn = int(pdf["ts_us"].min())
+                    first_us = mn if first_us is None else min(first_us, mn)
+                if n > 0:
+                    self.state.update((n, first_us, 0))
+                    self.handle.registerTimer(
+                        timer_values.getCurrentProcessingTimeInMs()
+                    )
+            yield from ()
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 - worker passes camelCase kwargs
+            import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+            if self.state.exists():
+                n, first_us, fired = self.state.get()
+                if not fired:
+                    self.state.update((n, first_us, 1))
+                    yield _pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_first": [n],
+                            "first_us": [first_us],
+                        }
+                    )
+            self.handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+
+        def close(self):
+            pass
+
+    return ProcTimeSnapshot()
+
+
+def stream_tws_proctime_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESSING-time timers on the Spark 4 state API (the twin of
+    ``stream_tws_inactivity_flush``'s event-time timers, closing
+    ROADMAP "Next steps" #3): same two-file arrival split, but
+    timeMode="ProcessingTime" — each key's first-sight batch arms a
+    timer at the current processing time and its fire emits the
+    snapshot frozen at registration (count + min event time within
+    the key's FIRST arrival file), so the output has an exact SQL
+    oracle over the same split even though fire TIMING is wall-clock.
+
+    Engine behavior discovered here and relied upon: with
+    ``noDataMicroBatches`` enabled (default), availableNow +
+    ProcessingTime timeMode NEVER terminates — the engine keeps
+    scheduling empty batches as wall-clock advances (measured 280+
+    no-data batches before we killed it), because unlike event time
+    the processing-time domain never runs out. The conf is therefore
+    disabled for THIS query and restored after; termination then
+    follows the last data batch, and every timer has already fired
+    in its registration batch (expiry ≤ batch timestamp)."""
+    _ensure_tws_protobuf(spark)
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+    nts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast(T.TimestampType())
+    )
+    src_dir = _two_file_events_src(spark, sf_dir, "stream_tws_flush", nts)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ev = stream.withColumn("ts", nts).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_proctime_snapshot_processor(),
+        outputStructType="user_id long, n_first long, first_us long",
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sink = _run_to_memory(out, spark, sf_dir, "stream_tws_proctime", "append")
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    return sink.select(
+        "user_id", "n_first", F.timestamp_micros("first_us").alias("first_ts")
+    )
+
+
+STREAM_TWS_PROCTIME_TIMER_ORACLE = f"""
+-- one row per user: count + min ts within the user's FIRST arrival
+-- file (pre-split if the user has any pre-split events, else post)
+WITH h1 AS (
+    SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '{_TWS_FLUSH_SPLIT}'
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_first, min(ts) AS first_ts
+FROM h1 GROUP BY user_id
+UNION ALL
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_first, min(ts) AS first_ts
+FROM events
+WHERE user_id NOT IN (SELECT user_id FROM h1)
+GROUP BY user_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_tws_proctime_timer",
+        stream_tws_proctime_timer,
+        STREAM_TWS_PROCTIME_TIMER_ORACLE,
+        doc="processing-time TIMERS: first-sight snapshot frozen at registration, "
+        "emitted by the timer fire; exact SQL oracle over the arrival split",
         tags=("stream",),
     )
 )

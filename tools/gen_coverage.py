@@ -340,6 +340,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "event-time timers (multi-batch inactivity flush)": [
             "stream_tws_inactivity_flush"
         ],
+        "processing-time timers (first-sight snapshot fire)": [
+            "stream_tws_proctime_timer"
+        ],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
@@ -421,7 +424,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "binaryFile blob ingest": ["src_binary_files"],
         "frame sampling": ["mm_frame_sample"],
-        "resize plumbing": ["mm_resize_stub"],
+        "resize plan over real decoded dims": ["mm_resize"],
         "real BMP box-filter thumbnail (resize semantics, exact cells)": [
             "mm_thumbnail_real"
         ],
@@ -435,6 +438,8 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "North-star: text analysis": {
         "language-ID": ["text_lang_id"],
         "quality scoring": ["text_quality"],
+        "Gopher rule filter (integer-exact thresholds)": ["text_gopher_rules"],
+        "per-language tokenizer fertility profile": ["text_token_fertility"],
         "token counting": ["text_tokens"],
         "fingerprinting": ["text_fingerprint"],
         "PII redaction": ["text_pii_redact"],
@@ -575,6 +580,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "corpus n-gram vocabulary (top-k per language)": ["text_ngram_topk"],
         "token-window chunking into training sequences": ["wf_chunk_documents"],
         "per-source mixture sampling (dataset composition)": ["wf_data_mixture"],
+        "DSIR importance resampling (hashed-unigram bucket LMs)": ["wf_dsir_select"],
         "unigram surprisal quality score (perplexity proxy)": ["text_surprisal"],
         "model-based quality classifier (linear, exact sigmoid)": ["text_quality_logreg"],
         "dataset-card corpus report (rollup margins)": ["dq_corpus_report"],
@@ -652,6 +658,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         ],
         "runtime bloom-filter semi-join reduction": ["join_bloom_prefilter"],
         "mergeable theta sketches (distinct + sketch-level union)": ["agg_theta_distinct_union"],
+        "portable HyperLogLog (owned hash family, SQL-reproducible registers)": ["agg_hll_portable"],
         "Spark 4 VARIANT semi-structured surface": ["fn_variant_json"],
         "ANALYZE'd catalog stats + CBO join reorder": ["catalog_stats_cbo"],
         "recursive CTE hierarchy walk (WITH RECURSIVE)": ["sql_recursive_cte"],
