@@ -140,7 +140,14 @@ HEADLINE = [
     "wf_dsir_select",
     "agg_hll_portable",
     "mm_resize",
-    "stream_tws_proctime_timer",
+    "dq_dup_rate_by_source",
+    # NOT a headliner: stream_tws_proctime_timer (and the other TWS
+    # jobs) — at fixture scale ~95% of their wall-clock is the
+    # per-partition transformWithState state-server handshake (14s for
+    # 150 keys, flat in data volume), so timing them measures the TWS
+    # protocol, not an operator plan. stream_corpus_ingest represents
+    # streaming in the headline set; TWS correctness is gated by the
+    # driver window + oracle instead.
 ]
 
 # Per-query session confs applied around EXECUTION (set → run → restore).

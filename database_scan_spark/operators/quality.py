@@ -1809,3 +1809,80 @@ SPECS.append(
         tags=("quality", "llm"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_dup_rate_by_source — per-source duplication governance report
+# ---------------------------------------------------------------------------
+
+
+def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report — the governance table a
+    corpus owner reads before re-crawling a source: exact-duplicate
+    rate (docs whose full text appears elsewhere in the CORPUS,
+    counted per source) and the surviving-after-dedup fraction under
+    keep-first-by-doc_id. Two hash-aggs over one scan: group text →
+    (cluster size, keeper) — the dedup_exact shape — then re-join to
+    the source dim and roll up. Permille integers (exact) plus the
+    derived ratio; no float accumulation. At 100 TB: text would be
+    replaced by its fingerprint column (text_fingerprint) so the
+    first group-by shuffles 16-byte keys, not documents."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clusters = docs.groupBy("text").agg(
+        F.count(F.lit(1)).alias("cluster_n"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    labeled = docs.join(clusters, "text").select(
+        "source",
+        (F.col("cluster_n") > 1).cast("long").alias("is_dup_member"),
+        (F.col("doc_id") == F.col("keeper_id")).cast("long").alias("is_keeper"),
+    )
+    agg = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup_member").cast("long").alias("n_in_dup_clusters"),
+        F.sum("is_keeper").cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_in_dup_clusters",
+        "n_kept",
+        (F.col("n_in_dup_clusters") * 1000 / F.col("n_docs"))
+        .cast("long")
+        .alias("dup_permille"),
+        F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("survival_rate"),
+    )
+
+
+DQ_DUP_RATE_BY_SOURCE_ORACLE = """
+WITH clusters AS (
+    SELECT text, CAST(count(*) AS BIGINT) AS cluster_n,
+           min(doc_id) AS keeper_id
+    FROM documents GROUP BY text
+), labeled AS (
+    SELECT d.source,
+           CASE WHEN c.cluster_n > 1 THEN 1 ELSE 0 END AS is_dup_member,
+           CASE WHEN d.doc_id = c.keeper_id THEN 1 ELSE 0 END AS is_keeper
+    FROM documents d JOIN clusters c USING (text)
+), agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup_member) AS BIGINT) AS n_in_dup_clusters,
+           CAST(sum(is_keeper) AS BIGINT) AS n_kept
+    FROM labeled GROUP BY source
+)
+SELECT source, n_docs, n_in_dup_clusters, n_kept,
+       CAST(n_in_dup_clusters * 1000 // n_docs AS BIGINT) AS dup_permille,
+       round(n_kept * 1.0 / n_docs, 6) AS survival_rate
+FROM agg
+"""
+
+SPECS.append(
+    QuerySpec(
+        "dq_dup_rate_by_source",
+        dq_dup_rate_by_source,
+        DQ_DUP_RATE_BY_SOURCE_ORACLE,
+        doc="per-source exact-dup rate + keep-first survival — corpus governance rollup",
+        tags=("quality", "llm", "dedup"),
+    )
+)

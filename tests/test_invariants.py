@@ -1189,3 +1189,69 @@ def test_raking_converges_toward_margins(spark, specs):
     assert rows
     assert all(r.weight > 0 for r in rows)
     assert max(r.row_err_ppm for r in rows) < 50_000
+
+
+def test_hll_estimate_within_theory_band(spark, specs):
+    """HLL with m=256 registers has relative standard error
+    1.04/sqrt(m) ≈ 6.5%; a correct implementation should land within
+    ~4 sigma of exact on every fixture group (and the small-range
+    linear-counting branch is even tighter). A register-indexing or
+    rank bug blows this band immediately."""
+    rows = specs["agg_hll_portable"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.74 <= r.est_ratio <= 1.26, (r.event_type, r.est_ratio)
+
+
+def test_gopher_keep_is_conjunction_of_rules(spark, specs):
+    """kept == AND of the four rule booleans, row by row."""
+    for r in specs["text_gopher_rules"].fn(spark, SF_SMOKE).collect():
+        expect = int(
+            r.rule_word_count and r.rule_mean_len
+            and r.rule_stopwords and r.rule_alpha_ratio
+        )
+        assert r.kept == expect, r
+
+
+def test_dsir_selects_target_like_pool_docs(spark, specs):
+    """DSIR ranks are 1..K with strictly ordered (score, doc_id), and
+    no selected doc belongs to the target language (selection is from
+    the pool by construction)."""
+    from database_scan_spark.operators.llm_prep import DSIR_TARGET_LANG, DSIR_TOPK
+
+    rows = specs["wf_dsir_select"].fn(spark, SF_SMOKE).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, min(DSIR_TOPK, len(rows)) + 1)
+    )
+    docs = specs["src_parquet_scan"].fn(spark, SF_SMOKE) if "src_parquet_scan" in specs else None
+    from database_scan_spark.catalog import load
+
+    langs = {
+        r.doc_id: r.lang
+        for r in load(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    }
+    assert all(langs[r.doc_id] != DSIR_TARGET_LANG for r in rows)
+
+
+def test_dup_rate_report_mass_balance(spark, specs):
+    """Per-source doc counts in the dup report sum to the corpus
+    size, and keepers never exceed docs."""
+    from database_scan_spark.catalog import load
+
+    rows = specs["dq_dup_rate_by_source"].fn(spark, SF_SMOKE).collect()
+    total = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(0 < r.n_kept <= r.n_docs for r in rows)
+
+
+def test_proctime_timer_emits_exactly_once_per_user(spark, specs):
+    """Every user fires exactly one processing-time timer (the
+    'fired' latch suppresses re-emission) — one output row per
+    distinct user in the events fixture."""
+    from database_scan_spark.catalog import load
+
+    out = specs["stream_tws_proctime_timer"].fn(spark, SF_SMOKE)
+    n_users = load(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_users
+    assert len({r.user_id for r in rows}) == n_users

@@ -162,3 +162,61 @@ def test_session_global_state_does_not_bleed(spark):
     for name in reversed(order):
         again = specs[name].fn(spark, SF_SMOKE).toPandas()
         assert again.equals(first[name]), name
+
+
+def test_gopher_rules_degenerate_docs(spark):
+    """Edge inputs the fixture lacks: empty text, single word, all
+    stopwords, non-alpha tokens — rules must evaluate (no div-by-zero:
+    thresholds are integer cross-multiplications) and kept must be 0
+    for each degenerate shape."""
+    from database_scan_spark.operators.text_analysis import text_gopher_rules
+    import database_scan_spark.operators.text_analysis as ta
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),            # empty: 1 empty token
+            (2, "word"),        # single word, no stopwords
+            (3, "the of a and the of a and"),  # all stopwords: mean len < 3
+            (4, "1234 5678 9012 3456"),        # no alpha chars
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(ta, "load", lambda _s, _d, _t: docs):
+        rows = {r.doc_id: r for r in text_gopher_rules(spark, "ignored").collect()}
+    assert rows[1].kept == 0 and rows[1].rule_word_count == 0
+    assert rows[2].kept == 0  # below word floor
+    assert rows[3].kept == 0  # fails word floor (8 < 50)
+    assert rows[4].rule_alpha_ratio == 0 and rows[4].kept == 0
+
+
+def test_hll_merge_property(spark):
+    """HLL registers must be mergeable: max-merging the per-type
+    registers and estimating equals running the estimator over the
+    union directly — the property that makes the sketch usable as a
+    partial aggregate at 100 TB."""
+    from pyspark.sql import functions as F
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators.composite import (
+        _HLL_M, _HLL_W, _HLL_ALPHA, _h32_local,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    h = _h32_local(F.col("user_id").cast("string"))
+    bucket = (h / F.lit(1 << _HLL_W)).cast("long")
+    w = h % F.lit(1 << _HLL_W)
+    rank = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(w))
+    )
+    per_type = (
+        ev.select("event_type", bucket.alias("b"), rank.alias("r"))
+        .groupBy("event_type", "b").agg(F.max("r").alias("m_b"))
+    )
+    merged = per_type.groupBy("b").agg(F.max("m_b").alias("m_b"))
+    direct = (
+        ev.select(bucket.alias("b"), rank.alias("r"))
+        .groupBy("b").agg(F.max("r").alias("m_b"))
+    )
+    assert {(r.b, r.m_b) for r in merged.collect()} == {
+        (r.b, r.m_b) for r in direct.collect()
+    }

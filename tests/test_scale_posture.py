@@ -872,3 +872,36 @@ def test_winnowing_argmin_join_is_hash_keyed(spark):
     plan = _plan(text_winnowing_fingerprints(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_broadcasts_bucket_weights(spark):
+    """DSIR's bucket-LM weight table (≤ DSIR_BUCKETS rows) must reach
+    the token table as a broadcast — a shuffled join here would key
+    the whole corpus's token exchange on `bucket`, exactly the shape
+    the design forbids."""
+    from database_scan_spark.operators.llm_prep import wf_dsir_select
+
+    plan = _plan(wf_dsir_select(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_two_hash_aggs(spark):
+    """The portable HLL must aggregate registers with hash aggregates
+    (map-side combinable MAX), never a sort-based fallback, and must
+    not shuffle anything wider than (type, register)."""
+    from database_scan_spark.operators.composite import agg_hll_portable
+
+    plan = _plan(agg_hll_portable(spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # no global-ordering operator anywhere
+
+
+def test_gopher_rules_single_narrow_stage(spark):
+    """Gopher rules are a pure projection: the plan must contain no
+    exchange at all — one scan, one stage."""
+    from database_scan_spark.operators.text_analysis import text_gopher_rules
+
+    plan = _plan(text_gopher_rules(spark, SF_SMOKE))
+    assert "Exchange" not in plan

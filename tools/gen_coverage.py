@@ -584,6 +584,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "unigram surprisal quality score (perplexity proxy)": ["text_surprisal"],
         "model-based quality classifier (linear, exact sigmoid)": ["text_quality_logreg"],
         "dataset-card corpus report (rollup margins)": ["dq_corpus_report"],
+        "per-source duplication-rate governance report": ["dq_dup_rate_by_source"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],

@@ -275,6 +275,23 @@ SHOWCASE = {
     "mm_thumbnail_real": "real thumbnail — expect exactly one MapInPandas "
     "(Arrow) boundary over the blob table and nothing downstream of it; "
     "cell reduction happens inside the batch fn, not a JVM shuffle",
+    # round-3 additions
+    "text_gopher_rules": "Gopher rule gate — expect ZERO exchanges: one "
+    "scan, one WholeStageCodegen span; every threshold is an integer "
+    "cross-multiplication so the whole filter is a narrow projection",
+    "wf_dsir_select": "DSIR selection — expect the bucket-weight table "
+    "(256 rows) joined as BroadcastHashJoin onto the exploded tokens, two "
+    "hash-aggs on corpus-keyed exchanges (bucket, doc_id), and the final "
+    "top-K window over the doc-level score table only",
+    "agg_hll_portable": "portable HLL — expect two HashAggregates (max-per-"
+    "register, then register fold) with map-side partials; the shuffle "
+    "carries at most 256 register rows per group; no Window, no sort",
+    "dq_dup_rate_by_source": "dup-rate governance rollup — expect the "
+    "group-by-text cluster agg plus one source rollup; at 100 TB the "
+    "group key becomes the 16-byte fingerprint (documented)",
+    "mm_resize": "resize planning over real decode — expect one MapInPandas "
+    "(Arrow) boundary (the codec), then pure column arithmetic; the blob "
+    "column never reaches an exchange",
 }
 
 
