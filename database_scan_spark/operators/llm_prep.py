@@ -1717,3 +1717,158 @@ SPECS.append(
         tags=("llm", "workflow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter (Wenzek et al. 2020, arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+#
+# CCNet buckets documents into head/middle/tail by language-model
+# perplexity. The LM here is the corpus's own interpolated bigram model
+# (lambda * p(w|prev) + (1-lambda) * p(w)) — the same architecture as the
+# KenLM filter, self-trained so the fixture needs no external model. The
+# DSIR determinism discipline applies: ln() is evaluated once per DISTINCT
+# (prev, w) pair on the vocabulary-sized stats table, quantized to integer
+# micro-nats, and per-doc surprisal is an exact BIGINT sum.
+
+CCNET_LAMBDA = 0.7  # bigram weight in the interpolation
+CCNET_BUCKETS = 3   # head / middle / tail
+
+
+def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated-bigram surprisal + CCNet tercile
+    bucket (1=head=lowest surprisal). Corpus LM: two hash-aggs
+    (unigram, bigram); scoring: the token stream joins the bigram
+    stats table on (prev, w) — an equi-join on vocabulary-bounded
+    keys — and one per-doc aggregation. The final ntile runs over the
+    doc-level score table (corpus-cardinality rows). First token of a
+    doc backs off to the unigram term alone. 100 TB posture: no
+    broadcast assumption on the bigram table (vocabulary² can exceed
+    memory) — it's a plain shuffle-hash equi-join; everything else is
+    map-side combinable."""
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    prev = F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    stream = toks.select("doc_id", "pos", "w", prev.alias("pw"))
+
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n")).select("n")
+    big = (
+        stream.filter(F.col("pw").isNotNull())
+        .groupBy("pw", "w")
+        .agg(F.count(F.lit(1)).alias("cpw_w"))
+    )
+    pctx = stream.filter(F.col("pw").isNotNull()).groupBy("pw").agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    # vocabulary-sized stats with quantized surprisal terms
+    uni_w = (
+        uni.crossJoin(F.broadcast(n_total))
+        .select(
+            "w",
+            F.round(
+                -F.log((1.0 - CCNET_LAMBDA) * F.col("cw") / F.col("n")) * 1e6, 0
+            ).cast("long").alias("u_unats"),
+        )
+    )
+    big_w = (
+        big.join(pctx, "pw")
+        .crossJoin(F.broadcast(n_total))
+        .join(uni.select(F.col("w"), F.col("cw")), "w")
+        .select(
+            "pw",
+            "w",
+            F.round(
+                -F.log(
+                    CCNET_LAMBDA * F.col("cpw_w") / F.col("cp")
+                    + (1.0 - CCNET_LAMBDA) * F.col("cw") / F.col("n")
+                )
+                * 1e6,
+                0,
+            ).cast("long").alias("b_unats"),
+        )
+    )
+    scored = (
+        stream.join(uni_w, "w")
+        .join(big_w, ["pw", "w"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("b_unats"), F.col("u_unats")).alias("unats"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("unats").cast("long").alias("surprisal_unats"),
+        )
+    )
+    out = scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "surprisal_unats",
+        F.round(F.col("surprisal_unats") / F.col("n_tokens") / 1e6, 6).alias(
+            "avg_nats"
+        ),
+    )
+    bucket = F.ntile(CCNET_BUCKETS).over(
+        Window.orderBy(F.col("surprisal_unats") / F.col("n_tokens"), F.col("doc_id"))
+    )
+    return out.withColumn("ccnet_bucket", bucket.cast("int"))
+
+
+TEXT_CCNET_PERPLEXITY_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, t.pos, t.w FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ) t(doc_id, pos, w) WHERE t.w <> ''
+), stream AS MATERIALIZED (
+    SELECT doc_id, pos, w,
+           lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+    FROM toks
+), uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+big AS (
+    SELECT pw, w, CAST(count(*) AS BIGINT) AS cpw_w
+    FROM stream WHERE pw IS NOT NULL GROUP BY pw, w
+), pctx AS (
+    SELECT pw, CAST(count(*) AS BIGINT) AS cp
+    FROM stream WHERE pw IS NOT NULL GROUP BY pw
+), uni_w AS (
+    SELECT w, CAST(round(-ln({1.0 - CCNET_LAMBDA} * cw / n) * 1e6, 0) AS BIGINT) AS u_unats
+    FROM uni CROSS JOIN tot
+), big_w AS (
+    SELECT b.pw, b.w,
+           CAST(round(-ln({CCNET_LAMBDA} * b.cpw_w / p.cp
+                          + {1.0 - CCNET_LAMBDA} * u.cw / t.n) * 1e6, 0) AS BIGINT) AS b_unats
+    FROM big b JOIN pctx p USING (pw) JOIN uni u USING (w) CROSS JOIN tot t
+), scored AS (
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(COALESCE(bw.b_unats, uw.u_unats)) AS BIGINT) AS surprisal_unats
+    FROM stream s
+    JOIN uni_w uw USING (w)
+    LEFT JOIN big_w bw ON bw.pw = s.pw AND bw.w = s.w
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_tokens, surprisal_unats,
+       round(surprisal_unats * 1.0 / n_tokens / 1e6, 6) AS avg_nats,
+       CAST(ntile({CCNET_BUCKETS}) OVER (
+           ORDER BY surprisal_unats * 1.0 / n_tokens, doc_id
+       ) AS INTEGER) AS ccnet_bucket
+FROM scored
+"""
+
+SPECS.append(
+    QuerySpec(
+        "text_ccnet_perplexity",
+        text_ccnet_perplexity,
+        TEXT_CCNET_PERPLEXITY_ORACLE,
+        doc="CCNet perplexity buckets (Wenzek '20): self-trained interpolated "
+        "bigram LM, integer micro-nat surprisal, head/middle/tail terciles",
+        tags=("llm", "text"),
+    )
+)

@@ -1255,3 +1255,18 @@ def test_proctime_timer_emits_exactly_once_per_user(spark, specs):
     rows = out.collect()
     assert len(rows) == n_users
     assert len({r.user_id for r in rows}) == n_users
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, specs):
+    """ntile(3) must split docs into buckets whose sizes differ by at
+    most 1, and bucket means must be monotone in surprisal."""
+    rows = specs["text_ccnet_perplexity"].fn(spark, SF_SMOKE).collect()
+    sizes = {}
+    means = {}
+    for r in rows:
+        sizes[r.ccnet_bucket] = sizes.get(r.ccnet_bucket, 0) + 1
+        means.setdefault(r.ccnet_bucket, []).append(r.avg_nats)
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    m = [sum(v) / len(v) for _, v in sorted(means.items())]
+    assert m[0] < m[1] < m[2]

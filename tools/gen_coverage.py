@@ -439,6 +439,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "language-ID": ["text_lang_id"],
         "quality scoring": ["text_quality"],
         "Gopher rule filter (integer-exact thresholds)": ["text_gopher_rules"],
+        "CCNet LM-perplexity buckets (self-trained bigram LM)": ["text_ccnet_perplexity"],
         "per-language tokenizer fertility profile": ["text_token_fertility"],
         "token counting": ["text_tokens"],
         "fingerprinting": ["text_fingerprint"],
