@@ -389,3 +389,118 @@ def test_jaro_winkler_matches_duckdb_on_arbitrary_strings(a, b):
         "SELECT round(jaro_winkler_similarity(?, ?), 6)", [a, b]
     ).fetchone()[0]
     assert round(jw(a, b), 6) == expected, (a, b)
+
+
+INTS_POS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),   # count numerator
+        st.integers(min_value=1, max_value=10**12),  # total denominator
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(pairs=INTS_POS)
+@settings(**_SETTINGS)
+def test_micronat_log_quantization_matches_duckdb(spark, pairs):
+    """The DSIR/CCNet determinism story rests on round(ln(x)*1e6, 0)
+    agreeing between Java's Math.log and DuckDB's libm ln for
+    Laplace-smoothed count ratios. Property-check it on adversarial
+    integer ratios (the only shape the engine ever feeds it)."""
+    pdf = pd.DataFrame(pairs, columns=["c", "n"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            F.round(F.log((F.col("c") + 1) / (F.col("n") + 256)) * 1e6, 0)
+            .cast("long")
+            .alias("w")
+        )
+        .toPandas()["w"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(round(ln((c + 1) * 1.0 / (n + 256)) * 1e6, 0) AS BIGINT) FROM t"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+HASHES_32 = st.lists(
+    st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=1, max_size=60
+)
+
+
+@given(hs=HASHES_32)
+@settings(**_SETTINGS)
+def test_hll_bucket_rank_kernel_matches_reference(spark, hs):
+    """agg_hll_portable's register kernel — top-8-bit bucket, 24-bit
+    suffix leading-zero rank via bin() length — against a pure-Python
+    bit-twiddling reference, on arbitrary 32-bit hash values."""
+    W = 24
+    pdf = pd.DataFrame({"h": hs})
+    sdf = spark.createDataFrame(pdf)
+    w = F.col("h") % F.lit(1 << W)
+    got = (
+        sdf.select(
+            (F.col("h") / F.lit(1 << W)).cast("long").alias("b"),
+            F.when(w == 0, F.lit(W + 1))
+            .otherwise(F.lit(W + 1) - F.length(F.bin(w)))
+            .cast("long")
+            .alias("r"),
+        )
+        .toPandas()
+    )
+    for h, b, r in zip(hs, got["b"], got["r"]):
+        assert b == h >> W
+        suffix = h & ((1 << W) - 1)
+        assert r == (W + 1 if suffix == 0 else W + 1 - suffix.bit_length())
+
+
+@given(texts=TEXTS)
+@settings(**_SETTINGS)
+def test_gopher_kernel_matches_python_reference(spark, texts):
+    """Gopher rule booleans (integer cross-multiplied thresholds)
+    against a direct Python evaluation on arbitrary unicode docs."""
+    from database_scan_spark.operators.text_analysis import (
+        GOPHER_ALPHA_DEN,
+        GOPHER_ALPHA_NUM,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+        text_gopher_rules,
+    )
+    import database_scan_spark.operators.text_analysis as ta
+    import re
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    with mock.patch.object(ta, "load", lambda _s, _d, _t: docs):
+        got = {
+            r.doc_id: r for r in text_gopher_rules(spark, "ignored").collect()
+        }
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if re.search("[a-z]", t))
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        r = got[i]
+        assert r.n_words == n and r.sum_word_len == sum_len
+        assert r.n_alpha_words == n_alpha and r.n_stop_hits == n_stop
+        assert r.rule_word_count == int(GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS)
+        assert r.rule_mean_len == int(
+            GOPHER_MIN_MEAN_LEN * n <= sum_len <= GOPHER_MAX_MEAN_LEN * n
+        )
+        assert r.rule_stopwords == int(n_stop >= GOPHER_MIN_STOP_HITS)
+        assert r.rule_alpha_ratio == int(n_alpha * GOPHER_ALPHA_DEN >= n * GOPHER_ALPHA_NUM)
