@@ -1661,16 +1661,16 @@ def wf_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("w_unats").cast("long").alias("score_unats"),
     )
+    # Top-K as orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, no global sort/window over the corpus-cardinality score
+    # table); the rank window then runs on the ≤K-row result only.
+    topk = scored.orderBy(F.desc("score_unats"), F.asc("doc_id")).limit(DSIR_TOPK)
     win = Window.orderBy(F.desc("score_unats"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= DSIR_TOPK)
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "score_unats",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return topk.withColumn("rank", F.row_number().over(win)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "score_unats",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -1741,8 +1741,11 @@ def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unigram, bigram); scoring: the token stream joins the bigram
     stats table on (prev, w) — an equi-join on vocabulary-bounded
     keys — and one per-doc aggregation. The final ntile runs over the
-    doc-level score table (corpus-cardinality rows). First token of a
-    doc backs off to the unigram term alone. 100 TB posture: no
+    doc-level score table — corpus-cardinality rows, but 5-6 orders
+    smaller than the token input; at 100 TB swap the exact tercile
+    for percentile-cutpoint bucketing (approx_percentile cutoffs +
+    CASE, no global sort) if even the doc-level sort is too wide.
+    First token of a doc backs off to the unigram term alone. 100 TB posture: no
     broadcast assumption on the bigram table (vocabulary² can exceed
     memory) — it's a plain shuffle-hash equi-join; everything else is
     map-side combinable."""

@@ -905,3 +905,13 @@ def test_gopher_rules_single_narrow_stage(spark):
 
     plan = _plan(text_gopher_rules(spark, SF_SMOKE))
     assert "Exchange" not in plan
+
+
+def test_dsir_topk_is_take_ordered(spark):
+    """DSIR's top-K must be per-partition heaps (TakeOrderedAndProject),
+    never a global sort/window over the corpus-cardinality score table;
+    the rank window runs only on the ≤K-row result."""
+    from database_scan_spark.operators.llm_prep import wf_dsir_select
+
+    plan = _plan(wf_dsir_select(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
