@@ -2457,3 +2457,103 @@ SPECS.append(
         tags=("llm", "dedup", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_matrix — in-engine agreement audit across dedup variants
+# ---------------------------------------------------------------------------
+#
+# The `sim_ann_recall_matrix` pattern applied to near-dup detection: run
+# the exact Jaccard join, the banded-MinHash pipeline, and the SimHash
+# banding over the SAME corpus and report each method's pair volume plus
+# precision/recall against the exact method — the table a corpus owner
+# reads before picking the dedup dial at 100 TB (and a standing
+# cross-implementation consistency check: if MinHash recall ever drops
+# below 1.0 on fixtures, banding broke).
+
+
+def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per method: pair count, overlap with exact, precision
+    and recall vs the exact Jaccard join. SimHash hunts a DIFFERENT
+    metric (Hamming on 32-bit sketches, not Jaccard ≥ 0.5), so its
+    row quantifies cross-metric agreement rather than a recall
+    guarantee. All three pair sets are computed by the registered
+    operators themselves (single source of truth); metrics are
+    count aggregates over broadcast-joined pair sets — the pair
+    tables are LSH-sized, orders smaller than the corpus."""
+    ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    methods = [
+        ("exact_jaccard", ex),
+        ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")),
+        (
+            "simhash_h3",
+            dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        ),
+    ]
+    ex_n = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = []
+    for name, pairs in methods:
+        counted = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        overlap = pairs.join(ex, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_overlap")
+        )
+        rows.append(
+            counted.crossJoin(overlap)
+            .crossJoin(ex_n)
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_overlap").cast("long").alias("n_overlap_exact"),
+                F.round(F.col("n_overlap") / F.col("n_pairs"), 6).alias(
+                    "precision_vs_exact"
+                ),
+                F.round(F.col("n_overlap") / F.col("n_exact"), 6).alias(
+                    "recall_vs_exact"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _method_matrix_oracle() -> str:
+    # nested CTEs: each registered oracle drops in verbatim as a
+    # derived table, so the matrix oracle can never drift from the
+    # per-method oracles
+    return f"""
+WITH ex AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_ORACLE})),
+mh AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+sh AS (SELECT doc_a, doc_b FROM ({_simhash_pairs_oracle()})),
+exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+m AS (
+    SELECT 'exact_jaccard' AS method,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_overlap
+    UNION ALL
+    SELECT 'minhash_lsh',
+           (SELECT CAST(count(*) AS BIGINT) FROM mh),
+           (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN ex USING (doc_a, doc_b))
+    UNION ALL
+    SELECT 'simhash_h3',
+           (SELECT CAST(count(*) AS BIGINT) FROM sh),
+           (SELECT CAST(count(*) AS BIGINT) FROM sh JOIN ex USING (doc_a, doc_b))
+)
+SELECT method, n_pairs, CAST(n_overlap AS BIGINT) AS n_overlap_exact,
+       round(n_overlap * 1.0 / n_pairs, 6) AS precision_vs_exact,
+       round(n_overlap * 1.0 / (SELECT n_exact FROM exn), 6) AS recall_vs_exact
+FROM m
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_method_matrix",
+        dedup_method_matrix,
+        _method_matrix_oracle(),
+        doc="dedup-variant agreement audit: exact vs MinHash-LSH vs SimHash, "
+        "precision/recall in-engine (sim_ann_recall_matrix pattern)",
+        tags=("llm", "dedup"),
+    )
+)

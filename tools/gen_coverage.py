@@ -347,6 +347,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
         "MinHash + LSH": ["dedup_minhash_lsh", "dedup_minhash_mllib"],
+        "dedup-variant agreement matrix (precision/recall vs exact)": ["dedup_method_matrix"],
         "incremental dedup vs standing index": ["dedup_incremental_minhash"],
         "connected-components clustering (iterative)": ["dedup_cluster_cc"],
         "large-star/small-star CC (Kiveris SoCC'14, diameter-independent)": [
