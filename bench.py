@@ -142,6 +142,7 @@ HEADLINE = [
     "mm_resize",
     "dq_dup_rate_by_source",
     "text_ccnet_perplexity",
+    "pipeline_quality_funnel",
     # NOT a headliner: stream_tws_proctime_timer (and the other TWS
     # jobs) — at fixture scale ~95% of their wall-clock is the
     # per-partition transformWithState state-server handshake (14s for

@@ -114,6 +114,9 @@ def _load_all() -> None:
     from .plans import pretrain_batches  # noqa: PLC0415
 
     _extend(pretrain_batches.SPECS)
+    from .plans import quality_funnel  # noqa: PLC0415
+
+    _extend(quality_funnel.SPECS)
     from .streaming import jobs  # noqa: PLC0415
 
     _extend(jobs.SPECS)

@@ -447,6 +447,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "PII redaction": ["text_pii_redact"],
         "repetition signals (Gopher rules)": ["text_repetition"],
         "corpus-prep pipeline (quality→dedup→budget)": ["pipeline_corpus_prep"],
+        "per-stage corpus attrition funnel (Gopher/CCNet/dedup gates)": ["pipeline_quality_funnel"],
         "TF-IDF keyword extraction": ["text_tfidf_topk"],
         "RAKE keyphrase extraction (stopword-delimited phrases)": [
             "text_keyword_rake"
