@@ -2481,13 +2481,19 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators themselves (single source of truth); metrics are
     count aggregates over broadcast-joined pair sets — the pair
     tables are LSH-sized, orders smaller than the corpus."""
-    ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Each pair set appears several times in the union plan (its own
+    # count, the overlap join, the exact-total denominator); persist
+    # so each dedup pipeline executes ONCE, not once per occurrence.
+    ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
     methods = [
         ("exact_jaccard", ex),
-        ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")),
+        (
+            "minhash_lsh",
+            dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist(),
+        ),
         (
             "simhash_h3",
-            dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+            dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist(),
         ),
     ]
     ex_n = ex.agg(F.count(F.lit(1)).alias("n_exact"))

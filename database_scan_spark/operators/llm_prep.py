@@ -1634,7 +1634,10 @@ def wf_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
     toks = docs.withColumn("bucket", h32(F.col("token")) % DSIR_BUCKETS)
-    is_target = F.col("lang") == DSIR_TARGET_LANG
+    # eqNullSafe: a NULL lang must land in the POOL on both engines
+    # (the oracle's CASE routes NULL to its ELSE branch; a plain ==
+    # would make Spark's sums skip the row instead)
+    is_target = F.col("lang").eqNullSafe(F.lit(DSIR_TARGET_LANG))
     counts = toks.groupBy("bucket").agg(
         F.sum(is_target.cast("long")).alias("ct"),
         F.sum((~is_target).cast("long")).alias("cr"),

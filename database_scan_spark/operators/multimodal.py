@@ -202,18 +202,26 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     only: audio has no spatial dims. The oracle re-derives the
     decoded dimensions from the codec arithmetic (w = n%64+1,
     h = n%48+1 — the same header fields MM_DECODE_REAL_ORACLE
-    hash-proves) and the identical float fit, so a header-parse or
-    rounding divergence breaks the hash."""
+    hash-proves) and the identical integer fit, so a header-parse or
+    arithmetic divergence breaks the hash."""
     meta = mm_decode_real(spark, sf_dir).filter(F.col("modality") == "image")
-    scale = F.least(
-        F.lit(224.0) / F.col("width"), F.lit(224.0) / F.col("height")
-    )
+    # integer-exact fit: scale = 224/max(w,h), so target = dim*224 DIV
+    # max(w,h). Float floor(dim * (224.0/dim)) lands on 223 for some
+    # widths (e.g. 55*(224.0/55) = 223.999...) — integer division
+    # guarantees the binding dimension hits exactly 224.
+    bind = F.greatest(F.col("width"), F.col("height")).cast("long")
     return meta.select(
         "doc_id",
         "width",
         "height",
-        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
-        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
+        ((F.col("width").cast("long") * 224) / bind)
+        .cast("long")
+        .cast("int")
+        .alias("target_width"),
+        ((F.col("height").cast("long") * 224) / bind)
+        .cast("long")
+        .cast("int")
+        .alias("target_height"),
     )
 
 
@@ -221,8 +229,8 @@ MM_RESIZE_ORACLE = """
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
-       CAST(floor(w * least(224.0 / w, 224.0 / h)) AS INTEGER) AS target_width,
-       CAST(floor(h * least(224.0 / w, 224.0 / h)) AS INTEGER) AS target_height
+       CAST(w * 224 // greatest(w, h) AS INTEGER) AS target_width,
+       CAST(h * 224 // greatest(w, h) AS INTEGER) AS target_height
 FROM (
     SELECT doc_id,
            octet_length(encode(text)) % 64 + 1 AS w,

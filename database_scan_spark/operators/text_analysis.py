@@ -2833,7 +2833,9 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias(
             "n_chunks"
         ),
-        F.length("text").alias("n_bytes"),
+        # octet_length: UTF-8 BYTES, not characters — the whole point
+        # of bytes_per_chunk is pricing multi-byte (CJK) languages
+        F.octet_length("text").alias("n_bytes"),
     )
     agg = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2859,7 +2861,7 @@ WITH per_doc AS (
     SELECT lang,
            len(string_split(text, ' ')) AS n_words,
            len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_chunks,
-           length(text) AS n_bytes
+           octet_length(encode(text)) AS n_bytes
     FROM documents
 ), agg AS (
     SELECT lang,

@@ -50,15 +50,22 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_id"))
         .select(F.col("keeper_id").alias("doc_id"), F.lit(1).alias("is_keeper"))
     )
+    # ccnet joins LEFT: it emits only docs with >=1 non-empty token, and
+    # the raw stage must count EVERY document (a token-less doc has no
+    # perplexity — treat it as tail, which the Gopher gate has already
+    # dropped anyway). gopher is a pure projection over documents, so an
+    # inner join there is total.
     flags = (
         docs.select("doc_id")
         .join(gopher, "doc_id")
-        .join(ccnet, "doc_id")
+        .join(ccnet, "doc_id", "left")
         .join(keeper, "doc_id", "left")
         .select(
             "doc_id",
             F.col("kept").alias("f1"),
-            (F.col("ccnet_bucket") < 3).cast("int").alias("f2"),
+            F.coalesce((F.col("ccnet_bucket") < 3).cast("int"), F.lit(0)).alias(
+                "f2"
+            ),
             F.coalesce(F.col("is_keeper"), F.lit(0)).alias("f3"),
         )
     )
@@ -102,12 +109,14 @@ keeper AS (
     SELECT min(doc_id) AS doc_id, 1 AS is_keeper FROM documents GROUP BY text
 ),
 flags AS (
+    -- ccnet LEFT-joined: token-less docs have no perplexity row and
+    -- must still be counted in the raw stage (f2 defaults to 0)
     SELECT d.doc_id, g.kept AS f1,
            CASE WHEN c.ccnet_bucket < 3 THEN 1 ELSE 0 END AS f2,
            COALESCE(k.is_keeper, 0) AS f3
     FROM documents d
     JOIN gopher g USING (doc_id)
-    JOIN ccnet c USING (doc_id)
+    LEFT JOIN ccnet c USING (doc_id)
     LEFT JOIN keeper k USING (doc_id)
 ),
 agg AS (

@@ -1253,10 +1253,10 @@ WITH h1 AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_first, min(ts) AS first_ts
 FROM h1 GROUP BY user_id
 UNION ALL
-SELECT user_id, CAST(count(*) AS BIGINT) AS n_first, min(ts) AS first_ts
-FROM events
-WHERE user_id NOT IN (SELECT user_id FROM h1)
-GROUP BY user_id
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_first, min(e.ts) AS first_ts
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM h1 WHERE h1.user_id = e.user_id)
+GROUP BY e.user_id
 """
 
 SPECS.append(

@@ -1223,7 +1223,6 @@ def test_dsir_selects_target_like_pool_docs(spark, specs):
     assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
         range(1, min(DSIR_TOPK, len(rows)) + 1)
     )
-    docs = specs["src_parquet_scan"].fn(spark, SF_SMOKE) if "src_parquet_scan" in specs else None
     from database_scan_spark.catalog import load
 
     langs = {
