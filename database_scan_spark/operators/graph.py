@@ -1259,3 +1259,161 @@ SPECS.append(
         tags=("graph", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_ppr — personalized PageRank from a seed set
+# ---------------------------------------------------------------------------
+#
+# The seed-restart variant of PageRank (Jeh & Widom 2003) — the signal
+# web-scale data-curation pipelines propagate from a trusted seed list
+# (quality hosts, curated domains) over the link graph to score the rest
+# of the crawl. Same exact scaled-integer discipline as graph_pagerank:
+# every rank is a BIGINT in units of SCALE^-1, every transfer uses
+# integer div, so three unrolled rounds are bit-reproducible in SQL.
+
+_PPR_SEED_REGION = "EUROPE"  # deterministic seed set: nations of one region
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the nation trade graph, teleporting to
+    the seed set (nations of one region) instead of the uniform
+    vector: rank = 15%·seed_mass + 85%·weighted inflow, 3 unrolled
+    rounds. Non-seed nations score only what the graph carries to
+    them from the seeds — the 'how close is this node to the trusted
+    set' curation signal. Plan shape identical to graph_pagerank:
+    edges built once and persisted, per-round broadcast joins on the
+    bounded node/edge relations."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _PPR_SEED_REGION
+    ).select("r_regionkey")
+    nodes = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left"
+    ).select(
+        "node",
+        F.when(F.col("r_regionkey").isNotNull(), 1).otherwise(0).alias("is_seed"),
+    )
+    n_seeds = nodes.agg(F.sum("is_seed").alias("n_seeds"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        "is_seed",
+        "n_seeds",
+        F.expr(f"(is_seed * {SCALE}) div n_seeds").alias("rank"),
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            ranks.join(F.broadcast(edges), ranks.node == edges.src)
+            .join(F.broadcast(out_w), "src")
+            .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(F.broadcast(inflow), nodes.node == inflow.dst, "left")
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                "is_seed",
+                "n_seeds",
+                F.expr(
+                    f"(is_seed * (({SCALE} * 15) div 100)) div n_seeds"
+                    " + (85 * coalesce(inflow, 0)) div 100"
+                ).alias("rank"),
+            )
+        )
+    names = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return (
+        ranks.join(F.broadcast(names), "node")
+        .select(
+            "node",
+            "n_name",
+            F.col("is_seed").cast("int").alias("is_seed"),
+            "rank",
+            F.round(F.col("rank") / F.lit(float(SCALE)), 6).alias("rank_share"),
+        )
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
+def _ppr_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        iters.append(f"""
+r{i} AS MATERIALIZED (
+    SELECT n.node, n.is_seed, n.n_seeds,
+           (n.is_seed * (({SCALE} * 15) // 100)) // n.n_seeds
+           + (85 * COALESCE(a.inflow, 0)) // 100 AS rank
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst, CAST(SUM((p.rank * e.w) // o.out_w) AS BIGINT) AS inflow
+        FROM {prev} p
+        JOIN edges e ON p.node = e.src
+        JOIN out_w o ON e.src = o.src
+        GROUP BY e.dst
+    ) a ON n.node = a.dst
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+),
+out_w AS (
+    SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+),
+nodes AS MATERIALIZED (
+    SELECT n.n_nationkey AS node,
+           CASE WHEN r.r_regionkey IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+           (SELECT COUNT(*) FROM nation n2
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE r2.r_name = '{_PPR_SEED_REGION}') AS n_seeds
+    FROM nation n
+    LEFT JOIN (SELECT r_regionkey FROM region WHERE r_name = '{_PPR_SEED_REGION}') r
+      ON n.n_regionkey = r.r_regionkey
+),
+r0 AS (
+    SELECT node, is_seed, n_seeds, (is_seed * {SCALE}) // n_seeds AS rank
+    FROM nodes
+),{",".join(iters)}
+SELECT r.node, n.n_name, CAST(r.is_seed AS INTEGER) AS is_seed, r.rank,
+       round(r.rank / {float(SCALE)}, 6) AS rank_share
+FROM {prev} r JOIN nation n ON r.node = n.n_nationkey
+ORDER BY r.rank DESC, r.node
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_ppr",
+        graph_ppr,
+        _ppr_oracle(),
+        doc="personalized PageRank from a region seed set — the web-graph "
+        "trust-propagation curation signal, exact scaled-integer rounds",
+        tags=("graph", "analytics", "llm"),
+    )
+)

@@ -66,6 +66,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "join_asof", "join_asof_forward", "join_asof_nearest", "join_range_events"
         ],
         "(engine addition: weighted PageRank over the trade graph)": ["graph_pagerank"],
+        "(engine addition: personalized PageRank from a seed set)": ["graph_ppr"],
         "(engine addition: per-node triangle counts)": ["graph_triangle_count"],
         "(engine addition: BFS shortest path, recursive-CTE oracle)": ["graph_shortest_path"],
         "(engine addition: SCC via semi-naive closure to fixpoint)": ["graph_scc"],
