@@ -1886,3 +1886,72 @@ SPECS.append(
         tags=("quality", "llm", "dedup"),
     )
 )
+
+
+def dq_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate governance companion to ``dq_dup_rate_by_source``:
+    per source, how many documents participate in at least one
+    VERIFIED MinHash near-dup pair (the banded-LSH pipeline's output,
+    single source of truth) and the permille rate. The pair relation
+    is LSH-sized — orders smaller than the corpus — so the rollup is
+    a broadcast semi-join plus one hash-agg."""
+    from .dedup import dedup_minhash_lsh  # noqa: PLC0415 - avoid cycle at import
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(1))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_near_dup", F.lit(0)))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_near_dup",
+        (F.col("n_near_dup") * 1000 / F.col("n_docs")).cast("long").alias(
+            "near_dup_permille"
+        ),
+    )
+
+
+def _near_dup_rate_oracle() -> str:
+    from .dedup import _minhash_oracle  # noqa: PLC0415
+
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+dup_docs AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    )
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS near_dup_permille
+FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+GROUP BY d.source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dq_near_dup_rate_by_source",
+        dq_near_dup_rate_by_source,
+        _near_dup_rate_oracle(),
+        doc="per-source verified-near-dup participation rate (MinHash pipeline rollup)",
+        tags=("quality", "llm", "dedup"),
+    )
+)

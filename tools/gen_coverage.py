@@ -589,6 +589,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "model-based quality classifier (linear, exact sigmoid)": ["text_quality_logreg"],
         "dataset-card corpus report (rollup margins)": ["dq_corpus_report"],
         "per-source duplication-rate governance report": ["dq_dup_rate_by_source"],
+        "per-source near-dup participation rate (MinHash rollup)": ["dq_near_dup_rate_by_source"],
     },
     "North-star: deterministic sampling": {
         "content-hash Bernoulli sample": ["sample_hash_bernoulli"],
