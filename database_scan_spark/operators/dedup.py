@@ -743,8 +743,17 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(with_shingles)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
+    # Threshold 0.6, NOT 0.5 (ADVICE r3): approxSimilarityJoin keeps
+    # pairs with STRICT distCol < threshold, and distCol is Jaccard
+    # distance over the HashingTF FEATURE space (2^18 buckets,
+    # collision-prone), so a pair at exactly shingle-Jaccard 0.5 — or
+    # one whose feature-space Jaccard dips below 0.5 via collisions —
+    # would be dropped before the verify stage while the oracle keeps
+    # it. The wider candidate gate (feature-Jaccard > 0.4) leaves the
+    # exact-shingle-Jaccard >= 0.5 _verified_pairs stage as the SOLE
+    # semantic gate; oracle equality then depends only on LSH recall.
     pairs = (
-        model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
         .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),

@@ -1679,7 +1679,12 @@ def wf_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WF_DSIR_SELECT_ORACLE = f"""
 WITH toks AS (
-    SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+    -- IS NOT DISTINCT FROM mirrors Spark's eqNullSafe: a NULL lang
+    -- yields is_target = FALSE (not NULL), so the doc lands in the
+    -- POOL both in the counts CTE and in scored's WHERE NOT filter
+    -- (a plain `=` would make `WHERE NOT is_target` drop NULL-lang
+    -- docs from scoring while still counting them in cr).
+    SELECT doc_id, lang IS NOT DISTINCT FROM '{DSIR_TARGET_LANG}' AS is_target,
            ('0x' || substring(md5(t.token), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
     FROM documents, unnest(string_split(text, ' ')) AS t(token)
 ), counts AS (

@@ -1842,6 +1842,10 @@ def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_dup_member").cast("long").alias("n_in_dup_clusters"),
         F.sum("is_keeper").cast("long").alias("n_kept"),
     )
+    # n_docs is count(*) of the GROUP BY group, >= 1 by construction
+    # (a source group only exists when it has rows), so the divisions
+    # below cannot hit zero on either engine — no guard needed, unlike
+    # quality_funnel's stage arithmetic where docs_in CAN be 0.
     return agg.select(
         "source",
         "n_docs",

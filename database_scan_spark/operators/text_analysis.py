@@ -2732,7 +2732,13 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MEAN_LEN = 3   # mean word length lower bound (chars/word)
 GOPHER_MAX_MEAN_LEN = 10  # upper bound
-GOPHER_MIN_STOP_HITS = 2  # distinct-agnostic stopword hit count
+# Rae '21 §A1.1.2 verbatim: "contain at least two of the following
+# English words: the, be, to, of, and, that, have, with" — i.e. at
+# least 2 DISTINCT stop-word TYPES from that exact 8-word list (a doc
+# repeating one stopword twice fails). ADVICE r3: the previous build
+# counted total hits over a generic list; this is the paper's rule.
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_TYPES = 2
 GOPHER_ALPHA_NUM = 4      # alpha-word ratio >= 4/5 (0.8)
 GOPHER_ALPHA_DEN = 5
 
@@ -2740,7 +2746,8 @@ GOPHER_ALPHA_DEN = 5
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule filter: per-document boolean rule columns plus the
     conjunctive keep flag — word-count bounds, mean-word-length bounds,
-    stopword floor, alphabetic-word ratio (the rules a 100 TB corpus
+    distinct-stopword-type floor (>= 2 of the paper's 8 words),
+    alphabetic-word ratio (the rules a 100 TB corpus
     prunes with BEFORE any model-based scoring; the fixture's zh docs
     fail the alpha rule, short docs fail the word floor, so every rule
     discriminates). One narrow projection over the documents scan —
@@ -2753,19 +2760,21 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, F.lit(0), lambda acc, t: acc + F.length(t).cast("int")
     )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    n_stop = _stopword_hits(toks)
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*GOPHER_STOPS)))
+    )
     r_count = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     r_mean = (sum_len >= GOPHER_MIN_MEAN_LEN * n_words) & (
         sum_len <= GOPHER_MAX_MEAN_LEN * n_words
     )
-    r_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    r_stop = n_stop >= GOPHER_MIN_STOP_TYPES
     r_alpha = n_alpha * GOPHER_ALPHA_DEN >= n_words * GOPHER_ALPHA_NUM
     return docs.select(
         "doc_id",
         n_words.cast("int").alias("n_words"),
         sum_len.cast("int").alias("sum_word_len"),
         n_alpha.cast("int").alias("n_alpha_words"),
-        n_stop.cast("int").alias("n_stop_hits"),
+        n_stop.cast("int").alias("n_stop_types"),
         r_count.cast("int").alias("rule_word_count"),
         r_mean.cast("int").alias("rule_mean_len"),
         r_stop.cast("int").alias("rule_stopwords"),
@@ -2774,6 +2783,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_GOPHER_STOPS = "['" + "', '".join(GOPHER_STOPS) + "']"
 TEXT_GOPHER_RULES_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -2782,21 +2792,21 @@ WITH t AS (
            len(toks) AS n_words,
            list_sum([length(x) FOR x IN toks]) AS sum_len,
            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-           len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x))) AS n_stop
+           len(list_distinct(list_filter(toks, x -> list_contains({_SQL_GOPHER_STOPS}, x)))) AS n_stop
     FROM t
 )
 SELECT doc_id,
        CAST(n_words AS INTEGER) AS n_words,
        CAST(sum_len AS INTEGER) AS sum_word_len,
        CAST(n_alpha AS INTEGER) AS n_alpha_words,
-       CAST(n_stop AS INTEGER) AS n_stop_hits,
+       CAST(n_stop AS INTEGER) AS n_stop_types,
        CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INTEGER) AS rule_word_count,
        CAST(sum_len BETWEEN {GOPHER_MIN_MEAN_LEN} * n_words AND {GOPHER_MAX_MEAN_LEN} * n_words AS INTEGER) AS rule_mean_len,
-       CAST(n_stop >= {GOPHER_MIN_STOP_HITS} AS INTEGER) AS rule_stopwords,
+       CAST(n_stop >= {GOPHER_MIN_STOP_TYPES} AS INTEGER) AS rule_stopwords,
        CAST(n_alpha * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM} AS INTEGER) AS rule_alpha_ratio,
        CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
             AND sum_len BETWEEN {GOPHER_MIN_MEAN_LEN} * n_words AND {GOPHER_MAX_MEAN_LEN} * n_words
-            AND n_stop >= {GOPHER_MIN_STOP_HITS}
+            AND n_stop >= {GOPHER_MIN_STOP_TYPES}
             AND n_alpha * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM} AS INTEGER) AS kept
 FROM m
 """

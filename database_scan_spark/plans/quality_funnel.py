@@ -95,8 +95,15 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.docs_out").alias("docs_out"),
         )
         .withColumn(
+            # explicit NULL when a stage's input is empty (a gate that
+            # drops every doc at some SF): Spark's / would yield NULL
+            # silently but DuckDB's // raises div-by-zero, so BOTH
+            # sides guard identically (ADVICE r3).
             "drop_permille",
-            ((F.col("docs_in") - F.col("docs_out")) * 1000 / F.col("docs_in"))
+            F.when(F.col("docs_in") == 0, F.lit(None))
+            .otherwise(
+                (F.col("docs_in") - F.col("docs_out")) * 1000 / F.col("docs_in")
+            )
             .cast("long"),
         )
     )
@@ -136,7 +143,8 @@ stages AS (
     SELECT 3, 'exact_dedup', n2, n3 FROM agg
 )
 SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, docs_in, docs_out,
-       CAST((docs_in - docs_out) * 1000 // docs_in AS BIGINT) AS drop_permille
+       CAST(CASE WHEN docs_in = 0 THEN NULL
+                 ELSE (docs_in - docs_out) * 1000 // docs_in END AS BIGINT) AS drop_permille
 FROM stages
 """
 

@@ -134,22 +134,9 @@ _load_all()
 # never-windowed SURVEY-§2 ops PINNED first + TPC-H + windows, r4 =
 # remaining win/graph/dq + agg/join/analytic surface, r5+ = sweeps.
 
-# VERDICT r2 item 1: these names sort ABSOLUTELY first so the round-3
-# window is guaranteed to contain them — the five SURVEY §2 ops that have
-# never been inside a driver CORRECTNESS window (green in local parity
-# only), plus the two rows upgraded from rows-only to oracled this round
-# (mm_resize: realized against the vendored codec; dedup_minhash_mllib:
-# cross-implementation equality with dedup_minhash_lsh, proven at
-# sf0.001/0.01/0.1, shares its DuckDB oracle).
-_PINNED_WINDOW: tuple[str, ...] = (
-    "fn_str_format",
-    "fn_coalesce",
-    "fn_json_pretty",
-    "udf_smiles_canonical",
-    "wf_checkpoint_resume",
-    "mm_resize",
-    "dedup_minhash_mllib",
-)
+# Pin slot (used in r3 to force never-windowed SURVEY-§2 ops to the front;
+# empty for r4 — the window is simply the never-verified head of queue).
+_PINNED_WINDOW: tuple[str, ...] = ()
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     # round 1 (CORRECTNESS_r01.json — all three matches green)
@@ -191,6 +178,28 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_stateful_running_total", "stream_tws_recent_events",
     "stream_tws_type_counts",
+    # round 3 (CORRECTNESS_r03.json — 50/50 rows+schema+hash green: the
+    # pinned never-windowed §2 ops + the two oracle upgrades + TPC-H
+    # q2–q22 + the full window-function family)
+    "fn_str_format", "fn_coalesce", "fn_json_pretty",
+    "udf_smiles_canonical", "wf_checkpoint_resume", "mm_resize",
+    "dedup_minhash_mllib",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_promotion_suppliers",
+    "tpch_q21_sole_blame_supplier", "tpch_q22_sales_opportunity",
+    "win_running_sum", "win_rank_dense", "win_lag_lead", "win_tumbling",
+    "win_sliding", "win_session", "win_range_frame", "win_distribution",
+    "win_gap_fill", "win_rolling_zscore", "win_ohlc_resample",
+    "win_streak", "win_nav_ignore_nulls", "win_twap", "win_drawdown",
+    "win_cusum", "win_hampel", "win_interpolate", "win_sax_symbolize",
+    "win_decay_score", "win_mtd_ytd", "win_forward_fill", "win_ewma",
 })
 
 # Unverified queries sort by family; ties keep registration order.

@@ -473,9 +473,9 @@ def test_gopher_kernel_matches_python_reference(spark, texts):
         GOPHER_MAX_MEAN_LEN,
         GOPHER_MAX_WORDS,
         GOPHER_MIN_MEAN_LEN,
-        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_STOP_TYPES,
         GOPHER_MIN_WORDS,
-        STOPWORDS,
+        GOPHER_STOPS,
         text_gopher_rules,
     )
     import database_scan_spark.operators.text_analysis as ta
@@ -494,13 +494,13 @@ def test_gopher_kernel_matches_python_reference(spark, texts):
         n = len(toks)
         sum_len = sum(len(t) for t in toks)
         n_alpha = sum(1 for t in toks if re.search("[a-z]", t))
-        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        n_stop = len({t for t in toks if t in GOPHER_STOPS})
         r = got[i]
         assert r.n_words == n and r.sum_word_len == sum_len
-        assert r.n_alpha_words == n_alpha and r.n_stop_hits == n_stop
+        assert r.n_alpha_words == n_alpha and r.n_stop_types == n_stop
         assert r.rule_word_count == int(GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS)
         assert r.rule_mean_len == int(
             GOPHER_MIN_MEAN_LEN * n <= sum_len <= GOPHER_MAX_MEAN_LEN * n
         )
-        assert r.rule_stopwords == int(n_stop >= GOPHER_MIN_STOP_HITS)
+        assert r.rule_stopwords == int(n_stop >= GOPHER_MIN_STOP_TYPES)
         assert r.rule_alpha_ratio == int(n_alpha * GOPHER_ALPHA_DEN >= n * GOPHER_ALPHA_NUM)

@@ -220,3 +220,45 @@ def test_hll_merge_property(spark):
     assert {(r.b, r.m_b) for r in merged.collect()} == {
         (r.b, r.m_b) for r in direct.collect()
     }
+
+
+def test_dsir_null_lang_parity(spark, tmp_path):
+    """ADVICE r3 regression: a NULL-lang doc must land in the POOL on
+    BOTH engines. Spark's ~eqNullSafe includes it in scoring; the
+    oracle's pool filter must too (is_target computed with IS NOT
+    DISTINCT FROM — a plain `WHERE NOT lang = 'en'` drops NULL rows).
+    Runs the full spec vs oracle on a fixture clone whose documents
+    table has two langs nulled out."""
+    import os
+
+    import duckdb
+
+    from database_scan_spark.catalog import TABLES
+    from database_scan_spark.operators.llm_prep import (
+        WF_DSIR_SELECT_ORACLE,
+        wf_dsir_select,
+    )
+    from database_scan_spark.testing import assert_match, run_oracle
+
+    fix = tmp_path / "sf_nulllang"
+    fix.mkdir()
+    for name in TABLES:
+        src = os.path.join(SF_SMOKE, f"{name}.parquet")
+        if name != "documents" and os.path.exists(src):
+            os.symlink(src, fix / f"{name}.parquet")
+    duckdb.sql(
+        f"""
+        COPY (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 97 IN (0, 1) THEN NULL ELSE lang END AS lang,
+                   source, n_chars
+            FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        ) TO '{fix}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    n_null = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{fix}/documents.parquet') WHERE lang IS NULL"
+    ).fetchone()[0]
+    assert n_null > 0, "fixture mutation produced no NULL langs"
+    pdf = wf_dsir_select(spark, str(fix)).toPandas()
+    assert_match(pdf, run_oracle(WF_DSIR_SELECT_ORACLE, str(fix)), "wf_dsir_select/null-lang")
