@@ -318,3 +318,34 @@ def test_corpus_ingest_rerun_idempotent_and_ledger_monotone(spark):
         .count()
     )
     assert sum(r[1] for r in a) == distinct_contents
+
+
+def test_tws_protobuf_bootstrap_is_self_contained(spark):
+    """VERDICT r3 item 4: the TWS protobuf shim must work from the
+    repo's vendored runtime alone — no gcloud-SDK path, no pip
+    protobuf. Asserts the vendored package is present and that the
+    bootstrap hands workers exactly (a) the vendored dir on
+    PYTHONPATH and (b) the version-skew escape hatch."""
+    import importlib.util
+    import os
+
+    from database_scan_spark.streaming.jobs import (
+        _PB_VENDORED,
+        _ensure_tws_protobuf,
+    )
+
+    assert os.path.isfile(
+        os.path.join(_PB_VENDORED, "google", "protobuf", "descriptor.py")
+    )
+    assert _PB_VENDORED.startswith(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ), "vendored runtime must live inside the repo"
+    _ensure_tws_protobuf(spark)
+    try:
+        have_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace at all
+        have_pb = False
+    if not have_pb:
+        env = spark.sparkContext.environment
+        assert _PB_VENDORED in env.get("PYTHONPATH", "").split(os.pathsep)
+        assert env.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK") == "true"
