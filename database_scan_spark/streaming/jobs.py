@@ -1263,6 +1263,204 @@ SPECS.append(
 )
 
 
+# SLA tiers for the event-time deadline twin: 13 + (user_id % 5) * 4
+# days past the key's first event. Chosen against the fixture's shape
+# (first events Jan 1-4, batch split Jan 16, max event Jan 30) so every
+# lifecycle path occurs at every SF: tier-13 deadlines straddle the
+# batch-2 watermark (mid-stream fires AND trailing-batch fires),
+# tier-29+ deadlines straddle/exceed the final watermark (trailing
+# fires AND never-fires).
+_TWS_SLA_BASE_DAYS = 13
+_TWS_SLA_STEP_DAYS = 4
+_TWS_SLA_TIERS = 5
+
+
+def _eventtime_deadline_processor(base_days: int, step_days: int, tiers: int):
+    """Event-time-timer processor — the minimal register → watermark
+    fire → emit → delete lifecycle (the EventTime twin of
+    ``_proctime_snapshot_processor``): a key's FIRST-sight batch
+    freezes (n_first, first_us) and arms ONE timer at the key's SLA
+    deadline (first event + tiered days, whole-millisecond). The
+    timer fires in the first batch whose watermark has passed the
+    deadline — possibly the trailing no-data batch — and emits the
+    frozen snapshot exactly once (state cleared on fire). Keys whose
+    deadline outlives the final watermark never emit. Payload frozen
+    at registration ⇒ output independent of WHICH batch fires,
+    depends only on WHETHER the final watermark passed the deadline —
+    exactly SQL-reproducible."""
+    from pyspark.sql import types as _T  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class EventTimeDeadline(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState(
+                "snap",
+                _T.StructType(
+                    [
+                        _T.StructField("n_first", _T.LongType()),
+                        _T.StructField("first_us", _T.LongType()),
+                        _T.StructField("deadline_ms", _T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if not self.state.exists():
+                n, first_us = 0, None
+                for pdf in rows:
+                    if len(pdf) == 0:
+                        continue
+                    n += len(pdf)
+                    mn = int(pdf["ts_us"].min())
+                    first_us = mn if first_us is None else min(first_us, mn)
+                if n > 0:
+                    sla_days = base_days + (int(key[0]) % tiers) * step_days
+                    deadline_ms = (
+                        first_us // 1_000_000 + sla_days * 86_400
+                    ) * 1000
+                    self.state.update((n, first_us, deadline_ms))
+                    self.handle.registerTimer(deadline_ms)
+            yield from ()
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 - worker passes camelCase kwargs
+            import pandas as _pd  # noqa: PLC0415 - worker-side import
+
+            if self.state.exists():
+                n, first_us, deadline_ms = self.state.get()
+                yield _pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_first": [n],
+                        "first_us": [first_us],
+                        "deadline_ms": [deadline_ms],
+                    }
+                )
+                self.state.clear()
+            self.handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+
+        def close(self):
+            pass
+
+    return EventTimeDeadline()
+
+
+def stream_tws_eventtime_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-time timers on the Spark 4 state API — the watermark-
+    driven twin of ``stream_tws_proctime_timer`` (VERDICT r3 item 6),
+    completing the timer surface: same two-file arrival split, same
+    frozen first-sight snapshot, but the fire is decided by WATERMARK
+    passage over a per-key event-time SLA deadline, not wall clock.
+    Distinct from ``stream_tws_inactivity_flush``: no re-arming, no
+    arrival-flush branch — this is the pure deadline lifecycle
+    (register once → watermark fires → emit once → delete), the shape
+    of per-entity SLA/expiry monitoring at 100 TB (tiered deadlines by
+    entity class; RocksDB-backed timer state; the engine's trailing
+    no-data batch fires deadlines already passed by the final
+    watermark, and unexpired deadlines survive in state for the next
+    run). noDataMicroBatches stays ENABLED — event-time needs the
+    trailing batch and terminates when the watermark stops advancing
+    (unlike ProcessingTime, which never does)."""
+    _ensure_tws_protobuf(spark)
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+    nts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast(T.TimestampType())
+    )
+    src_dir = _two_file_events_src(spark, sf_dir, "stream_tws_flush", nts)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ev = (
+        stream.withColumn("ts", nts)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_eventtime_deadline_processor(
+            _TWS_SLA_BASE_DAYS, _TWS_SLA_STEP_DAYS, _TWS_SLA_TIERS
+        ),
+        outputStructType=(
+            "user_id long, n_first long, first_us long, deadline_ms long"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sink = _run_to_memory(
+            out, spark, sf_dir, "stream_tws_evtime", "append"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return sink.select(
+        "user_id",
+        "n_first",
+        F.timestamp_micros("first_us").alias("first_ts"),
+        "deadline_ms",
+        (
+            F.lit(_TWS_SLA_BASE_DAYS)
+            + (F.col("user_id") % _TWS_SLA_TIERS) * _TWS_SLA_STEP_DAYS
+        ).cast("int").alias("sla_days"),
+    )
+
+
+STREAM_TWS_EVENTTIME_TIMER_ORACLE = f"""
+-- frozen first-arrival-file snapshot per user, emitted iff the FINAL
+-- watermark (max event time over both files) passed the user's SLA
+-- deadline = first event + (13 + user_id % 5 * 4) days
+WITH h1 AS (
+    SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '{_TWS_FLUSH_SPLIT}'
+),
+fb AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_first, min(ts) AS first_ts
+    FROM h1 GROUP BY user_id
+    UNION ALL
+    SELECT e.user_id, CAST(count(*) AS BIGINT), min(e.ts)
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM h1 WHERE h1.user_id = e.user_id)
+    GROUP BY e.user_id
+),
+d AS (
+    SELECT user_id, n_first, first_ts,
+           CAST((epoch_us(first_ts) // 1000000
+                 + ({_TWS_SLA_BASE_DAYS} + user_id % {_TWS_SLA_TIERS} * {_TWS_SLA_STEP_DAYS}) * 86400) * 1000
+                AS BIGINT) AS deadline_ms,
+           CAST({_TWS_SLA_BASE_DAYS} + user_id % {_TWS_SLA_TIERS} * {_TWS_SLA_STEP_DAYS} AS INTEGER) AS sla_days
+    FROM fb
+),
+wm2 AS (SELECT epoch_us(max(ts)) // 1000 AS ms FROM events)
+SELECT user_id, n_first, first_ts, deadline_ms, sla_days
+FROM d WHERE deadline_ms < (SELECT ms FROM wm2)
+"""
+
+SPECS.append(
+    QuerySpec(
+        "stream_tws_eventtime_timer",
+        stream_tws_eventtime_timer,
+        STREAM_TWS_EVENTTIME_TIMER_ORACLE,
+        doc="event-time TIMERS, pure deadline lifecycle: tiered per-key SLA "
+        "armed at first sight, fired by watermark passage, frozen snapshot "
+        "emitted once; exact SQL oracle over the arrival split",
+        tags=("stream",),
+    )
+)
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the canonical streaming dim
     lookup: the event stream joins the STATIC customer dimension
