@@ -344,6 +344,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "processing-time timers (first-sight snapshot fire)": [
             "stream_tws_proctime_timer"
         ],
+        "event-time timers (watermark-fired SLA deadline lifecycle)": [
+            "stream_tws_eventtime_timer"
+        ],
     },
     "North-star: deduplication": {
         "exact": ["dedup_exact"],
