@@ -149,6 +149,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # with the timezone-less oracle, so pin the session to UTC — a
     # runtime conf the engine may set even on a caller-owned session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Let AQE coalesce/re-plan persisted intermediates (off by
+    # default). The engine's own session sets this too, but operators
+    # also run inside CALLER-owned vanilla sessions (the driver
+    # contract), where a pinned pre-AQE cache partitioning makes every
+    # cached stage run shuffle.partitions tasks and blocks codegen
+    # fusion around InMemoryTableScans — measured 30x on a cached
+    # multi-consumer self-join (analytic_market_basket, sf0.01:
+    # 26-37 s pinned vs 0.7-3.3 s with this conf). Runtime-settable,
+    # plan-shape only; results are unaffected.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -363,12 +363,21 @@ def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the distinct (order, part) table, pair counts from a
     same-order self-join with p1 < p2 (≤ C(7,2) pair rows per order —
     linear in fact size), lift as a single double division of exact
-    BIGINT products. Top-50 by lift with a full tiebreak order."""
+    BIGINT products. Top-50 by lift with a full tiebreak order.
+
+    Deliberately NOT persisted: the distinct basket table feeds four
+    consumers, but its shuffle output is identical for all of them,
+    so Spark's ReuseExchange serves every branch from ONE
+    materialized exchange — while an explicit .persist() replaces
+    that with an InMemoryRelation whose columnar cache scans block
+    whole-stage codegen fusion and AQE stage reuse (measured at
+    sf0.01/local[8]: 26-37 s cached vs 0.7-1.2 s uncached, a 30x
+    penalty). Same at 100 TB: exchange reuse is free co-location; a
+    fact-sized cache is an eviction storm."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
     )
     part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
     n_orders = li.select("l_orderkey").distinct().agg(
