@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load, table_path
-from ..operators._helpers import TMP_ROOT, workdir
+from ..operators._helpers import workdir
 from ..spec import QuerySpec
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -1066,8 +1066,11 @@ u AS (
          w1.user_id IS NOT NULL AS has1, w2.user_id IS NOT NULL AS has2,
          (w2.user_id IS NOT NULL AND w1.user_id IS NOT NULL
           AND epoch_us(f2) - epoch_us(l1) >= CAST({_TWS_FLUSH_GAP_S} AS BIGINT)*1000000) AS arrival,
+         -- <= not <: TimerStateImpl expires timers with
+         -- timerTs <= watermark (same boundary as the eventtime
+         -- oracle below)
          (w1.user_id IS NOT NULL AND w2.user_id IS NULL
-          AND (epoch_us(l1)//1000000 + {_TWS_FLUSH_GAP_S})*1000 < (SELECT ms FROM wm1)) AS timer1
+          AND (epoch_us(l1)//1000000 + {_TWS_FLUSH_GAP_S})*1000 <= (SELECT ms FROM wm1)) AS timer1
   FROM w1 FULL JOIN w2 USING (user_id)
 ),
 emit1 AS (  -- W1 windows flushed during the second data batch
@@ -1088,7 +1091,7 @@ fin AS (    -- the per-user window still open after the second batch
 emit2 AS (  -- flushed by the trailing no-data batch's advanced watermark
   SELECT user_id, n_events, first_ts, last_ts FROM fin
   WHERE n_events IS NOT NULL
-    AND (epoch_us(last_ts)//1000000 + {_TWS_FLUSH_GAP_S})*1000 < (SELECT ms FROM wm2)
+    AND (epoch_us(last_ts)//1000000 + {_TWS_FLUSH_GAP_S})*1000 <= (SELECT ms FROM wm2)
 )
 SELECT * FROM emit1 UNION ALL SELECT * FROM emit2
 """
@@ -1413,8 +1416,13 @@ def stream_tws_eventtime_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros("first_us").alias("first_ts"),
         "deadline_ms",
         (
+            # pmod, not %: the processor's Python `key[0] % tiers` is a
+            # floor-mod; Spark's % and DuckDB's % follow the dividend's
+            # sign, which would disagree on negative ids. All three
+            # sides use floor-mod semantics.
             F.lit(_TWS_SLA_BASE_DAYS)
-            + (F.col("user_id") % _TWS_SLA_TIERS) * _TWS_SLA_STEP_DAYS
+            + F.pmod(F.col("user_id"), F.lit(_TWS_SLA_TIERS))
+            * _TWS_SLA_STEP_DAYS
         ).cast("int").alias("sla_days"),
     )
 
@@ -1438,14 +1446,19 @@ fb AS (
 d AS (
     SELECT user_id, n_first, first_ts,
            CAST((epoch_us(first_ts) // 1000000
-                 + ({_TWS_SLA_BASE_DAYS} + user_id % {_TWS_SLA_TIERS} * {_TWS_SLA_STEP_DAYS}) * 86400) * 1000
+                 + ({_TWS_SLA_BASE_DAYS} + ((user_id % {_TWS_SLA_TIERS}) + {_TWS_SLA_TIERS}) % {_TWS_SLA_TIERS} * {_TWS_SLA_STEP_DAYS}) * 86400) * 1000
                 AS BIGINT) AS deadline_ms,
-           CAST({_TWS_SLA_BASE_DAYS} + user_id % {_TWS_SLA_TIERS} * {_TWS_SLA_STEP_DAYS} AS INTEGER) AS sla_days
+           -- floor-mod (matches the processor's Python % and Spark pmod)
+           CAST({_TWS_SLA_BASE_DAYS} + ((user_id % {_TWS_SLA_TIERS}) + {_TWS_SLA_TIERS}) % {_TWS_SLA_TIERS} * {_TWS_SLA_STEP_DAYS} AS INTEGER) AS sla_days
     FROM fb
 ),
 wm2 AS (SELECT epoch_us(max(ts)) // 1000 AS ms FROM events)
+-- <= not <: Spark's TimerStateImpl expires timers with
+-- timerTs <= watermark (the iterator stops only at timerTs >
+-- expiryTimestampMs), so a deadline landing exactly on the final
+-- watermark millisecond DOES fire
 SELECT user_id, n_first, first_ts, deadline_ms, sla_days
-FROM d WHERE deadline_ms < (SELECT ms FROM wm2)
+FROM d WHERE deadline_ms <= (SELECT ms FROM wm2)
 """
 
 SPECS.append(
