@@ -349,3 +349,55 @@ def test_tws_protobuf_bootstrap_is_self_contained(spark):
         env = spark.sparkContext.environment
         assert _PB_VENDORED in env.get("PYTHONPATH", "").split(os.pathsep)
         assert env.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK") == "true"
+
+
+def test_eventtime_timer_fires_on_exact_watermark_tie(spark, tmp_path):
+    """Boundary regression (round-4 self-review): Spark's
+    TimerStateImpl expires timers with timerTs <= watermark, so a
+    deadline landing EXACTLY on the final watermark millisecond must
+    be emitted — and the oracle must keep it too (its filter is <=,
+    not <). Builds a fixture where one user's tier-13 deadline equals
+    the corpus max event time to the millisecond."""
+    import os
+
+    import duckdb
+
+    from database_scan_spark.catalog import TABLES
+    from database_scan_spark.streaming.jobs import (
+        STREAM_TWS_EVENTTIME_TIMER_ORACLE,
+        stream_tws_eventtime_timer,
+    )
+    from database_scan_spark.testing import assert_match, run_oracle
+
+    fix = tmp_path / "sf_tie"
+    fix.mkdir()
+    for name in TABLES:
+        src = os.path.join(SF_SMOKE, f"{name}.parquet")
+        if name != "events" and os.path.exists(src):
+            os.symlink(src, fix / f"{name}.parquet")
+    # user 10 (tier 13 + 10%5*4 = 13 days): first event on an exact
+    # second, pre-split; corpus max = that second + exactly 13 days
+    # (post-split, owned by user 11) -> deadline_ms == watermark_ms.
+    # user 12's deadline lands 1 ms past the watermark: never fires.
+    duckdb.sql(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (1, TIMESTAMP '2024-01-02 00:00:00',        10, 'click', 1.0, '{{}}'),
+                (2, TIMESTAMP '2024-01-03 12:00:00',        10, 'click', 1.0, '{{}}'),
+                (3, TIMESTAMP '2024-01-02 00:00:00.001',    12, 'view',  1.0, '{{}}'),
+                (4, TIMESTAMP '2024-01-14 23:00:00',        11, 'view',  1.0, '{{}}'),
+                (5, TIMESTAMP '2024-01-15 00:00:00',        13, 'view',  1.0, '{{}}'),
+                (6, TIMESTAMP '2024-01-15 00:00:00',        10, 'buy',   1.0, '{{}}')
+            ) AS t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{fix}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    pdf = stream_tws_eventtime_timer(spark, str(fix)).toPandas()
+    assert 10 in set(pdf.user_id), "tie deadline (== watermark) must fire"
+    assert 12 not in set(pdf.user_id), "deadline 1ms past watermark must not"
+    assert_match(
+        pdf,
+        run_oracle(STREAM_TWS_EVENTTIME_TIMER_ORACLE, str(fix)),
+        "stream_tws_eventtime_timer/tie",
+    )
