@@ -1277,3 +1277,21 @@ def test_ccnet_buckets_are_balanced_terciles(spark, specs):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     m = [sum(v) / len(v) for _, v in sorted(means.items())]
     assert m[0] < m[1] < m[2]
+
+
+def test_load_self_applies_session_confs(spark):
+    """catalog.load() must self-apply the confs operators depend on in
+    CALLER-owned vanilla sessions (the driver contract): UTC session
+    time zone and AQE cached-plan repartitioning (without which every
+    persist() pins 200-task pre-AQE stages — the round-4 30x cache
+    pathology)."""
+    from database_scan_spark.catalog import load
+
+    load(spark, SF_SMOKE, "region").count()
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        == "true"
+    )
