@@ -376,9 +376,11 @@ def test_eventtime_timer_fires_on_exact_watermark_tie(spark, tmp_path):
         if name != "events" and os.path.exists(src):
             os.symlink(src, fix / f"{name}.parquet")
     # user 10 (tier 13 + 10%5*4 = 13 days): first event on an exact
-    # second, pre-split; corpus max = that second + exactly 13 days
-    # (post-split, owned by user 11) -> deadline_ms == watermark_ms.
-    # user 12's deadline lands 1 ms past the watermark: never fires.
+    # second; corpus max event = that second + exactly 13 days, so
+    # deadline_ms == final watermark_ms to the millisecond. All events
+    # predate the Jan-16 split (one data batch); the tie fires in the
+    # trailing no-data batch. user 12's deadline lands 1 ms past the
+    # watermark: never fires.
     duckdb.sql(
         f"""
         COPY (
