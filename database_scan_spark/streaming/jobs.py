@@ -80,19 +80,40 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, sf_dir: str, name: str, mode: str) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a
-    fresh memory sink + checkpoint dir; return the sink table."""
+    fresh memory sink + checkpoint dir; return the sink table.
+
+    Shuffle partitions are pinned to the session's core count around
+    execution: a stateful stream freezes ``spark.sql.shuffle.
+    partitions`` into its state-store layout at first start, and in a
+    CALLER-owned vanilla session the 200 default would mean 200 state
+    partitions (200 checkpoint delta files + tasks) per stateful
+    operator per micro-batch — pure fixed overhead at any data size.
+    Safe: the checkpoint is fresh each invocation (no layout to
+    preserve), results are partition-count-independent (integer /
+    DECIMAL accumulators; the memory-sink compare is order-
+    insensitive), and at cluster scale the session's own parallelism
+    is the right default anyway."""
     sink = f"{name}_{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
     ckpt = os.path.join(workdir(sf_dir, name), "checkpoint")
     shutil.rmtree(ckpt, ignore_errors=True)  # fresh run each invocation
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, str(spark.sparkContext.defaultParallelism))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev)
     return df.sparkSession.table(sink)
 
 
