@@ -1075,31 +1075,54 @@ SPECS.append(
 
 def _cogrouped_merge_fn():
     """Cogrouped-map body (closure-wrapped for by-value pickling):
-    both sides of one key arrive as SEPARATE pandas frames — the
-    shape for custom merge logic no SQL join expresses (interleaved
-    validation, per-side imputation, custom conflict rules). Sums run
-    over INTEGER CENTS so the result is row-order-independent."""
+    both sides of one cogroup KEY arrive as SEPARATE pandas frames —
+    the shape for custom merge logic no SQL join expresses
+    (interleaved validation, per-side imputation, custom conflict
+    rules). The key is a HASH BUCKET, not the entity id: one Python
+    call then merges a whole bucket of customers against its bucket
+    of orders VECTORIZED (pandas groupby + left merge), instead of
+    paying per-call pandas-frame construction for every entity
+    (measured at sf0.1: 46.9 s per-key vs ~3 s per-bucket — the
+    difference between 150k one-row Python calls and 256 batch
+    calls). Sums run over INTEGER CENTS so the result is
+    row-order-independent."""
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import pandas as _pd  # noqa: PLC0415 - worker-side import
 
-        if left.empty:  # orders for a custkey outside the dim: drop
+        if left.empty:  # orders in a bucket with no customers: drop
             return _pd.DataFrame(
-                columns=["c_custkey", "c_mktsegment", "n_orders", "total_cents"]
+                {
+                    "c_custkey": _pd.Series(dtype="int64"),
+                    "c_mktsegment": _pd.Series(dtype="object"),
+                    "n_orders": _pd.Series(dtype="int64"),
+                    "total_cents": _pd.Series(dtype="int64"),
+                }
             )
-        cents = (
-            int((right["o_totalprice"] * 100).round().astype("int64").sum())
-            if len(right)
-            else 0
+        if len(right):
+            r = (
+                right.assign(
+                    cents=(right["o_totalprice"] * 100)
+                    .round()
+                    .astype("int64")
+                )
+                .groupby("o_custkey", as_index=False)
+                .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            )
+        else:
+            r = _pd.DataFrame(
+                {
+                    "o_custkey": _pd.Series(dtype="int64"),
+                    "n_orders": _pd.Series(dtype="int64"),
+                    "total_cents": _pd.Series(dtype="int64"),
+                }
+            )
+        out = left[["c_custkey", "c_mktsegment"]].merge(
+            r, left_on="c_custkey", right_on="o_custkey", how="left"
         )
-        return _pd.DataFrame(
-            {
-                "c_custkey": [int(left["c_custkey"].iloc[0])],
-                "c_mktsegment": [left["c_mktsegment"].iloc[0]],
-                "n_orders": [len(right)],
-                "total_cents": [cents],
-            }
-        )
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["total_cents"] = out["total_cents"].fillna(0).astype("int64")
+        return out[["c_custkey", "c_mktsegment", "n_orders", "total_cents"]]
 
     return merge
 
@@ -1115,15 +1138,27 @@ def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-check the cogroup machinery itself.
 
     Plan/scale: one FlatMapCoGroupsInPandas with BOTH inputs shuffled
-    on the key — strictly heavier than the equivalent broadcast join +
-    agg (no partial aggregation through opaque Python), which is the
+    on a 256-way HASH BUCKET of the entity key (co-partitioning is
+    what cogroup needs; the bucket keeps per-call Python overhead
+    amortized over thousands of entities — see _cogrouped_merge_fn).
+    Still strictly heavier than the equivalent broadcast join + agg
+    (no partial aggregation through opaque Python), which is the
     trade this op documents: use cogroup for merge logic SQL can't
     express, never for expressible rollups."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    bucket = F.pmod(F.hash(F.col("k")), F.lit(256)).alias("bucket")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"), "c_custkey", "c_mktsegment")
+        .withColumn("bucket", bucket)
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"), "o_custkey", "o_totalprice")
+        .withColumn("bucket", bucket)
+    )
     return (
-        cust.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        cust.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
         .applyInPandas(
             _cogrouped_merge_fn(),
             schema="c_custkey long, c_mktsegment string, n_orders long, total_cents long",
