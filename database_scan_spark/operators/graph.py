@@ -35,19 +35,7 @@ N_ITER = 3
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (damping 0.85, 3 unrolled iterations) on the
     nation trade graph; returns each nation's scaled rank and share."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
-    )
+    edges = _trade_edges(spark, sf_dir).persist()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -59,7 +47,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             ranks.join(F.broadcast(edges), ranks.node == edges.src)
             .join(F.broadcast(out_w), "src")
-            .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+            .select(
+                "dst",
+                # DECIMAL(38,0) promotion: rank ~ 1e12 (SCALE) times a
+                # fact-scale edge weight overflows int64 around w ~ 1e7
+                # (sf >= ~1000); decimal keeps the product exact and div
+                # still returns the integral quotient as BIGINT. Mirrored
+                # in the oracle with HUGEINT (graph_hits documents the
+                # same promotion for its h*w sums).
+                F.expr(
+                    "(cast(rank as decimal(38,0)) * w) div out_w"
+                ).alias("c"),
+            )
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
         ranks = (
@@ -100,7 +99,7 @@ r{i} AS (
            + (85 * COALESCE(a.inflow, 0)) // 100 AS rank
     FROM nodes n
     LEFT JOIN (
-        SELECT e.dst, CAST(SUM((p.rank * e.w) // o.out_w) AS BIGINT) AS inflow
+        SELECT e.dst, CAST(SUM((CAST(p.rank AS HUGEINT) * e.w) // o.out_w) AS BIGINT) AS inflow
         FROM {prev} p
         JOIN edges e ON p.node = e.src
         JOIN out_w o ON e.src = o.src
@@ -358,6 +357,47 @@ LPA_ITER = 3
 LPA_FANOUT = 1
 
 
+def _sparsified_pairs(spark: SparkSession, sf_dir: str):
+    """Undirected weighted pair list + its k=LPA_FANOUT-sparsified
+    kept pair set — the ONE construction shared by
+    ``graph_label_propagation`` and ``graph_link_prediction`` (and
+    mirrored verbatim by both their oracles), so a fanout or tiebreak
+    change cannot silently diverge between the two operators. Built
+    on ``_trade_edges``: the undirected weight is the sum of the two
+    directed counts (identical values, and the directed aggregate is
+    the same map-side-combinable shuffle)."""
+    pairs = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    dirs = (
+        pairs.select("a", "b", "w")
+        .unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    )
+    krn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    kept = (
+        dirs.withColumn("krn", krn)
+        .filter(F.col("krn") <= LPA_FANOUT)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    return pairs, kept
+
+
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation community detection (Raghavan et al. 2007)
     over the undirected weighted trade graph — the clustering
@@ -390,42 +430,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape addendum (sparsification): the top-k per node is one
     window over the dimension-sized edge list; at node-scale graphs it
     is the standard per-key top-k shuffle, bounded output k·|V|."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    dirs = (
-        pairs.select("a", "b", "w")
-        .unionByName(
-            pairs.select(
-                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
-            )
-        )
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-    )
-    krn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    )
-    kept = (
-        dirs.withColumn("krn", krn)
-        .filter(F.col("krn") <= LPA_FANOUT)
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    pairs, kept = _sparsified_pairs(spark, sf_dir)
     sparse = F.broadcast(kept).join(pairs, ["a", "b"])
     edges = (
         sparse.select("a", "b", "w")
@@ -587,38 +592,10 @@ LINKPRED_TOP = 10
 
 
 def _linkpred_build(spark: SparkSession, sf_dir: str):
-    """Shared k=1-sparsified undirected edge list (same construction
-    as `graph_label_propagation`)."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    dirs = pairs.select("a", "b", "w").unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-    krn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    )
-    kept = (
-        dirs.withColumn("krn", krn)
-        .filter(F.col("krn") <= LPA_FANOUT)
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    """Shared k=1-sparsified undirected edge list — delegates to
+    ``_sparsified_pairs`` so the construction stays in lockstep with
+    ``graph_label_propagation`` by sharing code, not by copy."""
+    _pairs, kept = _sparsified_pairs(spark, sf_dir)
     return kept.select("a", "b").unionByName(
         kept.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("src"), F.col("b").alias("dst")).persist()
@@ -930,7 +907,11 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
     )
     degree = ranked.groupBy("src").agg(F.max("rk").alias("deg"))
-    nbr = ranked.join(degree, "src")
+    # persisted: the ranked-neighbor table is referenced by all
+    # WALK_STEPS unrolled joins — without the cache the single-scan
+    # posture rests on ReuseExchange unifying 3 identical fact-agg
+    # subtrees, which AQE re-optimization is not guaranteed to keep
+    nbr = ranked.join(degree, "src").persist()
     walk = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("bigint").alias("start")
     ).withColumn("cur", F.col("start"))
@@ -1039,10 +1020,14 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges_w = _trade_edges(spark, sf_dir)
     w_rk = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    # persisted: each fixpoint round's localCheckpoint/count action
+    # would otherwise re-run the fact-scale edge aggregate through
+    # this subtree's lineage (only frontier/closure are checkpointed)
     edges = (
         edges_w.withColumn("rk", F.row_number().over(w_rk))
         .filter(F.col("rk") <= _SCC_TOPK)
         .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .persist()
     )
     nodes = (
         load(spark, sf_dir, "nation")
@@ -1156,9 +1141,30 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_nodes = nodes.count()  # dimension-sized; a count action, not a collect
-    balls = nodes.select(
-        "node", F.expr("shiftleft(CAST(1 AS BIGINT), node)").alias("ball")
+    # Domain guard: the exact int64 bitset addresses node ids 0..63
+    # ONLY — Java shiftleft wraps the shift amount mod 64, so id 64
+    # would silently collide with id 0 (and DuckDB's << yields 0,
+    # diverging). Fail LOUDLY on out-of-domain ids instead of
+    # corrupting the curve; graphs with wider id spaces swap the
+    # bitset column for an HLL sketch (the documented HyperBall form)
+    # and nothing else in the dataflow changes.
+    ball = (
+        F.when(
+            (F.col("node") >= 0) & (F.col("node") < 64),
+            F.expr("shiftleft(CAST(1 AS BIGINT), node)"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "graph_neighborhood_function: exact-bitset form "
+                    "requires node ids in [0, 64); use the HLL-sketch "
+                    "variant beyond"
+                )
+            ).cast("bigint")
+        )
+        .alias("ball")
     )
+    balls = nodes.select("node", ball)
     rows = [
         balls.agg(
             F.lit(0).alias("t"),
@@ -1284,19 +1290,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     set' curation signal. Plan shape identical to graph_pagerank:
     edges built once and persisted, per-round broadcast joins on the
     bounded node/edge relations."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
-    )
+    edges = _trade_edges(spark, sf_dir).persist()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     nation = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name", "n_regionkey"
@@ -1322,7 +1316,18 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             ranks.join(F.broadcast(edges), ranks.node == edges.src)
             .join(F.broadcast(out_w), "src")
-            .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+            .select(
+                "dst",
+                # DECIMAL(38,0) promotion: rank ~ 1e12 (SCALE) times a
+                # fact-scale edge weight overflows int64 around w ~ 1e7
+                # (sf >= ~1000); decimal keeps the product exact and div
+                # still returns the integral quotient as BIGINT. Mirrored
+                # in the oracle with HUGEINT (graph_hits documents the
+                # same promotion for its h*w sums).
+                F.expr(
+                    "(cast(rank as decimal(38,0)) * w) div out_w"
+                ).alias("c"),
+            )
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
         ranks = (
@@ -1365,7 +1370,7 @@ r{i} AS MATERIALIZED (
            + (85 * COALESCE(a.inflow, 0)) // 100 AS rank
     FROM nodes n
     LEFT JOIN (
-        SELECT e.dst, CAST(SUM((p.rank * e.w) // o.out_w) AS BIGINT) AS inflow
+        SELECT e.dst, CAST(SUM((CAST(p.rank AS HUGEINT) * e.w) // o.out_w) AS BIGINT) AS inflow
         FROM {prev} p
         JOIN edges e ON p.node = e.src
         JOIN out_w o ON e.src = o.src
