@@ -313,7 +313,10 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 m["n_pass"],
-                float(m["sum_price"]),
+                # NULL-safe: if the gate passes zero rows the observed
+                # SUM/MIN/MAX are None — emit a NULL-metric audit row
+                # (matching the oracle's NULL sums), don't crash
+                float(m["sum_price"]) if m["sum_price"] is not None else None,
                 m["first_ship"],
                 m["last_ship"],
             )
@@ -373,7 +376,10 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
-    j = ev.join(F.broadcast(med), "event_type")
+    # persisted: j feeds both the MAD aggregate and the flagging pass;
+    # uncached, each action's lineage re-scans events (and recomputes
+    # med inside it) — five passes where the docstring promises three
+    j = ev.join(F.broadcast(med), "event_type").persist()
     mad = j.groupBy("event_type").agg(
         F.expr("percentile(abs(value - med), 0.5)").alias("mad")
     )
@@ -697,8 +703,14 @@ def wf_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("b0"),
             F.floor(F.col("c_acctbal") / 4000).cast("bigint").alias("b1"),
         )
+        # persisted: the ladder references recs from ~6 union branches
+        # (keep0/v0 via l0, r1, l1, keep1, suppressed) and Spark shares
+        # no subexpressions across DataFrame branches — without the
+        # cache one action scans customer+dims ~6x, not once as the
+        # docstring promises
+        .persist()
     )
-    l0 = recs.groupBy("s", "nat", "b0").agg(F.count(F.lit(1)).alias("cnt"))
+    l0 = recs.groupBy("s", "nat", "b0").agg(F.count(F.lit(1)).alias("cnt")).persist()
     keep0 = l0.filter(F.col("cnt") >= K_ANON).select(
         F.lit(0).alias("level"),
         F.col("s").alias("segment"),
@@ -707,8 +719,8 @@ def wf_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("class_size"),
     )
     v0 = l0.filter(F.col("cnt") < K_ANON).select("s", "nat", "b0")
-    r1 = recs.join(v0, ["s", "nat", "b0"], "left_semi")
-    l1 = r1.groupBy("s", "rg", "b1").agg(F.count(F.lit(1)).alias("cnt"))
+    r1 = recs.join(v0, ["s", "nat", "b0"], "left_semi").persist()
+    l1 = r1.groupBy("s", "rg", "b1").agg(F.count(F.lit(1)).alias("cnt")).persist()
     keep1 = l1.filter(F.col("cnt") >= K_ANON).select(
         F.lit(1).alias("level"),
         F.col("s").alias("segment"),
@@ -812,7 +824,15 @@ def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "n_distinct",
             (
-                F.col("cnt").cast("decimal(38,0)")
+                # decimal(14,0), NOT (38,0): the product with the
+                # (20,12) log term must stay within precision 38 —
+                # 14+20+1=35 keeps scale 12 exactly, while (38,0)
+                # overflows and Spark (allowPrecisionLoss) silently
+                # drops the term to 6 dp, diverging from the oracle's
+                # exact 12-dp terms. cnt < 1e14 holds for any
+                # realistic per-category row count (1e12 rows total
+                # at 100 TB).
+                F.col("cnt").cast("decimal(14,0)")
                 * F.round(
                     F.log2(F.col("cnt").cast("double") / F.col("n_rows")), 12
                 ).cast("decimal(20,12)")
@@ -846,7 +866,7 @@ FROM (
            SUM(term) AS term_sum
     FROM (
         SELECT cnt, SUM(cnt) OVER () AS n_rows,
-               CAST(cnt AS DECIMAL(38,0))
+               CAST(cnt AS DECIMAL(14,0))
                * CAST(round(log2(CAST(cnt AS DOUBLE)
                                  / (SUM(cnt) OVER ())), 12)
                       AS DECIMAL(20,12)) AS term
@@ -889,8 +909,12 @@ def dq_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group at any scale."""
     ev = load(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    # count("c"), not count(*): SUM skips NULL values, so n must too —
+    # a NULL-valued event would otherwise bias every moment (mean
+    # under, var/skew/kurt wrong) identically on both engines, making
+    # the bias invisible to the hash gate. Oracle uses COUNT(value).
     agg = ev.select(F.col("event_type"), c.alias("c")).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("c").alias("n"),
         F.sum("c").alias("s1"),
         F.sum(F.col("c") * F.col("c")).alias("s2"),
         F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
@@ -920,7 +944,7 @@ def dq_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_MOMENTS_ORACLE = """
 WITH agg AS (
     SELECT event_type,
-           COUNT(*) AS n,
+           COUNT(value) AS n,
            SUM(CAST(round(value * 100) AS HUGEINT)) AS s1,
            SUM(CAST(round(value * 100) AS HUGEINT)
                * CAST(round(value * 100) AS HUGEINT)) AS s2,
@@ -1199,7 +1223,17 @@ def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     for ctbl, ccol, ptbl, pcol in _FK_CANDIDATES:
-        child = load(spark, sf_dir, ctbl).select(F.col(ccol).alias("k")).distinct()
+        # NULL FKs are excluded from the inclusion check on BOTH
+        # sides: a NULL is "no reference", not a broken one (and the
+        # oracle's COUNT(DISTINCT ccol) skips NULLs — Spark's
+        # .distinct() would keep a NULL row, diverging). Nullability
+        # itself is the pk checks' n_null column, not an fk defect.
+        child = (
+            load(spark, sf_dir, ctbl)
+            .select(F.col(ccol).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
         parent = load(spark, sf_dir, ptbl).select(F.col(pcol).alias("k")).distinct()
         matched = child.join(parent, "k", "left_semi")
         row = (
@@ -1700,29 +1734,30 @@ def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an order-free doc-id checksum, plus within-split pairs for
     the denominator.
 
-    Shape: the pair relation is near-dup-sized (tiny vs the corpus);
-    two broadcast joins tag each side's split; one hash agg. At any
-    corpus size the expensive step is the pair generation the dedup
-    family already optimized — the audit itself is free."""
+    Shape: the pair relation is near-dup-sized (tiny vs the corpus),
+    so the PAIR side is the broadcast side — the split-tag relation
+    is one row per DOCUMENT (corpus-sized; broadcasting it would be
+    the exact OOM the scale-posture tests ban elsewhere). Each tag
+    join streams the corpus side and broadcasts the pairs; one hash
+    agg. At any corpus size the expensive step is the pair generation
+    the dedup family already optimized — the audit itself is free."""
     from ._helpers import h32  # noqa: PLC0415
     from .dedup import dedup_ngram_jaccard  # noqa: PLC0415
+    from .sampling import split_assignment  # noqa: PLC0415
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    bucket = h32(F.col("doc_id").cast("string")) % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    tags = docs.select(
+        "doc_id", split_assignment(F.col("doc_id")).alias("split")
     )
-    tags = docs.select("doc_id", split.alias("split"))
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # pairs (near-dup-sized) is the broadcast side; persisted because
+    # both tag joins probe it and the generation is the expensive leg
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    half = tags.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    ).join(F.broadcast(pairs), "doc_a")
     tagged = (
-        pairs.join(
-            F.broadcast(tags.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(tags.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))),
-            "doc_b",
-        )
+        tags.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+        .join(F.broadcast(half), "doc_b")
         # canonical unordered split pair: (min, max) by split name
         .select(
             F.least("split_a", "split_b").alias("s_lo"),

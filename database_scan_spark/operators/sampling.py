@@ -92,6 +92,18 @@ ORDER BY o_orderstatus
 """
 
 
+def split_assignment(doc_id_col) -> "F.Column":
+    """THE corpus split rule: hash-range 80/10/10 over
+    h32(doc_id) % 100. Single source of truth — consumed by
+    ``split_train_test`` (the registered split op) and
+    ``dq_split_leakage_audit`` (which must audit the REAL rule, not a
+    re-derivation that could silently diverge)."""
+    bucket = h32(doc_id_col.cast("string")) % 100
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
 def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test split of the documents corpus:
     hash-range assignment (80/10/10) keyed on doc_id. The audit
@@ -102,13 +114,9 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerun lands each document in the same bucket."""
     docs = load(spark, sf_dir, "documents")
     h = h32(F.col("doc_id").cast("string"))
-    bucket = h % 100
     return (
         docs.select(
-            F.when(bucket < 80, "train")
-            .when(bucket < 90, "val")
-            .otherwise("test")
-            .alias("split"),
+            split_assignment(F.col("doc_id")).alias("split"),
             h.alias("h"),
         )
         .groupBy("split")
