@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..spec import QuerySpec
+from ._helpers import money
 
 
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,7 +33,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        F.sum(money("l_extendedprice"))
         .over(w)
         .cast("double")
         .alias("running_rev"),
@@ -106,7 +107,7 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),
@@ -166,7 +167,7 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -180,7 +181,7 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_SESSION_ORACLE = """
 WITH flagged AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, value, event_id,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL '5 minutes'
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -188,8 +189,11 @@ WITH flagged AS (
     FROM events
 ),
 sessions AS (
+    -- event_id tiebreak REQUIRED: a non-unique ORDER BY ts ROWS frame
+    -- could place an unflagged tied row before its flagged twin,
+    -- assigning it to the previous session (ts-collision discipline)
     SELECT user_id, ts, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
     FROM flagged
 )
@@ -229,7 +233,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_10m"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing_10m"),
+        F.sum(money("value")).over(w).cast("double").alias("sum_trailing_10m"),
     )
 
 
@@ -275,32 +279,44 @@ SPECS.append(
 )
 
 
+def _dense_hour_grid(agg: DataFrame) -> DataFrame:
+    """Dense (hour × event_type) grid for the gap-repair family
+    (``win_gap_fill`` zero-fill, ``win_interpolate`` blend) — ONE
+    shared construction so the two repairs can't diverge. Derived
+    from the hourly aggregate ITSELF, not from extra passes over the
+    raw events: min/max of the agg's hour column equals
+    date_trunc(hour, min/max ts), and the agg already carries every
+    observed event_type — so the fact table is scanned exactly once
+    (the groupBy), and the three consumers of ``agg`` share its one
+    shuffle via ReuseExchange. Grid stays dim-sized (hours × types)
+    at any corpus size; both legs broadcast."""
+    bounds = agg.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = agg.select("event_type").distinct()
+    return F.broadcast(hours).crossJoin(F.broadcast(types))
+
+
 def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: hourly event counts per type with the
     EMPTY hours present as zero rows — downstream resampling/charting
     needs the dense calendar, and a groupBy alone silently drops
-    silent hours. The dense (hour × type) grid is generated from two
-    tiny single-pass aggregates (bounds + distinct types) and joined
-    broadcast-side against the hourly aggregate; the only full-table
-    work is the one groupBy. At 100 TB the grid stays dim-sized
-    (hours × types), so the left join is a broadcast, never a
-    shuffle of the fact aggregate."""
+    silent hours. The dense (hour × type) grid comes from
+    ``_dense_hour_grid`` over the hourly aggregate itself, so the
+    only full-table work is the one groupBy — literally: bounds and
+    types are dim-sized reads of that aggregate, not extra fact
+    scans. At 100 TB the grid stays dim-sized (hours × types), so
+    the left join is a broadcast, never a shuffle of the fact
+    aggregate."""
     ev = load(spark, sf_dir, "events")
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(money("value")).alias("sum_value"),
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    grid = _dense_hour_grid(agg)
     return (
         grid.join(agg, ["hour", "event_type"], "left")
         .select(
@@ -309,7 +325,6 @@ def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
             F.coalesce(F.col("sum_value"), F.lit(0)).cast("double").alias("sum_value"),
         )
-        .orderBy("hour", "event_type")
     )
 
 
@@ -370,7 +385,7 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        (money("o_totalprice") * 100)
         .cast("bigint")
         .alias("cents"),
     )
@@ -474,7 +489,7 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low_val"),
             F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_val"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
         )
     )
 
@@ -682,7 +697,6 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("twap"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -762,7 +776,6 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("peak").cast("double").alias("peak_value"),
             F.count(F.lit(1)).alias("n_points"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -812,6 +825,24 @@ SPECS.append(
 # ---------------------------------------------------------------------------
 
 
+def _daily_priority_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(priority, day) revenue series in exact integer cents —
+    the ONE input construction shared by the two day-series monitors
+    (``win_cusum``, ``win_hampel``) and mirrored by their oracles'
+    ``daily`` CTEs, so a change to the cents derivation cannot make
+    the two monitors disagree about the same series."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+
+
 def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM change-point monitor over the per-priority
     daily revenue series (Page 1954). The textbook recursion
@@ -833,16 +864,7 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window. (At 100 TB the cents sums outgrow BIGINT around
     10^18 — promote the sums to DECIMAL(38,0); layout unchanged.)
     """
-    orders = load(spark, sf_dir, "orders")
-    daily = (
-        orders.select(
-            F.col("o_orderpriority").alias("priority"),
-            F.to_date("o_orderdate").alias("day"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        )
-        .groupBy("priority", "day")
-        .agg(F.sum("cents").alias("x"))
-    )
+    daily = _daily_priority_cents(spark, sf_dir)
     stats = daily.groupBy("priority").agg(
         F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("k")
     )
@@ -876,7 +898,7 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((cpos > 5 * F.col("madm")) | (cneg > 5 * F.col("madm")))
         .cast("int")
         .alias("alarm"),
-    ).orderBy("priority", "day")
+    )
 
 
 WIN_CUSUM_ORACLE = """
@@ -935,11 +957,14 @@ SPECS.append(
 
 def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel filter over the per-priority daily revenue series: flag
-    a day when it deviates from its ±3-day ROLLING median by more
-    than 3.5× the rolling MAD — the robust local-outlier test (the
-    rolling counterpart of the global ``dq_anomaly_mad``; a spike
-    inside a drifting series is invisible to a global MAD but not to
-    this one).
+    a day when it deviates from its ±3-ROW rolling median (the 3
+    nearest observed days each side — ROWS frame, so on a series with
+    calendar gaps the 7-row window spans more than 7 calendar days;
+    densify with ``_dense_hour_grid``-style scaffolding first if true
+    calendar-day locality is required) by more than 3.5× the rolling
+    MAD — the robust local-outlier test (the rolling counterpart of
+    the global ``dq_anomaly_mad``; a spike inside a drifting series
+    is invisible to a global MAD but not to this one).
 
     Exactness: values are integer cents; the rolling median and MAD
     are DISCRETE (lower-middle of the sorted 7-row frame, computed
@@ -949,16 +974,7 @@ def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison ``2·|x−med| > 7·mad``. Zero floats anywhere. Scale:
     partitioned by priority over the calendar-bounded daily
     relation; the frame array is 7 elements — constant memory."""
-    orders = load(spark, sf_dir, "orders")
-    daily = (
-        orders.select(
-            F.col("o_orderpriority").alias("priority"),
-            F.to_date("o_orderdate").alias("day"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        )
-        .groupBy("priority", "day")
-        .agg(F.sum("cents").alias("x"))
-    )
+    daily = _daily_priority_cents(spark, sf_dir)
     w = Window.partitionBy("priority").orderBy("day").rowsBetween(-3, 3)
     arr = F.array_sort(F.collect_list("x").over(w))
     mid = (F.size(arr) + 1) / 2
@@ -981,7 +997,7 @@ def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.abs(F.col("x") - F.col("med")) > 7 * F.col("mad"))
         .cast("int")
         .alias("outlier"),
-    ).orderBy("priority", "day")
+    )
 
 
 WIN_HAMPEL_ORACLE = """
@@ -1045,25 +1061,16 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: observed values are integer cents; the blend
     ``prev + ⌊(next−prev)·dt/DT⌋`` floors a double DIVISION whose
     operands are exact integers well under 2⁵³ — bit-identical in
-    both engines. Scale: the dense grid is dim-sized (hours ×
-    types, from two one-row aggregates); the neighbor lookups are
-    two frames of ONE window partitioning (type-ordered-by-hour);
-    the only full-table work is the hourly groupBy."""
+    both engines. Scale: the dense grid is dim-sized (hours × types,
+    derived from the hourly aggregate itself — ``_dense_hour_grid``);
+    the neighbor lookups are two frames of ONE window partitioning
+    (type-ordered-by-hour); the only full-table work is the hourly
+    groupBy."""
     ev = load(spark, sf_dir, "events")
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    grid = hours.crossJoin(F.broadcast(types)).join(
-        agg, ["hour", "event_type"], "left"
-    )
+    grid = _dense_hour_grid(agg).join(agg, ["hour", "event_type"], "left")
     epoch = F.unix_timestamp("hour")
     obs_h = F.when(F.col("cents").isNotNull(), epoch)
     w_prev = (
@@ -1098,7 +1105,7 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
         F.col("cents").isNotNull().cast("int").alias("observed"),
         filled.cast("bigint").alias("cents_filled"),
-    ).orderBy("event_type", "hour")
+    )
 
 
 WIN_INTERPOLATE_ORACLE = """
@@ -1187,7 +1194,7 @@ def win_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             F.col("user_id"),
             F.date_format("ts", "yyyy-MM-dd").alias("d"),
-            F.col("value").cast("decimal(18,2)").alias("x"),
+            money("value").alias("x"),
         )
         .groupBy("user_id", "d")
         .agg(
@@ -1246,7 +1253,6 @@ def win_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("sax"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1327,7 +1333,7 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DECAY_ASOF).cast("timestamp").cast("double") - F.col("ts").cast("double")
     ) / 86400.0
     term = F.round(
-        F.col("value").cast("decimal(18,2)").cast("double")
+        money("value").cast("double")
         * F.exp(-F.lit(_DECAY_LAMBDA) * age_days),
         6,
     )
@@ -1338,7 +1344,6 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("t").cast("double").alias("decay_score"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1381,7 +1386,7 @@ def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All money stays DECIMAL (order-free partial sums); YoY is NULL
     for months with no prior-year counterpart rather than a fake 0."""
-    rev = F.col("o_totalprice").cast("decimal(18,2)")
+    rev = money("o_totalprice")
     months = (
         load(spark, sf_dir, "orders")
         .groupBy(
@@ -1421,7 +1426,6 @@ def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("yoy_bp"),
         )
-        .orderBy("yr", "mo")
     )
 
 
