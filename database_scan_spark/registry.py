@@ -200,6 +200,28 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "win_streak", "win_nav_ignore_nulls", "win_twap", "win_drawdown",
     "win_cusum", "win_hampel", "win_interpolate", "win_sax_symbolize",
     "win_decay_score", "win_mtd_ytd", "win_forward_fill", "win_ewma",
+    # round 4 (CORRECTNESS_r04.json — 50/50 rows+schema+hash green: the
+    # window tail + full graph_ + full dq_ + agg_ sketch head)
+    "win_count_distinct", "win_rolling_corr", "win_seasonal_decompose",
+    "win_rolling_skewness",
+    "graph_pagerank", "graph_triangle_count", "graph_shortest_path",
+    "graph_label_propagation", "graph_degree_histogram",
+    "graph_link_prediction", "graph_hits", "graph_random_walk",
+    "graph_scc", "graph_neighborhood_function", "graph_ppr",
+    "graph_kcore", "graph_modularity", "graph_assortativity",
+    "graph_bipartite_projection", "graph_reciprocity",
+    "graph_clustering_coefficient",
+    "dq_langid_confusion", "dq_constraint_audit", "dq_profile_numeric",
+    "dq_correlation", "dq_observed_metrics", "dq_anomaly_mad",
+    "dq_freshness_sla", "dq_error_budget", "dq_seasonal_baseline",
+    "dq_entropy_profile", "dq_moments", "dq_annotator_agreement",
+    "dq_key_discovery", "dq_drift_wasserstein", "dq_outlier_ensemble",
+    "dq_schema_contract", "dq_split_leakage_audit",
+    "dq_dup_rate_by_source", "dq_near_dup_rate_by_source", "dq_benford",
+    "dq_corpus_report", "dq_drift_psi",
+    "agg_approx", "agg_hll_sketch", "agg_theta_distinct_union",
+    "agg_approx_error_eval", "agg_theta_set_algebra", "agg_hll_portable",
+    "agg_grouping_sets",
 })
 
 # Unverified queries sort by family; ties keep registration order.
