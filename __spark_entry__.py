@@ -30,10 +30,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return candidate_parts(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's cached intermediates on entry.
+
+    Operators persist() intermediates they consume more than once;
+    those caches are correct to drop the moment the query's result
+    has been read, but a lazily-returned DataFrame can't unpersist
+    behind itself. Bounding the session to AT MOST ONE query's
+    caches at the contract boundary instead: the driver runs queries
+    strictly sequentially (collect, then next), so clearing on entry
+    drops exactly the finished query's caches. Uncaching is
+    plan-shape only — a cleared DataFrame recomputes correctly if
+    re-collected. See SCALE.md "Cache lifecycle".
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     north-star extension ops). Keys are SURVEY §2 Op ids."""
-    return {s.name: s.fn for s in SPECS}
+    return {s.name: _released(s.fn) for s in SPECS}
 
 
 def oracle_sql() -> dict[str, str]:

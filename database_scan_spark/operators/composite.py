@@ -328,7 +328,11 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded by the exact ±0.1-quantile window) and a global ALL row
     exercising sketch behavior at the table's full cardinality. A
     Spark sketch drifting outside its documented rsd fails the
-    driver's hash gate."""
+    driver's hash gate. The band is 5×rsd, not 3× (ADVICE r4):
+    rsd is a standard deviation, not a hard bound, so at an
+    unbenchmarked scale factor a correctly-functioning sketch can
+    exceed 3×rsd on some group; 5× makes a verdict failure mean a
+    real sketch-contract break, not tail luck."""
     li = load(spark, sf_dir, "lineitem")
 
     def verdicts(grouped: DataFrame) -> DataFrame:
@@ -338,8 +342,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (
                 F.abs(F.col("acd") - F.col("exact_parts"))
-                <= F.col("exact_parts") * 0.06
-            ).alias("cd_within_3rsd"),
+                <= F.col("exact_parts") * 0.10
+            ).alias("cd_within_5rsd"),
             *[
                 (
                     (F.col(f"aq{q}") >= F.col(f"lo{q}"))
@@ -404,7 +408,7 @@ WITH per AS (
     FROM lineitem
 )
 SELECT l_returnflag, exact_parts, n,
-       TRUE AS cd_within_3rsd,
+       TRUE AS cd_within_5rsd,
        TRUE AS q25_within_band, TRUE AS q50_within_band, TRUE AS q75_within_band
 FROM per ORDER BY l_returnflag
 """
@@ -717,7 +721,7 @@ def agg_approx_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_lsh_recall_eval`): approx_count_distinct and
     approx_percentile run next to their EXACT counterparts in one
     plan, and the OUTPUT is the exact values plus boolean
-    within-bound verdicts — approx distinct within 3×rsd (6%) of
+    within-bound verdicts — approx distinct within 5×rsd (10%) of
     exact, approx median inside the exact p40..p60 band. Sketch
     internals differ per engine, so raw approx values can never
     hash-match; the VERDICTS can — the oracle computes the exact side
@@ -740,8 +744,8 @@ def agg_approx_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (
             F.abs(F.col("acd") - F.col("exact_parts"))
-            <= F.col("exact_parts") * 0.06
-        ).alias("cd_within_3rsd"),
+            <= F.col("exact_parts") * 0.10
+        ).alias("cd_within_5rsd"),
         ((F.col("amed") >= F.col("p40")) & (F.col("amed") <= F.col("p60"))).alias(
             "median_within_p40_p60"
         ),
@@ -752,7 +756,7 @@ AGG_APPROX_ERROR_EVAL_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
        CAST(COUNT(*) AS BIGINT) AS n,
-       TRUE AS cd_within_3rsd,
+       TRUE AS cd_within_5rsd,
        TRUE AS median_within_p40_p60
 FROM lineitem
 GROUP BY l_returnflag

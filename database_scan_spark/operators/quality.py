@@ -831,8 +831,25 @@ def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # drops the term to 6 dp, diverging from the oracle's
                 # exact 12-dp terms. cnt < 1e14 holds for any
                 # realistic per-category row count (1e12 rows total
-                # at 100 TB).
-                F.col("cnt").cast("decimal(14,0)")
+                # at 100 TB); out-of-domain scale fails loudly below
+                # (same discipline as the neighborhood-function
+                # bitset guard) rather than overflowing the cast to
+                # NULL and silently dropping the entropy term.
+                F.when(
+                    F.col("cnt") < F.lit(10_000_000_000_000_0),
+                    F.col("cnt"),
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "dq_entropy_profile: per-category count "
+                            ">= 1e14 exceeds the exact DECIMAL(14,0) "
+                            "term domain; widen the term precision "
+                            "split before profiling this table"
+                        )
+                    ).cast("bigint")
+                )
+                .cast("decimal(14,0)")
                 * F.round(
                     F.log2(F.col("cnt").cast("double") / F.col("n_rows")), 12
                 ).cast("decimal(20,12)")

@@ -92,7 +92,18 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, sf_dir: str, name: str, m
     preserve), results are partition-count-independent (integer /
     DECIMAL accumulators; the memory-sink compare is order-
     insensitive), and at cluster scale the session's own parallelism
-    is the right default anyway."""
+    is the right default anyway.
+
+    SINGLE-QUERY-AT-A-TIME CONTRACT (ADVICE r4): the pin/restore
+    mutates the session-global conf, so a caller-owned session must
+    not run CONCURRENT queries while a streaming spec executes — the
+    restore would race with them (same applies to the RocksDB
+    state-store provider conf in ``stream_tws_eventtime_timer``).
+    That matches the driver contract (one registry query at a time
+    per session) and every batch spec here is conf-neutral; callers
+    embedding these jobs in a multi-tenant session should scope the
+    conf per-query via ``writeStream`` options where Spark supports
+    it, or serialize streaming specs."""
     sink = f"{name}_{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
     ckpt = os.path.join(workdir(sf_dir, name), "checkpoint")
     shutil.rmtree(ckpt, ignore_errors=True)  # fresh run each invocation

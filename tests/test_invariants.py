@@ -181,7 +181,7 @@ def test_approx_aggregates_within_tolerance(spark, specs):
     rows = specs["agg_approx"].fn(spark, SF_SMOKE).collect()
     assert {r.l_returnflag for r in rows} >= {"ALL"}
     for r in rows:
-        assert r.cd_within_3rsd, r
+        assert r.cd_within_5rsd, r
         assert r.q25_within_band and r.q50_within_band and r.q75_within_band, r
     raw = {
         r.l_returnflag: r
