@@ -157,8 +157,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "src_python_datasource",
     # round 2 (CORRECTNESS_r02.json — rows+schema+hash green; the window's
     # three no_oracle rows are NOT folded in: dedup_minhash_mllib and
-    # mm_resize re-enter via _PINNED_WINDOW now that they're oracled, and
-    # stream_stateful_user_totals stays rows-only by documented contract)
+    # mm_resize re-enter via _PINNED_WINDOW now that they're oracled;
+    # stream_stateful_user_totals was rows-only until r5, when
+    # integer-cents state + final-state selection made it oracle-able)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_embedding_cosine", "dedup_levenshtein",

@@ -213,28 +213,42 @@ GROUP BY user_id, session_id
 # ---------------------------------------------------------------------------
 
 _STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
-_STATE_SCHEMA = "n long, total double, mx double"
+_STATE_SCHEMA = "n long, cents long, mx double"
 
 
 def _user_totals_fn():
     """Per-user running totals with explicit GroupState — the custom
     stateful operator shape (fraud counters, rate trackers, session
     enrichment) that windowed aggs can't express. Closure-wrapped so
-    cloudpickle ships it by value (workers don't import this package)."""
+    cloudpickle ships it by value (workers don't import this package).
+
+    The money accumulator is kept in INTEGER CENTS inside the state
+    (the fixture's ``value`` is exact 2-dp data, so ``round(v*100)``
+    is lossless and far from any .5 tie) and divided once at emission:
+    integer addition is order-independent, so the emitted total no
+    longer depends on shuffle arrival order — the r5 change that made
+    this spec oracle-able (the r4 rows-only contract blamed float
+    accumulation order plus micro-batch boundaries; the other half is
+    pinned by the final-state selection in the spec itself)."""
 
     def user_totals(
         key: tuple, batches: Iterator[pd.DataFrame], state: Any
     ) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # noqa: PLC0415 - worker-side import
 
-        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
             mx = max(mx, float(pdf["value"].max()))
-        state.update((n, total, mx))
+        state.update((n, cents, mx))
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "max_value": [mx],
+            }
         )
 
     return user_totals
@@ -242,10 +256,18 @@ def _user_totals_fn():
 
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: applyInPandasWithState over the
-    event stream, one state row per user. Rows-only check (the
-    emitted-row set depends on micro-batch boundaries, which are not
-    part of the operator's contract); tests assert the final per-user
-    state against the batch aggregate."""
+    event stream, one state row per user, returning the FINAL state
+    per user.
+
+    Oracled since r5 (it was the registry's last rows-only spec). The
+    update-mode sink holds one cumulative row per user per micro-batch
+    the user appeared in; ``n_events`` is strictly increasing across a
+    user's emissions, so ``max_by(_, n_events)`` selects the final
+    state deterministically REGARDLESS of where availableNow drew the
+    batch boundaries — and the state's integer-cents accumulator (see
+    ``_user_totals_fn``) removes the float-order dependence. The
+    result is exactly the batch ``GROUP BY user_id`` aggregate, which
+    is the plain-SQL oracle."""
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
     ev = _events_stream(spark, sf_dir)
@@ -256,7 +278,23 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, spark, sf_dir, "stream_stateful", "update")
+    sink = _run_to_memory(out, spark, sf_dir, "stream_stateful", "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max_by("max_value", "n_events").alias("max_value"),
+    )
+
+
+STREAM_STATEFUL_USER_TOTALS_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -350,9 +388,9 @@ def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame
     integer-cents total). Sums are kept in int64 cents so the result
     is order-independent — the whole pipeline is deterministic and the
     single availableNow batch emits exactly one row per user, giving a
-    plain SQL oracle (unlike the applyInPandasWithState twin
-    ``stream_stateful_user_totals``, whose float accumulators are
-    checked rows-only). Requires a google.protobuf runtime for the
+    plain SQL oracle (the applyInPandasWithState twin
+    ``stream_stateful_user_totals`` reaches the same determinism via
+    integer-cents state plus final-state selection). Requires a google.protobuf runtime for the
     state-server protocol; ``_ensure_tws_protobuf`` stages one. TWS
     state lives in per-state-variable column families, which only the
     RocksDB provider supports — self-applied for this query and
@@ -612,8 +650,11 @@ SPECS = [
     QuerySpec(
         "stream_stateful_user_totals",
         stream_stateful_user_totals,
-        None,
-        doc="rows-only: emitted rows depend on micro-batch boundaries",
+        STREAM_STATEFUL_USER_TOTALS_ORACLE,
+        doc=(
+            "applyInPandasWithState per-user totals; final-state "
+            "selection + integer-cents state made it oracle-able (r5)"
+        ),
         tags=("stream",),
     ),
     QuerySpec(

@@ -15,11 +15,13 @@ def test_stateful_final_state_matches_batch(spark):
     from database_scan_spark.streaming.jobs import stream_stateful_user_totals
 
     out = stream_stateful_user_totals(spark, SF_SMOKE)
-    # update-mode memory sink: last emitted row per user is the final state
+    # the spec now returns the final state per user directly
+    # (max_by over the monotone n_events across update emissions)
+    rows = out.collect()
     final = {
-        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
-        for r in out.collect()
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows
     }
+    assert len(rows) == len(final), "final-state selection must be 1 row/user"
     batch = {
         r["user_id"]: (r["n"], round(r["total"], 6))
         for r in load(spark, SF_SMOKE, "events")
@@ -403,3 +405,67 @@ def test_eventtime_timer_fires_on_exact_watermark_tie(spark, tmp_path):
         run_oracle(STREAM_TWS_EVENTTIME_TIMER_ORACLE, str(fix)),
         "stream_tws_eventtime_timer/tie",
     )
+
+
+def test_stateful_totals_boundary_independent(spark, tmp_path):
+    """The r5 oracle for stream_stateful_user_totals claims the result
+    is independent of micro-batch boundaries. Force a MULTI-batch run
+    (events split into 4 files, maxFilesPerTrigger=1 under
+    availableNow) and assert the final-state selection still equals
+    the batch aggregate — the cross-batch GroupState path the
+    single-file fixture never exercises."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.streaming.jobs import (
+        _STATE_OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _user_totals_fn,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn(),
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("multi_batch_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("multi_batch_totals")
+    n_batches = sink.select("user_id").count() / sink.select("user_id").distinct().count()
+    final = (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final}
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # prove the run actually crossed batch boundaries (else vacuous)
+    assert n_batches > 1.5, f"expected multiple update emissions, got {n_batches}"
