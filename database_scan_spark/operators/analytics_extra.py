@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators._helpers import disc_price, h32, money, workdir
+from ..operators._helpers import (
+    disc_price,
+    global_order,
+    h32,
+    money,
+    ntile_from_rank,
+    workdir,
+)
 from ..spec import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -643,16 +650,33 @@ SPECS.append(
 
 
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) 10-bucket histogram of order value:
-    ntile over a deterministic total order, then per-bucket bounds
-    and counts. Complements the fixed-width ``agg_histogram``. The
-    global sort is range-partitioned at scale (Spark samples bounds),
-    so no single task ever holds the full column."""
-    orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Equi-depth (equal-count) 10-bucket histogram of order value.
+    Complements the fixed-width ``agg_histogram``.
+
+    NOT a global ntile window (an unpartitioned Window collapses to a
+    single task — the thing Spark warns "No Partition Defined" about,
+    and a non-starter on a 100 TB fact): the exact global rank comes
+    from ``global_order`` (range-bucket on broadcast percentile
+    boundaries → per-bucket parallel windows → broadcast prefix
+    offsets — one data shuffle, every task holds ~1/64 of the rows)
+    and the exact NTILE arithmetic from ``ntile_from_rank``. Output
+    is bit-identical to the single-task ntile (equivalence is
+    regression-tested in tests/test_properties.py)."""
+    orders = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_order(
+        orders,
+        F.col("o_totalprice"),
+        (F.col("o_orderkey"),),
+        rank_col="rk",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).cast("int").alias("bucket")
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_totalprice",
+            ntile_from_rank(F.col("rk"), F.col("n"), 10)
+            .cast("int")
+            .alias("bucket"),
         )
         .groupBy("bucket")
         .agg(
@@ -1734,14 +1758,16 @@ def analytic_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue sum), each cut into quintiles, composed into the 3-digit
     segment code (111 = best, 555 = churned-cheap).
 
-    Determinism: every ntile runs over an explicit TOTAL order
+    Determinism: every quintile cut runs over an explicit TOTAL order
     (metric, then user_id) — without the tiebreak, equal metrics
     straddling a quintile boundary would split engine-dependently.
-    Scale note: the ntile input is the AGGREGATED per-user table
-    (dimension-sized, one shuffle to build), so the global sort is
-    bounded by user cardinality, not events; at billions of users the
-    quintile cuts come from approx_percentile instead and the rank
-    windows disappear — the aggregation pass is unchanged."""
+    Scale: the input is the AGGREGATED per-user table (one fact
+    shuffle to build), but user cardinality is itself unbounded, so
+    since r5 the three quintiles come from ``global_order`` +
+    ``ntile_from_rank`` (range-bucketed parallel rank, no single-task
+    window) instead of ntile-over-Window.orderBy — exact NTILE
+    semantics, three bucket-id shuffles of the dimension-sized
+    table, and no task ever holds the full user set."""
     p = load(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
@@ -1758,10 +1784,16 @@ def analytic_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_cnt",
         F.col("m_dec").cast("double").alias("m_sum"),
     )
-    r_q = F.ntile(5).over(Window.orderBy("r_days", "user_id"))
-    f_q = F.ntile(5).over(Window.orderBy(F.desc("f_cnt"), F.asc("user_id")))
-    m_q = F.ntile(5).over(Window.orderBy(F.desc("m_sum"), F.asc("user_id")))
-    return rfm.select(
+    n = rfm.agg(F.count(F.lit(1)).alias("_n"))
+    uid = (F.col("user_id"),)
+    g = global_order(rfm, F.col("r_days"), uid, rank_col="_r_rk")
+    g = global_order(g, -F.col("f_cnt"), uid, rank_col="_f_rk")
+    g = global_order(g, -F.col("m_sum"), uid, rank_col="_m_rk")
+    g = g.crossJoin(F.broadcast(n))
+    r_q = ntile_from_rank(F.col("_r_rk"), F.col("_n"), 5).cast("int")
+    f_q = ntile_from_rank(F.col("_f_rk"), F.col("_n"), 5).cast("int")
+    m_q = ntile_from_rank(F.col("_m_rk"), F.col("_n"), 5).cast("int")
+    return g.select(
         "user_id",
         F.col("r_days").cast("int").alias("r_days"),
         "f_cnt",
@@ -1958,11 +1990,13 @@ def analytic_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue sums and BOTH cumulative ratios run in DECIMAL
     (the class boundary test is `cum·100 <= total·80` — integer-free
     of division); the rank order is total (revenue desc, custkey) so
-    boundary ties never split engine-dependently. The cumulative
-    window runs over the AGGREGATED per-customer table — one fact
-    shuffle, then dimension-sized work (the billion-customer variant
-    pre-buckets by approx revenue quantile; the fact pass is
-    unchanged)."""
+    boundary ties never split engine-dependently. Scale: the
+    cumulative sum runs over the AGGREGATED per-customer table, whose
+    cardinality is itself unbounded — since r5 it comes from
+    ``global_order(cum_sums=...)`` (range-bucketed parallel prefix
+    sums, no single-task window), and the grand total is a broadcast
+    one-row aggregate instead of an empty-frame window. Exact DECIMAL
+    arithmetic end to end."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_orderkey")).agg(
         F.sum(disc_price()).alias("o_rev")
@@ -1973,15 +2007,16 @@ def analytic_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_rev").alias("revenue"))
     )
-    wcum = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.partitionBy()
-    cum = per_cust.select(
-        "o_custkey",
-        "revenue",
-        F.sum("revenue").over(wcum).alias("cum"),
-        F.sum("revenue").over(wtot).alias("total"),
+    tot = per_cust.agg(F.sum("revenue").alias("total"))
+    cum = (
+        global_order(
+            per_cust,
+            -F.col("revenue"),
+            (F.col("o_custkey"),),
+            cum_sums={"cum": F.col("revenue")},
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("o_custkey", "revenue", "cum", "total")
     )
     cls = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
@@ -3106,42 +3141,42 @@ def analytic_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows' rank sum. No curve materialization, no thresholds — ONE
     rank window plus one aggregate.
 
-    Exactness: ranks are tie-AVERAGED as ``(min_rank + max_rank)/2``
-    derived from integer row_number bounds per tied score (cents, so
-    tie groups are well-defined); the average is an exact .0/.5
-    double and the rank sum is exact (sums of halves), making the
-    final division bit-identical cross-engine. Scale: the rank
-    window is a single global sort — at 100 TB use a range-
-    partitioned sort (Spark's default for window-less rank via
-    zipWithIndex-style plans) or bucket the scores; the formula
-    itself never changes."""
+    Exactness AND scale (r5 rewrite): the fact is never row-ranked.
+    One hash aggregation builds the per-score (positives, total)
+    histogram; tie-averaged ranks come from the per-value count
+    identity ``avg_rank(s) = #smaller + (cnt+1)/2`` — doubled to the
+    BIGINT ``dr(s) = 2·#smaller + cnt + 1`` (the ``analytic_spearman``
+    trick) so the positive rank sum is an exact DECIMAL(38,0) sum of
+    integer products at ANY scale (the old row_number formulation's
+    double rank-sum loses exactness past 2^53). The only float step
+    is the final closed-form division. The one window runs over the
+    distinct-score relation (score is cents — domain-sized), not the
+    fact."""
     ev = load(spark, sf_dir, "events")
     scored = ev.select(
-        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
         F.round(F.col("value") * 100).cast("bigint").alias("s"),
     )
-    w = Window.orderBy("s")
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    tie_avg = (
-        ranked.groupBy("s")
-        .agg(
-            F.min("rn").alias("lo"),
-            F.max("rn").alias("hi"),
-        )
-        .select("s", ((F.col("lo") + F.col("hi")) / 2.0).alias("avg_rank"))
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.count(F.lit(1)).alias("cnt")
     )
-    joined = scored.join(tie_avg, "s")
-    agg = joined.agg(
-        F.sum("y").cast("bigint").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
-        F.sum(F.col("y") * F.col("avg_rank")).alias("rank_sum_pos"),
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    dr = (
+        2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+    ).alias("dr")
+    agg = per_score.select("pos", "cnt", dr).agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)") * F.col("dr").cast("decimal(38,0)")
+        ).alias("rs2"),
     )
     return agg.select(
         "n_pos",
         "n_neg",
         F.round(
             (
-                F.col("rank_sum_pos")
+                F.col("rs2").cast("double") / 2.0
                 - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
             )
             / (F.col("n_pos").cast("double") * F.col("n_neg")),
@@ -3156,21 +3191,25 @@ WITH scored AS (
            CAST(round(value * 100) AS BIGINT) AS s
     FROM events
 ),
-ranked AS (
-    SELECT y, s, row_number() OVER (ORDER BY s) AS rn FROM scored
+per_score AS (
+    SELECT s, SUM(y) AS pos, COUNT(*) AS cnt FROM scored GROUP BY s
 ),
-tie_avg AS (
-    SELECT s, (MIN(rn) + MAX(rn)) / 2.0 AS avg_rank
-    FROM ranked GROUP BY s
+dr AS (
+    SELECT pos, cnt,
+           2 * COALESCE(SUM(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS dr
+    FROM per_score
 ),
 agg AS (
-    SELECT CAST(SUM(sc.y) AS BIGINT) AS n_pos,
-           CAST(SUM(1 - sc.y) AS BIGINT) AS n_neg,
-           SUM(sc.y * t.avg_rank) AS rank_sum_pos
-    FROM scored sc JOIN tie_avg t ON sc.s = t.s
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+           SUM(CAST(pos AS DECIMAL(38,0)) * CAST(dr AS DECIMAL(38,0))) AS rs2
+    FROM dr
 )
 SELECT n_pos, n_neg,
-       round((rank_sum_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+       round((CAST(rs2 AS DOUBLE) / 2.0
+              - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
              / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
 FROM agg
 """
@@ -3199,20 +3238,29 @@ def analytic_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the table a marketing/quality team reads to pick a
     cutoff.
 
-    Determinism: the decile cut is ``ntile(10)`` over a TOTAL order
-    (score cents DESC, event_id) — without the id tiebreak, tied
-    scores would land in deciles nondeterministically and the
-    cumulative counts would not be reproducible. Counts are exact
-    BIGINTs; rate and lift are single double divisions. One window
-    sort + one aggregate; at 100 TB the sort is range-partitioned."""
+    Determinism: the decile cut is exact NTILE(10) semantics over a
+    TOTAL order (score cents DESC, event_id) — without the id
+    tiebreak, tied scores would land in deciles nondeterministically
+    and the cumulative counts would not be reproducible. Counts are
+    exact BIGINTs; rate and lift are single double divisions. Scale
+    (r5): the rank comes from ``global_order`` + ``ntile_from_rank``
+    (range-bucketed parallel rank over the fact — one bucket-id
+    shuffle, no single-task ntile window), then one aggregate; the
+    final cumulative runs over the 10-row decile relation."""
     ev = load(spark, sf_dir, "events")
     scored = ev.select(
         "event_id",
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         F.round(F.col("value") * 100).cast("bigint").alias("s"),
     )
-    w = Window.orderBy(F.desc("s"), F.asc("event_id"))
-    dec = scored.withColumn("decile", F.ntile(10).over(w))
+    n_all = scored.agg(F.count(F.lit(1)).alias("_n"))
+    dec = (
+        global_order(scored, -F.col("s"), (F.col("event_id"),), rank_col="_rk")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "decile", ntile_from_rank(F.col("_rk"), F.col("_n"), 10).cast("int")
+        )
+    )
     per = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("n_pos"),

@@ -504,3 +504,79 @@ def test_gopher_kernel_matches_python_reference(spark, texts):
         )
         assert r.rule_stopwords == int(n_stop >= GOPHER_MIN_STOP_TYPES)
         assert r.rule_alpha_ratio == int(n_alpha * GOPHER_ALPHA_DEN >= n * GOPHER_ALPHA_NUM)
+
+
+def test_global_order_equals_single_task_window(spark):
+    """global_order / ntile_from_rank (the distributed exact-rank path
+    behind agg_histogram_equidepth, analytic_rfm, analytic_pareto,
+    analytic_gains_table) must be BIT-identical to the single-task
+    Window.orderBy formulation on rank, NTILE (incl. heavy ties), and
+    DESC DECIMAL cumulative sums — for any bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import (
+        global_order,
+        ntile_from_rank,
+    )
+
+    o = load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    for n_buckets in (1, 3, 64):
+        got = global_order(
+            o, F.col("o_totalprice"), (F.col("o_orderkey"),),
+            rank_col="rk", n_buckets=n_buckets,
+        ).select("o_orderkey", "rk")
+        want = o.select(
+            "o_orderkey",
+            F.row_number()
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .cast("long")
+            .alias("rk"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    # NTILE with heavy ties (key rounded to thousands) and k not
+    # dividing n, vs the engine's own ntile over the same total order
+    o2 = o.withColumn("kt", F.round(F.col("o_totalprice") / 1000).cast("long"))
+    n = o2.agg(F.count(F.lit(1)).alias("n"))
+    got2 = (
+        global_order(o2, F.col("kt"), (F.col("o_orderkey"),),
+                     rank_col="rk", n_buckets=7)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            ntile_from_rank(F.col("rk"), F.col("n"), 7).alias("b"),
+        )
+    )
+    want2 = o2.select(
+        "o_orderkey",
+        F.ntile(7).over(Window.orderBy("kt", "o_orderkey")).cast("long").alias("b"),
+    )
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+
+    # DESC DECIMAL cumulative sum
+    pc = o.groupBy((F.col("o_orderkey") % 37).alias("g")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    gotc = global_order(
+        pc, -F.col("rev"), (F.col("g"),),
+        cum_sums={"cum": F.col("rev")}, n_buckets=5,
+    ).select("g", F.col("cum").cast("decimal(30,2)").alias("cum"))
+    wantc = pc.select(
+        "g",
+        F.sum("rev")
+        .over(
+            Window.orderBy(F.desc("rev"), F.asc("g")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("decimal(30,2)")
+        .alias("cum"),
+    )
+    assert gotc.exceptAll(wantc).count() == 0
+    assert wantc.exceptAll(gotc).count() == 0
