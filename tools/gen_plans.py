@@ -292,6 +292,12 @@ SHOWCASE = {
     "mm_resize": "resize planning over real decode — expect one MapInPandas "
     "(Arrow) boundary (the codec), then pure column arithmetic; the blob "
     "column never reaches an exchange",
+    "agg_histogram_equidepth": "distributed exact NTILE via global_order "
+    "(r5) — expect NO unpartitioned Window over the fact: a one-row "
+    "percentile_approx boundary aggregate broadcast back, a window "
+    "PARTITIONED by the range-bucket id, a tiny bucket-offsets window "
+    "(<=64 rows), and a broadcast offsets join; the only SinglePartition "
+    "work is the boundary/offset reductions",
 }
 
 
