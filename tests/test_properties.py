@@ -580,3 +580,53 @@ def test_global_order_equals_single_task_window(spark):
     )
     assert gotc.exceptAll(wantc).count() == 0
     assert wantc.exceptAll(gotc).count() == 0
+
+
+# keys with deliberately heavy ties (small domain), negatives, and
+# extreme magnitudes — the shapes that break rank/bucket arithmetic
+_GO_KEYS = st.lists(
+    st.one_of(
+        st.integers(min_value=-5, max_value=5),          # heavy ties
+        st.integers(min_value=-(2**40), max_value=2**40),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(keys=_GO_KEYS, k=st.integers(min_value=1, max_value=9))
+@settings(**_SETTINGS)
+def test_global_order_property_random_keys(spark, keys, k):
+    """global_order + ntile_from_rank equal the single-task window on
+    arbitrary integer keys (heavy ties, negatives, huge magnitudes)
+    and arbitrary NTILE k — the adversarial-data companion of the
+    fixture-based equivalence test."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.operators._helpers import (
+        global_order,
+        ntile_from_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(keys)], "id long, v long"
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    got = (
+        global_order(df, F.col("v"), (F.col("id"),), rank_col="rk", n_buckets=4)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "rk",
+            ntile_from_rank(F.col("rk"), F.col("n"), k).alias("b"),
+        )
+    )
+    w = Window.orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.ntile(k).over(w).cast("long").alias("b"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
