@@ -71,13 +71,20 @@ def analytic_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         "c",
     )
+    # DECIMAL(38,0) promotion (the graph_pagerank discipline): n·o and
+    # n·r·c are BIGINT products that silently WRAP past ~9.2e18 under
+    # non-ANSI Spark while DuckDB auto-promotes to HUGEINT — at cluster
+    # scale (n ~ 1e10 customers) the unpromoted form diverges; the
+    # decimal products stay exact to 1e38.
+    dn = F.col("n").cast("decimal(38,0)")
+    do = F.col("o").cast("decimal(38,0)")
+    dr = F.col("r").cast("decimal(38,0)")
+    dc = F.col("c").cast("decimal(38,0)")
     terms = cells.select(
         "n",
         F.round(
-            F.pow(
-                (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double"), 2
-            )
-            / (F.col("n") * F.col("r") * F.col("c")).cast("double"),
+            F.pow((dn * do - dr * dc).cast("double"), 2)
+            / (dn * dr * dc).cast("double"),
             12,
         )
         .cast("decimal(24,12)")
