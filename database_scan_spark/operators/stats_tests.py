@@ -494,13 +494,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bounded SYNCHRONOUS peel (4 unrolled rounds), the package's
     fixpoint discipline (cf. graph_pagerank): each round is two hash
-    aggregations (per-side degrees) and two broadcast semi-joins on
-    the surviving-node sets; every count is integer-exact. The edge
-    list is dimension-×-dimension bounded (distinct part–supplier
-    pairs), built from the fact with ONE distinct aggregation; at
-    100 TB each round's shuffle carries only the deduplicated edge
-    relation, and a driver-loop fixpoint with persist() per round
-    replaces unrolling (same per-round plan)."""
+    aggregations (per-side degrees) and two left-semi joins on the
+    surviving-node sets; every count is integer-exact. The semi-join
+    strategy is left to AQE (r5 — previously a FORCED broadcast: the
+    survivor set of a fact-derived graph is unbounded, and a forced
+    broadcast of 1e9 surviving parts is an OOM cliff; AQE broadcasts
+    when the runtime size allows and degrades to a shuffled semi-join
+    when it doesn't). The edge list is dimension-×-dimension bounded
+    (distinct part–supplier pairs), built from the fact with ONE
+    distinct aggregation; at 100 TB each round's shuffle carries only
+    the deduplicated edge relation, and a driver-loop fixpoint with
+    persist() per round replaces unrolling (same per-round plan)."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     )
@@ -513,8 +517,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_p = deg_p.filter(F.col("dp") >= _KCORE_K).select("p")
         keep_s = deg_s.filter(F.col("ds") >= _KCORE_K).select("s")
         cur = (
-            cur.join(F.broadcast(keep_p), "p", "left_semi")
-            .join(F.broadcast(keep_s), "s", "left_semi")
+            cur.join(keep_p, "p", "left_semi")
+            .join(keep_s, "s", "left_semi")
             .persist()
         )
         stats.append(
