@@ -922,3 +922,35 @@ def test_dsir_topk_is_take_ordered(spark):
 
     plan = _plan(wf_dsir_select(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_raw_entity_unpartitioned_windows(spark):
+    """The r5 global_order retrofits must not regress: none of the
+    retrofitted specs may plan an UNPARTITIONED window keyed directly
+    on a raw fact/entity column (single-task sort at scale). Allowed
+    unpartitioned windows are the kernel's own bounded offsets pass
+    (keyed _go_pid, <= n_buckets rows) and bounded post-aggregate
+    relations (decile / bucket / day rows)."""
+    import re
+
+    from database_scan_spark.registry import get
+
+    raw_keys = {
+        "o_totalprice", "r_days", "f_cnt", "m_sum", "revenue", "s#", "s "
+    }
+    for name in (
+        "agg_histogram_equidepth",
+        "analytic_rfm",
+        "analytic_pareto",
+        "analytic_gains_table",
+        "analytic_auc",
+    ):
+        plan = _plan(get(name).fn(spark, SF_SMOKE))
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = spec.split(",")[0].strip()
+            base = re.split(r"[# ]", first)[0]
+            assert base not in {"o_totalprice", "r_days", "f_cnt",
+                                "m_sum", "revenue"}, (
+                f"{name}: unpartitioned window keyed on raw column "
+                f"{first!r} — the single-task sort the r5 retrofit removed"
+            )
