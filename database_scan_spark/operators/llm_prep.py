@@ -403,9 +403,21 @@ def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pair_orders").cast("long").alias("pair_orders"),
             F.col("c1").cast("long").alias("c1"),
             F.col("c2").cast("long").alias("c2"),
+            # DECIMAL(38,0) promotion (graph_pagerank discipline):
+            # pair_orders·n_orders and c1·c2 are BIGINT products that
+            # wrap past ~9.2e18 under non-ANSI Spark (n_orders ~ 1e11
+            # at 100 TB) while the DuckDB twin auto-promotes to
+            # HUGEINT; exact products, ONE double division, like the
+            # oracle's CAST(... AS DOUBLE) / (...).
             F.round(
-                (F.col("pair_orders") * F.col("n_orders"))
-                / (F.col("c1") * F.col("c2")),
+                (
+                    F.col("pair_orders").cast("decimal(38,0)")
+                    * F.col("n_orders").cast("decimal(38,0)")
+                ).cast("double")
+                / (
+                    F.col("c1").cast("decimal(38,0)")
+                    * F.col("c2").cast("decimal(38,0)")
+                ).cast("double"),
                 6,
             ).alias("lift"),
         )
