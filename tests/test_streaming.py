@@ -469,3 +469,77 @@ def test_stateful_totals_boundary_independent(spark, tmp_path):
     assert got == want
     # prove the run actually crossed batch boundaries (else vacuous)
     assert n_batches > 1.5, f"expected multiple update emissions, got {n_batches}"
+
+
+def test_tws_running_total_boundary_independent(spark, tmp_path):
+    """The TWS twin of test_stateful_totals_boundary_independent:
+    transformWithStateInPandas ValueState must carry per-user totals
+    across REAL micro-batch boundaries (4 files, maxFilesPerTrigger=1)
+    — the final state per user equals the batch aggregate. The
+    registered spec runs the single-file fixture (one batch, one row
+    per user); this exercises the cross-batch state path the fixture
+    never hits."""
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.streaming.jobs import (
+        _ensure_tws_protobuf,
+        _running_total_processor,
+    )
+
+    _ensure_tws_protobuf(spark)
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_running_total_processor(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_multi_batch")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    sink = spark.table("tws_multi_batch")
+    n_rows = sink.count()
+    final = sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_cents", "n_events").alias("total_cents"),
+    )
+    got = {
+        (r["user_id"], r["n_events"], r["total_cents"]) for r in final.collect()
+    }
+    want = {
+        (r["user_id"], r["n"], r["tc"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tc"))
+        .collect()
+    }
+    assert got == want
+    assert n_rows > len(want), "expected multiple update emissions per user"
