@@ -543,3 +543,73 @@ def test_tws_running_total_boundary_independent(spark, tmp_path):
     }
     assert got == want
     assert n_rows > len(want), "expected multiple update emissions per user"
+
+
+def test_tws_list_state_accumulates_across_batches(spark, tmp_path):
+    """ListState across real micro-batch boundaries: the final top-3
+    recent-events ranking per user depends on events spread over 4
+    files (maxFilesPerTrigger=1), so it can only be emitted if the
+    bounded list state survived and re-sorted across batches — assert
+    every (user, rank, event) of the batch-computed truth appears in
+    the update-mode sink."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.streaming.jobs import (
+        _ensure_tws_protobuf,
+        _recent_events_processor,
+    )
+
+    _ensure_tws_protobuf(spark)
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_recent_events_processor(3),
+        outputStructType="user_id long, rank int, event_id long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_list_multi_batch")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    sink_rows = {
+        (r["user_id"], r["rank"], r["event_id"])
+        for r in spark.table("tws_list_multi_batch").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    want = {
+        (r["user_id"], r["rn"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert want <= sink_rows
+    assert len(sink_rows) > len(want), "expected multiple update emissions"
