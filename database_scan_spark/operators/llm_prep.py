@@ -405,10 +405,11 @@ def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c2").cast("long").alias("c2"),
             # DECIMAL(38,0) promotion (graph_pagerank discipline):
             # pair_orders·n_orders and c1·c2 are BIGINT products that
-            # wrap past ~9.2e18 under non-ANSI Spark (n_orders ~ 1e11
-            # at 100 TB) while the DuckDB twin auto-promotes to
-            # HUGEINT; exact products, ONE double division, like the
-            # oracle's CAST(... AS DOUBLE) / (...).
+            # overflow past ~9.2e18 (ARITHMETIC_OVERFLOW under ANSI —
+            # the Spark 4 default — or a silent wrap under non-ANSI;
+            # n_orders ~ 1e11 at 100 TB) while the DuckDB twin
+            # auto-promotes to HUGEINT; exact products, ONE double
+            # division, like the oracle's CAST(... AS DOUBLE) / (...).
             F.round(
                 (
                     F.col("pair_orders").cast("decimal(38,0)")

@@ -72,10 +72,11 @@ def analytic_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
     )
     # DECIMAL(38,0) promotion (the graph_pagerank discipline): n·o and
-    # n·r·c are BIGINT products that silently WRAP past ~9.2e18 under
-    # non-ANSI Spark while DuckDB auto-promotes to HUGEINT — at cluster
-    # scale (n ~ 1e10 customers) the unpromoted form diverges; the
-    # decimal products stay exact to 1e38.
+    # n·r·c are BIGINT products that overflow past ~9.2e18 — a hard
+    # ARITHMETIC_OVERFLOW under ANSI (the Spark 4 default) or a silent
+    # wrap under non-ANSI, while DuckDB auto-promotes to HUGEINT; at
+    # cluster scale (n ~ 1e10 customers) the unpromoted form dies or
+    # diverges. The decimal products stay exact to 1e38.
     dn = F.col("n").cast("decimal(38,0)")
     do = F.col("o").cast("decimal(38,0)")
     dr = F.col("r").cast("decimal(38,0)")
