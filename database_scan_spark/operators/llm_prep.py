@@ -1844,10 +1844,32 @@ def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nats"
         ),
     )
-    bucket = F.ntile(CCNET_BUCKETS).over(
-        Window.orderBy(F.col("surprisal_unats") / F.col("n_tokens"), F.col("doc_id"))
+    # CCNet's head/middle/tail cut needs every doc's perplexity rank —
+    # per-document cardinality, so the exact NTILE comes from
+    # global_order + ntile_from_rank (r5), not an unpartitioned
+    # window (single-task sort over the corpus). The order key is the
+    # same bit-exact double (integer-unats ratio) as before.
+    from ..operators._helpers import (  # noqa: PLC0415
+        global_order,
+        ntile_from_rank,
     )
-    return out.withColumn("ccnet_bucket", bucket.cast("int"))
+
+    # persist the doc-sized score relation: the kernel's boundary
+    # aggregate and window input would otherwise each replay the
+    # expensive token-stream joins (session cache contract: released
+    # at next query entry)
+    out = out.persist()
+    n_docs = out.agg(F.count(F.lit(1)).alias("_n"))
+    g = global_order(
+        out,
+        F.col("surprisal_unats") / F.col("n_tokens"),
+        (F.col("doc_id"),),
+        rank_col="_rk",
+    ).crossJoin(F.broadcast(n_docs))
+    return g.withColumn(
+        "ccnet_bucket",
+        ntile_from_rank(F.col("_rk"), F.col("_n"), CCNET_BUCKETS).cast("int"),
+    ).drop("_rk", "_n")
 
 
 TEXT_CCNET_PERPLEXITY_ORACLE = f"""

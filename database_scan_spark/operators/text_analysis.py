@@ -1835,8 +1835,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = vocab.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "w"))
+    # The Zipf regression needs the rank of EVERY vocabulary term (no
+    # top-k shortcut), and vocabulary is unbounded at corpus scale —
+    # distributed exact rank via global_order (r5), not an
+    # unpartitioned row_number window (single-task sort).
+    from ._helpers import global_order  # noqa: PLC0415
+
+    ranked = global_order(
+        vocab, -F.col("freq"), (F.col("w"),), rank_col="rank"
     )
     terms = ranked.select(
         F.round(F.log2("rank"), 12).cast("decimal(24,12)").alias("x"),
