@@ -51,9 +51,17 @@ def topk_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand top-3 parts by retail price via aggregation:
     ``slice(sort_array(collect_list(struct(...))))``. Semantically the
     same answer as the ``row_number() <= 3`` window (the oracle), but
-    the physical plan is a hash aggregate — partial lists are built
-    map-side, and only the merged per-group list is ever sorted, so
-    no full per-group data sort ships through the shuffle.
+    the physical plan is hash aggregates, never a ranking sort.
+
+    Bounded-state form (r5): a plain one-level collect_list merges the
+    FULL per-group list before slicing — unbounded state for a giant
+    group. Here a partition-LOCAL aggregate slices to top-3 per
+    (physical partition, brand) first — its state is bounded by the
+    input split, like any partial aggregation — and the global merge
+    then sees at most 3 rows per partial, so final per-group state is
+    O(3 · n_partials). Top-3 of the union of per-partition top-3s IS
+    the global top-3, for any partitioning, so the result is exact
+    and partitioning-independent.
 
     (Top-1 generalization of the reference's positional ``rows[0]``
     pick, ``x2.py:215`` / ``candidate_drugs.py:90`` — made
@@ -61,21 +69,26 @@ def topk_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §1.4.)
     """
     part = load(spark, sf_dir, "part")
-    agg = part.groupBy("p_brand").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("p_retailprice").alias("price"),
-                        F.col("p_partkey").alias("pk"),
-                    )
-                ),
-                asc=False,
-            ),
-            1,
-            3,
-        ).alias("top")
+
+    def local_topk(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.col("s")), asc=False), 1, 3
+            ).alias("top")
+        )
+
+    structs = part.select(
+        "p_brand",
+        F.spark_partition_id().alias("_pid"),
+        F.struct(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_partkey").alias("pk"),
+        ).alias("s"),
     )
+    local = local_topk(structs, ["_pid", "p_brand"]).select(
+        "p_brand", F.explode("top").alias("s")
+    )
+    agg = local_topk(local, ["p_brand"])
     return agg.select(
         "p_brand", F.posexplode("top").alias("pos", "s")
     ).select(

@@ -617,23 +617,28 @@ def analytic_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) order collapse to a '>'-joined path string; output
     is the path frequency table — the clickstream complement to
     funnel_conversion (which checks ONE ordered pattern; this surfaces
-    ALL observed prefixes). One shuffle keyed user_id (sort inside the
-    aggregate via array_sort on (ts, event_id, type) structs), then a
-    small path-keyed count."""
+    ALL observed prefixes). One shuffle keyed user_id: a per-user rank
+    window keeps only the first PATH_HEAD_LEN events BEFORE any
+    collection, so per-group aggregation state is bounded at 5 structs
+    per user (r5 — collecting the user's FULL event array first, as
+    the original did, is unbounded state for a power user with 1e6
+    events); the groupBy reuses the window's user_id partitioning, and
+    the final count runs on the small path-keyed relation."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     ev = load(spark, sf_dir, "events")
-    paths = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("seq")
-        )
-        .select(
-            F.array_join(
-                F.slice(F.transform("seq", lambda s: s.event_type), 1, PATH_HEAD_LEN),
-                ">",
-            ).alias("path")
-        )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PATH_HEAD_LEN
+    )
+    paths = head.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
 
