@@ -1117,7 +1117,10 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons — no per-row join, no sort), and the per-bucket
     shares + PSI terms are one aggregate per window. Scale shape:
     two filtered scans + two 10-group aggregates; the breaks row is
-    the only data movement besides the final combine."""
+    the only data movement besides the final combine. Scale note: the
+    exact decile breaks buffer the reference window's values — at
+    100 TB swap in approx_percentile for the breaks (binning and PSI
+    terms are unchanged)."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderdate", F.col("o_totalprice").cast("double").alias("x")
     )
@@ -1231,7 +1234,10 @@ def filter_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast onto the scan, then a clamp expression and
     the before/after audit per class. The clamp is a narrow map; the
     only shuffles are the tiny fence aggregate and the final
-    per-class audit."""
+    per-class audit. Scale note (the agg_percentile_exact /
+    dq_anomaly_mad discipline): the exact percentile buffers each
+    class's values — at 100 TB swap in approx_percentile for the
+    fences; the clamp/audit shape is unchanged."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("x")
     )

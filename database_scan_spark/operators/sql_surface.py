@@ -501,7 +501,9 @@ def filter_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IQR outlier clipping — the data-cleaning gate before stats or
     training: per return flag, keep rows inside [q1−1.5·IQR,
     q3+1.5·IQR] of l_extendedprice. The per-group fences come from
-    one exact-percentile aggregate (group count is tiny) broadcast
+    one exact-percentile aggregate (group COUNT is tiny; each group's
+    VALUES are buffered by the exact percentile — swap in
+    approx_percentile at 100 TB, fences otherwise unchanged) broadcast
     back onto the fact scan; the audit output is kept/total per
     group. Both engines share the interpolating percentile
     definition, so the fences are the same doubles."""
