@@ -630,3 +630,46 @@ def test_global_order_property_random_keys(spark, keys, k):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_ntile_from_rank_exhaustive_small_domain(spark):
+    """Exhaustive boundary check of the integer NTILE arithmetic: for
+    every (n <= 30, k <= 8, rank <= n), ntile_from_rank must equal the
+    SQL NTILE definition (first n%k tiles get n/k+1 rows) computed
+    independently in Python — 3,720 combinations, one Spark job."""
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.operators._helpers import ntile_from_rank
+
+    def expected(n: int, k: int, r: int) -> int:
+        q, rem = divmod(n, k)
+        big = q + 1
+        if r <= big * rem:
+            return (r + big - 1) // big if big else 0
+        return rem + (r - big * rem + q - 1) // q
+
+    # sanity of the reference itself: tiles are contiguous, start at
+    # 1, use min(n, k) tiles, and sizes differ by at most one
+    for n in (1, 7, 30):
+        for k in (1, 3, 8):
+            tiles = [expected(n, k, r) for r in range(1, n + 1)]
+            assert tiles == sorted(tiles) and tiles[0] == 1
+            assert len(set(tiles)) == min(n, k)
+            sizes = [tiles.count(t) for t in sorted(set(tiles))]
+            assert max(sizes) - min(sizes) <= 1
+            assert sizes == sorted(sizes, reverse=True)
+
+    rows = [
+        (n, k, r, expected(n, k, r))
+        for n in range(1, 31)
+        for k in range(1, 9)
+        for r in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "n long, k int, r long, want long")
+    # evaluate per-k (ntile_from_rank takes k as a python int)
+    for k in range(1, 9):
+        sub = df.filter(F.col("k") == k).withColumn(
+            "got", ntile_from_rank(F.col("r"), F.col("n"), k)
+        )
+        n_bad = sub.filter(F.col("got") != F.col("want")).count()
+        assert n_bad == 0, f"k={k}: {n_bad} mismatches"
