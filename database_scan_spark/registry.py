@@ -223,6 +223,27 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "agg_approx", "agg_hll_sketch", "agg_theta_distinct_union",
     "agg_approx_error_eval", "agg_theta_set_algebra", "agg_hll_portable",
     "agg_grouping_sets",
+    # round 5 (CORRECTNESS_r05.json — 50/50 rows+schema+hash green: the
+    # agg_ tail + the full join_ family + the analytic_ head)
+    "agg_percentile_exact", "agg_histogram", "agg_pivot",
+    "agg_filter_clause", "agg_heavy_hitters", "agg_countmin_sketch",
+    "agg_histogram_equidepth", "agg_bitmap_distinct", "agg_linreg",
+    "agg_weighted_median", "agg_quantile_histogram",
+    "agg_frequency_moments",
+    "join_bucketed", "join_salted", "join_skew_unsalted",
+    "join_skew_salted", "join_bloom_prefilter",
+    "join_dynamic_partition_pruning", "join_outer_left", "join_outer_full",
+    "join_semi_anti", "join_existence_project", "join_hint_matrix",
+    "join_null_aware_anti", "join_asof", "join_range_events",
+    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
+    "join_interval_overlap", "join_pit_features",
+    "analytic_user_paths", "analytic_skyline", "analytic_ndcg",
+    "analytic_market_basket", "analytic_attribution", "analytic_ab_test",
+    "analytic_logreg_gd", "analytic_rfm", "analytic_pareto",
+    "analytic_cohort_ltv", "analytic_time_to_convert", "analytic_gini",
+    "analytic_survival", "analytic_ks_test", "analytic_price_index",
+    "analytic_did", "analytic_bootstrap_ci", "analytic_trend_mk",
+    "analytic_theil_sen",
 })
 
 # Unverified queries sort by family; ties keep registration order.
