@@ -30,6 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return candidate_parts(spark, "/root/testdata/sf0.001")
 
 
+# DataFrames the ENGINE persisted while building the previous query's
+# plan — released on the next query's entry. Tracking (instead of the
+# session-global clearCache() used through r5) keeps caller-created
+# caches (e.g. a pre-cached input table) untouched (ADVICE r5).
+_ENGINE_PERSISTS: list[DataFrame] = []
+
+
 def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Release the PREVIOUS query's cached intermediates on entry.
 
@@ -38,15 +45,58 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     has been read, but a lazily-returned DataFrame can't unpersist
     behind itself. Bounding the session to AT MOST ONE query's
     caches at the contract boundary instead: the driver runs queries
-    strictly sequentially (collect, then next), so clearing on entry
+    strictly sequentially (collect, then next), so releasing on entry
     drops exactly the finished query's caches. Uncaching is
     plan-shape only — a cleared DataFrame recomputes correctly if
     re-collected. See SCALE.md "Cache lifecycle".
+
+    Mechanics: every engine persist happens inside ``fn(spark,
+    sf_dir)`` (plan construction), so ``DataFrame.persist`` is
+    intercepted for exactly that call and each persisted frame is
+    recorded; the next query's entry unpersists the recorded frames
+    and nothing else. Caches the CALLER created outside ``queries()``
+    are never dropped (they were under the r4-r5 ``clearCache()``
+    contract). The strictly-sequential contract makes the scoped
+    intercept race-free.
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.catalog.clearCache()
-        return fn(spark, sf_dir)
+        while _ENGINE_PERSISTS:
+            df = _ENGINE_PERSISTS.pop()
+            try:
+                df.unpersist()
+            except Exception:  # session gone / already unpersisted
+                pass
+        # Patch every class that DEFINES persist (PySpark 4's classic
+        # DataFrame subclasses the pyspark.sql.DataFrame facade and
+        # overrides persist — patching only the base never fires).
+        targets = [DataFrame]
+        try:  # pragma: no branch - classic is always present locally
+            from pyspark.sql.classic.dataframe import (  # noqa: PLC0415
+                DataFrame as _ClassicDF,
+            )
+
+            targets.append(_ClassicDF)
+        except ImportError:  # pragma: no cover - future layout change
+            pass
+        patched: list[tuple[type, object]] = []
+        for cls in targets:
+            if "persist" not in cls.__dict__:
+                continue
+            orig = cls.__dict__["persist"]
+
+            def tracked(self: DataFrame, *a: object, _orig=orig, **k: object) -> DataFrame:
+                out = _orig(self, *a, **k)
+                _ENGINE_PERSISTS.append(out)
+                return out
+
+            cls.persist = tracked  # type: ignore[method-assign]
+            patched.append((cls, orig))
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            for cls, orig in patched:
+                cls.persist = orig  # type: ignore[method-assign]
 
     run.__name__ = getattr(fn, "__name__", "query")
     run.__doc__ = fn.__doc__

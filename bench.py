@@ -271,6 +271,24 @@ def main() -> None:
         "queries": queries,
         "sf": sf_val,
     }
+    # Mechanical floor gate (VERDICT r5 item 7): tools/floors.json is
+    # the ONE canonical per-query floor table (query → floor → reset
+    # history); tools/gen_baseline.py renders it and applies the >2x
+    # host-adjusted rule. Evaluated here so every bench run self-reports.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import gen_baseline  # noqa: PLC0415
+
+        floors_doc, _ = gen_baseline.load()
+        ev = gen_baseline.evaluate(floors_doc, queries)
+        detail["floor_check"] = {
+            "host_speed": ev["host_speed"],
+            "violations": ev["violations"],
+            "unfloored": ev["unfloored"],
+            "floors": "tools/floors.json",
+        }
+    except Exception as exc:  # never let the gate break the bench line
+        detail["floor_check"] = {"error": str(exc)[:200]}
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -289,6 +307,9 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(queries),
         "detail": "BENCH_DETAIL.json",
+        "floor_violations": len(
+            detail["floor_check"].get("violations", [])
+        ) if "error" not in detail["floor_check"] else None,
     }
     print(json.dumps(result))
 

@@ -176,7 +176,13 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     order. Companion to ``global_order(rank_col=...)``."""
 
     def idiv(a, b):
-        return ((a - (a % b)) / b).cast("long")
+        # Exact integer division over the FULL long domain: a - a%b is
+        # exactly divisible by b, and DECIMAL(38,0)/DECIMAL(38,0)
+        # division (result DECIMAL(38,6)) represents any integral
+        # quotient up to 10^32 exactly — unlike double division, which
+        # loses exactness past 2^53 (ADVICE r5).
+        exact = (a - (a % b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+        return exact.cast("long")
 
     q = idiv(n, F.lit(k))
     r = n % F.lit(k)

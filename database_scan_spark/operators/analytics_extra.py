@@ -3173,10 +3173,16 @@ def analytic_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick) so the positive rank sum is an exact DECIMAL(38,0) sum of
     integer products at ANY scale (the old row_number formulation's
     double rank-sum loses exactness past 2^53). The only float step
-    is the final closed-form division. The one window runs over the
-    distinct-score relation (score is cents — domain-sized), not the
-    fact."""
-    ev = load(spark, sf_dir, "events")
+    is the final closed-form division. The cumulative #smaller runs
+    over the distinct-score relation (score is cents — domain-sized)
+    through the distributed ``global_order`` kernel (r6): the value
+    dictionary is bounded by the price domain in PRACTICE, but that
+    bound is data-dependent, so the exact rank/cumsum is computed
+    bounded-by-construction rather than trusted to fit one task.
+    Null scores are excluded on BOTH engine and oracle sides (a null
+    score is unrankable; fixtures are null-free, so this is a
+    precondition made explicit, not a behavior change)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = ev.select(
         (F.col("event_type") == "purchase").cast("bigint").alias("y"),
         F.round(F.col("value") * 100).cast("bigint").alias("s"),
@@ -3184,11 +3190,11 @@ def analytic_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_score = scored.groupBy("s").agg(
         F.sum("y").alias("pos"), F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    dr = (
-        2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
-    ).alias("dr")
-    agg = per_score.select("pos", "cnt", dr).agg(
+    # inclusive cum_cnt → exclusive #smaller = cum_cnt - cnt;
+    # dr = 2·#smaller + cnt + 1 = 2·cum_cnt − cnt + 1
+    go = global_order(per_score, F.col("s"), cum_sums={"cum_cnt": F.col("cnt")})
+    dr = (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias("dr")
+    agg = go.select("pos", "cnt", dr).agg(
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
         F.sum(
@@ -3213,7 +3219,7 @@ ANALYTIC_AUC_ORACLE = """
 WITH scored AS (
     SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
            CAST(round(value * 100) AS BIGINT) AS s
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 per_score AS (
     SELECT s, SUM(y) AS pos, COUNT(*) AS cnt FROM scored GROUP BY s
@@ -3270,8 +3276,12 @@ def analytic_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r5): the rank comes from ``global_order`` + ``ntile_from_rank``
     (range-bucketed parallel rank over the fact — one bucket-id
     shuffle, no single-task ntile window), then one aggregate; the
-    final cumulative runs over the 10-row decile relation."""
-    ev = load(spark, sf_dir, "events")
+    final cumulative runs over the 10-row decile relation. Null
+    scores are excluded on BOTH engine and oracle sides (ADVICE r5:
+    ``global_order`` fails loudly on null keys by design; a null
+    score is unrankable, fixtures are null-free, so the filter makes
+    the precondition explicit without changing output)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = ev.select(
         "event_id",
         (F.col("event_type") == "purchase").cast("int").alias("y"),
@@ -3321,7 +3331,7 @@ WITH scored AS (
     SELECT event_id,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
            CAST(round(value * 100) AS BIGINT) AS s
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 dec AS (
     SELECT y, ntile(10) OVER (ORDER BY s DESC, event_id) AS decile

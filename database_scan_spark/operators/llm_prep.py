@@ -1849,6 +1849,13 @@ def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global_order + ntile_from_rank (r5), not an unpartitioned
     # window (single-task sort over the corpus). The order key is the
     # same bit-exact double (integer-unats ratio) as before.
+    # Non-null precondition (ADVICE r5): the key surprisal/n_tokens
+    # is non-null BY CONSTRUCTION — n_tokens = count(*) >= 1 per
+    # group, and surprisal_unats sums coalesce(b_unats, u_unats)
+    # where u_unats comes off an INNER join on the unigram table
+    # (every token has a unigram count >= 1), so no sum term and no
+    # divisor can be null and global_order's fail-loud guard cannot
+    # fire.
     from ..operators._helpers import (  # noqa: PLC0415
         global_order,
         ntile_from_rank,

@@ -3,8 +3,13 @@
 VERDICT r4 "persist hygiene": operators persist() intermediates and
 cannot unpersist behind their own lazily-returned result, so the
 lifetime contract is session-level — `__spark_entry__.queries()`
-clears the cache on each query's entry, bounding a sequential sweep
-to at most one query's cached relations (SCALE.md "Cache lifecycle").
+releases the previous query's engine-tracked persists on each query's
+entry, bounding a sequential sweep to at most one query's cached
+relations (SCALE.md "Cache lifecycle").
+
+ADVICE r5 upgrade: the release is TRACKED, not `clearCache()` — a
+cache the CALLER created (e.g. a pre-cached input table) must survive
+engine queries running around it.
 """
 
 from __future__ import annotations
@@ -65,4 +70,53 @@ def test_second_query_releases_first_querys_caches(spark):
     assert _cached_relations(spark) >= direct, (
         "direct spec.fn path must not implicitly clear caches"
     )
+    spark.catalog.clearCache()
+
+
+def test_caller_caches_survive_engine_queries(spark):
+    """A cache the CALLER owns is not collateral of the engine's
+    release discipline (ADVICE r5: the r4-r5 clearCache() dropped it).
+    """
+    from database_scan_spark.catalog import load
+
+    qs = entry_mod.queries()
+    spark.catalog.clearCache()
+
+    caller_df = load(spark, SF, "nation").persist()
+    assert caller_df.count() > 0  # materialize the caller's cache
+    assert caller_df.storageLevel.useMemory
+
+    # Run a persisting engine query, then a second one (whose entry
+    # releases the first's tracked persists).
+    qs[_PERSISTING](spark, SF).count()
+    qs[_NEXT](spark, SF).count()
+
+    # The caller's cache is still marked persistent and still resident.
+    assert caller_df.storageLevel.useMemory, (
+        "engine query entry unpersisted a caller-owned cache"
+    )
+    assert _cached_relations(spark) >= 1
+    caller_df.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_persist_intercept_is_scoped(spark):
+    """DataFrame.persist is intercepted only WHILE an engine query
+    builds its plan — after queries() returns, a caller persist must
+    not be tracked (and so must survive the next engine entry)."""
+    from pyspark.sql import DataFrame
+
+    from database_scan_spark.catalog import load
+
+    qs = entry_mod.queries()
+    orig = DataFrame.persist
+    qs[_NEXT](spark, SF).count()
+    assert DataFrame.persist is orig, (
+        "persist intercept leaked past the query-construction scope"
+    )
+    # A caller persist made now must not enter the engine's tracked set.
+    before = list(entry_mod._ENGINE_PERSISTS)
+    caller_df = load(spark, SF, "region").persist()
+    assert len(entry_mod._ENGINE_PERSISTS) == len(before)
+    caller_df.unpersist()
     spark.catalog.clearCache()

@@ -925,18 +925,23 @@ def test_dsir_topk_is_take_ordered(spark):
 
 
 def test_no_raw_entity_unpartitioned_windows(spark):
-    """The r5 global_order retrofits must not regress: none of the
+    """The r5/r6 global_order retrofits must not regress: none of the
     retrofitted specs may plan an UNPARTITIONED window keyed directly
-    on a raw fact/entity column (single-task sort at scale). Allowed
-    unpartitioned windows are the kernel's own bounded offsets pass
-    (keyed _go_pid, <= n_buckets rows) and bounded post-aggregate
-    relations (decile / bucket / day rows)."""
+    on a raw fact/entity/value-dictionary column (single-task sort at
+    scale). Allowed unpartitioned windows are the kernel's own bounded
+    offsets pass (keyed _go_pid, <= n_buckets rows) and bounded
+    post-aggregate relations (decile / bucket / day rows).
+
+    ADVICE r5 fix: the assertion now checks the full raw_keys set —
+    including 's' (analytic_auc's score dictionary) and 'v'
+    (dq_drift_wasserstein's value dictionary), both retrofitted onto
+    global_order in r6."""
     import re
 
     from database_scan_spark.registry import get
 
     raw_keys = {
-        "o_totalprice", "r_days", "f_cnt", "m_sum", "revenue", "s#", "s "
+        "o_totalprice", "r_days", "f_cnt", "m_sum", "revenue", "s", "v"
     }
     for name in (
         "agg_histogram_equidepth",
@@ -944,13 +949,13 @@ def test_no_raw_entity_unpartitioned_windows(spark):
         "analytic_pareto",
         "analytic_gains_table",
         "analytic_auc",
+        "dq_drift_wasserstein",
     ):
         plan = _plan(get(name).fn(spark, SF_SMOKE))
         for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             first = spec.split(",")[0].strip()
             base = re.split(r"[# ]", first)[0]
-            assert base not in {"o_totalprice", "r_days", "f_cnt",
-                                "m_sum", "revenue"}, (
+            assert base not in raw_keys, (
                 f"{name}: unpartitioned window keyed on raw column "
-                f"{first!r} — the single-task sort the r5 retrofit removed"
+                f"{first!r} — the single-task sort the retrofit removed"
             )

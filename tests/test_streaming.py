@@ -613,3 +613,112 @@ def test_tws_list_state_accumulates_across_batches(spark, tmp_path):
     }
     assert want <= sink_rows
     assert len(sink_rows) > len(want), "expected multiple update emissions"
+
+
+def test_stream_chaos_kill_midbatch_exactly_once(spark, tmp_path):
+    """Chaos drill (VERDICT r5 item 8): SIGKILL the whole streaming
+    driver (python + JVM process group) BETWEEN a micro-batch's
+    side-effect write and its checkpoint commit, restart from the same
+    checkpoint, and prove exactly-once at the sink.
+
+    stream_checkpoint_resume proves CLEAN stop/resume; this proves the
+    crash case a 100 TB ingest actually fears: batch 1's output is
+    durable but its commit is lost, so the restarted query MUST re-run
+    batch 1 with the SAME epoch id (idempotent overwrite — no
+    duplicates) and then process the remaining file (no loss). The
+    attempt tag makes replay visible: after recovery, batch 0 rows
+    still carry attempt=1 (committed work is never re-run) while batch
+    1 and batch 2 rows carry attempt=2 (batch 1 recovered, batch 2
+    fresh)."""
+    import glob
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import h32
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    os.makedirs(out)
+    # three single-file "arrivals" split by a deterministic hash
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "value")
+    third = h32(F.concat(F.lit("chaos-"), F.col("event_id"))) % 3
+    for i in range(3):
+        part_dir = str(tmp_path / f"part{i}")
+        ev.filter(third == i).coalesce(1).write.parquet(part_dir)
+        os.replace(
+            glob.glob(os.path.join(part_dir, "*.parquet"))[0],
+            os.path.join(src, f"events_{i}.parquet"),
+        )
+    all_ids = {r["event_id"] for r in ev.collect()}
+
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "chaos_stream_runner.py")
+
+    def run(mode: str, attempt: int):
+        # own process group so the in-runner killpg cannot reach pytest,
+        # and so we can reap any straggler JVM afterwards
+        proc = subprocess.Popen(
+            [sys.executable, runner, mode, src, ckpt, out, str(attempt)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            start_new_session=True,
+        )
+        try:
+            _, err = proc.communicate(timeout=240)
+        finally:
+            try:  # reap anything the group left behind (orphaned JVM)
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        return proc.returncode, err
+
+    crash_rc, crash_err = run("kill", attempt=1)
+    assert crash_rc == -signal.SIGKILL.value, (
+        f"run 1 should die by SIGKILL mid-batch, got {crash_rc}\n"
+        f"stderr tail: {crash_err[-2000:]}"
+    )
+    assert os.path.exists(os.path.join(out, "_KILLED_MIDBATCH")), (
+        "kill marker missing — the crash did not happen inside batch 1's "
+        "foreachBatch (test would be vacuous)"
+    )
+    # the failure is BETWEEN side effect and commit: batch 1's data is
+    # on disk, but the commit log records only batch 0
+    assert os.path.exists(os.path.join(out, "batch=1"))
+    committed = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not os.path.basename(p).startswith(".")
+    }
+    assert committed == {"0"}, (
+        f"expected exactly batch 0 committed before the crash: {committed}"
+    )
+
+    resume_rc, resume_err = run("resume", attempt=2)
+    assert resume_rc == 0, (
+        f"resume failed rc={resume_rc}\n"
+        f"stderr tail: {resume_err[-2000:]}"
+    )
+
+    got = spark.read.option("basePath", out).parquet(
+        *(os.path.join(out, f"batch={i}") for i in range(3))
+    )
+    rows = got.select("event_id", "batch", "attempt").collect()
+    # exactly-once: every source row exactly once across all batches
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == len(all_ids)
+    assert set(ids) == all_ids
+    # committed work never re-ran; uncommitted batch was recovered
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(int(r["batch"]), set()).add(r["attempt"])
+    assert by_batch[0] == {1}, f"batch 0 re-ran after commit: {by_batch[0]}"
+    assert by_batch[1] == {2}, (
+        f"batch 1 not recovered by the restart (attempt tags {by_batch[1]})"
+    )
+    assert by_batch[2] == {2}
