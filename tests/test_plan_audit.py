@@ -54,6 +54,64 @@ _BOUNDING = frozenset(["Aggregate", "GlobalLimit", "LocalLimit"])
 # or empty — a new entry needs the same hand proof the r5 audit used.
 _UNPARTITIONED_WINDOW_OK: dict[str, str] = {}
 
+# --- broadcast-build-side ratchet (mechanizes the r5 manual audit) ---------
+#
+# r5 hand-audited all 257 F.broadcast sites: every build side is a one-row
+# aggregate, a fixed-cardinality dim, a filtered/selective dim projection,
+# or a probe/centroid/boundary set. The rule below flags a broadcast-hinted
+# join side whose subtree reaches a fact-scaled scan without crossing an
+# Aggregate/Limit; the dict freezes today's audited counts per spec so any
+# NEW unbounded-fact broadcast (the graph_kcore r5 OOM-cliff class) fails,
+# while the audited sites keep their hand proof. Lower a count when a site
+# is removed; NEVER raise one without re-doing the hand audit.
+#
+# Audited classes behind the counts:
+# - star-schema dim broadcasts (customer/supplier/part, usually filtered):
+#   tpch_q2/5/8/9/14/16/17/19/20, analytic_gini/price_index/did,
+#   agg_linreg, join_multi_hop/hint_matrix/lookup_nested_loop,
+#   wf_checkpoint_resume, wf_delete_compliance — dim-sized fractions of
+#   an SF-scaled table, the classic broadcast the optimizer itself picks.
+# - fixed probe/query/centroid/cell sets (bounded by the operator's
+#   workload construction, not the corpus): the sim_* family,
+#   dedup_embedding_cosine, pipeline_rag_retrieval, dq_split_leakage_audit,
+#   sim_ann_recall_matrix (judges every ANN variant, hence 28 sites).
+_BROADCAST_FACT_OK: dict[str, int] = {
+    "wf_delete_compliance": 1,
+    "sim_matryoshka_rerank": 2,
+    "sim_ivfpq": 8,
+    "sim_sq8_error": 1,
+    "sim_ann_recall_matrix": 28,
+    "pipeline_rag_retrieval": 1,
+    "tpch_q5_local_supplier_volume": 1,
+    "tpch_q14_promo_revenue": 1,
+    "tpch_q16_supplier_cnt": 1,
+    "tpch_q2_min_cost_supplier": 2,
+    "tpch_q8_market_share": 1,
+    "tpch_q9_product_profit": 1,
+    "tpch_q17_small_qty_revenue": 2,
+    "tpch_q19_disjunctive_revenue": 1,
+    "tpch_q20_promotion_suppliers": 1,
+    "dq_split_leakage_audit": 1,
+    "agg_linreg": 1,
+    "join_lookup_nested_loop": 1,
+    "join_multi_hop": 1,
+    "join_hint_matrix": 1,
+    "analytic_gini": 2,
+    "analytic_price_index": 2,
+    "analytic_did": 2,
+    "wf_checkpoint_resume": 1,
+    "dedup_embedding_cosine": 3,
+    "sim_topk_bruteforce": 1,
+    "sim_lsh_ann": 1,
+    "sim_ivf_flat": 2,
+    "sim_lsh_recall_eval": 2,
+    "sim_pq_adc": 3,
+    "sim_pq_rerank": 3,
+    "sim_knn_classify": 3,
+    "analytic_event_study": 2,
+    "sim_topk_filtered": 1,
+}
+
 
 def _children(node):
     ch = node.children()
@@ -91,6 +149,27 @@ def _unpartitioned_fact_windows(node, hits: list) -> None:
         pass
 
 
+def _broadcast_fact_builds(node, hits: list) -> None:
+    """Broadcast-hinted join sides whose subtree reaches a fact scan
+    without an Aggregate/Limit bound (the forced-broadcast OOM-cliff
+    class r5 found in graph_kcore)."""
+    if node.getClass().getSimpleName() == "Join":
+        h = node.hint()
+        kids = list(_children(node))
+        for opt, side in ((h.leftHint(), 0), (h.rightHint(), 1)):
+            if opt.isDefined() and "broadcast" in opt.get().toString():
+                if _reaches_fact_unbounded(kids[side]):
+                    hits.append(f"side={side} {node.simpleString(150)}")
+    for c in _children(node):
+        _broadcast_fact_builds(c, hits)
+    try:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            _broadcast_fact_builds(sq.apply(i), hits)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 @pytest.mark.parametrize("spec", _ALL, ids=[s.name for s in _ALL])
 def test_no_plan_smells(spark, spec):
     df = spec.fn(spark, SF_SMOKE)
@@ -107,6 +186,14 @@ def test_no_plan_smells(spark, spec):
             f"{spec.name}: unpartitioned Window over an unbounded "
             f"fact-table subtree (single-task sort at scale): {hits}"
         )
+    bhits: list = []
+    _broadcast_fact_builds(df._jdf.queryExecution().optimizedPlan(), bhits)
+    allowed = _BROADCAST_FACT_OK.get(spec.name, 0)
+    assert len(bhits) <= allowed, (
+        f"{spec.name}: {len(bhits)} broadcast-hinted fact-reaching build "
+        f"side(s), ratchet allows {allowed} — a NEW forced broadcast of an "
+        f"unbounded relation is an OOM cliff at scale: {bhits}"
+    )
 
 
 def test_unpartitioned_window_gate_catches_bad_plan(spark):
@@ -134,3 +221,24 @@ def test_unpartitioned_window_gate_catches_bad_plan(spark):
     hits2: list = []
     _unpartitioned_fact_windows(ok._jdf.queryExecution().optimizedPlan(), hits2)
     assert not hits2, f"gate flagged a bounded post-aggregate window: {hits2}"
+
+
+def test_broadcast_ratchet_catches_bad_plan(spark):
+    """Ratchet self-test: a forced broadcast of a raw fact table MUST
+    be flagged; the same join with the build side aggregated must not."""
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    o = load(spark, SF_SMOKE, "orders")
+    bad = o.join(F.broadcast(ev), o.o_orderkey == ev.event_id)
+    hits: list = []
+    _broadcast_fact_builds(bad._jdf.queryExecution().optimizedPlan(), hits)
+    assert hits, "ratchet missed a forced broadcast of a raw fact table"
+
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ok = o.join(F.broadcast(agg), o.o_orderstatus == agg.event_type)
+    hits2: list = []
+    _broadcast_fact_builds(ok._jdf.queryExecution().optimizedPlan(), hits2)
+    assert not hits2, f"ratchet flagged an aggregated build side: {hits2}"

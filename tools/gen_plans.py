@@ -298,6 +298,18 @@ SHOWCASE = {
     "PARTITIONED by the range-bucket id, a tiny bucket-offsets window "
     "(<=64 rows), and a broadcast offsets join; the only SinglePartition "
     "work is the boundary/offset reductions",
+    "analytic_auc": "exact Mann-Whitney AUC (r6 retrofit) — the per-score "
+    "cumulative now runs through global_order, so the value-dictionary "
+    "window is PARTITIONED by range-bucket id; expect one hash aggregation "
+    "building the score histogram, the kernel's bounded offsets pass, and "
+    "a final one-row reduce; no window whose single task holds the whole "
+    "score dictionary",
+    "dq_drift_wasserstein": "exact 1-Wasserstein drift (r6 retrofit) — the "
+    "value-dictionary cumsum AND rank come from global_order (bucketed "
+    "parallel windows + broadcast offsets) and the step gap is a self "
+    "equi-join on rank+1 (hash join) instead of lead(): expect NO "
+    "unpartitioned Window and no single task proportional to the price "
+    "domain",
 }
 
 
