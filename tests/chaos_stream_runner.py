@@ -62,5 +62,56 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def main_stateful() -> None:
+    """Stateful twin: a complete-mode groupBy count over the same
+    paged file source. The kill lands after batch 1's sink write but
+    before its commit, so the restart must REWIND the state store to
+    batch 0's version and re-apply batch 1 exactly once — if state
+    were double-applied, the final counts would be inflated."""
+    mode, src, ckpt, out, attempt = sys.argv[2:7]
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def write_batch(df, epoch_id: int) -> None:
+        (
+            df.withColumn("attempt", F.lit(int(attempt)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"batch={epoch_id}"))
+        )
+        if mode == "kill" and epoch_id == 1:
+            with open(os.path.join(out, "_KILLED_MIDBATCH"), "w") as fh:
+                fh.write(str(epoch_id))
+            os.killpg(os.getpgid(0), signal.SIGKILL)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if sys.argv[1] == "stateful":
+        main_stateful()
+    else:
+        main()

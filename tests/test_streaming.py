@@ -722,3 +722,93 @@ def test_stream_chaos_kill_midbatch_exactly_once(spark, tmp_path):
         f"batch 1 not recovered by the restart (attempt tags {by_batch[1]})"
     )
     assert by_batch[2] == {2}
+
+
+def test_stream_chaos_kill_midbatch_stateful_state_rewind(spark, tmp_path):
+    """Stateful chaos twin: the same mid-batch SIGKILL, but on a
+    complete-mode groupBy COUNT — so the restart must REWIND the state
+    store to batch 0's committed version and re-apply batch 1 exactly
+    once. Double-applied state (replaying batch 1 on top of its own
+    uncommitted state update) would inflate the final counts; lost
+    state would deflate them. The final complete-mode emission must
+    equal the plain batch aggregate of all three files."""
+    import glob
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from database_scan_spark.catalog import load
+    from database_scan_spark.operators._helpers import h32
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    os.makedirs(out)
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    third = h32(F.concat(F.lit("chaos2-"), F.col("event_id"))) % 3
+    for i in range(3):
+        part_dir = str(tmp_path / f"part{i}")
+        ev.filter(third == i).coalesce(1).write.parquet(part_dir)
+        os.replace(
+            glob.glob(os.path.join(part_dir, "*.parquet"))[0],
+            os.path.join(src, f"events_{i}.parquet"),
+        )
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "chaos_stream_runner.py")
+
+    def run(mode: str, attempt: int):
+        proc = subprocess.Popen(
+            [sys.executable, runner, "stateful", mode, src, ckpt, out,
+             str(attempt)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            start_new_session=True,
+        )
+        try:
+            _, err = proc.communicate(timeout=240)
+        finally:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        return proc.returncode, err
+
+    crash_rc, crash_err = run("kill", attempt=1)
+    assert crash_rc == -signal.SIGKILL.value, (
+        f"run 1 should die by SIGKILL mid-batch, got {crash_rc}\n"
+        f"stderr tail: {crash_err[-2000:]}"
+    )
+    assert os.path.exists(os.path.join(out, "_KILLED_MIDBATCH"))
+    committed = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not os.path.basename(p).startswith(".")
+    }
+    assert committed == {"0"}, f"expected only batch 0 committed: {committed}"
+
+    resume_rc, resume_err = run("resume", attempt=2)
+    assert resume_rc == 0, (
+        f"resume failed rc={resume_rc}\nstderr tail: {resume_err[-2000:]}"
+    )
+
+    # the LAST batch's complete-mode emission is the final state
+    last = max(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(out, "batch=*"))
+    )
+    assert last == 2
+    final = spark.read.parquet(os.path.join(out, f"batch={last}"))
+    got = {(r["event_type"], r["n"]) for r in final.collect()}
+    assert got == want, (
+        f"state not exactly-once after mid-batch kill: got {sorted(got)} "
+        f"want {sorted(want)}"
+    )
+    assert {r["attempt"] for r in final.collect()} == {2}
