@@ -279,14 +279,20 @@ def main() -> None:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         import gen_baseline  # noqa: PLC0415
 
-        floors_doc, _ = gen_baseline.load()
-        ev = gen_baseline.evaluate(floors_doc, queries)
-        detail["floor_check"] = {
-            "host_speed": ev["host_speed"],
-            "violations": ev["violations"],
-            "unfloored": ev["unfloored"],
-            "floors": "tools/floors.json",
-        }
+        if sf_val == gen_baseline.FLOOR_SF:
+            floors_doc, _ = gen_baseline.load()
+            ev = gen_baseline.evaluate(floors_doc, queries)
+            detail["floor_check"] = {
+                "host_speed": ev["host_speed"],
+                "violations": ev["violations"],
+                "unfloored": ev["unfloored"],
+                "floors": "tools/floors.json",
+            }
+        else:  # floors are sf0.1-anchored; other SFs would gate garbage
+            detail["floor_check"] = {
+                "skipped": f"floors anchored at sf{gen_baseline.FLOOR_SF}; "
+                f"this run is sf{sf_val}",
+            }
     except Exception as exc:  # never let the gate break the bench line
         detail["floor_check"] = {"error": str(exc)[:200]}
     with open(detail_path, "w") as fh:
@@ -307,9 +313,8 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(queries),
         "detail": "BENCH_DETAIL.json",
-        "floor_violations": len(
-            detail["floor_check"].get("violations", [])
-        ) if "error" not in detail["floor_check"] else None,
+        "floor_violations": len(detail["floor_check"]["violations"])
+        if "violations" in detail["floor_check"] else None,
     }
     print(json.dumps(result))
 

@@ -1,4 +1,4 @@
-"""Subprocess runner for the streaming chaos test (VERDICT r5 item 8).
+"""Subprocess runner for the streaming chaos tests (VERDICT r5 item 8).
 
 Runs a file-source streaming query (maxFilesPerTrigger=1, availableNow)
 whose foreachBatch writes each micro-batch idempotently to
@@ -10,8 +10,18 @@ ingest fears: side effect durable, offset commit lost. In ``resume``
 mode it restarts from the same checkpoint and must re-run exactly the
 uncommitted batch (same epoch id, same data) and then finish.
 
-Invoked by tests/test_streaming.py::test_stream_chaos_kill_midbatch_exactly_once
-as: python chaos_stream_runner.py <kill|resume> <src> <ckpt> <out> <attempt>
+Two drills share this ONE crash-injection protocol (so the kill
+condition can never silently diverge between them):
+
+- ``stateless``: append the raw rows — exactly-once at the sink.
+- ``stateful``: complete-mode groupBy count — the restart must REWIND
+  the state store to batch 0's committed version and re-apply batch 1
+  exactly once (double-applied state inflates the final counts, lost
+  state deflates them).
+
+Invoked by tests/test_streaming.py as:
+    python chaos_stream_runner.py <stateless|stateful> <kill|resume>
+        <src> <ckpt> <out> <attempt>
 """
 
 from __future__ import annotations
@@ -22,7 +32,7 @@ import sys
 
 
 def main() -> None:
-    mode, src, ckpt, out, attempt = sys.argv[1:6]
+    flavor, mode, src, ckpt, out, attempt = sys.argv[1:7]
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -39,10 +49,16 @@ def main() -> None:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    if flavor == "stateful":
+        df = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        output_mode = "complete"
+    else:
+        df = stream
+        output_mode = "append"
 
-    def write_batch(df, epoch_id: int) -> None:
+    def write_batch(batch_df, epoch_id: int) -> None:
         (
-            df.withColumn("attempt", F.lit(int(attempt)))
+            batch_df.withColumn("attempt", F.lit(int(attempt)))
             .write.mode("overwrite")
             .parquet(os.path.join(out, f"batch={epoch_id}"))
         )
@@ -53,55 +69,8 @@ def main() -> None:
             os.killpg(os.getpgid(0), signal.SIGKILL)  # driver + JVM, now
 
     q = (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark.stop()
-
-
-
-
-def main_stateful() -> None:
-    """Stateful twin: a complete-mode groupBy count over the same
-    paged file source. The kill lands after batch 1's sink write but
-    before its commit, so the restart must REWIND the state store to
-    batch 0's version and re-apply batch 1 exactly once — if state
-    were double-applied, the final counts would be inflated."""
-    mode, src, ckpt, out, attempt = sys.argv[2:7]
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-
-    def write_batch(df, epoch_id: int) -> None:
-        (
-            df.withColumn("attempt", F.lit(int(attempt)))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"batch={epoch_id}"))
-        )
-        if mode == "kill" and epoch_id == 1:
-            with open(os.path.join(out, "_KILLED_MIDBATCH"), "w") as fh:
-                fh.write(str(epoch_id))
-            os.killpg(os.getpgid(0), signal.SIGKILL)
-
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -111,7 +80,4 @@ def main_stateful() -> None:
 
 
 if __name__ == "__main__":
-    if sys.argv[1] == "stateful":
-        main_stateful()
-    else:
-        main()
+    main()

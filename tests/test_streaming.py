@@ -663,7 +663,8 @@ def test_stream_chaos_kill_midbatch_exactly_once(spark, tmp_path):
         # own process group so the in-runner killpg cannot reach pytest,
         # and so we can reap any straggler JVM afterwards
         proc = subprocess.Popen(
-            [sys.executable, runner, mode, src, ckpt, out, str(attempt)],
+            [sys.executable, runner, "stateless", mode, src, ckpt, out,
+             str(attempt)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,

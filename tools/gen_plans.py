@@ -308,8 +308,9 @@ SHOWCASE = {
     "value-dictionary cumsum AND rank come from global_order (bucketed "
     "parallel windows + broadcast offsets) and the step gap is a self "
     "equi-join on rank+1 (hash join) instead of lead(): expect NO "
-    "unpartitioned Window and no single task proportional to the price "
-    "domain",
+    "unpartitioned Window over the value dictionary — the only "
+    "unpartitioned window left is the kernel's bounded <=n_buckets "
+    "offsets pass — and no single task proportional to the price domain",
 }
 
 
