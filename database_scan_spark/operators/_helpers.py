@@ -97,17 +97,24 @@ def global_order(
          prefix offsets via a window over <= n_buckets rows, then a
          broadcast join adds offset + local.
 
-    The key must be non-null (fails loudly otherwise — the package's
-    fail-loud discipline) and numerically orderable; pass ``-col``
-    for DESC. Ties across the full (key, tiebreakers) tuple would be
+    The key must be non-null and non-NaN (fails loudly otherwise —
+    the package's fail-loud discipline; a NaN key would silently
+    corrupt ranks because NaN sorts LAST in Spark's total order but
+    compares false against every percentile boundary, landing in
+    bucket 0 — the one spot where the bucketing and the sort could
+    disagree) and numerically orderable; ±Infinity is fine (orderable
+    and monotone under the double image). Pass ``-col`` for DESC.
+    Ties across the full (key, tiebreakers) tuple would be
     nondeterministic in ANY engine — callers supply a total order,
     same as they had to with Window.orderBy.
     """
     from pyspark.sql import Window  # noqa: PLC0415 - avoid module cycle
 
     cum_sums = dict(cum_sums or {})
-    guarded = F.when(key.isNotNull(), key).otherwise(
-        F.raise_error(F.lit("global_order: sort key must be non-null"))
+    guarded = F.when(
+        key.isNotNull() & ~F.isnan(key.cast("double")), key
+    ).otherwise(
+        F.raise_error(F.lit("global_order: sort key must be non-null and non-NaN"))
     )
     df = df.withColumn("_go_k", guarded)
     if n_buckets < 2:  # degenerate: one bucket == the plain window

@@ -771,3 +771,36 @@ def test_wasserstein_global_order_core_property(spark, rows):
         cum2 += c2
         want += (nxt_row[0] - v) * abs(cum1 * n2 - cum2 * n1)
     assert int(got) == want
+
+
+def test_global_order_rejects_nan_and_accepts_infinity(spark):
+    """NaN keys must fail LOUDLY (NaN sorts last in Spark's total
+    order but compares false against every percentile boundary — the
+    one input where global_order's bucketing and its sort could
+    disagree); ±Infinity is orderable and must work, ranked at the
+    extremes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.operators._helpers import global_order
+
+    inf = float("inf")
+    ok = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([3.0, -inf, 1.5, inf, -2.0])],
+        "id long, k double",
+    )
+    got = {
+        r["id"]: r["rk"]
+        for r in global_order(
+            ok, F.col("k"), (F.col("id"),), rank_col="rk", n_buckets=3
+        ).collect()
+    }
+    assert got == {1: 1, 4: 2, 2: 3, 0: 4, 3: 5}  # -inf first, +inf last
+
+    bad = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id long, k double"
+    )
+    with pytest.raises(Exception, match="non-null and non-NaN"):
+        global_order(
+            bad, F.col("k"), (F.col("id"),), rank_col="rk", n_buckets=3
+        ).collect()
