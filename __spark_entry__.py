@@ -11,6 +11,7 @@ thin view over its query registry (``database_scan_spark/registry.py``).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # session-global clearCache() used through r5) keeps caller-created
 # caches (e.g. a pre-cached input table) untouched (ADVICE r5).
 _ENGINE_PERSISTS: list[DataFrame] = []
+# Thread currently inside a wrapped query build (None when idle). The
+# class-level persist/cache patch is process-global, so attribution is
+# scoped to this thread: persists from OTHER threads during the build
+# window are caller caches and are never recorded/drained (VERDICT r6).
+_BUILD_OWNER: int | None = None
+_BUILD_LOCK = threading.Lock()
 
 
 def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -51,25 +58,54 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     re-collected. See SCALE.md "Cache lifecycle".
 
     Mechanics: every engine persist happens inside ``fn(spark,
-    sf_dir)`` (plan construction), so ``DataFrame.persist`` is
-    intercepted for exactly that call and each persisted frame is
-    recorded; the next query's entry unpersists the recorded frames
-    and nothing else. Caches the CALLER created outside ``queries()``
-    are never dropped (they were under the r4-r5 ``clearCache()``
-    contract). The strictly-sequential contract makes the scoped
-    intercept race-free.
+    sf_dir)`` (plan construction), so ``DataFrame.persist`` AND
+    ``DataFrame.cache`` (classic ``cache()`` does not route through
+    ``persist()`` — ADVICE r6) are intercepted for exactly that call
+    and each persisted frame is recorded; the next query's entry
+    unpersists the recorded frames and nothing else. Scoping rules:
+
+    - Only persists issued by the BUILDING THREAD are recorded — a
+      concurrent caller thread's ``persist()`` during the build
+      window is never attributed to the engine (the class patch is
+      process-global; the record step is thread-gated).
+    - Nested wrapped calls (a ``queries()`` entry invoking another)
+      pass straight through — no drain, no double-patch — so an
+      inner entry can't unpersist the outer query's live caches
+      (ADVICE r6 reentrancy finding).
+    - A SECOND thread entering a wrapped query while one is mid-build
+      fails loud: the drain step cannot tell "finished previous
+      query" from "live concurrent query", so the strictly-sequential
+      driver contract is asserted rather than silently corrupted.
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _BUILD_OWNER
+        me = threading.get_ident()
+        with _BUILD_LOCK:
+            if _BUILD_OWNER == me:
+                # Nested engine query on the same thread: the outer
+                # intercept is live and already records persists.
+                nested = True
+            elif _BUILD_OWNER is not None:
+                raise RuntimeError(
+                    "queries() entries must run strictly sequentially: "
+                    f"thread {me} entered while thread {_BUILD_OWNER} "
+                    "is mid-build (see SCALE.md 'Cache lifecycle')"
+                )
+            else:
+                _BUILD_OWNER = me
+                nested = False
+        if nested:
+            return fn(spark, sf_dir)
         while _ENGINE_PERSISTS:
             df = _ENGINE_PERSISTS.pop()
             try:
                 df.unpersist()
             except Exception:  # session gone / already unpersisted
                 pass
-        # Patch every class that DEFINES persist (PySpark 4's classic
-        # DataFrame subclasses the pyspark.sql.DataFrame facade and
-        # overrides persist — patching only the base never fires).
+        # Patch every class that DEFINES persist/cache (PySpark 4's
+        # classic DataFrame subclasses the pyspark.sql.DataFrame facade
+        # and overrides both — patching only the base never fires).
         targets = [DataFrame]
         try:  # pragma: no branch - classic is always present locally
             from pyspark.sql.classic.dataframe import (  # noqa: PLC0415
@@ -79,24 +115,28 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
             targets.append(_ClassicDF)
         except ImportError:  # pragma: no cover - future layout change
             pass
-        patched: list[tuple[type, object]] = []
+        patched: list[tuple[type, str, object]] = []
         for cls in targets:
-            if "persist" not in cls.__dict__:
-                continue
-            orig = cls.__dict__["persist"]
+            for meth in ("persist", "cache"):
+                if meth not in cls.__dict__:
+                    continue
+                orig = cls.__dict__[meth]
 
-            def tracked(self: DataFrame, *a: object, _orig=orig, **k: object) -> DataFrame:
-                out = _orig(self, *a, **k)
-                _ENGINE_PERSISTS.append(out)
-                return out
+                def tracked(self: DataFrame, *a: object, _orig=orig, **k: object) -> DataFrame:
+                    out = _orig(self, *a, **k)
+                    if threading.get_ident() == me:
+                        _ENGINE_PERSISTS.append(out)
+                    return out
 
-            cls.persist = tracked  # type: ignore[method-assign]
-            patched.append((cls, orig))
+                setattr(cls, meth, tracked)
+                patched.append((cls, meth, orig))
         try:
             return fn(spark, sf_dir)
         finally:
-            for cls, orig in patched:
-                cls.persist = orig  # type: ignore[method-assign]
+            for cls, meth, orig in patched:
+                setattr(cls, meth, orig)
+            with _BUILD_LOCK:
+                _BUILD_OWNER = None
 
     run.__name__ = getattr(fn, "__name__", "query")
     run.__doc__ = fn.__doc__

@@ -135,8 +135,11 @@ _load_all()
 # remaining win/graph/dq + agg/join/analytic surface, r5+ = sweeps.
 
 # Pin slot (used in r3 to force never-windowed SURVEY-§2 ops to the front;
-# empty for r4 — the window is simply the never-verified head of queue).
-_PINNED_WINDOW: tuple[str, ...] = ()
+# r7 pins stream_stateful_user_totals — the only registry entry whose sole
+# driver row is still the r02 `err: no_oracle`; it was oracled in r5
+# (integer-cents GroupState + max_by final-state selection) but the driver
+# has never re-checked it (VERDICT r6 item 2).
+_PINNED_WINDOW: tuple[str, ...] = ("stream_stateful_user_totals",)
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     # round 1 (CORRECTNESS_r01.json — all three matches green)
@@ -244,6 +247,28 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "analytic_survival", "analytic_ks_test", "analytic_price_index",
     "analytic_did", "analytic_bootstrap_ci", "analytic_trend_mk",
     "analytic_theil_sen",
+    # round 6 (CORRECTNESS_r06.json — 50/50 rows+schema+hash green: the
+    # analytic_ tail + the wf_ head)
+    "analytic_auc", "analytic_gains_table", "analytic_calibration",
+    "analytic_heavy_change", "analytic_tost_equivalence",
+    "analytic_shapley_attribution", "analytic_adstock",
+    "analytic_event_study", "analytic_rdd", "analytic_raking_ipf",
+    "analytic_chi_square", "analytic_spearman", "analytic_kendall_tau",
+    "analytic_avg_precision", "analytic_mannwhitney",
+    "analytic_changepoint", "analytic_power_analysis",
+    "analytic_seasonality_strength", "analytic_cuped", "analytic_fdr_bh",
+    "analytic_var_cvar", "analytic_forecast_backtest", "analytic_psm",
+    "analytic_prop_ztest", "analytic_contribution",
+    "analytic_markov_transition", "analytic_growth_accounting",
+    "analytic_effect_size", "analytic_qte", "analytic_msprt",
+    "analytic_srm", "analytic_retention_fit",
+    "wf_delete_compliance", "wf_chunk_documents",
+    "wf_k_anonymity", "wf_dp_counts",
+    "wf_target_encoding", "wf_fair_share_budget", "wf_compaction_plan",
+    "wf_dlq_replay", "wf_mixture_temperature", "wf_data_mixture",
+    "wf_curriculum_schedule", "wf_sft_format", "wf_shuffle_shard",
+    "wf_cdc_upsert", "wf_scd2_history", "wf_active_learning_select",
+    "wf_dpo_pair_builder", "wf_pack_sequences",
 })
 
 # Unverified queries sort by family; ties keep registration order.

@@ -120,3 +120,134 @@ def test_persist_intercept_is_scoped(spark):
     assert len(entry_mod._ENGINE_PERSISTS) == len(before)
     caller_df.unpersist()
     spark.catalog.clearCache()
+
+
+def test_second_thread_persist_during_build_is_not_tracked(spark):
+    """The persist intercept is class-global while a query builds, but
+    attribution is THREAD-scoped (VERDICT r6): a persist issued by a
+    different thread mid-build is a caller cache — never recorded, so
+    never drained by the next engine entry."""
+    import threading
+
+    from database_scan_spark.catalog import load
+
+    spark.catalog.clearCache()
+    entry_mod._ENGINE_PERSISTS.clear()
+    caller_holder: list = []
+
+    def caller_thread() -> None:
+        caller_holder.append(load(spark, SF, "region").persist())
+
+    def engine_fn(s, sf):
+        df = load(s, sf, "nation").persist()  # engine-owned: tracked
+        t = threading.Thread(target=caller_thread)
+        t.start()
+        t.join()
+        return df
+
+    wrapped = entry_mod._released(engine_fn)
+    wrapped(spark, SF).count()
+    caller_df = caller_holder[0]
+    tracked_ids = {id(d) for d in entry_mod._ENGINE_PERSISTS}
+    assert id(caller_df) not in tracked_ids, (
+        "a second thread's persist during the build window was "
+        "attributed to the engine"
+    )
+    assert len(entry_mod._ENGINE_PERSISTS) == 1  # the engine's own
+    # The next engine entry drains only the engine persist.
+    caller_df.count()
+    entry_mod._released(lambda s, sf: load(s, sf, "nation"))(spark, SF)
+    assert caller_df.storageLevel.useMemory, (
+        "next engine entry unpersisted the second thread's caller cache"
+    )
+    caller_df.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_nested_wrapped_call_does_not_drain_outer_caches(spark):
+    """ADVICE r6 reentrancy: a wrapped query invoking another wrapped
+    query must not drain the outer query's live persists mid-build,
+    and must not double-wrap persist."""
+    from pyspark.sql import DataFrame
+
+    from database_scan_spark.catalog import load
+
+    spark.catalog.clearCache()
+    entry_mod._ENGINE_PERSISTS.clear()
+    orig_persist = DataFrame.persist
+
+    inner = entry_mod._released(lambda s, sf: load(s, sf, "region"))
+
+    def outer_fn(s, sf):
+        live = load(s, sf, "nation").persist()
+        live.count()  # materialize so an unpersist would be observable
+        assert live.storageLevel.useMemory
+        inner_df = inner(s, sf)  # nested wrapped call: passthrough
+        assert live.storageLevel.useMemory, (
+            "nested entry drained the outer query's live cache"
+        )
+        return live.join(
+            inner_df, live["n_regionkey"] == inner_df["r_regionkey"]
+        ).select("n_name", "r_name")
+
+    out = entry_mod._released(outer_fn)(spark, SF)
+    assert out.count() > 0
+    assert DataFrame.persist is orig_persist, "persist left double-wrapped"
+    assert entry_mod._BUILD_OWNER is None
+    # A fresh entry still drains normally afterwards.
+    entry_mod._released(lambda s, sf: load(s, sf, "nation"))(spark, SF)
+    assert len(entry_mod._ENGINE_PERSISTS) == 0
+    spark.catalog.clearCache()
+
+
+def test_concurrent_wrapped_entry_fails_loud(spark):
+    """Two threads inside wrapped queries at once is a contract
+    violation the drain step cannot survive silently — assert it."""
+    import threading
+
+    from database_scan_spark.catalog import load
+
+    errors: list = []
+
+    def other_query() -> None:
+        try:
+            entry_mod._released(lambda s, sf: load(s, sf, "region"))(spark, SF)
+        except RuntimeError as exc:
+            errors.append(exc)
+
+    def blocking_fn(s, sf):
+        t = threading.Thread(target=other_query)
+        t.start()
+        t.join()
+        return load(s, sf, "nation")
+
+    entry_mod._released(blocking_fn)(spark, SF)
+    assert len(errors) == 1 and "sequentially" in str(errors[0])
+    assert entry_mod._BUILD_OWNER is None
+
+
+def test_cache_call_is_tracked_like_persist(spark):
+    """ADVICE r6: classic DataFrame.cache() does not route through
+    persist() — it must be intercepted too, or a future .cache()-ing
+    operator silently escapes the release contract."""
+    from database_scan_spark.catalog import load
+
+    spark.catalog.clearCache()
+    entry_mod._ENGINE_PERSISTS.clear()
+
+    def caching_fn(s, sf):
+        df = load(s, sf, "nation").cache()
+        df.count()
+        return df
+
+    cached = entry_mod._released(caching_fn)(spark, SF)
+    assert len(entry_mod._ENGINE_PERSISTS) == 1, (
+        ".cache() inside a query build was not tracked"
+    )
+    assert cached.storageLevel.useMemory
+    # Next entry releases it.
+    entry_mod._released(lambda s, sf: load(s, sf, "region"))(spark, SF)
+    assert not cached.storageLevel.useMemory, (
+        "tracked .cache() was not released on the next entry"
+    )
+    spark.catalog.clearCache()

@@ -67,6 +67,20 @@ def test_gate_normalizes_by_host_speed():
     assert ev2["violations"] == ["graph_kcore"]
 
 
+def test_gate_flags_insane_host_speed():
+    """ADVICE r6: a uniform slowdown that hits the canaries themselves
+    is normalized away by host_speed — above the sanity bound it must
+    surface as a violation instead of silently absorbing a repo-wide
+    shared-code-path regression."""
+    doc = _doc()
+    crawl = {q: f * 2.5 for q, f in doc["canaries"].items()}
+    ev = gen_baseline.evaluate(doc, crawl)
+    assert any("HOST_SPEED_INSANE" in v for v in ev["violations"])
+    # ...while a merely-slow host (inside the bound) still passes.
+    slow = {q: f * 1.9 for q, f in doc["canaries"].items()}
+    assert gen_baseline.evaluate(doc, slow)["violations"] == []
+
+
 def test_gate_fails_loud_without_canaries():
     doc = _doc()
     ev = gen_baseline.evaluate(doc, {"graph_kcore": 1.0})

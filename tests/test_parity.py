@@ -35,5 +35,7 @@ def test_entry_smoke(spark):
     import __spark_entry__ as e
 
     df = e.entry(spark)
-    assert df.count() >= 0
+    # The driver's smoke gate is rows > 0 (an empty flagship result is
+    # a regression) — mirror it exactly (VERDICT r6 item 4).
+    assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
