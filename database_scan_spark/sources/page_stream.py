@@ -11,6 +11,20 @@ offset ranges must be re-readable).
 Batch twin: `src_python_datasource` (operators/sources_sinks.py)
 reads the same page layout through the batch DataSource API.
 
+LIVE MODE (VERDICT r6 item 7): ``.option("mode", "live")`` makes each
+micro-batch POST the next cursor page to ``endpoint`` (the reference's
+``requests.post`` + cursor loop, `query_opentargets.py:13-16`) instead
+of reading a page file. Every fetched page is SPOOLED to
+``spool_dir/page-<i>.jsonl`` before its offset is returned, so
+``readBetweenOffsets`` replays committed ranges from the spool —
+checkpoint recovery stays exactly-once even if the remote API is not
+immutable. Options: ``endpoint``, ``query``, ``page_size`` (default
+100), ``rows_path`` (default ``data.rows``), ``spool_dir`` (required
+in live mode), ``rate_per_sec`` (default 1.0 — micro-batch pacing is
+usually the trigger interval's job, but the bucket guards an
+availableNow drain from hammering the API). Tested against a loopback
+HTTP server in tests/test_live_connectors.py.
+
 The class is built inside a factory so cloudpickle serializes it BY
 VALUE — registered module-level classes pickle by reference, and
 Spark's Python workers can't import this package (the driver's cwd
@@ -44,8 +58,22 @@ def make_page_stream_source():
 
         def __init__(self, schema, options: dict):
             self.field_names = [f.name for f in schema.fields]
+            self.mode = options.get("mode", "snapshot")
             self.path = options.get("path")
-            if not self.path:
+            self.endpoint = options.get("endpoint")
+            self.query = options.get("query", "")
+            self.page_size = int(options.get("page_size", "100"))
+            self.rows_path = options.get("rows_path", "data.rows")
+            self.spool_dir = options.get("spool_dir")
+            self.rate_per_sec = float(options.get("rate_per_sec", "1.0"))
+            self._last_fetch = float("-inf")
+            if self.mode == "live":
+                if not self.endpoint or not self.spool_dir:
+                    raise ValueError(
+                        "page_stream mode=live requires options "
+                        "'endpoint' and 'spool_dir'"
+                    )
+            elif not self.path:
                 raise ValueError("page_stream requires option 'path'")
 
         def _pages(self) -> list[str]:
@@ -57,18 +85,85 @@ def make_page_stream_source():
             return {"page": 0}
 
         def read(self, start: dict):
-            pages = self._pages()
             i = start["page"]
+            if self.mode == "live":
+                recs = self._fetch_live(i)
+                if recs is None:
+                    return iter([]), start
+                return iter(self._tuples(recs)), {"page": i + 1}
+            pages = self._pages()
             if i >= len(pages):
                 return iter([]), start
             return iter(self._read_page(pages[i])), {"page": i + 1}
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            pages = self._pages()
             rows: list[tuple] = []
+            if self.mode == "live":
+                # Committed ranges replay from the SPOOL, never the
+                # API — the spool file was written before the offset
+                # was returned, so every committed page is on disk.
+                for i in range(start["page"], end["page"]):
+                    with open(self._spool_path(i)) as fh:
+                        rows.extend(
+                            self._tuples(json.loads(ln) for ln in fh)
+                        )
+                return iter(rows)
+            pages = self._pages()
             for i in range(start["page"], min(end["page"], len(pages))):
                 rows.extend(self._read_page(pages[i]))
             return iter(rows)
+
+        def _spool_path(self, i: int) -> str:
+            return os.path.join(self.spool_dir, f"page-{i}.jsonl")
+
+        def _fetch_live(self, i: int):
+            """POST cursor page ``i``; spool it durably BEFORE the new
+            offset escapes (exactly-once hinges on that order). Returns
+            None when the cursor is exhausted. Pacing: token-bucket
+            sleep (x2.2.py:296-299)."""
+            import time  # noqa: PLC0415
+            import urllib.request  # noqa: PLC0415
+
+            spool = self._spool_path(i)
+            if os.path.exists(spool):  # already fetched pre-crash
+                with open(spool) as fh:
+                    return [json.loads(ln) for ln in fh]
+            wait = 1.0 / self.rate_per_sec - (
+                time.monotonic() - self._last_fetch
+            )
+            if wait > 0:
+                time.sleep(wait)
+            self._last_fetch = time.monotonic()
+            body = json.dumps(
+                {
+                    "query": self.query,
+                    "variables": {"index": i, "size": self.page_size},
+                }
+            ).encode()
+            req = urllib.request.Request(
+                self.endpoint,
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                payload = json.loads(resp.read())
+            rows = payload
+            for key in self.rows_path.split("."):
+                rows = (rows or {}).get(key)
+            if not rows:
+                return None
+            os.makedirs(self.spool_dir, exist_ok=True)
+            tmp = spool + ".tmp"
+            with open(tmp, "w") as fh:
+                for rec in rows:
+                    fh.write(json.dumps(rec) + "\n")
+            os.replace(tmp, spool)  # atomic: spool is all-or-nothing
+            return rows
+
+        def _tuples(self, recs) -> list[tuple]:
+            return [
+                tuple(rec.get(k) for k in self.field_names) for rec in recs
+            ]
 
         def _read_page(self, path: str) -> list[tuple]:
             with open(path) as fh:
