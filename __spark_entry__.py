@@ -97,40 +97,47 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
                 nested = False
         if nested:
             return fn(spark, sf_dir)
-        while _ENGINE_PERSISTS:
-            df = _ENGINE_PERSISTS.pop()
-            try:
-                df.unpersist()
-            except Exception:  # session gone / already unpersisted
-                pass
-        # Patch every class that DEFINES persist/cache (PySpark 4's
-        # classic DataFrame subclasses the pyspark.sql.DataFrame facade
-        # and overrides both — patching only the base never fires).
-        targets = [DataFrame]
-        try:  # pragma: no branch - classic is always present locally
-            from pyspark.sql.classic.dataframe import (  # noqa: PLC0415
-                DataFrame as _ClassicDF,
-            )
-
-            targets.append(_ClassicDF)
-        except ImportError:  # pragma: no cover - future layout change
-            pass
+        # EVERYTHING after owner acquisition sits inside the try: a
+        # BaseException (KeyboardInterrupt in a blocking unpersist py4j
+        # call, say) escaping the drain or the patch loop must still
+        # release ownership and unwind any partial patching, or every
+        # later query on this thread takes the nested passthrough (the
+        # exact unbounded-cache leak this wrapper exists to prevent).
         patched: list[tuple[type, str, object]] = []
-        for cls in targets:
-            for meth in ("persist", "cache"):
-                if meth not in cls.__dict__:
-                    continue
-                orig = cls.__dict__[meth]
-
-                def tracked(self: DataFrame, *a: object, _orig=orig, **k: object) -> DataFrame:
-                    out = _orig(self, *a, **k)
-                    if threading.get_ident() == me:
-                        _ENGINE_PERSISTS.append(out)
-                    return out
-
-                setattr(cls, meth, tracked)
-                patched.append((cls, meth, orig))
         try:
+            while _ENGINE_PERSISTS:
+                df = _ENGINE_PERSISTS.pop()
+                try:
+                    df.unpersist()
+                except Exception:  # session gone / already unpersisted
+                    pass
+            # Patch every class that DEFINES persist/cache (PySpark 4's
+            # classic DataFrame subclasses the pyspark.sql.DataFrame
+            # facade and overrides both — patching only the base never
+            # fires).
+            targets = [DataFrame]
+            try:  # pragma: no branch - classic is always present locally
+                from pyspark.sql.classic.dataframe import (  # noqa: PLC0415
+                    DataFrame as _ClassicDF,
+                )
+
+                targets.append(_ClassicDF)
+            except ImportError:  # pragma: no cover - future layout change
+                pass
+            for cls in targets:
+                for meth in ("persist", "cache"):
+                    if meth not in cls.__dict__:
+                        continue
+                    orig = cls.__dict__[meth]
+
+                    def tracked(self: DataFrame, *a: object, _orig=orig, **k: object) -> DataFrame:
+                        out = _orig(self, *a, **k)
+                        if threading.get_ident() == me:
+                            _ENGINE_PERSISTS.append(out)
+                        return out
+
+                    setattr(cls, meth, tracked)
+                    patched.append((cls, meth, orig))
             return fn(spark, sf_dir)
         finally:
             for cls, meth, orig in patched:

@@ -57,6 +57,41 @@ def make_datasource():
         InputPartition,
     )
 
+    def _extract_rows(payload: dict, rows_path: str) -> list:
+        """Pull the row list out of a GraphQL response, fail-loud.
+
+        GraphQL transports errors as HTTP 200 bodies (`{"errors":
+        [...]}`) — urlopen does not raise on them, and without this
+        check an error page is indistinguishable from cursor
+        exhaustion (silent truncation). A missing/None rows_path and a
+        non-dict mid-path node are config/shape errors, also loud;
+        only an ACTUAL empty list means the cursor is exhausted.
+        """
+        if payload.get("errors"):
+            raise RuntimeError(f"GraphQL error response: {payload['errors']}")
+        node = payload
+        walked = []
+        for key in rows_path.split("."):
+            walked.append(key)
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"rows_path {'.'.join(walked)!r}: parent is "
+                    f"{type(node).__name__}, not an object — fix the "
+                    "rows_path option to match the response shape"
+                )
+            node = node.get(key)
+            if node is None:
+                raise ValueError(
+                    f"rows_path {'.'.join(walked)!r} missing from the "
+                    "response — fix the rows_path option"
+                )
+        if not isinstance(node, list):
+            raise ValueError(
+                f"rows_path {rows_path!r} resolves to "
+                f"{type(node).__name__}, expected a list of rows"
+            )
+        return node
+
     class _PagePartition(InputPartition):
         def __init__(self, path: str):
             self.path = path
@@ -84,6 +119,11 @@ def make_datasource():
                 if not self.endpoint:
                     raise ValueError(
                         "graphql_snapshot mode=live requires option 'endpoint'"
+                    )
+                if self.rate_per_sec <= 0:
+                    raise ValueError(
+                        "rate_per_sec must be > 0 (use a large value like "
+                        "1e9 for effectively-unthrottled, not 0)"
                     )
             elif not self.path:
                 raise ValueError("graphql_snapshot requires option 'path'")
@@ -113,12 +153,20 @@ def make_datasource():
             """The reference loop: POST page, pace, repeat until an
             empty page (query_opentargets.py:13-16; pacing
             x2.2.py:296-299 — a token-bucket sleep, so a slow API
-            response already 'spends' the token)."""
+            response already 'spends' the token).
+
+            NOTE: like any uncached Spark source, every ACTION on the
+            returned DataFrame re-runs the crawl (count() then
+            collect() POSTs every page twice, and may see different
+            API states). Callers should ``persist()`` or land the
+            result to a table immediately — documented in README.
+            """
             import time  # noqa: PLC0415
             import urllib.request  # noqa: PLC0415
 
             interval = 1.0 / self.rate_per_sec
             last = float("-inf")
+            rows: list = []
             for page in range(self.max_pages):
                 wait = interval - (time.monotonic() - last)
                 if wait > 0:
@@ -137,15 +185,22 @@ def make_datasource():
                 )
                 with urllib.request.urlopen(req, timeout=60) as resp:
                     payload = json.loads(resp.read())
-                rows = payload
-                for key in self.rows_path.split("."):
-                    rows = (rows or {}).get(key)
+                rows = _extract_rows(payload, self.rows_path)
                 if not rows:
                     return
                 for rec in rows:
                     yield tuple(rec.get(k) for k in field_names)
                 if len(rows) < self.page_size:
                     return
+            # Loop exhausted the page cap with the last page still
+            # FULL: more data provably exists — refuse to pass a
+            # silently-truncated result off as the whole crawl.
+            if rows and len(rows) == self.page_size:
+                raise RuntimeError(
+                    f"live crawl hit max_pages={self.max_pages} with a "
+                    "full final page — results would be truncated; "
+                    "raise the max_pages option"
+                )
 
     class GraphQLSnapshotDataSource(DataSource):
         """``spark.read.format("graphql_snapshot").option("path", d)``:

@@ -47,6 +47,38 @@ def make_page_stream_source():
         SimpleDataSourceStreamReader,
     )
 
+    def _extract_rows(payload: dict, rows_path: str) -> list:
+        """Row list from a GraphQL response, fail-loud (same contract
+        as graphql_snapshot): `{"errors": ...}` bodies, missing
+        rows_path segments, and non-list leaves all raise — only an
+        ACTUAL empty list means the cursor is exhausted, so an error
+        page can never masquerade as end-of-stream and stall the
+        query while looking healthy."""
+        if payload.get("errors"):
+            raise RuntimeError(f"GraphQL error response: {payload['errors']}")
+        node = payload
+        walked = []
+        for key in rows_path.split("."):
+            walked.append(key)
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"rows_path {'.'.join(walked)!r}: parent is "
+                    f"{type(node).__name__}, not an object — fix the "
+                    "rows_path option to match the response shape"
+                )
+            node = node.get(key)
+            if node is None:
+                raise ValueError(
+                    f"rows_path {'.'.join(walked)!r} missing from the "
+                    "response — fix the rows_path option"
+                )
+        if not isinstance(node, list):
+            raise ValueError(
+                f"rows_path {rows_path!r} resolves to "
+                f"{type(node).__name__}, expected a list of rows"
+            )
+        return node
+
     class _PageStreamReader(SimpleDataSourceStreamReader):
         """One response-page file per micro-batch; offset = page index.
 
@@ -73,6 +105,27 @@ def make_page_stream_source():
                         "page_stream mode=live requires options "
                         "'endpoint' and 'spool_dir'"
                     )
+                if self.rate_per_sec <= 0:
+                    raise ValueError(
+                        "rate_per_sec must be > 0 (use a large value "
+                        "like 1e9 for effectively-unthrottled, not 0)"
+                    )
+                # Spool pages are namespaced by a fingerprint of what
+                # was crawled: a reused spool_dir pointed at a new
+                # endpoint/query must NOT serve the previous crawl's
+                # pages as if freshly fetched.
+                import hashlib  # noqa: PLC0415
+
+                self._fp = hashlib.sha256(
+                    "\x1f".join(
+                        [
+                            self.endpoint,
+                            self.query,
+                            str(self.page_size),
+                            self.rows_path,
+                        ]
+                    ).encode()
+                ).hexdigest()[:16]
             elif not self.path:
                 raise ValueError("page_stream requires option 'path'")
 
@@ -114,7 +167,24 @@ def make_page_stream_source():
             return iter(rows)
 
         def _spool_path(self, i: int) -> str:
-            return os.path.join(self.spool_dir, f"page-{i}.jsonl")
+            return os.path.join(self.spool_dir, self._fp, f"page-{i}.jsonl")
+
+        def commit(self, end: dict) -> None:
+            """Spark has durably committed everything below ``end`` —
+            it will never ask readBetweenOffsets for an earlier range
+            again, so spooled pages below it are dead weight. Pruning
+            here bounds spool growth for a stream that runs for weeks
+            (the checkpoint itself is compacted by Spark; the spool
+            must not be the thing that fills the disk)."""
+            if self.mode != "live":
+                return
+            start = getattr(self, "_pruned_below", 0)
+            for i in range(start, end.get("page", 0)):
+                try:
+                    os.remove(self._spool_path(i))
+                except OSError:
+                    pass  # best-effort: a leftover page is harmless
+            self._pruned_below = max(start, end.get("page", 0))
 
         def _fetch_live(self, i: int):
             """POST cursor page ``i``; spool it durably BEFORE the new
@@ -147,12 +217,10 @@ def make_page_stream_source():
             )
             with urllib.request.urlopen(req, timeout=60) as resp:
                 payload = json.loads(resp.read())
-            rows = payload
-            for key in self.rows_path.split("."):
-                rows = (rows or {}).get(key)
+            rows = _extract_rows(payload, self.rows_path)
             if not rows:
                 return None
-            os.makedirs(self.spool_dir, exist_ok=True)
+            os.makedirs(os.path.dirname(spool), exist_ok=True)
             tmp = spool + ".tmp"
             with open(tmp, "w") as fh:
                 for rec in rows:

@@ -136,10 +136,16 @@ def test_stream_live_mode_one_page_per_batch_and_spool(
         tuple(r) for r in spark.sql("SELECT * FROM live_pages").collect()
     )
     assert got == _expected()
-    # Every fetched page was spooled BEFORE its offset escaped.
-    assert sorted(os.listdir(spool)) == [
-        "page-0.jsonl", "page-1.jsonl", "page-2.jsonl",
-    ]
+    # Pages were spooled (fingerprint-namespaced) and COMMITTED pages
+    # were pruned — the spool must not grow with stream lifetime. The
+    # final commit may race q.stop(), so allow at most one survivor.
+    fp_dirs = os.listdir(spool)
+    assert len(fp_dirs) == 1  # one crawl fingerprint
+    remaining = sorted(os.listdir(os.path.join(spool, fp_dirs[0])))
+    assert len(remaining) <= 1, (
+        f"committed spool pages were not pruned: {remaining}"
+    )
+    assert "page-0.jsonl" not in remaining
 
 
 def test_stream_live_replay_uses_spool_not_api(http_server, tmp_path):
@@ -191,3 +197,139 @@ def test_stream_live_replay_uses_spool_not_api(http_server, tmp_path):
         "committed-range replay re-POSTed the API instead of reading "
         "the spool"
     )
+
+    # commit() prunes spooled pages below the committed offset; the
+    # pages at/after it survive for replay.
+    reader.commit({"page": 2})
+    assert not os.path.exists(reader._spool_path(0))
+    assert not os.path.exists(reader._spool_path(1))
+    assert os.path.exists(reader._spool_path(2))
+    assert sorted(reader.readBetweenOffsets({"page": 2}, {"page": 3})) == (
+        sorted(
+            (r["entity_id"], r["edge_id"], r["score"])
+            for r in DATA[2 * PAGE_SIZE :]
+        )
+    )
+
+
+def test_stream_spool_is_fingerprinted_per_crawl(http_server, tmp_path):
+    """A reused spool_dir pointed at a DIFFERENT query/endpoint must
+    not serve the previous crawl's pages as freshly fetched data."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from database_scan_spark.sources.page_stream import make_page_stream_source
+
+    schema = StructType([StructField("entity_id", LongType())])
+    cls = make_page_stream_source()
+
+    def reader_for(query: str):
+        return cls(
+            options={
+                "mode": "live",
+                "endpoint": http_server,
+                "spool_dir": str(tmp_path / "shared_spool"),
+                "page_size": str(PAGE_SIZE),
+                "rate_per_sec": "1e6",
+                "query": query,
+            }
+        ).simpleStreamReader(schema)
+
+    r1 = reader_for("query A { rows }")
+    rows1, _ = r1.read(r1.initialOffset())
+    assert len(list(rows1)) == PAGE_SIZE
+    posts_after_r1 = len(_GraphQLHandler.hits)
+
+    # Same spool_dir, different query: page 0 must be FETCHED (a new
+    # POST), not served from reader 1's spool.
+    r2 = reader_for("query B { rows }")
+    rows2, _ = r2.read(r2.initialOffset())
+    assert len(list(rows2)) == PAGE_SIZE
+    assert len(_GraphQLHandler.hits) == posts_after_r1 + 1
+    assert r1._spool_path(0) != r2._spool_path(0)
+
+
+def test_live_error_response_fails_loud_not_exhausted(spark, tmp_path):
+    """GraphQL transports errors as HTTP 200 `{\"errors\": ...}` —
+    they must raise, never read as cursor exhaustion (silent
+    truncation / healthy-looking stalled stream)."""
+    from database_scan_spark.sources.graphql_snapshot import make_datasource
+
+    class _ErrHandler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers["Content-Length"]))
+            payload = json.dumps(
+                {"errors": [{"message": "rate limited"}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    try:
+        server = ThreadingHTTPServer(("127.0.0.1", 0), _ErrHandler)
+    except OSError:
+        pytest.skip("loopback sockets unavailable in this sandbox")
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/graphql"
+    try:
+        spark.dataSource.register(make_datasource())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    df = (
+        spark.read.format("graphql_snapshot")
+        .option("mode", "live")
+        .option("endpoint", url)
+        .option("rate_per_sec", "1e6")
+        .load()
+    )
+    with pytest.raises(Exception, match="rate limited"):
+        df.collect()
+    server.shutdown()
+    server.server_close()
+
+
+def test_live_max_pages_truncation_fails_loud(spark, http_server):
+    """Hitting max_pages with a still-full last page means data was
+    provably left behind — that must raise, not return a silently
+    truncated DataFrame."""
+    from database_scan_spark.sources.graphql_snapshot import make_datasource
+
+    try:
+        spark.dataSource.register(make_datasource())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    df = (
+        spark.read.format("graphql_snapshot")
+        .option("mode", "live")
+        .option("endpoint", http_server)
+        .option("page_size", "5")  # 20 rows: pages 0-3 all FULL
+        .option("max_pages", "2")  # cap below the real page count
+        .option("rate_per_sec", "1e6")
+        .load()
+    )
+    with pytest.raises(Exception, match="max_pages"):
+        df.collect()
+
+
+def test_live_rejects_nonpositive_rate(spark):
+    from database_scan_spark.sources.graphql_snapshot import make_datasource
+
+    try:
+        spark.dataSource.register(make_datasource())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    df = (
+        spark.read.format("graphql_snapshot")
+        .option("mode", "live")
+        .option("endpoint", "http://127.0.0.1:1/x")
+        .option("rate_per_sec", "0")
+        .load()
+    )
+    with pytest.raises(Exception, match="rate_per_sec"):
+        df.collect()
