@@ -122,6 +122,37 @@ _BROADCAST_FACT_OK: dict[str, int] = {
 }
 
 
+# --- pandas-group boundedness gate (r7, third audit class) -----------------
+#
+# FlatMapGroupsInPandas / FlatMapCoGroupsInPandas / AggregateInPandas
+# buffer ONE GROUP per Python call as a pandas frame. Grouped by a
+# fact-scaled key (doc_id, c_custkey, ...), group count grows with the
+# corpus and per-group size stays bounded — fine. Grouped by a
+# low-cardinality column (lang, nationkey, a fixed bucket), per-group
+# size grows as corpus/K: a single pandas frame holding a corpus
+# fraction, the executor-OOM twin of the unpartitioned-window class.
+# The gate flags any such node over an unbounded fact subtree whose
+# grouping keys include NO fact-scaled key; the dict below ratchets the
+# two hand-audited deliberate sites. A new entry needs the same hand
+# proof — or better, a fact-keyed (or data-derived-cardinality) group.
+_PANDAS_GROUP_OK: dict[str, str] = {
+    # Deliberate grouped-pandas API demonstration (SURVEY §2 udf
+    # surface): 25 nation groups of corpus/25 customers each. The
+    # scale path for this query shape is topk_per_group (two-level
+    # partial top-k aggregation, bounded shuffle state); this spec
+    # exists to pin the FlatMapGroupsInPandas cell of the Python API
+    # matrix, documented in its docstring.
+    "grouped_pandas_topk": "API-surface demo; scale path = topk_per_group",
+    # 256-way hash-bucket cogroup: the r4 fix that replaced 150k
+    # one-row-per-entity Python calls with 256 vectorized pandas
+    # merges (46.9 -> 1.9 s at sf0.1). Per-bucket size grows as
+    # corpus/256 — the documented tradeoff; at larger SF the bucket
+    # count is the knob (same plan, higher K), and the vectorized
+    # merge inside stays O(bucket log bucket).
+    "udf_cogrouped_merge": "fixed 256-bucket vectorized cogroup; K is the scale knob",
+}
+
+
 def _children(node):
     ch = node.children()
     for i in range(ch.size()):
@@ -187,6 +218,60 @@ def _broadcast_fact_builds(node, hits: list) -> None:
         pass
 
 
+def _grouping_keys(node) -> set:
+    """Grouping-attribute names of a pandas-group node; co-grouped
+    nodes carry only grouping LENGTHS, their keys are each child's
+    leading output columns."""
+    name = node.getClass().getSimpleName()
+    keys: set = set()
+    if name == "FlatMapCoGroupsInPandas":
+        for meth, side in (("leftGroupingLen", 0), ("rightGroupingLen", 1)):
+            try:
+                n_keys = getattr(node, meth)()
+                out = node.children().apply(side).output()
+                for i in range(min(n_keys, out.size())):
+                    keys.add(out.apply(i).name())
+            except Exception:  # noqa: BLE001 - API drift: fail closed below
+                pass
+        return keys
+    for meth in ("groupingAttributes", "groupingExpressions"):
+        try:
+            ga = getattr(node, meth)()
+        except Exception:  # noqa: BLE001
+            continue
+        for i in range(ga.size()):
+            e = ga.apply(i)
+            try:
+                keys.add(e.name())
+            except Exception:  # noqa: BLE001 - non-attribute grouping expr
+                keys.add(e.toString())
+        break
+    return keys
+
+
+_PANDAS_GROUP_NODES = frozenset(
+    ["FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas", "AggregateInPandas"]
+)
+
+
+def _unbounded_pandas_groups(node, hits: list) -> None:
+    name = node.getClass().getSimpleName()
+    if name in _PANDAS_GROUP_NODES:
+        keys = _grouping_keys(node)
+        if not (keys & _FACT_MARKERS) and any(
+            _reaches_fact_unbounded(c) for c in _children(node)
+        ):
+            hits.append(f"{name}[{','.join(sorted(keys))}]")
+    for c in _children(node):
+        _unbounded_pandas_groups(c, hits)
+    try:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            _unbounded_pandas_groups(sq.apply(i), hits)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 @pytest.mark.parametrize("spec", _ALL, ids=[s.name for s in _ALL])
 def test_no_plan_smells(spark, spec):
     # Pristine plans: an earlier spec's persist() would otherwise let the
@@ -215,6 +300,15 @@ def test_no_plan_smells(spark, spec):
         f"side(s), ratchet allows {allowed} — a NEW forced broadcast of an "
         f"unbounded relation is an OOM cliff at scale: {bhits}"
     )
+    if spec.name not in _PANDAS_GROUP_OK:
+        ghits: list = []
+        _unbounded_pandas_groups(df._jdf.queryExecution().optimizedPlan(), ghits)
+        assert not ghits, (
+            f"{spec.name}: pandas-group node keyed only by "
+            f"low-cardinality columns over an unbounded fact subtree — "
+            f"one group buffers a corpus fraction in a single pandas "
+            f"frame (executor OOM at scale): {ghits}"
+        )
 
 
 def test_unpartitioned_window_gate_catches_bad_plan(spark):
@@ -242,6 +336,45 @@ def test_unpartitioned_window_gate_catches_bad_plan(spark):
     hits2: list = []
     _unpartitioned_fact_windows(ok._jdf.queryExecution().optimizedPlan(), hits2)
     assert not hits2, f"gate flagged a bounded post-aggregate window: {hits2}"
+
+
+def test_pandas_group_gate_catches_bad_plan(spark):
+    """Gate self-test (non-vacuousness): applyInPandas grouped by a
+    low-cardinality column over the fact MUST be flagged; the same
+    call grouped by a fact key must NOT be, and neither must a
+    low-cardinality group over a pre-aggregated (bounded) input."""
+    from database_scan_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    ident = lambda pdf: pdf  # noqa: E731
+
+    bad = ev.select("event_id", "event_type").groupBy("event_type").applyInPandas(
+        ident, "event_id long, event_type string"
+    )
+    hits: list = []
+    _unbounded_pandas_groups(bad._jdf.queryExecution().optimizedPlan(), hits)
+    assert hits, "gate missed a corpus-fraction pandas group"
+
+    ok_fact_key = ev.select("event_id", "event_type").groupBy("event_id").applyInPandas(
+        ident, "event_id long, event_type string"
+    )
+    hits2: list = []
+    _unbounded_pandas_groups(
+        ok_fact_key._jdf.queryExecution().optimizedPlan(), hits2
+    )
+    assert not hits2, f"gate flagged a fact-keyed (bounded) group: {hits2}"
+
+    from pyspark.sql import functions as F
+
+    agg = ev.groupBy("event_type", "props").agg(F.count(F.lit(1)).alias("n"))
+    ok_bounded = agg.groupBy("event_type").applyInPandas(
+        ident, "event_type string, props string, n long"
+    )
+    hits3: list = []
+    _unbounded_pandas_groups(
+        ok_bounded._jdf.queryExecution().optimizedPlan(), hits3
+    )
+    assert not hits3, f"gate flagged a post-aggregate bounded group: {hits3}"
 
 
 def test_broadcast_ratchet_catches_bad_plan(spark):
