@@ -11,6 +11,10 @@ iterate until it's the plan you'd want".
 
 from __future__ import annotations
 
+import json
+import os
+import re
+
 import pytest
 
 from database_scan_spark.registry import SPECS
@@ -120,6 +124,32 @@ _BROADCAST_FACT_OK: dict[str, int] = {
     "dedup_decontaminate": 1,
     "sim_kmeans": 1,
 }
+
+
+# --- shuffle-budget ratchet (r7, fourth audit class) ------------------------
+#
+# Every groupBy/join/distinct/repartition is a shuffle, and at 100 TB
+# the shuffle count IS the cost model. tools/shuffle_budget.json
+# freezes each query's shuffle-Exchange count in its initial physical
+# plan (at SF_SMOKE, same session config as this suite); growing a NEW
+# shuffle — an edit that re-partitions twice, a lost broadcast, a
+# dropped partitioning reuse — fails here. Broadcast/Reused exchanges
+# deliberately don't count (replacing a shuffle join with a broadcast
+# join must never read as a regression). Regenerate with
+# `python tools/gen_shuffle_budget.py` and justify any INCREASE like a
+# broadcast-ratchet raise; decreases are free (and good).
+with open(
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "shuffle_budget.json",
+    )
+) as _fh:
+    _SHUFFLE_BUDGET: dict[str, int] = json.load(_fh)
+
+_SHUFFLE_RE = re.compile(
+    r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+)
 
 
 # --- pandas-group boundedness gate (r7, third audit class) -----------------
@@ -309,6 +339,25 @@ def test_no_plan_smells(spark, spec):
             f"one group buffers a corpus fraction in a single pandas "
             f"frame (executor OOM at scale): {ghits}"
         )
+    shuffles = len(_SHUFFLE_RE.findall(plan))
+    budget = _SHUFFLE_BUDGET.get(spec.name)
+    assert budget is not None, (
+        f"{spec.name}: no shuffle budget — run "
+        "`python tools/gen_shuffle_budget.py` after registering a spec"
+    )
+    # Exact for normal plans. The unrolled-fixpoint giants (CC-cluster
+    # compositions, 1000+ exchanges of per-iteration lineage) count ±8
+    # depending on whether an async unpersist has already dropped a
+    # cached subtree from the explain — 2% headroom absorbs that while
+    # still catching real decay (one new shuffle per iteration ≈ +20).
+    allowed = budget if budget < 100 else int(budget * 1.02)
+    assert shuffles <= allowed, (
+        f"{spec.name}: plan grew to {shuffles} shuffle exchanges, budget "
+        f"is {budget} (allowed {allowed}) — a NEW shuffle is plan decay "
+        f"(lost broadcast, double repartition, dropped partitioning "
+        f"reuse); optimize it away or re-justify the budget like a "
+        f"broadcast-ratchet raise"
+    )
 
 
 def test_unpartitioned_window_gate_catches_bad_plan(spark):
@@ -336,6 +385,46 @@ def test_unpartitioned_window_gate_catches_bad_plan(spark):
     hits2: list = []
     _unpartitioned_fact_windows(ok._jdf.queryExecution().optimizedPlan(), hits2)
     assert not hits2, f"gate flagged a bounded post-aggregate window: {hits2}"
+
+
+def test_shuffle_budget_counts_real_shuffles_not_broadcasts(spark):
+    """Ratchet self-test: the counter sees hash/range/single-partition
+    exchanges and is blind to broadcast exchanges (swapping a shuffle
+    join for a broadcast join must read as an improvement)."""
+    from pyspark.sql import functions as F
+
+    from database_scan_spark.catalog import load
+
+    def shuffles_of(df) -> tuple[int, str]:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "extended"
+        )
+        return len(_SHUFFLE_RE.findall(plan)), plan
+
+    ev = load(spark, SF_SMOKE, "events")
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_base, _ = shuffles_of(base)
+    assert n_base >= 1  # the aggregate's shuffle is visible
+
+    # A gratuitous repartition adds exactly the decay the gate exists
+    # to catch.
+    decayed = (
+        ev.repartition("props")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_decayed, _ = shuffles_of(decayed)
+    assert n_decayed > n_base, "counter missed a gratuitous repartition"
+
+    # Broadcast join: BroadcastExchange present, shuffle count zero.
+    nation = load(spark, SF_SMOKE, "nation")
+    region = load(spark, SF_SMOKE, "region")
+    bj = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    n_bj, plan = shuffles_of(bj)
+    assert "BroadcastExchange" in plan
+    assert n_bj == 0, "broadcast exchange miscounted as a shuffle"
 
 
 def test_pandas_group_gate_catches_bad_plan(spark):
