@@ -316,6 +316,94 @@ def test_live_max_pages_truncation_fails_loud(spark, http_server):
         df.collect()
 
 
+def test_extract_rows_property_never_silently_wrong():
+    """Property: for ANY payload shape, the row extractor either
+    returns exactly the list at rows_path or raises — it can never
+    return a different list, None, or treat an error body as data.
+    (The silent-truncation class the round-7 review found, pinned
+    against arbitrary nested shapes.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from database_scan_spark.sources import graphql_snapshot, page_stream
+
+    # Reach the closure-local helper through a tiny probe: both
+    # factories define _extract_rows inside make_* for pickling; the
+    # reader classes expose its behavior via a bound call. Rebuild the
+    # helpers by executing the factory and grabbing the cell.
+    def get_helper(factory):
+        # _extract_rows is closure-local to the factory (by-value
+        # pickling rule); walk closure cells transitively — the
+        # DataSource class's methods close over the reader class,
+        # whose methods close over the helper.
+        seen: set = set()
+
+        def walk(obj):
+            if id(obj) in seen:
+                return None
+            seen.add(id(obj))
+            if callable(obj) and getattr(obj, "__name__", "") == "_extract_rows":
+                return obj
+            fns = []
+            if isinstance(obj, type):
+                fns = [getattr(a, "__func__", a) for a in vars(obj).values()]
+            elif callable(obj):
+                fns = [getattr(obj, "__func__", obj)]
+            for fn in fns:
+                for cell in getattr(fn, "__closure__", None) or ():
+                    try:
+                        found = walk(cell.cell_contents)
+                    except ValueError:  # empty cell
+                        continue
+                    if found is not None:
+                        return found
+            return None
+
+        helper = walk(factory())
+        assert helper is not None, "_extract_rows not found in factory closure"
+        return helper
+
+    json_scalars = st.none() | st.booleans() | st.integers() | st.text(max_size=8)
+    payloads = st.recursive(
+        json_scalars,
+        lambda inner: st.lists(inner, max_size=4)
+        | st.dictionaries(
+            st.sampled_from(["data", "rows", "errors", "x", "target"]),
+            inner,
+            max_size=4,
+        ),
+        max_leaves=12,
+    )
+
+    def make_prop(_helper):
+        @settings(max_examples=300, deadline=None)
+        @given(payload=payloads, path=st.sampled_from(
+            ["data.rows", "data", "data.target.rows", "x"]
+        ))
+        def prop(payload, path):
+            if not isinstance(payload, dict):
+                with pytest.raises(Exception):
+                    _helper(payload, path)
+                return
+            try:
+                out = _helper(payload, path)
+            except (RuntimeError, ValueError):
+                return  # loud is always acceptable
+            # success: out must be EXACTLY the list at the path, and
+            # the payload must not carry an errors key
+            assert not payload.get("errors")
+            node = payload
+            for k in path.split("."):
+                node = node[k]
+            assert out is node and isinstance(out, list)
+
+        return prop
+
+    for factory_mod in (graphql_snapshot.make_datasource,
+                        page_stream.make_page_stream_source):
+        make_prop(get_helper(factory_mod))()
+
+
 def test_live_rejects_nonpositive_rate(spark):
     from database_scan_spark.sources.graphql_snapshot import make_datasource
 
