@@ -16,8 +16,10 @@ normalization anchors) — and the full per-query map is written to
 against BASELINE.md's per-query floor.
 
 Each query is materialized through the noop sink so the full plan
-executes (count() alone lets Spark prune projections). One warm-up
-run of the smallest query absorbs JVM/codegen start-up cost.
+executes (count() alone lets Spark prune projections). Every headliner
+runs twice and the SECOND run is the one timed, so the clock measures
+the plan, not per-query first-touch costs (codegen JIT, Arrow import,
+fixture staging) — see the warm-pass comment in main().
 """
 
 from __future__ import annotations
@@ -196,62 +198,26 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.unset(k) if v is None else spark.conf.set(k, v)
 
-    # Warm-up: JVM/codegen/parquet-footer caches, not measured — one
-    # cheap query per heavily-used fact table (lineitem, documents) so
-    # the first timed query against each measures its plan, not the
-    # session's first-touch JIT.
-    for warm in ("agg_group_sums", "text_quality"):
-        if warm in by_name:
-            run(warm)
-
-    # One-time layout ETL, not measured: join_bucketed times the
-    # co-located READ path; building the bucketed layout is a write-once
-    # step (like fixture generation), idempotent, and would otherwise
-    # dominate the first post-boot run only (cold /tmp: ~4.8s build vs
-    # ~1.1s read at sf0.1 — the read is the operator).
-    if "join_bucketed" in by_name:
-        try:
-            from database_scan_spark.operators.storage import write_bucketed
-
-            write_bucketed(spark, sf_dir)
-        except Exception:
-            pass  # the timed run will surface the real error
-
-    # Same rule for the merge-on-read fixture: staging the base+delta
-    # files is one-time ETL; the operator under test is the READ path.
-    if "storage_merge_on_read" in by_name:
-        try:
-            from database_scan_spark.operators.storage import _mor_table
-
-            _mor_table(spark, sf_dir)
-        except Exception:
-            pass
-
-    # And for every query that stages a marker-guarded fixture layout
-    # on first touch (partitioned/evolved/deletion-vector/clustered
-    # copies of the base tables, media blob dirs): one unmeasured run
-    # warms the layout so the clock times the READ path, not the
-    # write-once ETL. Measured cold-vs-warm at sf0.1:
-    # manifest_skipping 1.74→0.33s, partition_evolution 2.85→0.59s,
-    # deletion_vectors 1.63→0.59s, clustering_audit 3.0→1.2s — a cold
-    # /tmp would otherwise report 3-5x phantom regressions.
-    # clustering_audit appears twice: its first in-session call pays
-    # ~5s of pyarrow-import + createDataFrame/codegen JIT on top of
-    # staging (measured: 8.1s, 1.6s, 1.3s, 1.1s across calls in one
-    # session), so one warm pass absorbs staging and a second absorbs
-    # the JIT — the timed run then measures the audit.
-    for staged in (
-        "storage_clustering_audit",
-        "storage_clustering_audit",
-        "storage_partition_evolution",
-        "storage_manifest_skipping",
-        "storage_deletion_vectors",
-    ):
-        if staged in by_name:
+    # Warm pass (not measured), then a measured pass: time the SECOND
+    # run of every headliner (VERDICT r7 item 2). The first run per
+    # query pays one-time costs that are not the operator's plan —
+    # whole-stage-codegen JIT, Arrow/pyarrow import, parquet footer
+    # caches, and the marker-guarded fixture staging some queries do on
+    # first touch (bucketed layouts, merge-on-read base+delta files,
+    # partitioned/evolved/deletion-vector/clustered table copies, media
+    # blob dirs). Measured first-vs-second run in one session at sf0.1:
+    # mm_png_roundtrip 3.07→0.66s, graph_scc 5.0→1.45s,
+    # storage_clustering_audit 8.1→1.3s, analytic_ndcg 1.75→1.19s —
+    # on a loaded driver host those first-touch costs produced 17
+    # spurious floor-gate flags in r7. The warm pass makes the timed
+    # pass measure the read/compute path, matching how the per-query
+    # floors in tools/floors.json were measured (warm, quiet host).
+    for name in HEADLINE:
+        if name in by_name:
             try:
-                run(staged)
+                run(name)
             except Exception:
-                pass
+                pass  # the timed run will surface the real error
 
     queries: dict[str, float] = {}
     for name in HEADLINE:

@@ -2288,28 +2288,27 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is INTEGER: with γ=1/2 the z>z₀ test is
     (2g−m)² > z₀²·m ∧ 2g>m — no sqrt, no floats, exact in both
-    engines. One shingle-style explode + per-doc hash agg; scales
-    like every other shingle op in this module."""
-    from ._helpers import h32, spread  # noqa: PLC0415
+    engines. The per-doc green count is a NARROW higher-order
+    ``aggregate`` over the token array — the grouping key (doc_id) is
+    the row, so exploding bigrams only to groupBy them back was a
+    pure-overhead shuffle (r7 bench: 1.4-1.6s warm vs 0.77s floor;
+    this shape is ~0.5s and shuffle-free, which is also the right
+    plan at 100 TB: zero exchanges, scales embarrassingly)."""
+    from ._helpers import spread  # noqa: PLC0415
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 2
     )
-    grams = toks.select(
+    per_doc = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> concat(element_at(t, i), '→', element_at(t, i + 1)))"
-            )
-        ).alias("bigram"),
-    )
-    per_doc = grams.select(
-        "doc_id", (h32(F.col("bigram")) % 2 == 0).cast("int").alias("green")
-    ).groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("green").cast("bigint").alias("g"),
+        (F.size("t") - 1).cast("bigint").alias("m"),
+        F.expr(
+            "aggregate(sequence(1, size(t) - 1), 0L, (acc, i) -> acc +"
+            " CASE WHEN conv(substring(md5(concat("
+            "element_at(t, i), '→', element_at(t, i + 1))), 1, 8),"
+            " 16, 10) % 2 = 0 THEN 1 ELSE 0 END)"
+        ).cast("bigint").alias("g"),
     )
     excess = F.col("g") * 2 - F.col("m")
     return per_doc.select(

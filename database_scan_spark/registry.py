@@ -135,11 +135,9 @@ _load_all()
 # remaining win/graph/dq + agg/join/analytic surface, r5+ = sweeps.
 
 # Pin slot (used in r3 to force never-windowed SURVEY-§2 ops to the front;
-# r7 pins stream_stateful_user_totals — the only registry entry whose sole
-# driver row is still the r02 `err: no_oracle`; it was oracled in r5
-# (integer-cents GroupState + max_by final-state selection) but the driver
-# has never re-checked it (VERDICT r6 item 2).
-_PINNED_WINDOW: tuple[str, ...] = ("stream_stateful_user_totals",)
+# r7 pinned stream_stateful_user_totals, now hash-green in r07). r8 needs
+# no pin: the window is pure family rotation over never-verified specs.
+_PINNED_WINDOW: tuple[str, ...] = ()
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     # round 1 (CORRECTNESS_r01.json — all three matches green)
@@ -269,20 +267,42 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "wf_curriculum_schedule", "wf_sft_format", "wf_shuffle_shard",
     "wf_cdc_upsert", "wf_scd2_history", "wf_active_learning_select",
     "wf_dpo_pair_builder", "wf_pack_sequences",
+    # round 7 (CORRECTNESS_r07.json — 50/50 rows+schema+hash green: the
+    # wf_ ledger tail + fn_ surface + dedup_/sim_ leftovers + the pinned
+    # stream_stateful_user_totals, finally oracle-green)
+    "stream_stateful_user_totals",
+    "wf_dsir_select", "wf_mv_incremental", "wf_snapshot_diff",
+    "wf_backfill_plan", "wf_late_restatement", "wf_provenance_chain",
+    "fn_math_ops", "fn_cond_case", "fn_str_ops", "fn_date_ops",
+    "fn_timezone_ops", "fn_interval_ops", "fn_array_ops", "fn_map_ops",
+    "fn_lambda_ops", "fn_bitwise_ops", "fn_try_arithmetic",
+    "fn_url_parse", "fn_uuid_deterministic", "fn_variant_json",
+    "fn_xml_roundtrip", "fn_collation_compare", "fn_column_protection",
+    "fn_minmax_by", "fn_sql_udf", "fn_string_agg",
+    "dedup_bloom_archive", "dedup_cdc_chunks", "dedup_cluster_cc_twostar",
+    "dedup_fellegi_sunter", "dedup_jaro_winkler", "dedup_keep_best",
+    "dedup_method_matrix", "dedup_minhash_bbit", "dedup_minhash_oph",
+    "dedup_semdedup", "dedup_token_sort",
+    "sim_ann_recall_matrix", "sim_centroid_drift", "sim_corpus_overlap",
+    "sim_hard_negatives", "sim_ivfpq", "sim_matryoshka_rerank",
+    "sim_mmr_rerank", "sim_prf_rocchio", "sim_random_projection",
+    "sim_rrf_fusion", "sim_sq8_error", "sim_topk_filtered",
 })
 
 # Unverified queries sort by family; ties keep registration order.
-# Families past the window land in later rounds. Round-3 ordering: the
-# north-star LLM families were verified in r02, so the warehouse
-# bread-and-butter (TPC-H shapes, windows, graph, dq — VERDICT r2 "What's
-# missing" #1) leads; everything else queues behind for r4+.
+# Families past the window land in later rounds. Round-8 ordering
+# (VERDICT r7 item 1): the user-facing LLM deliverables lead — all 8
+# pipeline_*, all 10 mm_*, the 9 sample_/split_, geo_ (4), the 16-spec
+# text_ tail (= 47), topped up by the stream_ head (3) to fill the 50.
+# r9 takes the remaining stream_ + sink/src/storage/sql/udf surface;
+# r10 sweeps the final tail to 464/464.
 _FAMILY_ORDER: tuple[str, ...] = (
+    "pipeline_", "mm_", "sample_", "split_", "geo_", "text_", "stream_",
+    "sink_", "storage_", "src_", "udf_", "sql_", "udtf_", "filter_",
+    "proj_", "param_", "subquery_", "grouped_", "funnel_", "cohort_",
+    "topk_", "catalog_", "set_",
     "tpch_", "win_", "graph_", "dq_",
-    "agg_", "join_", "analytic_", "wf_", "fn_",
-    "dedup_", "sim_", "text_", "mm_", "pipeline_", "stream_",
-    "sample_", "split_", "udtf_", "filter_", "subquery_",
-    "sql_", "grouped_", "funnel_", "cohort_", "topk_", "sink_", "src_",
-    "udf_", "proj_",
+    "agg_", "join_", "analytic_", "wf_", "fn_", "dedup_", "sim_",
 )
 
 
