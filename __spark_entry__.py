@@ -76,6 +76,15 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
       fails loud: the drain step cannot tell "finished previous
       query" from "live concurrent query", so the strictly-sequential
       driver contract is asserted rather than silently corrupted.
+    - SINGLE-THREADED BUILD assumption (ADVICE r7): the thread gate
+      records a persist only when it is issued on the building
+      thread's ident, so a persist issued from a worker thread the
+      query builder ITSELF spawns during plan construction would go
+      untracked — a latent cross-query cache leak. No operator in
+      this package builds plans from spawned threads (mechanically
+      enforced: test_cache_lifecycle.py's threaded-builder canary
+      fails loud if one ever does); a future threaded builder must
+      register its worker idents with this intercept first.
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:

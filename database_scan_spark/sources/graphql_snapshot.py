@@ -115,10 +115,18 @@ def make_datasource():
             self.max_pages = int(options.get("max_pages", "1000"))
             self.rate_per_sec = float(options.get("rate_per_sec", "1.0"))
             self.rows_path = options.get("rows_path", "data.rows")
+            self.stop_on = options.get("stop_on", "short_page")
             if self.mode == "live":
                 if not self.endpoint:
                     raise ValueError(
                         "graphql_snapshot mode=live requires option 'endpoint'"
+                    )
+                if self.stop_on not in ("short_page", "empty_page"):
+                    raise ValueError(
+                        "stop_on must be 'short_page' (default: a page "
+                        "shorter than page_size ends the crawl) or "
+                        "'empty_page' (strict: keep POSTing until an "
+                        f"actually-empty page), got {self.stop_on!r}"
                     )
                 if self.rate_per_sec <= 0:
                     raise ValueError(
@@ -150,10 +158,20 @@ def make_datasource():
                     yield tuple(rec.get(k) for k in field_names)
 
         def _read_live(self, field_names):
-            """The reference loop: POST page, pace, repeat until an
-            empty page (query_opentargets.py:13-16; pacing
+            """The reference loop: POST page, pace, repeat until the
+            cursor is exhausted (query_opentargets.py:13-16; pacing
             x2.2.py:296-299 — a token-bucket sleep, so a slow API
             response already 'spends' the token).
+
+            Stop condition (ADVICE r7): the default ``stop_on=
+            short_page`` fast path ASSUMES the API serves full pages
+            until exhaustion — true of index-sliced stores like the
+            reference's, but an API that legitimately returns short
+            mid-crawl pages (server-side caps, post-filtering) would
+            be silently truncated, and that is unverifiable from the
+            client's stop condition alone. ``stop_on=empty_page``
+            trades one extra probe POST per crawl for the strict
+            guarantee: only an ACTUALLY-empty page ends the crawl.
 
             NOTE: like any uncached Spark source, every ACTION on the
             returned DataFrame re-runs the crawl (count() then
@@ -190,15 +208,18 @@ def make_datasource():
                     return
                 for rec in rows:
                     yield tuple(rec.get(k) for k in field_names)
-                if len(rows) < self.page_size:
+                if self.stop_on == "short_page" and len(rows) < self.page_size:
                     return
-            # Loop exhausted the page cap with the last page still
-            # FULL: more data provably exists — refuse to pass a
+            # Loop exhausted the page cap without seeing exhaustion
+            # (short_page: last page still FULL; empty_page: last page
+            # non-empty): more data may exist — refuse to pass a
             # silently-truncated result off as the whole crawl.
-            if rows and len(rows) == self.page_size:
+            if rows and (
+                self.stop_on == "empty_page" or len(rows) == self.page_size
+            ):
                 raise RuntimeError(
                     f"live crawl hit max_pages={self.max_pages} with a "
-                    "full final page — results would be truncated; "
+                    "non-exhausted cursor — results would be truncated; "
                     "raise the max_pages option"
                 )
 

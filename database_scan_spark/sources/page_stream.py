@@ -4,9 +4,10 @@ reference's cursor-paged GraphQL loop (`requests.post` + cursor at
 `/root/reference/query_opentargets.py:13-16`,
 `opentargets_client_api.py:138-292`) as a first-class Structured
 Streaming source: each micro-batch consumes ONE response page, the
-offset {"page": i} is the cursor, and replay after failure goes
-through `readBetweenOffsets` (the exactly-once contract: committed
-offset ranges must be re-readable).
+offset {"page": i, "row": r} is the cursor (row-granular in live mode
+so a SHORT page never strides past rows that arrive later — ADVICE
+r7), and replay after failure goes through `readBetweenOffsets` (the
+exactly-once contract: committed offset ranges must be re-readable).
 
 Batch twin: `src_python_datasource` (operators/sources_sinks.py)
 reads the same page layout through the batch DataSource API.
@@ -135,31 +136,49 @@ def make_page_stream_source():
             )
 
         def initialOffset(self) -> dict:
-            return {"page": 0}
+            return {"page": 0, "row": 0}
 
         def read(self, start: dict):
             i = start["page"]
             if self.mode == "live":
-                recs = self._fetch_live(i)
-                if recs is None:
+                # Live offsets are ROW-granular: {"page": i, "row": r}
+                # means pages < i are fully served plus rows [0:r) of
+                # page i. A SHORT page therefore never strides the
+                # cursor a full page past unfetched rows — on a growing
+                # API the next poll re-fetches page i and serves only
+                # the extension; the cursor leaves page i only when the
+                # page is full (ADVICE r7: the old page-granular cursor
+                # permanently skipped rows that later filled the
+                # remainder of a short page's index range).
+                r = start.get("row", 0)
+                recs = self._fetch_live(i, have=r)
+                if len(recs) <= r:  # no new rows this poll
                     return iter([]), start
-                return iter(self._tuples(recs)), {"page": i + 1}
+                if len(recs) >= self.page_size:
+                    nxt = {"page": i + 1, "row": 0}
+                else:
+                    nxt = {"page": i, "row": len(recs)}
+                return iter(self._tuples(recs[r:])), nxt
             pages = self._pages()
             if i >= len(pages):
                 return iter([]), start
-            return iter(self._read_page(pages[i])), {"page": i + 1}
+            return iter(self._read_page(pages[i])), {"page": i + 1, "row": 0}
 
         def readBetweenOffsets(self, start: dict, end: dict):
             rows: list[tuple] = []
             if self.mode == "live":
                 # Committed ranges replay from the SPOOL, never the
                 # API — the spool file was written before the offset
-                # was returned, so every committed page is on disk.
-                for i in range(start["page"], end["page"]):
+                # was returned, so every committed row is on disk.
+                # Row-granular: slice the boundary pages.
+                for i in range(start["page"], end["page"] + 1):
+                    lo = start.get("row", 0) if i == start["page"] else 0
+                    hi = end.get("row", 0) if i == end["page"] else None
+                    if hi is not None and hi <= lo:
+                        continue  # nothing of this page in the range
                     with open(self._spool_path(i)) as fh:
-                        rows.extend(
-                            self._tuples(json.loads(ln) for ln in fh)
-                        )
+                        page = [json.loads(ln) for ln in fh]
+                    rows.extend(self._tuples(page[lo:hi]))
                 return iter(rows)
             pages = self._pages()
             for i in range(start["page"], min(end["page"], len(pages))):
@@ -186,18 +205,28 @@ def make_page_stream_source():
                     pass  # best-effort: a leftover page is harmless
             self._pruned_below = max(start, end.get("page", 0))
 
-        def _fetch_live(self, i: int):
-            """POST cursor page ``i``; spool it durably BEFORE the new
-            offset escapes (exactly-once hinges on that order). Returns
-            None when the cursor is exhausted. Pacing: token-bucket
-            sleep (x2.2.py:296-299)."""
+        def _fetch_live(self, i: int, have: int = 0) -> list:
+            """Current full row list for cursor page ``i``, spool
+            first. A FULL spooled page is immutable — served without a
+            POST. A short/unknown page re-POSTs (rate-limited) so a
+            growing API can extend it; the spool is rewritten
+            atomically BEFORE the new offset escapes (exactly-once
+            hinges on that order). ``have`` rows were already served
+            downstream, so the fetched page must still start with the
+            spooled prefix — an API that mutates or shrinks served
+            rows raises rather than silently diverging from what the
+            stream already emitted (loud-or-exact). Pacing:
+            token-bucket sleep (x2.2.py:296-299)."""
             import time  # noqa: PLC0415
             import urllib.request  # noqa: PLC0415
 
             spool = self._spool_path(i)
-            if os.path.exists(spool):  # already fetched pre-crash
+            spooled: list = []
+            if os.path.exists(spool):
                 with open(spool) as fh:
-                    return [json.loads(ln) for ln in fh]
+                    spooled = [json.loads(ln) for ln in fh]
+                if len(spooled) >= self.page_size:
+                    return spooled  # full page: immutable by contract
             wait = 1.0 / self.rate_per_sec - (
                 time.monotonic() - self._last_fetch
             )
@@ -218,15 +247,31 @@ def make_page_stream_source():
             with urllib.request.urlopen(req, timeout=60) as resp:
                 payload = json.loads(resp.read())
             rows = _extract_rows(payload, self.rows_path)
-            if not rows:
-                return None
+            guard = min(len(spooled), have)
+            if len(rows) < guard:
+                raise RuntimeError(
+                    f"page {i}: API returned {len(rows)} rows but "
+                    f"{guard} were already served from this page — "
+                    "served rows must never disappear (immutable-"
+                    "prefix contract)"
+                )
+            for k in range(guard):
+                if json.dumps(rows[k], sort_keys=True) != json.dumps(
+                    spooled[k], sort_keys=True
+                ):
+                    raise RuntimeError(
+                        f"page {i} row {k}: API mutated an already-"
+                        "served row (immutable-prefix contract)"
+                    )
+            if len(rows) <= len(spooled):
+                return spooled  # nothing new; keep the served truth
             os.makedirs(os.path.dirname(spool), exist_ok=True)
             tmp = spool + ".tmp"
             with open(tmp, "w") as fh:
-                for rec in rows:
+                for rec in spooled + rows[len(spooled):]:
                     fh.write(json.dumps(rec) + "\n")
             os.replace(tmp, spool)  # atomic: spool is all-or-nothing
-            return rows
+            return spooled + rows[len(spooled):]
 
         def _tuples(self, recs) -> list[tuple]:
             return [

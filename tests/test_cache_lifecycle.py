@@ -251,3 +251,40 @@ def test_cache_call_is_tracked_like_persist(spark):
         "tracked .cache() was not released on the next entry"
     )
     spark.catalog.clearCache()
+
+
+def test_no_plan_builder_spawns_threads():
+    """Threaded-builder canary (ADVICE r7): the persist/cache
+    intercept attributes a persist to the engine only when it is
+    issued on the BUILDING thread's ident, so a plan builder that
+    spawned worker threads would leak any persist those workers issue
+    (untracked → never released → cross-query cache leak). The
+    single-threaded-build assumption is documented in _released's
+    docstring; this test makes it mechanical: no non-vendored engine
+    source may spawn threads during plan construction. If a threaded
+    builder ever lands, it must register its worker idents with the
+    intercept first — then extend this allowlist."""
+    import glob as g
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "database_scan_spark",
+    )
+    spawn = re.compile(
+        r"threading\.Thread\(|ThreadPoolExecutor\(|start_new_thread\("
+    )
+    offenders = []
+    for path in g.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        if os.sep + "_vendor" + os.sep in path:
+            continue  # vendored protobuf runtime: no engine persists
+        with open(path) as fh:
+            for lineno, line in enumerate(fh, 1):
+                if spawn.search(line):
+                    offenders.append(f"{os.path.relpath(path, root)}:{lineno}")
+    assert not offenders, (
+        "plan-builder thread spawn found — persists from spawned "
+        "threads are untracked by the __spark_entry__ intercept "
+        f"(see _released docstring): {offenders}"
+    )

@@ -316,6 +316,44 @@ def test_live_max_pages_truncation_fails_loud(spark, http_server):
         df.collect()
 
 
+def test_batch_live_strict_mode_stops_only_on_empty_page(spark, http_server):
+    """ADVICE r7: ``stop_on=empty_page`` keeps POSTing past a short
+    page and ends the crawl only on an ACTUALLY-empty one — one extra
+    probe POST buys the no-silent-truncation guarantee for APIs that
+    legitimately serve short mid-crawl pages."""
+    from database_scan_spark.sources.graphql_snapshot import make_datasource
+
+    try:
+        spark.dataSource.register(make_datasource())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    df = (
+        spark.read.format("graphql_snapshot")
+        .option("mode", "live")
+        .option("endpoint", http_server)
+        .option("stop_on", "empty_page")
+        .option("page_size", str(PAGE_SIZE))
+        .option("rate_per_sec", "1e6")
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == _expected()
+    # 20 rows at size 7 = pages 7/7/6 + the empty probe page = 4 POSTs
+    # (the default short_page mode stops at 3).
+    assert len(_GraphQLHandler.hits) == 4
+
+    with pytest.raises(Exception, match="stop_on"):
+        (
+            spark.read.format("graphql_snapshot")
+            .option("mode", "live")
+            .option("endpoint", http_server)
+            .option("stop_on", "bogus")
+            .load()
+            .collect()
+        )
+
+
 def test_extract_rows_property_never_silently_wrong():
     """Property: for ANY payload shape, the row extractor either
     returns exactly the list at rows_path or raises — it can never
@@ -402,6 +440,124 @@ def test_extract_rows_property_never_silently_wrong():
     for factory_mod in (graphql_snapshot.make_datasource,
                         page_stream.make_page_stream_source):
         make_prop(get_helper(factory_mod))()
+
+
+def _mutable_server(store: list):
+    """Loopback server whose row store the test mutates between polls
+    (a growing/changing API)."""
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            var = body.get("variables", {})
+            i, size = var.get("index", 0), var.get("size", PAGE_SIZE)
+            payload = json.dumps(
+                {"data": {"rows": store[i * size : (i + 1) * size]}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    try:
+        server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    except OSError:
+        pytest.skip("loopback sockets unavailable in this sandbox")
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}/graphql"
+
+
+def _live_reader(endpoint: str, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from database_scan_spark.sources.page_stream import make_page_stream_source
+
+    schema = StructType([StructField("entity_id", LongType())])
+    return make_page_stream_source()(
+        options={
+            "mode": "live",
+            "endpoint": endpoint,
+            "spool_dir": str(tmp_path / "spool"),
+            "page_size": str(PAGE_SIZE),
+            "rate_per_sec": "1e6",
+        }
+    ).simpleStreamReader(schema)
+
+
+def test_stream_live_short_page_grows_no_rows_skipped(tmp_path):
+    """ADVICE r7 (medium): live offsets are ROW-granular, so a SHORT
+    page re-polls in place and rows that later fill the remainder of
+    its index range are served — the old page-granular cursor strode a
+    full page past them, permanently skipping rows 3..6 here."""
+    store = [{"entity_id": i} for i in range(3)]  # short page 0
+    server, endpoint = _mutable_server(store)
+    try:
+        reader = _live_reader(endpoint, tmp_path)
+        off = reader.initialOffset()
+        rows, off = reader.read(off)
+        assert [r[0] for r in rows] == [0, 1, 2]
+        assert off == {"page": 0, "row": 3}  # cursor HELD at page 0
+
+        # API grows: rows 3..9 arrive (fills page 0's range + a short
+        # page 1). Every row must be served exactly once.
+        store.extend({"entity_id": i} for i in range(3, 10))
+        served = []
+        while True:
+            rows, nxt = reader.read(off)
+            rows = list(rows)
+            if nxt == off:
+                break
+            served.extend(r[0] for r in rows)
+            off = nxt
+        assert served == list(range(3, 10))
+        assert off == {"page": 1, "row": 3}
+
+        # Committed-range replay (row-granular slicing) from the spool.
+        replay = [
+            r[0]
+            for r in reader.readBetweenOffsets({"page": 0, "row": 0}, off)
+        ]
+        assert replay == list(range(10))
+        mid = [
+            r[0]
+            for r in reader.readBetweenOffsets(
+                {"page": 0, "row": 3}, {"page": 1, "row": 2}
+            )
+        ]
+        assert mid == list(range(3, 9))
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_stream_live_mutated_served_rows_fail_loud(tmp_path):
+    """Immutable-prefix contract: an API that mutates or shrinks rows
+    the stream already served raises — never silently diverges from
+    what was emitted downstream."""
+    store = [{"entity_id": i} for i in range(3)]
+    server, endpoint = _mutable_server(store)
+    try:
+        reader = _live_reader(endpoint, tmp_path)
+        _, off = reader.read(reader.initialOffset())
+        assert off == {"page": 0, "row": 3}
+
+        store[1] = {"entity_id": 999}  # mutate a served row
+        store.append({"entity_id": 3})  # and grow, forcing a re-read
+        with pytest.raises(RuntimeError, match="mutated"):
+            reader.read(off)
+
+        del store[1:]  # shrink below the served prefix
+        with pytest.raises(RuntimeError, match="disappear"):
+            reader.read(off)
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_live_rejects_nonpositive_rate(spark):
