@@ -442,9 +442,10 @@ def test_extract_rows_property_never_silently_wrong():
         make_prop(get_helper(factory_mod))()
 
 
-def _mutable_server(store: list):
+def _mutable_server(store: list, port: int = 0):
     """Loopback server whose row store the test mutates between polls
-    (a growing/changing API)."""
+    (a growing/changing API). Pass ``port`` to resurrect a killed
+    server at the same address (same crawl fingerprint/spool)."""
 
     class _Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802
@@ -466,7 +467,7 @@ def _mutable_server(store: list):
             pass
 
     try:
-        server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        server = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
     except OSError:
         pytest.skip("loopback sockets unavailable in this sandbox")
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -558,6 +559,70 @@ def test_stream_live_mutated_served_rows_fail_loud(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_stream_live_restart_resumes_row_granular_cursor(tmp_path):
+    """Driver-restart drill for the row-granular cursor: a FRESH
+    reader (new process semantics — no in-memory state survives) must
+    (a) replay every committed range from the spool with the API
+    DEAD, and (b) continue the crawl from a mid-page offset without
+    losing or duplicating a row once the API grows. This is exactly
+    the sequence Structured Streaming drives after a driver crash:
+    readBetweenOffsets(committed), then read(latest offset)."""
+    store = [{"entity_id": i} for i in range(PAGE_SIZE + 3)]  # 7 + short 3
+    server, endpoint = _mutable_server(store)
+    reader_a = _live_reader(endpoint, tmp_path)
+    off = reader_a.initialOffset()
+    served = []
+    while True:
+        rows, nxt = reader_a.read(off)
+        rows = list(rows)
+        if nxt == off:
+            break
+        served.extend(r[0] for r in rows)
+        off = nxt
+    assert served == list(range(PAGE_SIZE + 3))
+    assert off == {"page": 1, "row": 3}  # mid-page: the sharp case
+
+    # "Crash": reader A is gone, and so is the API.
+    port = server.server_address[1]
+    server.shutdown()
+    server.server_close()
+    reader_b = _live_reader(endpoint, tmp_path)
+    replay = [
+        r[0]
+        for r in reader_b.readBetweenOffsets({"page": 0, "row": 0}, off)
+    ]
+    assert replay == served, "spool replay diverged after restart"
+
+    # API back up (SAME address → same crawl fingerprint/spool) and
+    # GROWN: the fresh reader's cursor continues from the mid-page
+    # offset — extension rows only, nothing re-served.
+    store.extend({"entity_id": i} for i in range(PAGE_SIZE + 3, 2 * PAGE_SIZE))
+    server2, endpoint2 = _mutable_server(store, port=port)
+    assert endpoint2 == endpoint
+    try:
+        reader_c = _live_reader(endpoint2, tmp_path)
+        cont = []
+        while True:
+            rows, nxt = reader_c.read(off)
+            rows = list(rows)
+            if nxt == off:
+                break
+            cont.extend(r[0] for r in rows)
+            off = nxt
+        assert cont == list(range(PAGE_SIZE + 3, 2 * PAGE_SIZE))
+        assert off == {"page": 2, "row": 0}
+        full = [
+            r[0]
+            for r in reader_c.readBetweenOffsets({"page": 0, "row": 0}, off)
+        ]
+        assert full == list(range(2 * PAGE_SIZE)), (
+            "restarted crawl lost or duplicated rows"
+        )
+    finally:
+        server2.shutdown()
+        server2.server_close()
 
 
 def test_live_rejects_nonpositive_rate(spark):
