@@ -804,3 +804,98 @@ def test_global_order_rejects_nan_and_accepts_infinity(spark):
         global_order(
             bad, F.col("k"), (F.col("id"),), rank_col="rk", n_buckets=3
         ).collect()
+
+
+# --- row-granular live cursor: no loss, no dup, no reorder — ever ----------
+#
+# The r8 cursor change (sources/page_stream.py) holds the offset inside
+# a short page and serves only extensions. The arithmetic has edge
+# cases (exact-full growth, multi-page growth in one poll, growth while
+# idle) that example tests can miss; this property drives ARBITRARY
+# grow/poll schedules through the reader with the HTTP transport
+# stubbed and asserts the stream-level invariant: the concatenation of
+# everything ever served equals a prefix of the store, and a final
+# drain serves exactly the remainder.
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    events=st.lists(
+        st.one_of(
+            st.tuples(st.just("grow"), st.integers(min_value=1, max_value=12)),
+            st.tuples(st.just("poll"), st.just(0)),
+        ),
+        max_size=25,
+    ),
+    page_size=st.integers(min_value=1, max_value=5),
+)
+def test_live_cursor_serves_every_row_exactly_once(tmp_path_factory, events, page_size):
+    import json as _json
+    import urllib.request
+    from unittest import mock
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from database_scan_spark.sources.page_stream import make_page_stream_source
+
+    store: list[dict] = []
+
+    class _Resp:
+        def __init__(self, body: bytes):
+            self._b = body
+
+        def read(self):
+            return self._b
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=0):
+        var = _json.loads(req.data)["variables"]
+        i, size = var["index"], var["size"]
+        rows = store[i * size : (i + 1) * size]
+        return _Resp(_json.dumps({"data": {"rows": rows}}).encode())
+
+    reader = make_page_stream_source()(
+        options={
+            "mode": "live",
+            "endpoint": "http://stubbed.invalid/graphql",
+            "spool_dir": str(tmp_path_factory.mktemp("spool")),
+            "page_size": str(page_size),
+            "rate_per_sec": "1e9",
+        }
+    ).simpleStreamReader(
+        StructType([StructField("entity_id", LongType())])
+    )
+
+    served: list[int] = []
+    off = reader.initialOffset()
+    with mock.patch.object(urllib.request, "urlopen", fake_urlopen):
+        for kind, n in events:
+            if kind == "grow":
+                base = len(store)
+                store.extend({"entity_id": base + j} for j in range(n))
+            else:
+                rows, off = reader.read(off)
+                served.extend(r[0] for r in rows)
+            # THE invariant: served is always an exact store prefix.
+            assert served == list(range(len(served)))
+            assert len(served) <= len(store)
+        # Final drain: everything in the store must come out, once.
+        while True:
+            rows, nxt = reader.read(off)
+            served.extend(r[0] for r in rows)
+            if nxt == off:
+                break
+            off = nxt
+    assert served == list(range(len(store)))
+    # Replay of the full committed range reproduces the exact stream.
+    if served:
+        replay = [
+            r[0]
+            for r in reader.readBetweenOffsets({"page": 0, "row": 0}, off)
+        ]
+        assert replay == served
