@@ -311,6 +311,13 @@ SHOWCASE = {
     "unpartitioned Window over the value dictionary — the only "
     "unpartitioned window left is the kernel's bounded <=n_buckets "
     "offsets pass — and no single task proportional to the price domain",
+    "text_watermark_detect": "green-list watermark z-test (r8 rewrite) — "
+    "the per-doc green count is a higher-order aggregate over the token "
+    "array, so the grouping key is the row itself: expect ZERO shuffle "
+    "exchanges (budget ratcheted 1→0), one codegen span from scan to "
+    "projection, and the only exchange in sight the round-robin spread "
+    "of the small-file scan; at 100 TB the plan is embarrassingly "
+    "parallel",
 }
 
 
