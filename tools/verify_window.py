@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--driver-memory", default=None)
     ap.add_argument("--sorted", action="store_true",
                     help="iterate name-sorted instead of window order")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra session conf key=value (repeatable) — "
+                    "for robustness sweeps like "
+                    "spark.sql.adaptive.enabled=false or "
+                    "spark.sql.shuffle.partitions=7; results must not "
+                    "depend on session tuning")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -43,6 +49,9 @@ def main() -> None:
     b = SparkSession.builder.master(args.master)
     if args.driver_memory:
         b = b.config("spark.driver.memory", args.driver_memory)
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
