@@ -50,7 +50,10 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy = _media_table(spark, sf_dir).mapInPandas(
         _audio_energy_batches_fn(),
         schema="doc_id long, window_idx int, n_samples int, energy long",
-    )
+    ).persist()  # consumed twice (total agg + voiced-window compare) —
+    # without the persist the Arrow-batched blob decode runs twice
+    # (measured sf0.1 warm 5.6s -> 4.6s). Released by the
+    # __spark_entry__ cache lifecycle.
     tot = energy.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_win"), F.sum("energy").alias("tot")
     )
