@@ -749,6 +749,13 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _media_table(spark, sf_dir).mapInPandas(
         _phash_batches_fn(), schema="doc_id long, band_idx int, band_byte int"
     )
+    # NOT persisted, deliberately (r8 A/B): sig is consumed four times,
+    # but the decode+hash pipelines into each consumer's map side and a
+    # persist here measured 2x SLOWER (5.4s vs 2.7s warm at sf0.1) —
+    # caching blocks the planner's broadcast of the small signature
+    # relation and the cache build/scan costs more than three repeat
+    # decodes of OS-cached blobs. Contrast pipeline_media_curation,
+    # where persisting the energy relation wins.
     a = sig.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_byte"
     )
