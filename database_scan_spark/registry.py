@@ -287,15 +287,42 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "sim_hard_negatives", "sim_ivfpq", "sim_matryoshka_rerank",
     "sim_mmr_rerank", "sim_prf_rocchio", "sim_random_projection",
     "sim_rrf_fusion", "sim_sq8_error", "sim_topk_filtered",
+    # round 8 (CORRECTNESS_r08.json — 50/50 rows+schema+hash green: the
+    # user-facing LLM deliverables — all 8 pipeline_*, 10 mm_*, the 9
+    # sample_/split_, geo_ (4), the 16-spec text_ tail, stream_ head 3)
+    "pipeline_corpus_dashboard", "pipeline_model_eval",
+    "pipeline_experiment_readout", "pipeline_incremental_ingest",
+    "pipeline_rag_retrieval", "pipeline_media_curation",
+    "pipeline_pretrain_batches", "pipeline_quality_funnel",
+    "mm_audio_energy", "mm_image_rowsum", "mm_phash_pairs",
+    "mm_vad_segments", "mm_audio_fingerprint", "mm_audio_snr",
+    "mm_png_roundtrip", "mm_thumbnail_real", "mm_image_edge_density",
+    "mm_audio_clipping",
+    "sample_hash_bernoulli", "sample_stratified", "sample_reservoir",
+    "sample_balanced_class", "sample_stratified_neyman",
+    "split_train_test", "split_kfold", "split_temporal_embargo",
+    "split_group_holdout",
+    "geo_geohash_encode", "geo_knn_join", "geo_point_in_polygon",
+    "geo_radius_join",
+    "text_boilerplate_fraction", "text_bpe_apply", "text_bpe_train",
+    "text_ccnet_perplexity", "text_chunk_dedup", "text_collocations",
+    "text_gopher_rules", "text_hashing_vectorizer", "text_keyword_rake",
+    "text_ngram_novelty", "text_readability", "text_stylometry_distance",
+    "text_token_fertility", "text_watermark_detect",
+    "text_winnowing_fingerprints", "text_zipf_fit",
+    "stream_dedup", "stream_foreach_batch_sink",
+    "stream_stream_interval_join",
 })
 
 # Unverified queries sort by family; ties keep registration order.
-# Families past the window land in later rounds. Round-8 ordering
-# (VERDICT r7 item 1): the user-facing LLM deliverables lead — all 8
-# pipeline_*, all 10 mm_*, the 9 sample_/split_, geo_ (4), the 16-spec
-# text_ tail (= 47), topped up by the stream_ head (3) to fill the 50.
-# r9 takes the remaining stream_ + sink/src/storage/sql/udf surface;
-# r10 sweeps the final tail to 464/464.
+# Families past the window land in later rounds. Round-9 ordering
+# (VERDICT r8 item 1): the 50 head of the 67 never-verified specs —
+# stream_ tail (14), sink_ (9), storage_ (8), src_ (7), udf_ (6),
+# sql_ (5), udtf_rle_tokens. The 17-spec overflow (udtf_ tail,
+# filter_/proj_/param_ singletons, subquery_correlated,
+# grouped_pandas_topk, funnel/cohort/topk/catalog/set singletons)
+# is the ONLY never-verified set left afterwards, so it auto-sorts
+# into the r10 window head with no pin — r10 closes 464/464.
 _FAMILY_ORDER: tuple[str, ...] = (
     "pipeline_", "mm_", "sample_", "split_", "geo_", "text_", "stream_",
     "sink_", "storage_", "src_", "udf_", "sql_", "udtf_", "filter_",
