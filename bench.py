@@ -219,31 +219,22 @@ def main() -> None:
             except Exception:
                 pass  # the timed run will surface the real error
 
+    # Jitter guard, SYMMETRIC (VERDICT r8 item 2): after the warm pass,
+    # EVERY headliner gets two timed runs and reports the min; both raw
+    # timings land in BENCH_DETAIL.json["runs"] so a masked retry is
+    # auditable. r8's guard re-timed only would-be floor violators and
+    # kept their min — one-sided, biased the total downward, and its
+    # retime loop could KeyError on gen_baseline's sentinel violation
+    # strings (ADVICE r8). Applying the same protocol to every query
+    # removes both the bias and that loop.
     queries: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in by_name:
             continue
-        queries[name] = round(run(name), 3)
-
-    # Jitter guard: a single timed run still jitters enough to cross
-    # the 2x host-adjusted gate on sub-second or fixpoint queries
-    # (r8: four flags, all 0.79-1.13x floor on a 3-run re-measure).
-    # Re-time ONLY the would-be violators once and keep the min —
-    # a real regression stays slow twice; noise doesn't.
-    try:
-        sys.path.insert(
-            0,
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"),
-        )
-        import gen_baseline as _gb  # noqa: PLC0415
-
-        sf_probe = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-        if sf_probe.replace(".", "").isdigit() and float(sf_probe) == _gb.FLOOR_SF:
-            _doc, _ = _gb.load()
-            for name in _gb.evaluate(_doc, queries)["violations"]:
-                queries[name] = round(min(queries[name], run(name)), 3)
-    except Exception:
-        pass  # the gate below still runs on the single-run numbers
+        t1, t2 = run(name), run(name)
+        raw_runs[name] = [round(t1, 3), round(t2, 3)]
+        queries[name] = round(min(t1, t2), 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -255,6 +246,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "runs": raw_runs,
         "sf": sf_val,
     }
     # Mechanical floor gate (VERDICT r5 item 7): tools/floors.json is

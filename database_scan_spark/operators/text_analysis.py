@@ -2294,20 +2294,34 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-overhead shuffle (r7 bench: 1.4-1.6s warm vs 0.77s floor;
     this shape is ~0.5s and shuffle-free, which is also the right
     plan at 100 TB: zero exchanges, scales embarrassingly)."""
-    from ._helpers import spread  # noqa: PLC0415
+    from ._helpers import h32, spread  # noqa: PLC0415
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 2
     )
+    # Green test = h32(bigram) parity — built from _helpers.h32, the
+    # single source of truth for cross-engine hashes (ADVICE r8: the
+    # previous inline conv(...) copy relied on implicit string→double
+    # coercion and could drift if h32 ever changed).
+    green = lambda i: (  # noqa: E731
+        h32(
+            F.concat(
+                F.element_at(F.col("t"), i),
+                F.lit("→"),
+                F.element_at(F.col("t"), i + F.lit(1)),
+            )
+        )
+        % 2
+        == 0
+    )
     per_doc = toks.select(
         "doc_id",
         (F.size("t") - 1).cast("bigint").alias("m"),
-        F.expr(
-            "aggregate(sequence(1, size(t) - 1), 0L, (acc, i) -> acc +"
-            " CASE WHEN conv(substring(md5(concat("
-            "element_at(t, i), '→', element_at(t, i + 1))), 1, 8),"
-            " 16, 10) % 2 = 0 THEN 1 ELSE 0 END)"
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc + F.when(green(i), 1).otherwise(0),
         ).cast("bigint").alias("g"),
     )
     excess = F.col("g") * 2 - F.col("m")

@@ -213,10 +213,13 @@ def make_page_stream_source():
             atomically BEFORE the new offset escapes (exactly-once
             hinges on that order). ``have`` rows were already served
             downstream, so the fetched page must still start with the
-            spooled prefix — an API that mutates or shrinks served
+            SERVED prefix — an API that mutates or shrinks served
             rows raises rather than silently diverging from what the
-            stream already emitted (loud-or-exact). Pacing:
-            token-bucket sleep (x2.2.py:296-299)."""
+            stream already emitted (loud-or-exact). Spooled rows past
+            ``have`` were never emitted, so they carry no such
+            guarantee: they are refreshed from the live response on
+            every re-poll. Pacing: token-bucket sleep
+            (x2.2.py:296-299)."""
             import time  # noqa: PLC0415
             import urllib.request  # noqa: PLC0415
 
@@ -263,15 +266,21 @@ def make_page_stream_source():
                         f"page {i} row {k}: API mutated an already-"
                         "served row (immutable-prefix contract)"
                     )
-            if len(rows) <= len(spooled):
-                return spooled  # nothing new; keep the served truth
+            # Served rows are frozen (verified above); spooled-but-not-
+            # yet-served rows (the crash window between spool write and
+            # offset escape) are NOT — refresh them from the live
+            # response so the spool never re-serves rows the API
+            # legitimately changed before the re-poll (ADVICE r8).
+            merged = spooled[:guard] + rows[guard:]
+            if merged == spooled:
+                return spooled  # nothing new; spool already exact
             os.makedirs(os.path.dirname(spool), exist_ok=True)
             tmp = spool + ".tmp"
             with open(tmp, "w") as fh:
-                for rec in spooled + rows[len(spooled):]:
+                for rec in merged:
                     fh.write(json.dumps(rec) + "\n")
             os.replace(tmp, spool)  # atomic: spool is all-or-nothing
-            return spooled + rows[len(spooled):]
+            return merged
 
         def _tuples(self, recs) -> list[tuple]:
             return [

@@ -561,6 +561,38 @@ def test_stream_live_mutated_served_rows_fail_loud(tmp_path):
         server.server_close()
 
 
+def test_stream_live_unserved_spooled_rows_refresh(tmp_path):
+    """ADVICE r8 (low): rows spooled but never SERVED (the crash
+    window between spool write and offset escape) carry no
+    immutability guarantee — a re-poll must serve the API's CURRENT
+    values for them, not re-serve the stale spool. Only the served
+    prefix is frozen (and loud-or-exact, per the test above)."""
+    store = [{"entity_id": i} for i in range(3)]
+    server, endpoint = _mutable_server(store)
+    try:
+        reader_a = _live_reader(endpoint, tmp_path)
+        _, off = reader_a.read(reader_a.initialOffset())
+        assert off == {"page": 0, "row": 3}
+
+        # API grows; reader A spools rows 3..4 but its new offset
+        # never escapes (crash window) — downstream only committed 3.
+        store.extend({"entity_id": i} for i in range(3, 5))
+        reader_a.read(off)
+
+        # API legitimately changes an UNSERVED row before the re-poll.
+        store[3] = {"entity_id": 999}
+
+        reader_b = _live_reader(endpoint, tmp_path)  # process restart
+        rows, nxt = reader_b.read(off)
+        assert [r[0] for r in rows] == [999, 4], (
+            "unserved spooled rows must refresh from the live API"
+        )
+        assert nxt == {"page": 0, "row": 5}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_stream_live_restart_resumes_row_granular_cursor(tmp_path):
     """Driver-restart drill for the row-granular cursor: a FRESH
     reader (new process semantics — no in-memory state survives) must
