@@ -691,8 +691,12 @@ def _phash_batches_fn():
     (⌊r·h/8⌋, ⌊c·w/8⌋), threshold each against the integer mean
     (64·v > Σv — exact, no float), and pack each grid ROW into one
     band byte. Output is the banded signature relation
-    (doc_id, band_idx, band_byte) — integers only. Codec captured by
-    value; numpy worker-side."""
+    (doc_id, band_idx, band_byte, hash64) — integers only, where
+    hash64 is the full 64-bit aHash (band r at bits 8r..8r+7,
+    wrapped to signed int64) repeated on every band row so the
+    candidate join can compute exact Hamming in-stage without
+    re-joining the signature. Codec captured by value; numpy
+    worker-side."""
     enc, _ = _media_codec_fns()
 
     def run(batches):
@@ -700,7 +704,9 @@ def _phash_batches_fn():
         import pandas as _pd  # noqa: PLC0415
 
         for pdf in batches:
-            out = {"doc_id": [], "band_idx": [], "band_byte": []}
+            out = {
+                "doc_id": [], "band_idx": [], "band_byte": [], "hash64": []
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 did = int(doc_id)
                 if did % 2 == 1:
@@ -718,13 +724,20 @@ def _phash_batches_fn():
                     for r in range(8)
                 ]
                 tot = sum(sum(row) for row in vals)
-                for r in range(8):
-                    byte = sum(
-                        (1 << c) for c in range(8) if 64 * vals[r][c] > tot
-                    )
+                bands = [
+                    sum((1 << c) for c in range(8) if 64 * vals[r][c] > tot)
+                    for r in range(8)
+                ]
+                full = 0
+                for r, byte in enumerate(bands):
+                    full |= byte << (8 * r)
+                if full >= 1 << 63:  # wrap to signed int64 (band 7 bit 7)
+                    full -= 1 << 64
+                for r, byte in enumerate(bands):
                     out["doc_id"].append(did)
                     out["band_idx"].append(r)
                     out["band_byte"].append(byte)
+                    out["hash64"].append(full)
             yield _pd.DataFrame(out)
 
     return run
@@ -742,52 +755,54 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from the banded signature (8 bands of 8 bits):
     a pair within distance 7 MUST agree on ≥1 whole band
     (pigeonhole), so the equi-join on (band_idx, band_byte) has
-    exact recall — never an all-pairs compare. Exact Hamming then
-    runs on candidates only, via the two signature joins. Scale: the
-    decode is a narrow Arrow map; bands shuffle once; candidate
-    volume is governed by band width exactly as in SimHash LSH."""
+    exact recall — never an all-pairs compare. Each band row carries
+    the FULL 64-bit hash, so exact Hamming is one bit_count(xor)
+    computed IN the candidate join's stage and filtered before
+    anything shuffles — the only wide exchange downstream of the
+    join is the pair-dedup over rows that already passed the
+    distance test (true near-dups, a tiny set). The r8 shape
+    re-joined the signature twice and deduped ALL candidates first;
+    at a 10x fixture the 8-bit band buckets saturate (256 values),
+    candidates grow ~n²/64, and those two wide shuffles dominated —
+    measured 80s vs ~8s for this shape (SCALE.md round 9). Bucket
+    saturation itself is intrinsic to a 64-bit hash at T=7; the
+    100 TB path is a wider perceptual hash (e.g. 256-bit DCT pHash,
+    32-bit bands), which this plan shape carries unchanged."""
     sig = _media_table(spark, sf_dir).mapInPandas(
-        _phash_batches_fn(), schema="doc_id long, band_idx int, band_byte int"
+        _phash_batches_fn(),
+        schema="doc_id long, band_idx int, band_byte int, hash64 long",
     )
-    # NOT persisted, deliberately (r8 A/B): sig is consumed four times,
-    # but the decode+hash pipelines into each consumer's map side and a
-    # persist here measured 2x SLOWER (5.4s vs 2.7s warm at sf0.1) —
-    # caching blocks the planner's broadcast of the small signature
-    # relation and the cache build/scan costs more than three repeat
-    # decodes of OS-cached blobs. Contrast pipeline_media_curation,
+    # NOT persisted, deliberately (r8 A/B): sig is consumed twice
+    # (self-join sides), but the decode+hash pipelines into each
+    # consumer's map side and a persist here measured 2x SLOWER
+    # (caching blocks the planner's broadcast of the small signature
+    # relation and the cache build/scan costs more than a repeat
+    # decode of OS-cached blobs). Contrast pipeline_media_curation,
     # where persisting the energy relation wins.
     a = sig.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_byte"
+        F.col("doc_id").alias("doc_a"),
+        "band_idx",
+        "band_byte",
+        F.col("hash64").alias("ha"),
     )
     b = sig.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_byte"
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_byte"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("band_idx").alias("i"),
-        F.col("band_byte").alias("ba"),
-    )
-    sb = sig.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("band_idx").alias("i"),
-        F.col("band_byte").alias("bb"),
+        "band_idx",
+        "band_byte",
+        F.col("hash64").alias("hb"),
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))))
+        a.join(b, ["band_idx", "band_byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
             .cast("int")
-            .alias("hamming")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= _PH_HAM_T)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

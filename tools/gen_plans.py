@@ -180,8 +180,11 @@ SHOWCASE = {
     "mm_phash_pairs": "perceptual-hash image near-dup — expect the BMP "
     "decode+aHash as ONE ArrowEvalPython/MapInPandas over the scan "
     "(blobs never shuffle), candidates from the (band_idx, band_byte) "
-    "equi self-join, and exact Hamming via two keyed signature joins "
-    "on candidates only; no CartesianProduct",
+    "equi self-join with the full 64-bit hash carried on each band "
+    "row, exact Hamming as bit_count(xor) computed and filtered IN "
+    "the join's stage (nothing shuffles at candidate volume), and the "
+    "pair-dedup exchange fed only by rows already inside the distance "
+    "threshold; no CartesianProduct",
     "win_cusum": "CUSUM monitor — expect the day rollup as ONE exchange "
     "with map-side combine, per-priority stats as broadcast joins, and "
     "ALL cumulative windows sharing one hashpartitioning(priority) "
