@@ -137,6 +137,11 @@ _load_all()
 # Pin slot (used in r3 to force never-windowed SURVEY-§2 ops to the front;
 # r7 pinned stream_stateful_user_totals, now hash-green in r07). r8 needs
 # no pin: the window is pure family rotation over never-verified specs.
+# r9 stages the first 50 of the 67 never-verified (stream_ tail, sink_,
+# storage_, src_, udf_, sql_, udtf_rle_tokens); the 17 overflow singletons
+# need NO r10 pin: once r9 greens fold into _DRIVER_VERIFIED they are the
+# ONLY never-verified specs left, and the `s.name in _DRIVER_VERIFIED`
+# sort key already guarantees never-verified specs lead the window.
 _PINNED_WINDOW: tuple[str, ...] = ()
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
