@@ -1464,3 +1464,95 @@ SPECS.append(
         tags=("window", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# win_running_sum_sharded — hot-partition-safe distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+def win_running_sum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user WITHOUT an indivisible per-user window
+    partition — the mitigation SCALE.md's round-9 skew rehearsal
+    measures the need for (a window partitioned by a hot key puts that
+    key's entire timeline in ONE task; `win_lag_lead`/`win_ewma` were
+    the only skew ratios above 1).
+
+    Classic two-pass distributed prefix sum, expressed with built-in
+    ops only:
+
+    1. chunk each user's timeline by calendar day (`date_trunc` — any
+       granularity that respects the ts order works; pick it so one
+       chunk fits a task),
+    2. per-(user, chunk) totals via partial aggregation (the hot user
+       now splits across chunks, and combiners collapse it map-side),
+    3. cumulative chunk offsets on the (user, chunk) TOTALS relation —
+       a window over a dimension-sized input (users x days),
+    4. within-chunk running sums — bounded window partitions — plus a
+       broadcast join of the offsets back in.
+
+    Exactly the plain `win_running_sum` semantics (same total order:
+    ties share a ts, hence a day, hence a chunk), but the largest
+    window partition is one user-DAY regardless of how hot a user is.
+    DECIMAL throughout; double only at the output boundary."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        money("value").alias("v"),
+        F.date_trunc("day", F.col("ts")).alias("chunk"),
+    )
+    chunk_totals = ev.groupBy("user_id", "chunk").agg(
+        F.sum("v").alias("chunk_total")
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_totals.select(
+        "user_id",
+        "chunk",
+        F.coalesce(
+            F.sum("chunk_total").over(w_off),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("chunk_offset"),
+    )
+    w_in = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("run_in_chunk", F.sum("v").over(w_in))
+        .join(F.broadcast(offsets), ["user_id", "chunk"])
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("chunk_offset") + F.col("run_in_chunk"))
+            .cast("double")
+            .alias("running_value"),
+        )
+    )
+
+
+WIN_RUNNING_SUM_SHARDED_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+FROM events
+"""
+
+SPECS.append(
+    QuerySpec(
+        "win_running_sum_sharded",
+        win_running_sum_sharded,
+        WIN_RUNNING_SUM_SHARDED_ORACLE,
+        doc="two-pass distributed prefix sum: chunked partial totals + "
+        "cumulative offsets + bounded within-chunk windows — the "
+        "hot-key-safe rewrite of a per-user running sum",
+        tags=("window", "scale"),
+    )
+)
