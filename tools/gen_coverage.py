@@ -288,6 +288,9 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "win_count_distinct",
             "win_streak",
         ],
+        "(engine addition: hot-key-safe two-pass prefix sum)": [
+            "win_running_sum_sharded"
+        ],
     },
     "§2.9 Scalar functions": {
         "fn_str_replace": ["fn_str_replace"],
