@@ -1054,7 +1054,13 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.sum(F.col("w").isin(STOPWORDS).cast("int")).over(wseg).alias("phrase_id"),
     ).filter(~F.col("w").isin(STOPWORDS))
-    occ = seg.select("doc_id", "phrase_id", "pos", "w")
+    # consumed THREE times below (plen, corpus word stats, phrase
+    # assembly), and each consumer otherwise re-runs the explode +
+    # per-doc segmentation window — the plan's expensive subtree
+    # (measured: 3 identical Exchange+Window chains, one per scan).
+    # One tracked persist computes it once; released by the
+    # __spark_entry__ cache lifecycle.
+    occ = seg.select("doc_id", "phrase_id", "pos", "w").persist()
     plen = occ.groupBy("doc_id", "phrase_id").agg(F.count(F.lit(1)).alias("plen"))
     wstat = (
         occ.join(plen, ["doc_id", "phrase_id"])
