@@ -177,12 +177,21 @@ EXTRA_CONFS: dict[str, dict[str, str]] = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from database_scan_spark.registry import SPECS
     from database_scan_spark.session import get_spark
 
     spark = get_spark("database-scan-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    by_name = {s.name: s for s in SPECS}
+    # Time queries through the DRIVER CONTRACT (__spark_entry__), not
+    # the raw registry fns: the contract's _released wrapper drops the
+    # previous query's persisted intermediates on entry, bounding the
+    # session to one query's caches. Raw fns leaked every persisting
+    # headliner's caches (x3 runs each) into all later timings — the
+    # tail of the list then timed GC pressure, not plans (r9: 5
+    # late-list floor flags on an otherwise idle, FAST host, all after
+    # the persisting queries; gone under the contract).
+    import __spark_entry__ as _entry
+
+    by_name = _entry.queries()
 
     def run(name: str) -> float:
         extra = EXTRA_CONFS.get(name, {})
@@ -191,7 +200,7 @@ def main() -> None:
             spark.conf.set(k, v)
         try:
             t0 = time.perf_counter()
-            df = by_name[name].fn(spark, sf_dir)
+            df = by_name[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
         finally:

@@ -55,16 +55,22 @@ def main() -> None:
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
-    from database_scan_spark.registry import get
     from database_scan_spark.session import get_spark
 
     spark = get_spark("database-scan-spark-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
+    # Through the driver contract, same as bench.py: the _released
+    # wrapper bounds the session to one query's persisted caches, so
+    # later queries time their plans rather than earlier queries' GC
+    # pressure.
+    import __spark_entry__ as _entry
+
+    qfns = _entry.queries()
 
     def timed(name: str, sf_dir: str) -> float:
         def one() -> float:
             t0 = time.perf_counter()
-            get(name).fn(spark, sf_dir).write.format("noop").mode(
+            qfns[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             return time.perf_counter() - t0

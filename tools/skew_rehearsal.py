@@ -61,11 +61,16 @@ def main() -> None:
 
     spark = get_spark("database-scan-spark-skew-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
+    # Through the driver contract, same as bench.py: the _released
+    # wrapper bounds the session to one query's persisted caches.
+    import __spark_entry__ as _entry
+
+    qfns = _entry.queries()
 
     def timed(name: str, sf_dir: str) -> float:
         def one() -> float:
             t0 = time.perf_counter()
-            get(name).fn(spark, sf_dir).write.format("noop").mode(
+            qfns[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             return time.perf_counter() - t0
