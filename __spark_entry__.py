@@ -159,6 +159,31 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     return run
 
 
+def drain() -> None:
+    """Release the previous query's engine-persisted caches NOW.
+
+    The ``_released`` wrapper drains automatically on the next query's
+    entry, which is correct for the sequential driver — but a caller
+    that TIMES queries (bench.py) would then charge the previous
+    query's unpersist cost to the next query's clock (ADVICE r9).
+    Calling this between queries, outside the timed region, makes the
+    wrapper's own drain loop a no-op. Safe when idle; loud if a build
+    is mid-flight (same strictly-sequential contract as the wrapper).
+    """
+    with _BUILD_LOCK:
+        if _BUILD_OWNER is not None:
+            raise RuntimeError(
+                "drain() called while a query build is in flight on "
+                f"thread {_BUILD_OWNER}"
+            )
+    while _ENGINE_PERSISTS:
+        df = _ENGINE_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session gone / already unpersisted
+            pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     north-star extension ops). Keys are SURVEY §2 Op ids."""

@@ -199,6 +199,10 @@ def main() -> None:
         for k, v in extra.items():
             spark.conf.set(k, v)
         try:
+            # Drain the PREVIOUS query's persisted caches outside the
+            # timed region (ADVICE r9: the wrapper's on-entry drain
+            # otherwise lands inside the next query's clock).
+            _entry.drain()
             t0 = time.perf_counter()
             df = by_name[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

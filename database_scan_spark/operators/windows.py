@@ -1494,6 +1494,11 @@ def win_running_sum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactly the plain `win_running_sum` semantics (same total order:
     ties share a ts, hence a day, hence a chunk), but the largest
     window partition is one user-DAY regardless of how hot a user is.
+    NULL-exact too: SQL's running SUM is NULL only while the frame has
+    seen zero non-NULL values, so the recombination tracks a running
+    non-null COUNT alongside the sums (a NULL-valued prefix inside a
+    chunk must not erase prior chunks' totals, and a leading all-NULL
+    span must stay NULL rather than become 0).
     DECIMAL throughout; double only at the output boundary."""
     ev = load(spark, sf_dir, "events").select(
         "user_id",
@@ -1503,7 +1508,8 @@ def win_running_sum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("chunk"),
     )
     chunk_totals = ev.groupBy("user_id", "chunk").agg(
-        F.sum("v").alias("chunk_total")
+        F.sum("v").alias("chunk_total"),
+        F.count("v").alias("chunk_nn"),
     )
     w_off = (
         Window.partitionBy("user_id")
@@ -1517,6 +1523,9 @@ def win_running_sum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_total").over(w_off),
             F.lit(0).cast("decimal(18,2)"),
         ).alias("chunk_offset"),
+        F.coalesce(F.sum("chunk_nn").over(w_off), F.lit(0)).alias(
+            "nn_offset"
+        ),
     )
     w_in = (
         Window.partitionBy("user_id", "chunk")
@@ -1525,12 +1534,24 @@ def win_running_sum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.withColumn("run_in_chunk", F.sum("v").over(w_in))
+        .withColumn("nn_in_chunk", F.count("v").over(w_in))
         .join(F.broadcast(offsets), ["user_id", "chunk"])
         .select(
             "user_id",
             "event_id",
-            (F.col("chunk_offset") + F.col("run_in_chunk"))
-            .cast("double")
+            F.when(
+                F.col("nn_offset") + F.col("nn_in_chunk") == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                (
+                    F.col("chunk_offset")
+                    + F.coalesce(
+                        F.col("run_in_chunk"),
+                        F.lit(0).cast("decimal(18,2)"),
+                    )
+                ).cast("double")
+            )
             .alias("running_value"),
         )
     )

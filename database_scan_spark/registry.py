@@ -323,11 +323,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 # Families past the window land in later rounds. Round-9 ordering
 # (VERDICT r8 item 1): the 50 head of the 67 never-verified specs —
 # stream_ tail (14), sink_ (9), storage_ (8), src_ (7), udf_ (6),
-# sql_ (5), udtf_rle_tokens. The 17-spec overflow (udtf_ tail,
+# sql_ (5), udtf_rle_tokens. The 18-spec overflow (udtf_ tail,
 # filter_/proj_/param_ singletons, subquery_correlated,
-# grouped_pandas_topk, funnel/cohort/topk/catalog/set singletons)
+# grouped_pandas_topk, funnel/cohort/topk/catalog/set singletons,
+# plus win_running_sum_sharded which registered after the r9 cut)
 # is the ONLY never-verified set left afterwards, so it auto-sorts
-# into the r10 window head with no pin — r10 closes 464/464.
+# into the r10 window head with no pin — r10 closes the registry
+# (465 specs at the r9 cut; later-registered specs join the same
+# never-verified-first rotation automatically).
 _FAMILY_ORDER: tuple[str, ...] = (
     "pipeline_", "mm_", "sample_", "split_", "geo_", "text_", "stream_",
     "sink_", "storage_", "src_", "udf_", "sql_", "udtf_", "filter_",

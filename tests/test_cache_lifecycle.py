@@ -288,3 +288,20 @@ def test_no_plan_builder_spawns_threads():
         "threads are untracked by the __spark_entry__ intercept "
         f"(see _released docstring): {offenders}"
     )
+
+
+def test_drain_releases_between_queries(spark):
+    """bench.py's out-of-band drain (ADVICE r9): calling
+    ``__spark_entry__.drain()`` between queries releases the previous
+    query's engine persists immediately, so the next query's timed
+    region starts with nothing to drain."""
+    qs = entry_mod.queries()
+    spark.catalog.clearCache()
+    qs[_PERSISTING](spark, SF).count()
+    assert _cached_relations(spark) > 0
+    entry_mod.drain()
+    assert _cached_relations(spark) == 0, "drain() left engine caches resident"
+    # idempotent when idle
+    entry_mod.drain()
+    assert qs[_NEXT](spark, SF).count() > 0
+    spark.catalog.clearCache()

@@ -97,7 +97,8 @@ def test_hot_key_dominates_and_preexists(fixture_dir):
         assert 0.38 <= frac <= 0.60, f"{t}: hot share {frac}"
         exists = con.execute(
             f"""SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')
-                WHERE {col} = {hot}"""
+                WHERE {col} = ?""",
+            [hot],
         ).fetchone()[0]
         assert exists > 0, f"{t}: hot key {hot} not in the source domain"
 

@@ -47,6 +47,22 @@ def test_window_clauses_untouched():
     assert out.count("AS MATERIALIZED (") == 1
 
 
+def test_multiline_window_clause_second_definition_untouched():
+    # ADVICE r9: a continuation window definition starts its own line
+    # and must NOT be rewritten (that would be a syntax error).
+    sql = (
+        "WITH c AS (\n  SELECT 1 AS x\n)\n"
+        "SELECT RANK() OVER w1, SUM(x) OVER w2 FROM c\n"
+        "WINDOW w1 AS (PARTITION BY x ORDER BY x),\n"
+        "       w2 AS (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),\n"
+        "       w3 AS (w1)"
+    )
+    out = materialize_ctes(sql)
+    assert "w2 AS (ORDER BY x" in out
+    assert "w3 AS (w1)" in out
+    assert out.count("AS MATERIALIZED (") == 1
+
+
 def test_inline_subqueries_untouched():
     # a parenthesized subquery on its own is not a CTE definition
     sql = "SELECT * FROM (\n  SELECT 1\n) t"

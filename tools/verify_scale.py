@@ -46,7 +46,16 @@ QUERIES = [
     "pipeline_corpus_prep",
 ]
 
-_CTE_DEF = re.compile(r"(?m)^(\s*)(WITH\s+|WITH\s+RECURSIVE\s+)?(\w+) AS \(")
+# A CTE definition starts its line; a continuation window definition in
+# a multi-line WINDOW clause can too (`WINDOW w1 AS (...),\n w2 AS (...)`),
+# so the body lookahead excludes anything that opens like a window spec
+# (PARTITION BY / ORDER BY / frame keywords / empty / a bare window name
+# followed by `)`) — rewriting one would be a DuckDB syntax error
+# (ADVICE r9).
+_CTE_DEF = re.compile(
+    r"(?m)^(\s*)(WITH\s+|WITH\s+RECURSIVE\s+)?(\w+) AS \("
+    r"(?!\s*(?:PARTITION\s+BY|ORDER\s+BY|ROWS\s|RANGE\s|GROUPS\s|\)|\w+\s*\)))"
+)
 
 
 def materialize_ctes(sql: str) -> str:
