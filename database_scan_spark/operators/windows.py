@@ -1577,3 +1577,156 @@ SPECS.append(
         tags=("window", "scale"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Sharded navigation windows (VERDICT r9 item 4). The r9 hot-key skew
+# rehearsal measured `win_lag_lead` 1.16x and `win_ewma` 1.12x on the
+# 40%-hot fixture — a window partitioned by a hot user is indivisible,
+# so that user's whole timeline lands in ONE task. The running-sum fix
+# (chunk + offset recombination) does not generalize to nav functions
+# directly: lag(k) can cross an arbitrary number of chunk boundaries
+# when chunks are short. The general hot-safe shape used here is a
+# GLOBAL DENSE INDEX built from bounded windows (within-chunk
+# row_number + broadcast cumulative chunk offsets — the same two-pass
+# trick as win_running_sum_sharded), after which every navigation
+# lookup is an EQUI-JOIN on (user_id, index ± k): hash-partitioned on
+# the composite key, so a hot user's rows spread across tasks like any
+# other join. Exact for any chunk population, including chunks shorter
+# than the lag depth.
+# ---------------------------------------------------------------------------
+
+
+def _indexed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + a per-user dense timeline index `g` (1-based, ordered
+    by ts, event_id) built WITHOUT a whole-user window partition:
+    within-chunk row_number (bounded: one user-day) plus broadcast
+    cumulative chunk offsets (dimension-sized: users x days)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("chunk"),
+    )
+    w_in = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(w_in))
+    counts = ev.groupBy("user_id", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "user_id",
+        "chunk",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+    )
+    return (
+        ev.join(F.broadcast(offs), ["user_id", "chunk"])
+        .withColumn("g", F.col("off") + F.col("rn"))
+        .drop("chunk", "rn", "off")
+    )
+
+
+def win_lag_lead_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe lag/lead: same result relation as `win_lag_lead`
+    (which windows over whole user timelines), but neighbor lookup is
+    two equi-joins on the dense index — no per-user window partition
+    anywhere, so a 40%-hot user costs the same as a cold one."""
+    idx = _indexed_events(spark, sf_dir)
+    vals = idx.select("user_id", "g", F.col("value").alias("v"))
+    prev = vals.select(
+        "user_id", (F.col("g") + 1).alias("g"), F.col("v").alias("prev_value")
+    )
+    nxt = vals.select(
+        "user_id", (F.col("g") - 1).alias("g"), F.col("v").alias("next_value")
+    )
+    return (
+        idx.join(prev, ["user_id", "g"], "left")
+        .join(nxt, ["user_id", "g"], "left")
+        .select("user_id", "event_id", "value", "prev_value", "next_value")
+    )
+
+
+def win_ewma_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe EWMA (alpha=1/2, 8 terms — `win_ewma`'s exact
+    semantics): explode each row into its 8 source offsets, equi-join
+    the dense index once to fetch the lagged values, and refold with an
+    ORDERED left-to-right `aggregate` over the j-sorted terms so the
+    double additions replay the plain expression's association order
+    bit for bit (weights are powers of two; each product is exact, so
+    only addition order could diverge)."""
+    from .llm_prep import EWMA_TERMS  # noqa: PLC0415 - avoid import cycle risk
+
+    idx = _indexed_events(spark, sf_dir)
+    pairs = idx.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_TERMS - 1))).alias("j"),
+    ).withColumn("src_g", F.col("g") - F.col("j"))
+    src = idx.select(
+        "user_id", F.col("g").alias("src_g"), F.col("value").alias("src_v")
+    )
+    terms = pairs.join(src, ["user_id", "src_g"], "left")
+    arr = F.array_sort(F.collect_list(F.struct("j", "src_v")))
+    num = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.coalesce(x["src_v"], F.lit(0.0)) * F.pow(F.lit(2.0), -x["j"]),
+    )
+    den = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(x["src_v"].isNotNull(), F.pow(F.lit(2.0), -x["j"])).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return (
+        terms.groupBy("user_id", "event_id", "ts", "value")
+        .agg(num.alias("_num"), den.alias("_den"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            (F.col("_num") / F.col("_den")).alias("ewma"),
+        )
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "win_lag_lead_sharded",
+        win_lag_lead_sharded,
+        WIN_LAG_LEAD_ORACLE,
+        doc="hot-key-safe lag/lead: dense timeline index from bounded "
+        "windows, neighbors fetched by equi-join — no whole-user "
+        "window partition",
+        tags=("window", "scale"),
+    )
+)
+
+
+def _win_ewma_sharded_oracle() -> str:
+    from .llm_prep import _ewma_oracle  # noqa: PLC0415
+
+    return _ewma_oracle()
+
+
+SPECS.append(
+    QuerySpec(
+        "win_ewma_sharded",
+        win_ewma_sharded,
+        _win_ewma_sharded_oracle(),
+        doc="hot-key-safe 8-term EWMA: indexed equi-join fan-out + "
+        "ordered refold replaying the plain expression's addition "
+        "order exactly",
+        tags=("window", "scale"),
+    )
+)

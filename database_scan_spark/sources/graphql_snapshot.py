@@ -133,6 +133,21 @@ def make_datasource():
                         "rate_per_sec must be > 0 (use a large value like "
                         "1e9 for effectively-unthrottled, not 0)"
                     )
+                # A non-positive cap or page size would end the crawl
+                # after ZERO rows without tripping the non-exhausted-
+                # cursor guard (the loop body never runs), i.e. the one
+                # configuration where truncation would be silent — so
+                # it is a config error, not an empty relation.
+                if self.max_pages < 1:
+                    raise ValueError(
+                        f"max_pages must be >= 1, got {self.max_pages}: a "
+                        "zero-page live crawl is indistinguishable from an "
+                        "empty API and would silently under-read"
+                    )
+                if self.page_size < 1:
+                    raise ValueError(
+                        f"page_size must be >= 1, got {self.page_size}"
+                    )
             elif not self.path:
                 raise ValueError("graphql_snapshot requires option 'path'")
 

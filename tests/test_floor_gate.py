@@ -108,3 +108,80 @@ def test_load_rejects_non_anchor_sf(tmp_path, monkeypatch):
     p.write_text(json.dumps(detail))
     _, measured2 = gen_baseline.load()
     assert measured2 == {"graph_kcore": 1.0}
+
+
+def test_10x_gate_normalizes_by_same_run_host_speed():
+    """scale_rehearsal.evaluate_10x (VERDICT r9 item 5): the 10x floor
+    gate flags a genuine scale cliff but absorbs uniform host slowness
+    via the same-run sf0.1 canary median."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from scale_rehearsal import evaluate_10x
+
+    floors_doc = {
+        "gate_10x": {"max_host_adjusted_ratio": 2.0},
+        "floors": {
+            "a": {"floor": 1.0, "resets": []},
+            "b": {"floor": 2.0, "resets": []},
+            "c": {"floor": 1.0, "resets": []},
+        },
+        "floors_10x": {
+            "a": {"floor": 2.0, "resets": []},
+            "b": {"floor": 4.0, "resets": []},
+            "c": {"floor": 2.0, "resets": []},
+        },
+    }
+    # Host runs 1.5x slow uniformly (t_small = 1.5x floor); "a" and "b"
+    # scale like their floors (t_big = 1.5x floor_10x → adjusted 1.0),
+    # "c" hits a 5x cliff at 10x only.
+    rows = [
+        {"query": "a", "t_small": 1.5, "t_big": 3.0},
+        {"query": "b", "t_small": 3.0, "t_big": 6.0},
+        {"query": "c", "t_small": 1.5, "t_big": 15.0},
+        {"query": "new_query", "t_small": 1.0, "t_big": 1.0},
+    ]
+    ev = evaluate_10x(floors_doc, rows)
+    assert ev["host_speed"] == 1.5
+    assert ev["violations"] == ["c"]
+    # sub-second jitter is absorbed by the absolute-excess guard: 3x
+    # ratio but only 0.55s over the adjusted floor -> not a violation
+    floors_doc["floors_10x"]["d"] = {"floor": 0.2, "resets": []}
+    jitter = rows + [{"query": "d", "t_small": 0.3, "t_big": 0.85}]
+    assert evaluate_10x(floors_doc, jitter)["violations"] == ["c"]
+    assert ev["unfloored"] == ["new_query"]
+    by = {r["query"]: r for r in ev["rows"]}
+    assert by["a"]["verdict"] == "ok" and by["a"]["host_adjusted"] == 1.0
+    assert by["c"]["verdict"] == "REGRESSION"
+
+    # No sf0.1 floor among rehearsed queries → loud, not silently green.
+    ev2 = evaluate_10x(
+        {"floors": {}, "floors_10x": {}, "gate_10x": {"max_host_adjusted_ratio": 2.0}},
+        [{"query": "x", "t_small": 1.0, "t_big": 1.0}],
+    )
+    assert any("NO_SF01_FLOOR" in v for v in ev2["violations"])
+
+
+def test_10x_floor_table_covers_every_rehearsed_query():
+    """Every query that has appeared in a rehearsal JSON must have a
+    10x floor — otherwise the gate silently skips it (the exact gap
+    the r9 mm_phash_pairs cliff hid in)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "tools", "floors.json")) as fh:
+        tenx = json.load(fh).get("floors_10x", {})
+    rehearsed = set()
+    for p in glob.glob(os.path.join(repo, "tools", "scale_rehearsal_r*.json")):
+        rehearsed |= {r["query"] for r in json.load(open(p))}
+    missing = sorted(rehearsed - set(tenx))
+    assert not missing, f"rehearsed queries without a 10x floor: {missing}"

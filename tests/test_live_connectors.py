@@ -674,3 +674,30 @@ def test_live_rejects_nonpositive_rate(spark):
     )
     with pytest.raises(Exception, match="rate_per_sec"):
         df.collect()
+
+
+def test_live_rejects_nonpositive_page_caps(spark):
+    """max_pages=0 (or page_size=0) would end the crawl after zero
+    rows WITHOUT tripping the non-exhausted-cursor guard — the one
+    silent-truncation configuration left (VERDICT r9 item 7). Both
+    are config errors now."""
+    from database_scan_spark.sources.graphql_snapshot import make_datasource
+
+    try:
+        spark.dataSource.register(make_datasource())
+    except Exception as exc:
+        if "exists" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    for opt, val, pat in (
+        ("max_pages", "0", "max_pages"),
+        ("page_size", "0", "page_size"),
+    ):
+        df = (
+            spark.read.format("graphql_snapshot")
+            .option("mode", "live")
+            .option("endpoint", "http://127.0.0.1:1/x")
+            .option(opt, val)
+            .load()
+        )
+        with pytest.raises(Exception, match=pat):
+            df.collect()

@@ -44,6 +44,71 @@ HEAVIES = [
 ]
 
 
+def evaluate_10x(floors_doc: dict, rows: list[dict]) -> dict:
+    """10x floor gate (VERDICT r9 item 5): compare each rehearsed
+    query's t_big against ``floors_10x``, normalized by the SAME-RUN
+    host speed — the median of t_small / sf0.1-floor over rehearsed
+    queries that have an sf0.1 floor (every rehearsal times both
+    scales in one session, so the small-scale timings double as
+    canaries; no separate canary sweep needed). A missing 10x floor
+    is reported (``unfloored``) so new rehearsal queries get floors
+    instead of silently bypassing the gate."""
+    from statistics import median  # noqa: PLC0415
+
+    gate = floors_doc.get("gate_10x", {}).get("max_host_adjusted_ratio", 2.0)
+    # A ratio gate alone mis-fires on sub-second floors: one scheduler
+    # hiccup is a 2-3x ratio on a 0.5s query but means nothing for the
+    # 100 TB posture. A violation therefore needs BOTH the ratio AND a
+    # material absolute excess over the host-adjusted floor.
+    min_excess = floors_doc.get("gate_10x", {}).get("min_abs_excess_s", 1.0)
+    sf01 = floors_doc.get("floors", {})
+    tenx = floors_doc.get("floors_10x", {})
+    hs_ratios = [
+        r["t_small"] / sf01[r["query"]]["floor"]
+        for r in rows
+        if r["query"] in sf01 and sf01[r["query"]]["floor"] > 0
+    ]
+    hs = round(median(hs_ratios), 3) if hs_ratios else None
+    out_rows, violations, unfloored = [], [], []
+    if rows and hs is None:
+        violations.append(
+            "NO_SF01_FLOOR_MEASURED (host normalization impossible — "
+            "rehearse at least one query that has an sf0.1 floor)"
+        )
+    for r in rows:
+        info = tenx.get(r["query"])
+        if info is None:
+            unfloored.append(r["query"])
+            continue
+        raw = r["t_big"] / info["floor"]
+        adj = round(raw / hs, 2) if hs else None
+        verdict = "ok"
+        if (
+            adj is not None
+            and adj > gate
+            and r["t_big"] - info["floor"] * hs > min_excess
+        ):
+            verdict = "REGRESSION"
+            violations.append(r["query"])
+        out_rows.append(
+            {
+                "query": r["query"],
+                "floor_10x": info["floor"],
+                "t_big": r["t_big"],
+                "raw_ratio": round(raw, 2),
+                "host_adjusted": adj,
+                "verdict": verdict,
+            }
+        )
+    return {
+        "host_speed": hs,
+        "gate": gate,
+        "rows": out_rows,
+        "violations": violations,
+        "unfloored": unfloored,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
@@ -52,6 +117,9 @@ def main() -> None:
                     help="data-volume ratio big/small (for the exponent)")
     ap.add_argument("--queries", nargs="*", default=HEAVIES)
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--check", action="store_true",
+                    help="gate t_big against floors.json['floors_10x'] "
+                    "(>2x host-adjusted = exit 1)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -103,6 +171,21 @@ def main() -> None:
         with open(args.json_out, "w") as fh:
             json.dump(rows, fh, indent=1)
             fh.write("\n")
+
+    if args.check:
+        with open(os.path.join(REPO, "tools", "floors.json")) as fh:
+            floors_doc = json.load(fh)
+        ev = evaluate_10x(floors_doc, rows)
+        print(
+            f"10x floor gate: host_speed={ev['host_speed']} "
+            f"gate={ev['gate']}x violations={ev['violations']} "
+            f"unfloored={ev['unfloored']}"
+        )
+        for r in ev["rows"]:
+            if r["verdict"] != "ok":
+                print(f"  REGRESSION {r['query']}: t_big {r['t_big']}s vs "
+                      f"floor {r['floor_10x']}s (adj {r['host_adjusted']}x)")
+        sys.exit(1 if ev["violations"] else 0)
 
 
 if __name__ == "__main__":
