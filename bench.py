@@ -152,6 +152,12 @@ HEADLINE = [
     "dq_dup_rate_by_source",
     "text_ccnet_perplexity",
     "pipeline_quality_funnel",
+    # round-10 additions: the hot-key-safe window rewrites (SCALE.md
+    # "Sharded navigation windows") — benched so the constant-factor
+    # cost vs their plain twins stays measured, not asserted
+    "win_running_sum_sharded",
+    "win_lag_lead_sharded",
+    "win_ewma_sharded",
     # NOT a headliner: stream_tws_proctime_timer (and the other TWS
     # jobs) — at fixture scale ~95% of their wall-clock is the
     # per-partition transformWithState state-server handshake (14s for

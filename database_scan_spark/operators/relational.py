@@ -382,10 +382,17 @@ def dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's `dropDuplicates` is nondeterministic about WHICH row
     survives, so the order-faithful translation is a `row_number()`
-    over an explicit arrival order (here the unique
-    (l_orderkey, l_linenumber) position — SURVEY §1.4).
+    over an explicit arrival order (SURVEY §1.4). The synthetic
+    lineitem is NOT (l_orderkey, l_linenumber)-unique (4-8 colliding
+    groups with DIFFERENT l_quantity exist in every driver fixture;
+    70k+ on the skew fixtures), so the output value column itself is
+    the final tiebreaker — whichever of the remaining ties wins, the
+    emitted row is identical, which is the property the hash compare
+    actually needs.
     """
-    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
@@ -398,7 +405,8 @@ def dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_BY_ID_ORACLE = """
 SELECT l_partkey, l_orderkey, l_linenumber, l_quantity
 FROM lineitem
-QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) = 1
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber, l_quantity) = 1
 """
 
 

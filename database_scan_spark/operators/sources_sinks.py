@@ -372,7 +372,13 @@ def topk_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.partitionBy("l_partkey").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        F.desc("l_extendedprice"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+        # output-column tiebreak: lineitem is not (orderkey, linenumber)-
+        # unique in the synthetic fixtures, and the surviving row's
+        # l_suppkey is emitted — ties must be output-identical (§1.4)
+        F.asc("l_suppkey"),
     )
     return (
         load(spark, sf_dir, "lineitem")
@@ -387,7 +393,8 @@ SELECT l_partkey, l_orderkey, l_suppkey, l_extendedprice
 FROM lineitem
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY l_partkey
-    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) = 1
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC,
+             l_suppkey ASC) = 1
 """
 
 

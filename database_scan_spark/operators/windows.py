@@ -20,12 +20,19 @@ from ._helpers import money
 
 
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue per supplier over an explicit total order
-    (shipdate, orderkey, linenumber — unique, so the frame is
-    deterministic). DECIMAL keeps the running sum exact."""
+    """Running revenue per supplier over an explicit total order.
+    (shipdate, orderkey, linenumber) is unique within the slice on
+    every driver fixture, but the synthetic lineitem is NOT globally
+    (orderkey, linenumber)-unique (118k duplicate pairs at sf0.1) and
+    the 10x-skew fixture surfaced colliding rows with DIFFERENT
+    prices — so the summed value itself is the final tiebreaker:
+    rows still tied after it carry equal values, and a running sum is
+    permutation-invariant across equal-value ties (the canonical
+    row-sorted hash compare cannot tell the orders apart). DECIMAL
+    keeps the running sum exact."""
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
@@ -44,7 +51,7 @@ WIN_RUNNING_SUM_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
             PARTITION BY l_suppkey
-            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
 FROM lineitem WHERE l_suppkey <= 10
 """

@@ -291,6 +291,10 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: hot-key-safe two-pass prefix sum)": [
             "win_running_sum_sharded"
         ],
+        "(engine addition: hot-key-safe nav windows via indexed equi-join)": [
+            "win_lag_lead_sharded",
+            "win_ewma_sharded",
+        ],
     },
     "§2.9 Scalar functions": {
         "fn_str_replace": ["fn_str_replace"],
