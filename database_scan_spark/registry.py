@@ -317,20 +317,45 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "text_winnowing_fingerprints", "text_zipf_fit",
     "stream_dedup", "stream_foreach_batch_sink",
     "stream_stream_interval_join",
+    # round-9 window (CORRECTNESS_r09.json, 50/50 green)
+    "stream_mv_refresh", "stream_tws_inactivity_flush",
+    "stream_tws_proctime_timer", "stream_tws_eventtime_timer",
+    "stream_static_join", "stream_dedup_within_watermark",
+    "stream_left_outer_interval_join", "stream_update_vs_complete",
+    "stream_watermark_late_drop", "stream_checkpoint_resume",
+    "stream_chained_aggregations", "stream_pit_enrich",
+    "stream_dlq_split", "stream_corpus_ingest",
+    "sink_python_datasource", "sink_csv_roundtrip_quoted",
+    "sink_jsonl_roundtrip", "sink_parquet_partitioned",
+    "sink_compact_small_files", "sink_clustered_write",
+    "sink_zorder_write", "sink_dynamic_partition_overwrite",
+    "sink_python_stream_datasource",
+    "storage_time_travel", "storage_merge_on_read",
+    "storage_mor_compact", "storage_vacuum_retention",
+    "storage_partition_evolution", "storage_manifest_skipping",
+    "storage_deletion_vectors", "storage_clustering_audit",
+    "src_orc", "src_federated_union", "src_python_stream_datasource",
+    "src_csv_corrupt_recovery", "src_text_lines", "src_merge_schema",
+    "src_binary_files",
+    "udf_grouped_agg_median", "udf_arrow_map_batches",
+    "udf_scalar_iter", "udf_window_pandas", "udf_arrow_python",
+    "udf_cogrouped_merge",
+    "sql_frontend_report", "sql_recursive_cte", "sql_lateral_topk",
+    "sql_pipe_syntax", "sql_group_by_all",
+    "udtf_rle_tokens",
 })
 
 # Unverified queries sort by family; ties keep registration order.
-# Families past the window land in later rounds. Round-9 ordering
-# (VERDICT r8 item 1): the 50 head of the 67 never-verified specs —
-# stream_ tail (14), sink_ (9), storage_ (8), src_ (7), udf_ (6),
-# sql_ (5), udtf_rle_tokens. The 18-spec overflow (udtf_ tail,
-# filter_/proj_/param_ singletons, subquery_correlated,
+# Families past the window land in later rounds. Round-10 state: the
+# r9 window went 50/50 green (CORRECTNESS_r09.json, merged above), so
+# the never-verified set is down to 20 — the 18-spec r9 overflow
+# (udtf_ tail, filter_/proj_/param_ singletons, subquery_correlated,
 # grouped_pandas_topk, funnel/cohort/topk/catalog/set singletons,
-# plus win_running_sum_sharded which registered after the r9 cut)
-# is the ONLY never-verified set left afterwards, so it auto-sorts
-# into the r10 window head with no pin — r10 closes the registry
-# (465 specs at the r9 cut; later-registered specs join the same
-# never-verified-first rotation automatically).
+# win_running_sum_sharded) plus the two round-10 sharded nav windows
+# (win_lag_lead_sharded, win_ewma_sharded). All 20 auto-sort into the
+# r10 window head with no pin — r10 closes the registry; any spec
+# registered later joins the same never-verified-first rotation
+# automatically.
 _FAMILY_ORDER: tuple[str, ...] = (
     "pipeline_", "mm_", "sample_", "split_", "geo_", "text_", "stream_",
     "sink_", "storage_", "src_", "udf_", "sql_", "udtf_", "filter_",
