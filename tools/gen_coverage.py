@@ -294,6 +294,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "(engine addition: hot-key-safe nav windows via indexed equi-join)": [
             "win_lag_lead_sharded",
             "win_ewma_sharded",
+            "win_session_sharded",
         ],
     },
     "§2.9 Scalar functions": {
