@@ -96,10 +96,25 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_df(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """Exploded (doc_id, shingle) relation. ``sample_mod=m`` keeps the
+    deterministic 1/m doc sample (cross-engine md5 hash on doc_id) —
+    the knob that bounds EXACT-join audit cost at corpus scale: docs
+    are filtered BEFORE the explode, so per-shingle document frequency
+    (the quadratic term) shrinks by m, pair cost by m²."""
     docs = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    if sample_mod is not None:
+        from ._helpers import h32  # noqa: PLC0415
+
+        docs = docs.filter(
+            h32(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+            % sample_mod
+            == 0
+        )
     return docs.select(
         "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
     )
@@ -222,7 +237,10 @@ def _prefix_filtered_candidates(sh: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, prefix_filter: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_filter: bool = False,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard near-dup pairs via a set-similarity join: explode
     shingles, equi-join on the shingle (docs sharing no shingle never
@@ -234,7 +252,7 @@ def dedup_ngram_jaccard(
     when that wins). Both paths produce identical results; the DuckDB
     oracle is always the naive formulation (independent derivation).
     """
-    sh = _shingle_df(spark, sf_dir).persist()
+    sh = _shingle_df(spark, sf_dir, sample_mod=sample_mod).persist()
     if prefix_filter:
         return _verified_pairs(sh, _prefix_filtered_candidates(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -2210,7 +2228,9 @@ _OPH_C = 1_000_003       # densification offset multiplier (prime)
 _OPH_PACK = 1 << 33      # packs (rotation distance, value) into one BIGINT
 
 
-def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_oph(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """One-Permutation Hashing MinHash (Li, Owen, Zhang NIPS'12) with
     rotation densification (Shrivastava & Li ICML'14): ONE hash per
     shingle, binned into K=32 slots whose per-slot minima form the
@@ -2226,10 +2246,21 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded K×K-per-doc self-join (a CONSTANT 1024 rows per doc —
     linear overall); the estimate join is signature-sized. Everything
     is integer arithmetic on the shared h32, so both engines produce
-    the identical signature, bin for bin."""
+    the identical signature, bin for bin.
+
+    SCALE CLIFF (found by the round-10 100x rehearsal): the AUDIT's
+    ground-truth pair source is the exact set-similarity join, which
+    is quadratic in per-shingle document frequency — linear-looking
+    at 10x, a >50x blowup at 100x (shared shingles appear in every
+    shard, so frequency grows with the corpus and pair cost with its
+    square). The ESTIMATOR (signature pass) is linear; only the audit
+    needs bounding. ``sample_mod=m`` audits a deterministic 1/m doc
+    sample — frequency /m, audit cost /m² — which is how an accuracy
+    audit runs at 100 TB (the registered ``dedup_minhash_oph_sampled``
+    pins the sampled path against its own exactly-sampled oracle)."""
     from ._helpers import h32  # noqa: PLC0415
 
-    sh = _shingle_df(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir, sample_mod=sample_mod)
     hv = h32(F.concat(F.lit("oph:"), F.col("shingle")))
     raw = (
         sh.select(
@@ -2262,7 +2293,7 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.expr(f"(packed div {_OPH_PACK})") * _OPH_C).alias("sig"),
         )
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir, sample_mod=sample_mod)
     sa = dense.select(F.col("doc_id").alias("doc_a"), "j", F.col("sig").alias("sig_a"))
     sb = dense.select(F.col("doc_id").alias("doc_b"), "j", F.col("sig").alias("sig_b"))
     return (
@@ -2354,6 +2385,38 @@ SPECS.append(
         dedup_minhash_oph,
         DEDUP_MINHASH_OPH_ORACLE.replace("{thr}", str(JACCARD_THRESHOLD)),
         doc="one-permutation MinHash + rotation densification; estimate audited vs exact Jaccard",
+        tags=("llm", "dedup", "scale"),
+    )
+)
+
+_OPH_SAMPLE_MOD = 2
+_OPH_SAMPLE_PRED = (
+    "('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {_OPH_SAMPLE_MOD} = 0"
+)
+
+
+def dedup_minhash_oph_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_minhash_oph` with the audit bounded to a deterministic
+    1/2 doc sample — the corpus-scale form: the exact-join audit's
+    quadratic term shrinks by the sample rate squared while the
+    estimator-vs-truth error distribution it measures is unchanged in
+    expectation (hash sampling is unbiased over docs). See the parent
+    docstring's SCALE CLIFF note for the 100x measurement that
+    motivates this."""
+    return dedup_minhash_oph(spark, sf_dir, sample_mod=_OPH_SAMPLE_MOD)
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_minhash_oph_sampled",
+        dedup_minhash_oph_sampled,
+        DEDUP_MINHASH_OPH_ORACLE.replace("{thr}", str(JACCARD_THRESHOLD)).replace(
+            "FROM documents)",
+            f"FROM documents WHERE {_OPH_SAMPLE_PRED})",
+        ),
+        doc="OPH estimator audit on a deterministic 1/2 doc sample — "
+        "the bounded-cost form of the exact-join accuracy audit",
         tags=("llm", "dedup", "scale"),
     )
 )

@@ -396,7 +396,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
             "dedup_bloom_archive"
         ],
         "one-permutation MinHash + rotation densification (K× cheaper signatures)": [
-            "dedup_minhash_oph"
+            "dedup_minhash_oph", "dedup_minhash_oph_sampled"
         ],
         "content-defined chunking (shift-robust shared-content ledger)": [
             "dedup_cdc_chunks"

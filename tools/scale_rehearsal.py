@@ -162,8 +162,8 @@ def main() -> None:
             }
         )
         print(
-            f"{name:28s} sf0.1 {t_small:6.2f}s  10x {t_big:7.2f}s  "
-            f"ratio {ratio:5.2f}  exp {exponent:5.2f}",
+            f"{name:28s} sf0.1 {t_small:6.2f}s  {args.factor:.0f}x "
+            f"{t_big:7.2f}s  ratio {ratio:5.2f}  exp {exponent:5.2f}",
             flush=True,
         )
 
