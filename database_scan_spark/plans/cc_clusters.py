@@ -30,16 +30,39 @@ from ..spec import QuerySpec
 MAX_ITERS = 20  # safety bound; diameter of near-dup clusters is tiny
 
 
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_cc(
+    spark: SparkSession, sf_dir: str, lsh_pairs: bool = False
+) -> DataFrame:
     """(doc_id, cluster_id) for every doc that appears in a verified
-    near-dup pair; cluster_id = min doc_id in the connected component."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    near-dup pair; cluster_id = min doc_id in the connected component.
+
+    ``lsh_pairs=True`` sources edges from the banded-LSH pipeline
+    (bucket-bounded candidate generation) instead of the exact
+    set-similarity join. The round-10 100x rehearsal measured why
+    that matters: the exact join is quadratic in per-shingle document
+    frequency and OOMed a 16g heap at 100x, while the LSH pair pass
+    finished in 22s on the same data — at corpus scale the LSH edge
+    source is the only viable one, and its oracle twin is the banded
+    pipeline IN SQL (same bands, same verification), so the variant
+    is exact against its own contract rather than fixture-lucky."""
+    if lsh_pairs:
+        from ..operators.dedup import dedup_minhash_lsh  # noqa: PLC0415
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    else:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .persist()
     )
+    # The LSH pair plan is a DEEP subtree (64 min-slots x 16 band
+    # unions); persist() caches the DATA but every fixpoint round's
+    # plan still carries the full analyzed lineage — measured 60s+ of
+    # pure plan-time at sf0.1 and an explainString OOM at 100x.
+    # localCheckpoint truncates the lineage itself (graph_scc's
+    # pattern); the shallow exact-join plan stays on plain persist.
+    edges = edges.localCheckpoint() if lsh_pairs else edges.persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .dropDuplicates(["doc_id"])
@@ -325,5 +348,58 @@ SPECS.append(
         _keep_best_oracle(),
         doc="per-cluster canonical election: keep argmax quality, drop the rest",
         tags=("llm", "dedup", "pipeline"),
+    )
+)
+
+
+def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_cluster_cc` over banded-LSH pairs — the corpus-scale
+    edge source (see the parent docstring's 100x measurement)."""
+    return dedup_cluster_cc(spark, sf_dir, lsh_pairs=True)
+
+
+def _cc_lsh_oracle() -> str:
+    """Transitive closure over the LSH pipeline's OWN DuckDB twin:
+    splice the banded-minhash pair SQL in as a materialized CTE and
+    run the same recursive min-label closure over it. Exact against
+    the LSH contract by construction — not against the exact join, so
+    an LSH recall miss on borderline-Jaccard data changes BOTH sides
+    identically instead of hash-diverging."""
+    from ..operators.dedup import _minhash_oracle  # noqa: PLC0415
+
+    lsh = _minhash_oracle()
+    idx = lsh.rfind("SELECT doc_a, doc_b,")
+    head, final = lsh[:idx], lsh[idx:]
+    assert idx > 0 and head.rstrip().endswith(")"), "LSH oracle shape changed"
+    return (
+        head.rstrip().replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\nlsh_pairs AS MATERIALIZED (\n"
+        + final.strip()
+        + """
+),
+undirected AS (
+    SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+    UNION
+    SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(a, b) AS (
+    SELECT a, a FROM undirected
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_cluster_cc_lsh",
+        dedup_cluster_cc_lsh,
+        _cc_lsh_oracle(),
+        doc="connected components over banded-LSH pairs — the "
+        "bucket-bounded edge source that survives 100x where the "
+        "exact join OOMs",
+        tags=("llm", "dedup", "scale"),
     )
 )

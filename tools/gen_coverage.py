@@ -361,7 +361,7 @@ SURVEY_MAP: dict[str, dict[str, list[str] | str]] = {
         "MinHash + LSH": ["dedup_minhash_lsh", "dedup_minhash_mllib"],
         "dedup-variant agreement matrix (precision/recall vs exact)": ["dedup_method_matrix"],
         "incremental dedup vs standing index": ["dedup_incremental_minhash"],
-        "connected-components clustering (iterative)": ["dedup_cluster_cc"],
+        "connected-components clustering (iterative)": ["dedup_cluster_cc", "dedup_cluster_cc_lsh"],
         "large-star/small-star CC (Kiveris SoCC'14, diameter-independent)": [
             "dedup_cluster_cc_twostar"
         ],
