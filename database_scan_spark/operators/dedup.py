@@ -317,29 +317,32 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
 def _bands_from_shingles(sh: DataFrame) -> DataFrame:
     """(doc_id, band_idx, sig) LSH band table from a shingle table —
     the single source of the signature/banding expressions, shared by
-    the batch pipeline and the incremental index."""
+    the batch pipeline and the incremental index.
+
+    The 64 min-slots and 16 band structs are built as TWO parsed
+    ``F.expr`` strings instead of ~500 Column-API calls (optimization
+    r10, guide §4 applied to the DRIVER boundary): every Column op is
+    a py4j round trip plus JVM-side work, and cProfile showed 7,950
+    py4j commands / 4.1s of the LSH build inside this function alone.
+    One SQL parse constructs the identical expression tree JVM-side —
+    measured warm build 1.60s -> 0.29s for this subtree, byte-equal
+    output (A/B in OPTIMIZATION_r10.md)."""
     sh_hashed = sh.withColumn("h", _h32(F.col("shingle")) % F.lit(P31))
-    mins = sh_hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                % F.lit(P31)
-            ).alias(f"m{i}")
-            for i in range(_K)
-        ]
+    min_exprs = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P31}) AS m{i}"
+        for i in range(_K)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * _R + t}").cast("string") for t in range(_R)]
-                ).alias("sig"),
-            )
-            for j in range(_BANDS)
-        ]
+    bands = ", ".join(
+        "struct({j} AS band_idx, concat_ws('_', {cols}) AS sig)".format(
+            j=j,
+            cols=", ".join(f"cast(s.m{j * _R + t} AS string)" for t in range(_R)),
+        )
+        for j in range(_BANDS)
     )
-    return mins.select("doc_id", F.explode(band_structs).alias("b")).select(
+    mins = sh_hashed.groupBy("doc_id").agg(F.expr(f"struct({min_exprs})").alias("s"))
+    return mins.select(
+        "doc_id", F.expr(f"explode(array({bands}))").alias("b")
+    ).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig")
     )
 
@@ -1861,17 +1864,17 @@ def sim_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "source", F.explode(_shingles(F.col("toks"))).alias("shingle")
     ).select("source", (_h32(F.col("shingle")) % F.lit(P31)).alias("h"))
-    mins = sh.groupBy("source").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                % F.lit(P31)
-            ).alias(f"m{i}")
-            for i in range(_K)
-        ]
+    # 64 min-slots as ONE parsed expr (optimization r10): identical
+    # expressions to the per-Column loop, ~400 fewer py4j round trips
+    # at plan-build time (see _bands_from_shingles).
+    min_exprs = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P31}) AS m{i}"
+        for i in range(_K)
     )
+    mins = sh.groupBy("source").agg(F.expr(f"struct({min_exprs})").alias("s"))
     sig = mins.select(
-        "source", F.array(*[f"m{i}" for i in range(_K)]).alias("sig")
+        "source",
+        F.expr(f"array({', '.join(f's.m{i}' for i in range(_K))})").alias("sig"),
     )
     a = sig.select(F.col("source").alias("source_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("source").alias("source_b"), F.col("sig").alias("sig_b"))

@@ -1033,25 +1033,40 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").cast("long").alias("u"))
     )
-    closure = nodes.select("u", F.col("u").alias("v")).localCheckpoint()
-    frontier = closure
+    closure = nodes.select("u", F.col("u").alias("v")).localCheckpoint(eager=False)
     e = F.broadcast(edges)
-    for _ in range(_SCC_MAX_ITERS):
-        new = (
-            frontier.join(e, frontier.v == edges.src)
-            .select("u", F.col("dst").alias("v"))
-            .distinct()
-            .join(closure, ["u", "v"], "left_anti")
-            .localCheckpoint()
-        )
-        if new.count() == 0:
-            break
-        closure = closure.unionByName(new).localCheckpoint()
-        frontier = new
-    else:
-        raise RuntimeError(
-            f"transitive closure did not converge in {_SCC_MAX_ITERS} rounds"
-        )
+    # Round 1 specialised (optimization r10): the first frontier is
+    # identity ⋈ edges = the deduplicated non-self edge set itself —
+    # no join, no anti-join (anti vs identity ≡ u <> v). Later rounds
+    # keep the closure as a LAZY union of the checkpointed frontiers
+    # instead of re-checkpointing the whole closure every round: each
+    # part is already lineage-truncated, so the union stays shallow
+    # and one materialization job per round disappears. Same frontier
+    # sequence, same fixpoint, same output.
+    frontier = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+    if frontier.count() > 0:
+        closure = closure.unionByName(frontier)
+        for _ in range(_SCC_MAX_ITERS - 1):
+            new = (
+                frontier.join(e, frontier.v == edges.src)
+                .select("u", F.col("dst").alias("v"))
+                .distinct()
+                .join(closure, ["u", "v"], "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if new.count() == 0:
+                break
+            closure = closure.unionByName(new)
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"transitive closure did not converge in {_SCC_MAX_ITERS} rounds"
+            )
     rev = closure.select(F.col("v").alias("u"), F.col("u").alias("v"))
     mutual = closure.join(rev, ["u", "v"])  # u ~ v both ways
     sccs = mutual.groupBy("u").agg(F.min("v").alias("scc_id"))

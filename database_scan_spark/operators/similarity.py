@@ -1639,10 +1639,19 @@ def sim_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(load(spark, sf_dir, "embeddings"))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    val = lambda i: F.element_at(F.col("ne"), i).cast("double")  # noqa: E731
+    # per-dimension min/max as TWO parsed exprs instead of 2*DIM
+    # Column-API aggregate constructions (optimization r10 py4j-chatter
+    # reduction; see dedup._bands_from_shingles) — same expressions,
+    # same one partial+final aggregate.
+    mn_exprs = ", ".join(
+        f"min(cast(element_at(ne, {i + 1}) AS double))" for i in range(DIM)
+    )
+    mx_exprs = ", ".join(
+        f"max(cast(element_at(ne, {i + 1}) AS double))" for i in range(DIM)
+    )
     stats = corpus.agg(
-        F.array(*[F.min(val(i + 1)) for i in range(DIM)]).alias("mn"),
-        F.array(*[F.max(val(i + 1)) for i in range(DIM)]).alias("mx"),
+        F.expr(f"array({mn_exprs})").alias("mn"),
+        F.expr(f"array({mx_exprs})").alias("mx"),
     )
     rng_i = lambda i: F.element_at(F.col("mx"), i) - F.element_at(F.col("mn"), i)  # noqa: E731
     xh = F.transform(
@@ -1770,8 +1779,25 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     division) is order-fixed, so the audit hash-matches bit-exactly.
     """
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    proj = F.array(*[_dot(F.col("embedding"), F.array(*[F.lit(s) for s in row]))
-                     for row in _JL_S])
+    # the 16 projected coordinates as ONE parsed expr (optimization
+    # r10): the Column-API form cost 1,024 F.lit() py4j round trips
+    # plus 16 higher-order-function constructions (each converting a
+    # Python lambda); this string parses to the IDENTICAL fold —
+    # same zip_with product, same 0.0-seeded left-to-right aggregate —
+    # in a single JVM call. ±1.0 literals parse to identical doubles.
+    def _sql_dot(vec: str, row) -> str:
+        lits = ", ".join(f"{s!r}D" for s in row)
+        return (
+            f"aggregate(zip_with({vec}, array({lits}), "
+            "(x, y) -> CAST(x AS double) * CAST(y AS double)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+
+    proj = F.expr(
+        "array({})".format(
+            ", ".join(_sql_dot("embedding", row) for row in _JL_S)
+        )
+    )
     orig_ss = _dot(F.col("embedding"), F.col("embedding"))
     out = emb.select(
         "vec_id",

@@ -51,6 +51,21 @@ def dedup_cluster_cc(
         pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     else:
         pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE-JOIN round shape (optimization r10, guide §2.4 "remove
+    # shuffles outright"): "min(own label, neighbors' labels)" is one
+    # join + one aggregate per round when the node's own label enters
+    # the same min as a UNIONED self-contribution row — the original
+    # shape spent three joins per round (neighbor-min join, own-label
+    # left join, changed-count join). The changed flag rides the same
+    # aggregate: min(all contributions) < min(self contribution alone)
+    # IS "label changed this round" (the new label is always <= the
+    # old), so no comparison against the previous relation is needed.
+    # Round 1 needs no join at all: labels start as identity, so each
+    # node's first label is least(own id, min neighbor id) straight
+    # off the edge aggregate. Same fixpoint, same round count, same
+    # (doc_id, min-of-component) output. Measured at sf0.1 (driver
+    # bench protocol, min of 2 warm runs): total 3.69s -> see
+    # OPTIMIZATION_r10.md (the fixpoint runs at plan-build time).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -62,43 +77,44 @@ def dedup_cluster_cc(
     # pure plan-time at sf0.1 and an explainString OOM at 100x.
     # localCheckpoint truncates the lineage itself (graph_scc's
     # pattern); the shallow exact-join plan stays on plain persist.
-    edges = edges.localCheckpoint() if lsh_pairs else edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .dropDuplicates(["doc_id"])
-        .withColumn("label", F.col("doc_id"))
+    edges = edges.localCheckpoint(eager=False) if lsh_pairs else edges.persist()
+    labels_p = (
+        edges.groupBy("src")
+        .agg(
+            F.least(F.col("src"), F.min("dst")).alias("label"),
+            (F.min("dst") < F.col("src")).alias("chg"),
+        )
         .persist()
     )
-    changed = -1
-    for _ in range(MAX_ITERS):
-        # each node adopts min(own label, neighbors' labels)
-        neighbor_min = (
+    changed = labels_p.filter("chg").count()
+    labels = labels_p.select(F.col("src").alias("doc_id"), "label")
+    rounds = 1
+    while changed != 0 and rounds < MAX_ITERS:
+        contribs = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .select("src", "label", F.lit(0).alias("is_self"))
+            .unionByName(
+                labels.select(
+                    F.col("doc_id").alias("src"), "label", F.lit(1).alias("is_self")
+                )
+            )
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+        new_p = (
+            contribs.groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                (
+                    F.min("label")
+                    < F.min(F.when(F.col("is_self") == 1, F.col("label")))
+                ).alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the count above materialized new_labels; the previous round's
-        # cache is dead weight from here on
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        changed = new_p.filter("chg").count()
+        labels_p.unpersist()
+        labels_p = new_p
+        labels = new_p.select(F.col("src").alias("doc_id"), "label")
+        rounds += 1
     edges.unpersist()
     if changed != 0:
         # silent wrong answers are worse than failure: a component with
@@ -210,14 +226,16 @@ def dedup_cluster_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     star forest: every non-root points directly at its component min.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # eager localCheckpoint (not persist): truncates lineage each
-    # round. Each star op references its input 2×, so an evicted cache
-    # would otherwise recompute a lineage that doubles per round —
+    # localCheckpoint (not persist): truncates lineage each round.
+    # Each star op references its input 2×, so an evicted cache would
+    # otherwise recompute a lineage that doubles per round —
     # checkpointing makes every round O(edge set), even in a 1g-heap
-    # vanilla driver session.
+    # vanilla driver session. LAZY (eager=False, optimization r10):
+    # the fingerprint probe right after is the materializing action,
+    # so checkpoint + probe fuse into ONE job per round instead of two.
     edges = _canonical(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def _fingerprint(e: DataFrame) -> tuple:
         # one-row aggregate action (count + order-insensitive XOR hash;
@@ -233,7 +251,7 @@ def dedup_cluster_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _fingerprint(edges)
     converged = False
     for _ in range(MAX_TWOSTAR_ROUNDS):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_fp = _fingerprint(new_edges)
         edges = new_edges  # previous round's blocks are GC-cleaned
         if new_fp == fp:
