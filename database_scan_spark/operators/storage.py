@@ -333,9 +333,20 @@ def _skew_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DISTINCT skew_key straight off the events scan (optimization
+    # r10, guide §2.3 "don't compute things you throw away"): the
+    # previous derivation went through _skew_fact, so the ×SKEW_REPL
+    # explode ran a second time — 100 generated rows per event fed
+    # into a distinct whose result doesn't depend on rep at all. The
+    # key SET is identical (rep never affects skew_key), the oracle's
+    # "SELECT DISTINCT skew_key FROM fact" unchanged.
+    ev = load(spark, sf_dir, "events")
     return (
-        _skew_fact(spark, sf_dir)
-        .select("skew_key")
+        ev.select(
+            F.when(F.col("user_id") % 100 == 0, F.col("user_id"))
+            .otherwise(F.lit(0))
+            .alias("skew_key")
+        )
         .distinct()
         .withColumn("bucket", (F.col("skew_key") % 10).cast("int"))
     )
