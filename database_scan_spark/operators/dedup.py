@@ -1497,20 +1497,42 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("c")
     )
     cents1 = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("cand.cluster")
+    # Nearest-centroid assignment as a FOLD over the broadcast centroid
+    # array (optimization r10, guide §2.4 "remove shuffles outright"):
+    # the former explode + row_number() shape shuffled K·n rows — each
+    # carrying a 64-double embedding — just to pick a per-vector argmax
+    # the row can compute locally. One transform (K dots, same count as
+    # before) + one argmax fold is a pure map: the assignment stage now
+    # has ZERO exchanges. The (sim DESC, cluster ASC) tiebreak is a
+    # total order, so the fold result is independent of collect_list's
+    # nondeterministic centroid order — same winner as row_number()=1.
+    sims = F.transform(
+        "cents",
+        lambda cand: F.struct(
+            cand["cluster"].alias("cluster"),
+            F.round(_dot(F.col("embedding"), cand["c"]), 6).alias("sim"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(-1).cast("int").alias("cluster"),
+            F.lit(float("-inf")).alias("sim"),
+        ),
+        lambda acc, x: F.when(
+            (x["sim"] > acc["sim"])
+            | ((x["sim"] == acc["sim"]) & (x["cluster"] < acc["cluster"])),
+            x,
+        ).otherwise(acc),
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents1))
-        .select("vec_id", "embedding", F.explode("cents").alias("cand"))
-        .withColumn("sim", F.round(_dot(F.col("embedding"), F.col("cand.c")), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", best.alias("b"))
         .select(
             "vec_id",
             "embedding",
-            F.col("cand.cluster").alias("cluster"),
-            F.col("sim").alias("centroid_sim"),
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.sim").alias("centroid_sim"),
         )
         # consumed THREE times below (both sides of the intra-cluster
         # pair join + the final audit join) and the differing aliases
@@ -1528,16 +1550,22 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("u_cluster"),
         F.col("centroid_sim").alias("u_csim"),
     )
-    keep_low = (F.col("u_csim") < F.col("centroid_sim")) | (
-        (F.col("u_csim") == F.col("centroid_sim"))
-        & (F.col("u_id") < F.col("vec_id"))
-    )
+    # Intra-cluster pairs enumerated UNORDERED (vec_id < u_id), half the
+    # former both-directions join output, so every pairwise cosine is
+    # computed once instead of twice (optimization r10, guide §1.2
+    # step 1 "don't compute things you throw away"). Exactly one member
+    # of each qualifying pair is dropped — the loser under the paper's
+    # (centroid_sim ASC, vec_id ASC) keep order — which with
+    # vec_id < u_id everywhere reduces to: u_id loses unless its
+    # centroid_sim is strictly lower. Same drop set as evaluating
+    # keep_low over both orientations.
+    loser = F.when(
+        F.col("centroid_sim") <= F.col("u_csim"), F.col("u_id")
+    ).otherwise(F.col("vec_id"))
     dropped = (
-        v.join(u, v["cluster"] == u["u_cluster"])
-        .filter(F.col("u_id") != F.col("vec_id"))
+        v.join(u, (v["cluster"] == u["u_cluster"]) & (v["vec_id"] < u["u_id"]))
         .filter(F.round(_dot(F.col("embedding"), F.col("u_emb")), 6) >= SEMDEDUP_TAU)
-        .filter(keep_low)
-        .select("vec_id")
+        .select(loser.alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
