@@ -643,6 +643,78 @@ def _pq_subvectors(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
     )
 
 
+def _pq_encode(df_sub: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codeword PQ encoding as a FOLD over the broadcast
+    codebook (optimization r10, guide §2.4 "remove shuffles
+    outright"): the former shape joined every (id, m) subvector
+    against all K codewords and ran a row_number() window over the
+    n·M·K intermediate just to pick a per-row argmin the row can
+    compute locally. The codebook collapses to ONE collected row
+    (M·K structs); each subvector row filters its own subspace's K
+    codewords and folds to the (l2 ASC, code_id ASC) minimum — a
+    pure map, zero exchanges in the encode stage. ``cww`` (the
+    codeword self-dot) is precomputed once per codeword instead of
+    once per corpus row × codeword; the l2 expression keeps the
+    exact float shape ``(dss - 2*dsc) + cww`` so every rounded
+    value is bit-identical to the window formulation. The (l2 ASC,
+    code_id ASC) tiebreak is a total order, so the fold result is
+    independent of collect_list's nondeterministic order."""
+    cb1 = codebook.agg(
+        F.collect_list(
+            F.struct(
+                "m",
+                "code_id",
+                "cw",
+                _dot(F.col("cw"), F.col("cw")).alias("cww"),
+            )
+        ).alias("cball")
+    ).select(
+        # per-subspace index built ONCE on the collected row (M·K
+        # structs) so each corpus row does an O(1) map lookup instead
+        # of filtering all M·K codewords; a single global collect
+        # keeps the codebook at ONE exchange (shuffle-budget parity
+        # with the window shape it replaces).
+        F.map_from_entries(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda i: F.struct(
+                    i.alias("key"),
+                    F.filter(
+                        F.col("cball"), lambda e: e["m"] == i
+                    ).alias("value"),
+                ),
+            )
+        ).alias("cbmap")
+    )
+    cands = F.transform(
+        F.element_at(F.col("cbmap"), F.col("m")),
+        lambda e: F.struct(
+            e["code_id"].alias("code_id"),
+            F.round(
+                F.col("dss") - 2 * _dot(F.col("sub"), e["cw"]) + e["cww"], 6
+            ).alias("l2"),
+        ),
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(-1).cast("long").alias("code_id"),
+            F.lit(float("inf")).alias("l2"),
+        ),
+        lambda acc, x: F.when(
+            (x["l2"] < acc["l2"])
+            | ((x["l2"] == acc["l2"]) & (x["code_id"] < acc["code_id"])),
+            x,
+        ).otherwise(acc),
+    )
+    return (
+        df_sub.crossJoin(F.broadcast(cb1))
+        .withColumn("dss", _dot(F.col("sub"), F.col("sub")))
+        .select(id_col, "m", best.alias("b"))
+        .select(id_col, "m", F.col("b.code_id").alias("code"))
+    )
+
+
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. PQ/ADC shape): the
     64-dim embedding splits into M=4 subspaces; each subspace has a
@@ -763,22 +835,9 @@ def sim_pq_adc_topn(spark: SparkSession, sf_dir: str, top_n: int) -> DataFrame:
         "code_id",
     ).select("code_id", "m", F.col("sub").alias("cw"))
     corpus_sub = _pq_subvectors(emb, "vec_id", "neighbor_id")
-    l2 = F.round(
-        _dot(F.col("sub"), F.col("sub"))
-        - 2 * _dot(F.col("sub"), F.col("cw"))
-        + _dot(F.col("cw"), F.col("cw")),
-        6,
-    )
-    w_assign = Window.partitionBy("neighbor_id", "m").orderBy(
-        F.asc("l2"), F.asc("code_id")
-    )
-    codes = (
-        corpus_sub.join(F.broadcast(codebook), "m")
-        .withColumn("l2", l2)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "m", F.col("code_id").alias("code"))
-    )
+    # argmin codeword per (neighbor, m) as a fold over the broadcast
+    # codebook — no n·M·K join intermediate, no window (see _pq_encode).
+    codes = _pq_encode(corpus_sub, codebook, "neighbor_id")
     query_sub = _pq_subvectors(
         load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
         "vec_id",
@@ -1408,19 +1467,43 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
+    # Nearest-centroid assignment as a FOLD over the broadcast centroid
+    # array (optimization r10, guide §2.4): the former explode +
+    # row_number() shuffled K·n embedding-carrying rows to pick a
+    # per-row argmax. One transform (same K dots) + an argmax fold is a
+    # pure map — zero exchanges. The (c_sim DESC, centroid_id ASC)
+    # tiebreak is a total order, so the fold is insensitive to
+    # collect_list order; the winner is identical to row_number()=1.
+    cents1 = cents.agg(F.collect_list(F.struct("centroid_id", "ce")).alias("cents"))
+    c_sims = F.transform(
+        "cents",
+        lambda cand: F.struct(
+            cand["centroid_id"].alias("centroid_id"),
+            F.round(_dot(F.col("ne"), cand["ce"]), 6).alias("c_sim"),
+            cand["ce"].alias("ce"),
+        ),
+    )
+    c_best = F.aggregate(
+        c_sims,
+        F.struct(
+            F.lit(-1).cast("long").alias("centroid_id"),
+            F.lit(float("-inf")).alias("c_sim"),
+            F.lit(None).cast("array<double>").alias("ce"),
+        ),
+        lambda acc, x: F.when(
+            (x["c_sim"] > acc["c_sim"])
+            | ((x["c_sim"] == acc["c_sim"]) & (x["centroid_id"] < acc["centroid_id"])),
+            x,
+        ).otherwise(acc),
     )
     assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", F.round(_dot(F.col("ne"), F.col("ce")), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        corpus.crossJoin(F.broadcast(cents1))
+        .select("neighbor_id", "ne", c_best.alias("b"))
         .select(
             "neighbor_id",
-            "centroid_id",
+            F.col("b.centroid_id").alias("centroid_id"),
             F.zip_with(
-                "ne", "ce", lambda x, y: x.cast("double") - y.cast("double")
+                "ne", "b.ce", lambda x, y: x.cast("double") - y.cast("double")
             ).alias("r"),
         )
     )
@@ -1443,20 +1526,10 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("code_id"), "m", F.col("sub").alias("cw")
     )
     corpus_sub = res_sub(assigned, "neighbor_id")
-    l2 = F.round(
-        _dot(F.col("sub"), F.col("sub"))
-        - 2 * _dot(F.col("sub"), F.col("cw"))
-        + _dot(F.col("cw"), F.col("cw")),
-        6,
-    )
-    w_enc = Window.partitionBy("neighbor_id", "m").orderBy(F.asc("l2"), F.asc("code_id"))
-    codes = (
-        corpus_sub.join(F.broadcast(cb), "m")
-        .withColumn("l2", l2)
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "m", F.col("code_id").alias("code"))
-    )
+    # argmin codeword per (neighbor, m) as a fold over the broadcast
+    # residual codebook — no n·M·K join intermediate, no window
+    # (see _pq_encode; identical rounded l2, identical tiebreak).
+    codes = _pq_encode(corpus_sub, cb, "neighbor_id")
 
     queries = (
         load(spark, sf_dir, "embeddings")
