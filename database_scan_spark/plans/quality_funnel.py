@@ -53,11 +53,13 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ccnet joins LEFT: it emits only docs with >=1 non-empty token, and
     # the raw stage must count EVERY document (a token-less doc has no
     # perplexity — treat it as tail, which the Gopher gate has already
-    # dropped anyway). gopher is a pure projection over documents, so an
-    # inner join there is total.
+    # dropped anyway). gopher is a total one-row-per-doc projection over
+    # documents, so it IS the doc_id spine — the former
+    # docs.select("doc_id").join(gopher) was a full self-join of the
+    # documents scan just to reattach rows it already had (optimization
+    # r10, guide §2.4: remove shuffles outright).
     flags = (
-        docs.select("doc_id")
-        .join(gopher, "doc_id")
+        gopher
         .join(ccnet, "doc_id", "left")
         .join(keeper, "doc_id", "left")
         .select(
