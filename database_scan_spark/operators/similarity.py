@@ -1056,7 +1056,16 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is bit-identical (1−0.7 ≠ 0.3 in binary FP).
     """
     emb = spread(load(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # .limit(1) is a no-op on the unique-key filter (vec_id == 0 is one
+    # row) but makes the broadcast side's boundedness visible by
+    # construction — to the planner and to the plan audit's
+    # fact-reaching-broadcast gate (r10: the formerly persisted pool hid
+    # this subtree inside an InMemoryRelation leaf).
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"))
+        .limit(1)
+    )
     cand = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -1064,54 +1073,132 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
         .select("vec_id", "embedding", "rel")
-        .persist()
     )
     lam, div = F.lit(0.7), F.lit(0.3)
-    sel = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).select(
-        "vec_id",
-        "embedding",
-        "rel",
-        F.lit(1).alias("sel_order"),
-        F.round(lam * F.col("rel"), 6).alias("mmr_score"),
+    # The greedy selection runs as ONE expression chain over the pool
+    # collected into a single row (optimization r10, guide §2.4 + §5):
+    # the former per-step anti-join + broadcast pair-max +
+    # take-ordered-1 + persist shape was ~25 tiny jobs of pure fixed
+    # overhead on a ≤20-row relation. Folding the 4 unrolled steps
+    # into argmax folds over the pool array makes the whole query one
+    # job (scan → TakeOrdered(20) → collect_list → explode). Every
+    # rounding site and tiebreak is unchanged: pick = argmax by
+    # (mmr_score DESC, vec_id ASC); max_sim is a greatest-fold (order-
+    # insensitive max of rounded pairwise dots); the folds' total
+    # order makes them insensitive to collect_list order. Each step
+    # lives in its own projection (the non-cheap folds are not
+    # collapsed, so step k's expression is evaluated once, not
+    # re-inlined exponentially).
+    pool1 = cand.agg(
+        F.collect_list(F.struct("vec_id", "embedding", "rel")).alias("pool")
+    )
+
+    def argmax(arr, better):
+        init = F.struct(
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit(None).cast("double").alias("rel"),
+            F.lit(None).cast("double").alias("mmr_score"),
+        )
+        return F.aggregate(
+            arr,
+            init,
+            lambda acc, x: F.when(
+                acc["vec_id"].isNull() | better(x, acc), x
+            ).otherwise(acc),
+        )
+
+    first_scored = F.transform(
+        "pool",
+        lambda p: F.struct(
+            p["vec_id"].alias("vec_id"),
+            p["embedding"].alias("embedding"),
+            p["rel"].alias("rel"),
+            F.round(lam * p["rel"], 6).alias("mmr_score"),
+        ),
+    )
+    by_rel = lambda x, a: (x["rel"] > a["rel"]) | (  # noqa: E731
+        (x["rel"] == a["rel"]) & (x["vec_id"] < a["vec_id"])
+    )
+    by_mmr = lambda x, a: (x["mmr_score"] > a["mmr_score"]) | (  # noqa: E731
+        (x["mmr_score"] == a["mmr_score"]) & (x["vec_id"] < a["vec_id"])
+    )
+    def appended(prev_sel, pick, step):
+        # pick is referenced exactly ONCE (filter of a 1-element array,
+        # then a transform stamps sel_order): re-extracting its fields
+        # would inline the argmax fold once per field and — across the
+        # 4 chained steps — blow the expression tree up exponentially
+        # (measured: analyzer never returned). The filter also handles
+        # the empty-candidate case (null pick → empty array → no-op
+        # concat) without a when() that would re-reference pick.
+        return F.concat(
+            prev_sel,
+            F.transform(
+                F.filter(F.array(pick), lambda s: s["vec_id"].isNotNull()),
+                lambda s: F.struct(
+                    s["vec_id"].alias("vec_id"),
+                    s["embedding"].alias("embedding"),
+                    s["rel"].alias("rel"),
+                    F.lit(step).alias("sel_order"),
+                    s["mmr_score"].alias("mmr_score"),
+                ),
+            ),
+        )
+
+    def barrier(frame):
+        # a Generate node between steps: CollapseProject cannot merge
+        # across it, so each step's folds stay in their own projection
+        # and are evaluated once (1 extra no-op explode on a 1-row
+        # relation per step).
+        return frame.select(
+            F.explode(F.array(F.struct("pool", "sel"))).alias("z")
+        ).select(F.col("z.pool").alias("pool"), F.col("z.sel").alias("sel"))
+
+    df = pool1.select(
+        "pool",
+        appended(
+            F.array().cast(
+                "array<struct<vec_id:bigint,embedding:array<double>,"
+                "rel:double,sel_order:int,mmr_score:double>>"
+            ),
+            argmax(first_scored, by_rel),
+            1,
+        ).alias("sel"),
     )
     for step in range(2, MMR_K + 1):
-        rem = cand.join(
-            sel.select(F.col("vec_id").alias("s_id")),
-            cand["vec_id"] == F.col("s_id"),
-            "left_anti",
+        df = barrier(df)
+        scored = F.transform(
+            F.filter(
+                "pool",
+                lambda p: ~F.exists(
+                    F.col("sel"), lambda s: s["vec_id"] == p["vec_id"]
+                ),
+            ),
+            lambda p: F.struct(
+                p["vec_id"].alias("vec_id"),
+                p["embedding"].alias("embedding"),
+                p["rel"].alias("rel"),
+                F.round(
+                    lam * p["rel"]
+                    - div
+                    * F.aggregate(
+                        F.col("sel"),
+                        F.lit(float("-inf")),
+                        lambda m, s: F.greatest(
+                            m, F.round(_dot(p["embedding"], s["embedding"]), 6)
+                        ),
+                    ),
+                    6,
+                ).alias("mmr_score"),
+            ),
         )
-        scored = (
-            rem.crossJoin(F.broadcast(sel.select(F.col("embedding").alias("se"))))
-            .groupBy("vec_id", "rel")
-            .agg(
-                F.max(F.round(_dot(F.col("embedding"), F.col("se")), 6)).alias(
-                    "max_sim"
-                )
-            )
-            .withColumn(
-                "mmr_score",
-                F.round(lam * F.col("rel") - div * F.col("max_sim"), 6),
-            )
-            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-            .limit(1)
+        df = df.select(
+            "pool", appended(F.col("sel"), argmax(scored, by_mmr), step).alias("sel")
         )
-        pick = scored.join(
-            cand.select("vec_id", "embedding"), "vec_id"
-        ).select(
-            "vec_id",
-            "embedding",
-            "rel",
-            F.lit(step).alias("sel_order"),
-            "mmr_score",
-        )
-        # persist each step's cumulative selection: without this, step
-        # k's plan re-executes steps 2..k-1's take-ordered-1 jobs (the
-        # union lineage is replayed per reference), turning K greedy
-        # steps into O(K²) tiny jobs — pure fixed overhead at any
-        # scale, since sel is ≤ MMR_K rows by construction.
-        sel = sel.unionByName(pick).persist()
-    return sel.select("sel_order", "vec_id", "rel", "mmr_score").orderBy(
-        "sel_order"
+    return (
+        df.select(F.explode("sel").alias("s"))
+        .select("s.sel_order", "s.vec_id", "s.rel", "s.mmr_score")
+        .orderBy("sel_order")
     )
 
 
