@@ -1823,13 +1823,28 @@ def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("b_unats"),
         )
     )
+    # Split the scoring join by backoff case (optimization r10, guide
+    # §2.3 "shuffle fewer bytes"): big_w is TOTAL over non-first stream
+    # rows by construction (big/pctx/uni are inner-joined stats built
+    # from the SAME stream, so every observed (pw, w) pair has a row) —
+    # the former stream⋈uni_w⋈big_w shape therefore used u_unats only
+    # where pw IS NULL, yet shuffled the ENTIRE token stream through
+    # the unigram join to get it. Now only first-of-doc tokens (one per
+    # doc, 5-6 orders fewer rows at corpus scale) take the unigram
+    # join; everything else takes exactly the bigram join it always
+    # resolved to. coalesce(b, u) over both orientations == the union.
+    firsts = (
+        stream.filter(F.col("pw").isNull())
+        .join(uni_w, "w")
+        .select("doc_id", F.col("u_unats").alias("unats"))
+    )
+    rest = (
+        stream.filter(F.col("pw").isNotNull())
+        .join(big_w, ["pw", "w"])
+        .select("doc_id", F.col("b_unats").alias("unats"))
+    )
     scored = (
-        stream.join(uni_w, "w")
-        .join(big_w, ["pw", "w"], "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("b_unats"), F.col("u_unats")).alias("unats"),
-        )
+        firsts.unionByName(rest)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
