@@ -534,6 +534,65 @@ def _audio_energy_batches_fn(win: int = _AE_WIN):
     return run
 
 
+def _audio_landmark_batches_fn(win: int, max_delta: int):
+    """Arrow batch fn: per-doc energy windows (the
+    ``_audio_energy_batches_fn`` kernel verbatim) REDUCED in-task to
+    consecutive-peak landmark pairs (optimization r10, guide §4.2 /
+    §2.4): the task already holds the doc's whole window array, so
+    peak detection (strictly louder than both existing neighbors) and
+    consecutive-peak pairing (gap ≤ max_delta) are two numpy
+    comparisons here — the former shape shipped EVERY window row out
+    just to re-group them by doc_id through two lag/lead window
+    exchanges and throw the non-peaks away. Energies are the same
+    exact integers; the landmark hash stays in the JVM."""
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import struct  # noqa: PLC0415 - worker-side imports
+        import numpy as _np  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "energy": [], "e2": [], "gap": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 0:
+                    continue  # images have no audio track
+                blob = enc(did, bytes(payload))
+                pos, data = 12, None
+                while pos + 8 <= len(blob):
+                    cid, csz = struct.unpack_from("<4sI", blob, pos)
+                    if cid == b"data":
+                        data = blob[pos + 8 : pos + 8 + csz]
+                        break
+                    pos += 8 + csz + (csz % 2)
+                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+                e = _np.array(
+                    [
+                        int((samples[w : w + win] * samples[w : w + win]).sum())
+                        for w in range(0, len(samples), win)
+                    ],
+                    dtype=_np.int64,
+                )
+                if len(e) < 3:
+                    continue
+                # interior peaks: both neighbors exist and are strictly quieter
+                mask = (e[1:-1] > e[:-2]) & (e[1:-1] > e[2:])
+                pk = _np.nonzero(mask)[0] + 1  # window_idx of each peak
+                if len(pk) < 2:
+                    continue
+                gaps = pk[1:] - pk[:-1]
+                keep = gaps <= max_delta
+                for i in _np.nonzero(keep)[0]:
+                    out["doc_id"].append(did)
+                    out["energy"].append(int(e[pk[i]]))
+                    out["e2"].append(int(e[pk[i + 1]]))
+                    out["gap"].append(int(gaps[i]))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio ENERGY over the real PCM16 WAV blobs — actual
     signal processing on actual container bytes, not a metadata fake:
@@ -962,41 +1021,16 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc lag/lead window; the candidate join is an equi join ON
     THE HASH (bucket join, no doc×doc pair space); one aggregation
     per doc pair."""
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
     from ._helpers import h32  # noqa: PLC0415
 
-    energy = _media_table(spark, sf_dir).mapInPandas(
-        _audio_energy_batches_fn(win=_FP_WIN),
-        schema="doc_id long, window_idx int, n_samples int, energy long",
+    # landmark pairs computed in-task (see _audio_landmark_batches_fn):
+    # the per-window relation never leaves the Python worker, so the
+    # two former doc-partitioned lag/lead window exchanges are gone.
+    paired = _media_table(spark, sf_dir).mapInPandas(
+        _audio_landmark_batches_fn(win=_FP_WIN, max_delta=_FP_MAX_DELTA),
+        schema="doc_id long, energy long, e2 long, gap int",
     )
-    w = W.partitionBy("doc_id").orderBy("window_idx")
-    peaks = (
-        energy.select(
-            "doc_id",
-            "window_idx",
-            "energy",
-            F.lag("energy").over(w).alias("prev_e"),
-            F.lead("energy").over(w).alias("next_e"),
-        )
-        .filter(
-            F.col("prev_e").isNotNull()
-            & F.col("next_e").isNotNull()
-            & (F.col("energy") > F.col("prev_e"))
-            & (F.col("energy") > F.col("next_e"))
-        )
-        .select("doc_id", "window_idx", "energy")
-    )
-    wp = W.partitionBy("doc_id").orderBy("window_idx")
-    paired = peaks.select(
-        "doc_id",
-        "window_idx",
-        "energy",
-        F.lead("window_idx").over(wp).alias("w2"),
-        F.lead("energy").over(wp).alias("e2"),
-    ).filter(
-        F.col("w2").isNotNull() & (F.col("w2") - F.col("window_idx") <= _FP_MAX_DELTA)
-    )
+
     # Top-6-bit mantissa bucket: e div 2^(bitlen-6) — a coarse but
     # shift-invariant log-energy quantization, integer-exact in both
     # engines (pow(2, n) is double-exact for n < 53).
@@ -1010,7 +1044,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|",
                 mant("energy"),
                 mant("e2"),
-                F.col("w2") - F.col("window_idx"),
+                F.col("gap"),
             )
         ).alias("fh"),
     ).distinct()
