@@ -593,6 +593,52 @@ def _audio_landmark_batches_fn(win: int, max_delta: int):
     return run
 
 
+def _audio_stats_batches_fn(win: int = _AE_WIN):
+    """Arrow batch fn: per-doc voiced-window statistics computed
+    in-task (optimization r10, guide §4.2, same move as
+    ``_audio_landmark_batches_fn``): the task holds the doc's whole
+    window-energy array, so total energy, window count, and the
+    voiced count (windows with energy·n_win > total, i.e. above the
+    doc's mean) are three exact-integer reductions here — the former
+    shape persisted the full window relation, aggregated it, joined
+    the windows BACK against the aggregate, and aggregated again.
+    Python ints keep the energy·n_win comparison overflow-proof."""
+    enc, _ = _media_codec_fns()
+
+    def run(batches):
+        import struct  # noqa: PLC0415 - worker-side imports
+        import numpy as _np  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_win": [], "tot": [], "n_voiced": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                if did % 2 == 0:
+                    continue  # images have no audio track
+                blob = enc(did, bytes(payload))
+                pos, data = 12, None
+                while pos + 8 <= len(blob):
+                    cid, csz = struct.unpack_from("<4sI", blob, pos)
+                    if cid == b"data":
+                        data = blob[pos + 8 : pos + 8 + csz]
+                        break
+                    pos += 8 + csz + (csz % 2)
+                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+                e = [
+                    int((samples[w : w + win] * samples[w : w + win]).sum())
+                    for w in range(0, len(samples), win)
+                ]
+                n_win, tot = len(e), sum(e)
+                out["doc_id"].append(did)
+                out["n_win"].append(n_win)
+                out["tot"].append(tot)
+                out["n_voiced"].append(sum(1 for x in e if x * n_win > tot))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio ENERGY over the real PCM16 WAV blobs — actual
     signal processing on actual container bytes, not a metadata fake:

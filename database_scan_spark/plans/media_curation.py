@@ -34,7 +34,7 @@ VOICED_MIN_PCT = 30  # keep audio with >= 30% voiced windows
 
 def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (  # noqa: PLC0415
-        _audio_energy_batches_fn,
+        _audio_stats_batches_fn,
         _media_table,
         mm_phash_pairs,
     )
@@ -47,27 +47,15 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    energy = _media_table(spark, sf_dir).mapInPandas(
-        _audio_energy_batches_fn(),
-        schema="doc_id long, window_idx int, n_samples int, energy long",
-    ).persist()  # consumed twice (total agg + voiced-window compare) —
-    # without the persist the Arrow-batched blob decode runs twice
-    # (measured sf0.1 warm 5.6s -> 4.6s). Released by the
-    # __spark_entry__ cache lifecycle.
-    tot = energy.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_win"), F.sum("energy").alias("tot")
-    )
-    voiced = (
-        energy.join(tot, "doc_id")
-        .filter(F.col("energy") * F.col("n_win") > F.col("tot"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_voiced"))
-    )
-    audio = tot.join(voiced, "doc_id", "left").select(
-        "doc_id",
-        "n_win",
-        F.coalesce("n_voiced", F.lit(0)).alias("n_voiced"),
-    )
+    # voiced-window stats computed in-task (optimization r10, guide
+    # §4.2 — see _audio_stats_batches_fn): the window relation never
+    # leaves the Python worker, so the former persist + groupBy + join
+    # of windows back against their own aggregate + second groupBy are
+    # all gone; one decode pass, one per-doc row out.
+    audio = _media_table(spark, sf_dir).mapInPandas(
+        _audio_stats_batches_fn(),
+        schema="doc_id long, n_win long, tot long, n_voiced long",
+    ).select("doc_id", "n_win", "n_voiced")
     base = (
         q.join(dups, "doc_id", "left")
         .join(audio, "doc_id", "left")
