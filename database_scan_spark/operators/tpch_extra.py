@@ -552,29 +552,38 @@ def tpch_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders_f = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supplier = load(spark, sf_dir, "supplier")
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).dropDuplicates(["ok", "sk"])
-    # orders with >1 distinct supplier / returned-rows per (order, supplier)
-    multi = (
-        li.groupBy(F.col("l_orderkey").alias("m_ok"))
-        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("m_ok")
+    # ONE lineitem pass (optimization r11, guide §2.4 exchange reuse):
+    # every correlation below needs only the distinct (order, supplier)
+    # pair set tagged with "did this supplier return on this order" —
+    # l1 is the has_ret pairs, multi-supplier is count(*) per order
+    # over the pairs, sole-blame is sum(has_ret) = 1 per order. The
+    # previous shape scanned lineitem three times (l1 dedup, a
+    # countDistinct per order, l1 re-aggregated); now the single
+    # (ok, sk) aggregate subtree feeds both consumers and its Exchange
+    # is reused, and the two order-level EXISTS/NOT-EXISTS semi joins
+    # fuse into one keep-set (n_supp > 1 AND n_ret = 1).
+    pairs = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (F.col("l_returnflag") == "R").cast("int").alias("is_ret"),
+        )
+        .groupBy("ok", "sk")
+        .agg(F.max("is_ret").alias("has_ret"))
     )
-    # (order, supplier) pairs where ANOTHER supplier also returned:
-    # per order, the set of returning suppliers; blame is sole iff the
-    # order has exactly one returning supplier.
-    sole = (
-        l1.groupBy(F.col("ok").alias("s_ok"))
-        .agg(F.count(F.lit(1)).alias("n_ret"))
-        .filter(F.col("n_ret") == 1)
-        .select("s_ok")
+    l1 = pairs.filter(F.col("has_ret") == 1).select("ok", "sk")
+    good_ok = (
+        pairs.groupBy(F.col("ok").alias("g_ok"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("has_ret").alias("n_ret"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .select("g_ok")
     )
     return (
         l1.join(orders_f, F.col("ok") == orders_f.o_orderkey, "left_semi")
-        .join(multi, F.col("ok") == F.col("m_ok"), "left_semi")
-        .join(sole, F.col("ok") == F.col("s_ok"), "left_semi")
+        .join(good_ok, F.col("ok") == F.col("g_ok"), "left_semi")
         .join(supplier, F.col("sk") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

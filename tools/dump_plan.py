@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for named queries into plans/r10/.
+"""Dump .explain('formatted') for named queries into plans/<round>/.
 
 Usage: python tools/dump_plan.py before|after name [name ...]
-Writes plans/r10/<name>_<tag>.txt (the optimization-round evidence
-files: the judge checks plan claims in OPTIMIZATION_r10.md against
-these).
+Writes plans/<ROUND>/<name>_<tag>.txt (the optimization-round evidence
+files: the judge checks plan claims in OPTIMIZATION_<round>.md against
+these). Set DUMP_ROUND (default r11) to target a different round dir.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ def main() -> None:
     import __spark_entry__ as _entry
 
     by_name = _entry.queries()
-    outdir = os.path.join(REPO, "plans", "r10")
+    outdir = os.path.join(REPO, "plans", os.environ.get("DUMP_ROUND", "r11"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         _entry.drain()
