@@ -45,6 +45,15 @@ _R = _K // _BANDS
 _rng = np.random.RandomState(1_234_567)
 MINHASH_A = [int(x) for x in _rng.randint(1, P31, size=_K)]
 MINHASH_B = [int(x) for x in _rng.randint(0, P31, size=_K)]
+# The signature kernel interpolates these constants into parsed
+# `F.expr` SQL strings (optimization r10); the arithmetic stays 64-bit
+# against the BIGINT h column only while every constant is a plain
+# Python int inside [0, 2^31) — an INT-vs-BIGINT literal-typing
+# dependency the Column-API form enforced structurally and the string
+# form merely inherits. Fail loud at import if the family ever drifts
+# (ADVICE r10).
+assert all(isinstance(a, int) and 0 < a < P31 for a in MINHASH_A)
+assert all(isinstance(b, int) and 0 <= b < P31 for b in MINHASH_B)
 
 JACCARD_THRESHOLD = 0.5
 

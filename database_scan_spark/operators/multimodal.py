@@ -492,6 +492,43 @@ SPECS = [
 _AE_WIN = 256  # samples per analysis window
 
 
+def _pcm_window_energy_fn(win: int):
+    """Shared per-doc kernel for the three audio Arrow batch fns
+    (ADVICE r10: the RIFF data-chunk walk + PCM16 window-energy decode
+    was copy-pasted verbatim in all three — a codec or chunk-walk fix
+    needed three synchronized edits). Returns a CLOSURE
+    ``energies(did, payload) -> (e, nsamp)`` — exact-integer window
+    energies and per-window sample counts — so it is pickled BY VALUE
+    with its captured codec fn, like every other worker-side fn here
+    (a module-level helper would pickle by reference and
+    ModuleNotFoundError on workers when the driver cwd isn't the
+    repo). Each batch fn keeps its own REDUCTION over (e, nsamp)."""
+    enc, _ = _media_codec_fns()
+
+    def energies(did: int, payload) -> tuple[list[int], list[int]]:
+        import struct  # noqa: PLC0415 - worker-side imports
+        import numpy as _np  # noqa: PLC0415
+
+        blob = enc(did, bytes(payload))
+        # RIFF walk to the data chunk (same loop as decode_media)
+        pos, data = 12, None
+        while pos + 8 <= len(blob):
+            cid, csz = struct.unpack_from("<4sI", blob, pos)
+            if cid == b"data":
+                data = blob[pos + 8 : pos + 8 + csz]
+                break
+            pos += 8 + csz + (csz % 2)
+        samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+        e, nsamp = [], []
+        for w in range(0, len(samples), win):
+            wseg = samples[w : w + win]
+            e.append(int((wseg * wseg).sum()))
+            nsamp.append(len(wseg))
+        return e, nsamp
+
+    return energies
+
+
 def _audio_energy_batches_fn(win: int = _AE_WIN):
     """Arrow batch fn: construct the REAL WAV container for each odd
     doc (same codec path as mm_decode_real), parse the PCM16 data
@@ -500,12 +537,10 @@ def _audio_energy_batches_fn(win: int = _AE_WIN):
     silence trimming / loudness normalization). Codec fns captured by
     value; numpy only worker-side. ``win`` is the analysis window in
     samples (fingerprinting uses a finer grid than the default)."""
-    enc, _ = _media_codec_fns()
+    energies = _pcm_window_energy_fn(win)
 
     def run(batches):
-        import struct  # noqa: PLC0415 - worker-side imports
-        import numpy as _np  # noqa: PLC0415
-        import pandas as _pd  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415 - worker-side imports
 
         for pdf in batches:
             out = {"doc_id": [], "window_idx": [], "n_samples": [], "energy": []}
@@ -513,22 +548,12 @@ def _audio_energy_batches_fn(win: int = _AE_WIN):
                 did = int(doc_id)
                 if did % 2 == 0:
                     continue  # images have no audio track
-                blob = enc(did, bytes(payload))
-                # RIFF walk to the data chunk (same loop as decode_media)
-                pos, data = 12, None
-                while pos + 8 <= len(blob):
-                    cid, csz = struct.unpack_from("<4sI", blob, pos)
-                    if cid == b"data":
-                        data = blob[pos + 8 : pos + 8 + csz]
-                        break
-                    pos += 8 + csz + (csz % 2)
-                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
-                for w in range(0, len(samples), win):
-                    wseg = samples[w : w + win]
+                e, nsamp = energies(did, payload)
+                for idx, (en, ns) in enumerate(zip(e, nsamp)):
                     out["doc_id"].append(did)
-                    out["window_idx"].append(w // win)
-                    out["n_samples"].append(len(wseg))
-                    out["energy"].append(int((wseg * wseg).sum()))
+                    out["window_idx"].append(idx)
+                    out["n_samples"].append(ns)
+                    out["energy"].append(en)
             yield _pd.DataFrame(out)
 
     return run
@@ -545,11 +570,10 @@ def _audio_landmark_batches_fn(win: int, max_delta: int):
     just to re-group them by doc_id through two lag/lead window
     exchanges and throw the non-peaks away. Energies are the same
     exact integers; the landmark hash stays in the JVM."""
-    enc, _ = _media_codec_fns()
+    energies = _pcm_window_energy_fn(win)
 
     def run(batches):
-        import struct  # noqa: PLC0415 - worker-side imports
-        import numpy as _np  # noqa: PLC0415
+        import numpy as _np  # noqa: PLC0415 - worker-side imports
         import pandas as _pd  # noqa: PLC0415
 
         for pdf in batches:
@@ -558,22 +582,8 @@ def _audio_landmark_batches_fn(win: int, max_delta: int):
                 did = int(doc_id)
                 if did % 2 == 0:
                     continue  # images have no audio track
-                blob = enc(did, bytes(payload))
-                pos, data = 12, None
-                while pos + 8 <= len(blob):
-                    cid, csz = struct.unpack_from("<4sI", blob, pos)
-                    if cid == b"data":
-                        data = blob[pos + 8 : pos + 8 + csz]
-                        break
-                    pos += 8 + csz + (csz % 2)
-                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
-                e = _np.array(
-                    [
-                        int((samples[w : w + win] * samples[w : w + win]).sum())
-                        for w in range(0, len(samples), win)
-                    ],
-                    dtype=_np.int64,
-                )
+                e, _ns = energies(did, payload)
+                e = _np.array(e, dtype=_np.int64)
                 if len(e) < 3:
                     continue
                 # interior peaks: both neighbors exist and are strictly quieter
@@ -603,12 +613,10 @@ def _audio_stats_batches_fn(win: int = _AE_WIN):
     shape persisted the full window relation, aggregated it, joined
     the windows BACK against the aggregate, and aggregated again.
     Python ints keep the energy·n_win comparison overflow-proof."""
-    enc, _ = _media_codec_fns()
+    energies = _pcm_window_energy_fn(win)
 
     def run(batches):
-        import struct  # noqa: PLC0415 - worker-side imports
-        import numpy as _np  # noqa: PLC0415
-        import pandas as _pd  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415 - worker-side imports
 
         for pdf in batches:
             out = {"doc_id": [], "n_win": [], "tot": [], "n_voiced": []}
@@ -616,19 +624,7 @@ def _audio_stats_batches_fn(win: int = _AE_WIN):
                 did = int(doc_id)
                 if did % 2 == 0:
                     continue  # images have no audio track
-                blob = enc(did, bytes(payload))
-                pos, data = 12, None
-                while pos + 8 <= len(blob):
-                    cid, csz = struct.unpack_from("<4sI", blob, pos)
-                    if cid == b"data":
-                        data = blob[pos + 8 : pos + 8 + csz]
-                        break
-                    pos += 8 + csz + (csz % 2)
-                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
-                e = [
-                    int((samples[w : w + win] * samples[w : w + win]).sum())
-                    for w in range(0, len(samples), win)
-                ]
+                e, _ns = energies(did, payload)
                 n_win, tot = len(e), sum(e)
                 out["doc_id"].append(did)
                 out["n_win"].append(n_win)

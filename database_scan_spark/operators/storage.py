@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -317,15 +317,27 @@ SKEW_REPL = 100
 SKEW_SALTS = 32
 
 
+def _skew_key_expr() -> Column:
+    """The synthesized hot key: every user not divisible by 100
+    collapses onto key 0. ONE definition shared by the fact and the
+    dim (ADVICE r10): `_skew_dim`'s correctness proof — "the distinct
+    key set off the raw scan equals the distinct key set of the
+    exploded fact" — requires both sides to synthesize the key
+    identically, so the expression must not be restated."""
+    return (
+        F.when(F.col("user_id") % 100 == 0, F.col("user_id"))
+        .otherwise(F.lit(0))
+        .alias("skew_key")
+    )
+
+
 def _skew_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture ships events as ONE small file = one input split; a
     # 100 TB fact arrives as thousands of splits. Spread the scan so
     # the map side isn't an artifact single task.
     ev = load(spark, sf_dir, "events").repartition(32, "event_id")
     return ev.select(
-        F.when(F.col("user_id") % 100 == 0, F.col("user_id"))
-        .otherwise(F.lit(0))
-        .alias("skew_key"),
+        _skew_key_expr(),
         "event_id",
         (F.round(F.col("value") * 100).cast("long")).alias("cents"),
         F.explode(F.sequence(F.lit(0), F.lit(SKEW_REPL - 1))).alias("rep"),
@@ -342,11 +354,7 @@ def _skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "SELECT DISTINCT skew_key FROM fact" unchanged.
     ev = load(spark, sf_dir, "events")
     return (
-        ev.select(
-            F.when(F.col("user_id") % 100 == 0, F.col("user_id"))
-            .otherwise(F.lit(0))
-            .alias("skew_key")
-        )
+        ev.select(_skew_key_expr())
         .distinct()
         .withColumn("bucket", (F.col("skew_key") % 10).cast("int"))
     )

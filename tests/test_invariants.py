@@ -416,6 +416,45 @@ def test_mmr_matches_greedy_reference(spark, specs):
     assert got == want
 
 
+def test_mmr_barrier_survives_optimizer(spark, specs):
+    """Regression guard for sim_mmr_rerank's Generate barrier (ADVICE
+    r10): the chained per-step argmax folds stay evaluable only
+    because CollapseProject does not merge across a Generate node. A
+    Spark upgrade that simplifies explode(array(struct(...))) or
+    collapses through Generate would re-inline the folds and — per the
+    measurement in similarity.py — hang the analyzer. Build the
+    optimized plan in a BOUNDED worker thread so that failure mode is
+    a loud assert, not a hung test, and require the per-step Generate
+    barriers to still be present."""
+    import threading
+
+    from database_scan_spark.operators.similarity import MMR_K
+
+    df = specs["sim_mmr_rerank"].fn(spark, SF_SMOKE)
+    result: dict[str, str] = {}
+
+    def build() -> None:
+        result["plan"] = (
+            df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        )
+
+    t = threading.Thread(target=build, daemon=True)
+    t.start()
+    t.join(timeout=180)
+    assert "plan" in result, (
+        "sim_mmr_rerank's optimized plan did not build within 180s — "
+        "the optimizer likely collapsed across the Generate barrier "
+        "and re-inlined the chained argmax folds (see barrier() in "
+        "operators/similarity.py)"
+    )
+    n_generate = result["plan"].count("Generate explode")
+    assert n_generate >= MMR_K - 1, (
+        f"expected >= {MMR_K - 1} per-step Generate barriers in the "
+        f"optimized plan, found {n_generate} — an optimizer change "
+        "removed them; re-measure plan-build time before trusting this"
+    )
+
+
 def test_rank_stats_mutually_consistent(spark, specs):
     """Spearman, Kendall and the chi-square verdict must be mutually
     consistent on the same fixture: both rank coefficients are in
