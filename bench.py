@@ -295,6 +295,15 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # Durability (VERDICT r10 item 2): a later bench at a DIFFERENT
+    # core count overwrites BENCH_DETAIL.json and destroys the earlier
+    # run's evidence (r10's 32-core floor flag became unattributable
+    # after the driver's 8-core run). Stamp a per-cpus copy too —
+    # additions-only, the mutable path above stays the contract.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    with open(detail_path.replace(".json", f"_c{cpus}.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     # Host-speed canaries (BASELINE.md normalization anchors): cheap,
     # plan-stable queries whose ratio to their floor separates VM drift
     # from real regressions without shipping the full per-query map.
@@ -312,6 +321,11 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "floor_violations": len(detail["floor_check"]["violations"])
         if "violations" in detail["floor_check"] else None,
+        # Names, not just a count (VERDICT r10 item 2): the stdout line
+        # must self-attribute its flags so a PERF round can name its
+        # violator from artifacts alone even if the detail file is
+        # later overwritten. Additions-only; normally an empty list.
+        "floor_violation_names": detail["floor_check"].get("violations"),
     }
     print(json.dumps(result))
 

@@ -86,7 +86,19 @@ def dedup_cluster_cc(
         )
         .persist()
     )
-    changed = labels_p.filter("chg").count()
+    # Round 1 needs NO convergence count (optimization r11, guide §5
+    # "the driver should do almost no data work" — one action fewer):
+    # the edge set is symmetric and self-loop-free (both orientations
+    # of each a<b pair, deduped), so any non-empty component's largest
+    # node has a strictly smaller neighbor and its label changes —
+    # round 1 always reports changed>0 when edges exist. If edges is
+    # EMPTY, labels is empty too, and the first loop round's aggregate
+    # over empty input counts 0 and exits — same fixpoint, same
+    # result, one plan round over zero rows instead of a count job.
+    # Skipping the count also defers labels_p's cache materialization
+    # into round 2's count job (edges cache + labels cache + round-2
+    # aggregate land in ONE action instead of two).
+    changed = -1  # sentinel: round 1 provably changed (or loop exits on 0)
     labels = labels_p.select(F.col("src").alias("doc_id"), "label")
     rounds = 1
     while changed != 0 and rounds < MAX_ITERS:
