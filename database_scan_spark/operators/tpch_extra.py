@@ -562,8 +562,21 @@ def tpch_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ok, sk) aggregate subtree feeds both consumers and its Exchange
     # is reused, and the two order-level EXISTS/NOT-EXISTS semi joins
     # fuse into one keep-set (n_supp > 1 AND n_ret = 1).
+    # The explicit isnotnull filters are load-bearing twice over:
+    # (a) they pin the rewrite to the oracle's NULL semantics (its
+    # countDistinct / <> correlations never count a NULL supplier, so
+    # neither may the pair grain), and (b) they make BOTH consumer
+    # branches' scan subtrees canonically IDENTICAL — without them the
+    # supplier join infers IsNotNull(l_suppkey) into only the l1
+    # branch, the two (ok, sk) aggregates stop canonicalizing equal,
+    # and AQE computes the exchange twice instead of reusing the
+    # shuffle stage (observed in the executed plan: two
+    # ShuffleQueryStages over two lineitem scans).
     pairs = (
-        li.select(
+        li.filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .select(
             F.col("l_orderkey").alias("ok"),
             F.col("l_suppkey").alias("sk"),
             (F.col("l_returnflag") == "R").cast("int").alias("is_ret"),
