@@ -366,6 +366,14 @@ def _sparsified_pairs(spark: SparkSession, sf_dir: str):
     on ``_trade_edges``: the undirected weight is the sum of the two
     directed counts (identical values, and the directed aggregate is
     the same map-side-combinable shuffle)."""
+    # PERSISTED (optimization r11, guide §2.4/§5): `pairs` is consumed
+    # twice — the sparsification window (via dirs) and the kept⋈pairs
+    # reattach — and the EXECUTED plan showed the two references never
+    # unify (AQE computed the fact-fact aggregate twice, two lineitem
+    # scans; exchange-reuse misses across the window/dedup boundary).
+    # The relation is dimension-bounded (≤ nation² undirected pairs,
+    # ≤300 rows), so one tracked persist removes an entire fact join
+    # at any scale for the cost of caching a few hundred rows.
     pairs = (
         _trade_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
@@ -376,6 +384,7 @@ def _sparsified_pairs(spark: SparkSession, sf_dir: str):
         )
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
+        .persist()
     )
     dirs = (
         pairs.select("a", "b", "w")
